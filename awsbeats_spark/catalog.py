@@ -1,0 +1,84 @@
+"""Table catalog: load the driver's parquet tables for a scale-factor dir.
+
+The ten tables (TESTDATA.md / FIXTURES.md) are read straight from parquet
+so Catalyst gets native predicate pushdown + column pruning. Timestamps
+are normalized by Spark itself (parquet timestamp[ns] / [ms] -> session
+TimestampType, microseconds, UTC session TZ).
+
+At cluster scale these reads would point at a partitioned table layout
+(e.g. dt= partitions) and the same code path applies: `spark.read.parquet`
+over a directory prunes partitions from pushed-down filters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# dims grow slowly or are fixed-size); fact tables shuffle on join keys.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+@dataclass
+class Catalog:
+    """Lazy per-sf-dir table access: ``cat.lineitem``, ``cat["orders"]``."""
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict = field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+        if name not in self._cache:
+            self._cache[name] = self._load(name)
+        return self._cache[name]
+
+    def _load(self, name: str) -> DataFrame:
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+            # reader refuses. Read it as raw nanos and truncate to micros —
+            # the exact same truncation DuckDB applies reading the file, so
+            # oracle comparisons agree (FIXTURES.md: "normalize on load").
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            from pyspark.sql import functions as F
+
+            df = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name in ("spark", "sf_dir"):
+            raise AttributeError(name)
+        try:
+            return self[name]
+        except KeyError as exc:  # pragma: no cover
+            raise AttributeError(name) from exc
+
+    def register_views(self) -> None:
+        """Register every table as a temp view (for spark.sql operators)."""
+        for name in TABLE_NAMES:
+            self[name].createOrReplaceTempView(name)
+
+
+def tables(spark: SparkSession, sf_dir: str) -> Catalog:
+    # The DuckDB oracle reads parquet timestamps as UTC-naive; pin the
+    # session TZ so date/window functions agree even when the engine runs
+    # under a driver-created session on a non-UTC host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return Catalog(spark, sf_dir)

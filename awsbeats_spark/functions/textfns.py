@@ -1,0 +1,68 @@
+"""Text column builders shared by the LLM-data operators.
+
+Every helper returns a pure Column built from pyspark.sql.functions
+(whole-stage-codegen'd, no Python in the hot path) and has a DuckDB SQL
+twin string so operators can assemble matching oracles.
+
+Tokenization contract (identical in both engines):
+  words(text)    = lowercase, split on \\s+, empty strings removed
+  shingles(text) = all word 3-grams joined with single spaces
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column | str = "text") -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+#: DuckDB twin of :func:`words`
+WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def shingles(word_col: Column, n: int = 3) -> Column:
+    """Word n-grams (default 3) as space-joined strings; empty array when
+    the doc has fewer than n words (guard needed: Spark's sequence(1,0)
+    counts DOWN, unlike DuckDB's empty generate_series)."""
+    k = n - 1
+    return F.when(
+        F.size(word_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(word_col) - k),
+            lambda i: F.array_join(F.slice(word_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(words_sql: str = WORDS_SQL, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` over a words-list SQL fragment."""
+    k = n - 1
+    return (
+        f"list_transform(generate_series(1, greatest(len({words_sql}) - {k}, 0)), "
+        f"i -> array_to_string(list_slice({words_sql}, i, i + {k}), ' '))"
+    )
+
+
+# Stopword marker lists for the n-gram/stopword language heuristic.
+# Fixed small lists so the scoring formula is identical in both engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "una", "que"),
+}
+
+
+def marker_hits(word_col: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are language-marker stopwords."""
+    return F.size(F.filter(word_col, lambda x: x.isin(*markers)))
+
+
+def marker_hits_sql(words_sql: str, markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({words_sql}, x -> x IN ({in_list})))"

@@ -1,0 +1,18 @@
+"""Operator modules. Importing this package registers every operator
+into ``awsbeats_spark.registry.QUERIES``."""
+
+from awsbeats_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    pipeline,
+    relational,
+    setops,
+    streaming_batch,
+    windows,
+)
+from awsbeats_spark.operators.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

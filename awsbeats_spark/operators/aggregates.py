@@ -1,0 +1,249 @@
+"""Aggregation operators.
+
+The reference's only aggregation is its observability counters
+(NewBatch/Acked/Dropped — /root/reference/streams/client.go:87-96); the
+full catalog here is the engine extension (SURVEY.md §2.C).
+
+Scale notes: every groupBy below benefits from partial (map-side)
+aggregation — Spark emits HashAggregate(partial) before the shuffle and
+HashAggregate(final) after, so shuffle volume is O(groups), not O(rows).
+Low-cardinality group keys (returnflag×linestatus = 6 groups) shuffle
+almost nothing even at 100 TB. approx_count_distinct uses HyperLogLog++
+with mergeable sketches — the exact-distinct fallback shuffles rows,
+the sketch shuffles fixed-size registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "agg_group_count",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch counting — generalizes the reference's observer counters
+    (/root/reference/streams/client.go:87-96) to keyed counts."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "agg_group_sum_avg",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: 2 group keys, 8 aggregates, one pass."""
+    t = tables(spark, sf_dir)
+    li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+        rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — expands to a two-phase aggregate; at scale the
+    first phase dedups (o_orderpriority, o_custkey) so the final shuffle
+    is bounded by distinct pairs, not rows."""
+    t = tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("rows-only",))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (rsd=1%). No oracle: DuckDB's
+    approx_count_distinct uses a different sketch so values legitimately
+    differ; tests/test_aggregates.py bounds the estimate against the
+    exact count instead. At 100 TB this is THE distinct-count operator —
+    fixed-size mergeable registers instead of a row shuffle."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, '(all)') AS region_name,
+           coalesce(n_name, '(all)') AS nation_name,
+           round(sum(c_acctbal), 2)  AS sum_acctbal,
+           count(*)                  AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total. NULL group
+    labels are coalesced to '(all)' on both engines so the hash compare
+    is unambiguous (no real NULLs exist in the group keys)."""
+    t = tables(spark, sf_dir)
+    joined = (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            rnd(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "sum_acctbal",
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(min(value), 2)          AS min_value,
+           round(max(value), 2)          AS max_value,
+           round(avg(value), 4)          AS avg_value,
+           round(stddev_samp(value), 4)  AS std_value,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats incl. exact interpolated median. At 100 TB the
+    exact percentile shuffles values per group; swap for
+    percentile_approx (mergeable t-digest-style sketch) when the group
+    payload exceeds executor memory."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        rnd(F.min("value"), 2).alias("min_value"),
+        rnd(F.max("value"), 2).alias("max_value"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+        rnd(F.stddev_samp("value"), 4).alias("std_value"),
+        rnd(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+    )
+
+
+@query(
+    "agg_bucketed_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_bucketed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by computed bucket key."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.floor(F.col("value") / 50).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns — compiles to conditional aggregates
+    (one pass, no extra shuffle vs the plain groupBy)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(rnd(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )

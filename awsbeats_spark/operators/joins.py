@@ -1,0 +1,262 @@
+"""Join operators: equi (shuffle + broadcast), semi/anti, outer,
+theta/range, and as-of.
+
+All absent in the reference (a delivery sink — SURVEY.md §2.C); this is
+the engine extension. Every join documents its scale strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big equi join: both sides shuffle on the key (sort-merge or
+    shuffled-hash, AQE's choice). The o_orderstatus filter is pushed
+    below the join so only matching rows shuffle."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ small dim with an explicit broadcast hint: zero shuffle on
+    the 100-TB fact side — the filtered dim ships to every executor."""
+    t = tables(spark, sf_dir)
+    part = t.part.filter(F.col("p_size") <= 20)
+    return (
+        t.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders (count=0)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rnd(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 100000
+    )
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: probe side never duplicates rows and
+    only the join key of the build side shuffles."""
+    t = tables(spark, sf_dir)
+    big_orders = t.orders.filter(F.col("o_totalprice") > 100000)
+    return (
+        t.customer.join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000
+    )
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join (customers with no quarter-million
+    order — every customer has SOME order in this data, so the filter
+    keeps the anti-join result non-trivial)."""
+    t = tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 250000)
+    return (
+        t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, s_name, c_custkey,
+           round(abs(s_acctbal - c_acctbal), 2) AS bal_gap
+    FROM supplier
+    JOIN customer
+      ON s_nationkey = c_nationkey
+     AND c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join: the equi component (nationkey) lets Spark hash-
+    partition; the band predicate is evaluated post-match. At 100 TB with
+    no equi component you'd bucketize the range key (floor(bal/500)) and
+    equi-join on adjacent buckets — same result, hash-joinable."""
+    t = tables(spark, sf_dir)
+    s, c = t.supplier, t.customer
+    return (
+        s.join(
+            c,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & F.col("c_acctbal").between(F.col("s_acctbal") - 500, F.col("s_acctbal") + 500),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "c_custkey",
+            rnd(F.abs(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias("bal_gap"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id  AS purchase_id,
+           p.user_id   AS user_id,
+           c.event_id  AS last_click_id,
+           round(c.value, 2) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent click by the same user at-or-before the purchase time.
+
+    Implemented as the scalable union-and-carry pattern: tag both sides,
+    union, and carry the last click forward with a window running over
+    (user_id, ts) — ONE shuffle on user_id, no pairwise expansion, no
+    pandas. Clicks sort before purchases at equal ts (kind ordering) to
+    honor the >= bound. DuckDB's native ASOF JOIN is the oracle.
+    """
+    t = tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("last_click_id"),
+            rnd("last_click_value", 2).alias("last_click_value"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    sn AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides — aggregate BEFORE the
+    join so the outer join operates on O(groups) rows, not O(rows)."""
+    t = tables(spark, sf_dir)
+    cn = t.customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = t.supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )

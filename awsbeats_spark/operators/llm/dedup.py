@@ -1,0 +1,271 @@
+"""Deduplication operators over the `documents` table.
+
+Absent in the reference (a delivery sink); mandated by the north star
+(BASELINE.json: "add the LLM-data-pipeline operators").
+
+Scale design: every dedup here avoids the O(n²) cross product —
+candidates come from equi-joins on content-derived keys (exact hash,
+shared shingle, shared MinHash band, shared SimHash signature), which
+hash-partition and scale linearly in candidate pairs. The MinHash family
+is md5-based so the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.textfns import WORDS_SQL, shingles, shingles_sql, words
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+JACCARD_THRESHOLD = 0.2
+N_MINHASH = 8  # 4 bands x 2 rows
+N_BANDS = 4
+
+_SHINGLES_SQL = shingles_sql(WORDS_SQL)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id as
+    canonical. One shuffle on the content hash; at 100 TB group on
+    md5/xxhash of the text, never the text itself (shuffle bytes)."""
+    t = tables(spark, sf_dir)
+    return t.documents.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs: distinct shingle array, n: set size)."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.array_distinct(shingles(words())).alias("shs"),
+    ).select("doc_id", "shs", F.size("shs").alias("n"))
+
+
+_NGRAM_ORACLE = f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    counts AS (SELECT doc_id, len(s) AS n FROM shs),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.2).
+
+    Candidates = pairs sharing >= 1 shingle, found by self-equi-join on
+    the exploded shingle table — a hash join, not a cross product. At
+    100 TB, cap the explosion by dropping ultra-common shingles (doc
+    frequency cap) before the self-join; the testdata needs no cap.
+    """
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = sets.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_band_cases() -> str:
+    sigs = ", ".join(
+        f"min(CASE WHEN i = {i} THEN m END) AS m{i}" for i in range(N_MINHASH)
+    )
+    bands = " ".join(
+        f"WHEN {j} THEN md5(m{2 * j} || m{2 * j + 1})" for j in range(N_BANDS)
+    )
+    return sigs, bands
+
+
+_SIGS, _BANDS = _minhash_band_cases()
+
+_MINHASH_ORACLE = f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    mh AS (
+        SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS m
+        FROM exploded
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, {_SIGS} FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, j, CASE j {_BANDS} END AS bv
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+    FROM cand
+    JOIN shs sa ON doc_a = sa.doc_id
+    JOIN shs sb ON doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash", oracle=_MINHASH_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection (8 hashes, 4 bands of 2).
+
+    hash_i(shingle) = md5("{i}:" + shingle); signature = per-doc min of
+    each hash family; band value = md5 of its 2 signature entries; docs
+    sharing any band become candidates, then exact Jaccard filters
+    (>= 0.2). md5-based family => deterministic and engine-independent.
+
+    Scale: the band equi-join is THE point — candidate generation is a
+    hash join on (band_idx, band_value), linear in docs + near-dup
+    pairs. P(candidate | J) = 1-(1-J^2)^4: J=0.5 -> 66%, J=0.9 -> 99.97%.
+    Hash count/bands are tuned by recall target, not data size.
+    """
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
+    hashes = F.array(
+        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))) for i in range(N_MINHASH)]
+    )
+    mh = (
+        exploded.select("doc_id", F.posexplode(hashes).alias("i", "h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("m"))
+    )
+    sig = mh.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("i") == i, F.col("m"))).alias(f"m{i}") for i in range(N_MINHASH)]
+    )
+    band_vals = F.array(
+        *[F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))) for j in range(N_BANDS)]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_vals).alias("j", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("n").alias("nb"))
+    shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
+    )
+
+
+_HEX = "0123456789abcdef"
+
+_SIMHASH_ORACLE = f"""
+    WITH wd AS (
+        SELECT doc_id, unnest(list_distinct({WORDS_SQL})) AS word
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, p,
+               CASE WHEN ((strpos('{_HEX}', substring(md5(word), (p // 4) + 1, 1)) - 1)
+                          >> (3 - (p % 4))) & 1 = 1
+                    THEN 1 ELSE -1 END AS contrib
+        FROM wd CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p)
+    ),
+    bitsum AS (
+        SELECT doc_id, p, CASE WHEN sum(contrib) > 0 THEN '1' ELSE '0' END AS b
+        FROM bits GROUP BY doc_id, p
+    )
+    SELECT doc_id, string_agg(b, '' ORDER BY p) AS simhash
+    FROM bitsum GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from md5(word) bits: bit p of the
+    signature is the sign of the sum over distinct words of (+1/-1 by the
+    p-th md5 bit). Near-dup docs (small token edits) land at small
+    Hamming distance; identical signatures = strong dup signal.
+
+    Scale: one explode (words x 64 bit positions) + one groupBy — linear;
+    dup candidates come from equi-grouping on the signature (or its
+    16-bit chunks for Hamming<=k search), never pairwise comparison.
+    """
+    t = tables(spark, sf_dir)
+    wd = t.documents.select("doc_id", F.explode(F.array_distinct(words())).alias("word"))
+    bits = wd.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
+        F.md5("word").alias("h"),
+    ).select(
+        "doc_id",
+        "p",
+        F.when(
+            F.expr(
+                f"shiftright(locate(substring(h, (p div 4) + 1, 1), '{_HEX}') - 1, "
+                f"3 - (p % 4)) & 1 = 1"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("contrib"),
+    )
+    bitsum = bits.groupBy("doc_id", "p").agg(
+        F.when(F.sum("contrib") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+    )
+    return bitsum.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "b"))), lambda x: x["b"]
+            ),
+            "",
+        ).alias("simhash")
+    )

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the actual decode is a
+clearly-marked stub (`decode_media` raises NotImplementedError unless
+the deterministic fake is requested) — but everything Spark-side is
+real and tested: binary columns, metadata extraction, the mapInPandas
+batch shape for decoders, and frame-index explosion for sampling.
+
+Binary payloads are derived from `documents.text` (UTF-8 bytes) since
+the testdata ships no media; the schema/plumbing is payload-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.registry import query
+
+DECODE_SCHEMA = "doc_id bigint, width int, height int, n_frames int, decode_status string"
+
+
+def decode_media(payload: bytes, fake: bool = False) -> dict:
+    """Decode one media payload to (width, height, n_frames).
+
+    STUB: real decoding needs image/audio libraries not present in this
+    environment. With ``fake=True`` returns a deterministic synthetic
+    geometry derived from the payload bytes (used by tests and the
+    oracle-checked operators below); otherwise raises.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this environment; "
+            "pass fake=True for the deterministic test geometry"
+        )
+    n = len(payload)
+    return {
+        "width": 64 + n % 193,
+        "height": 64 + (n * 7) % 129,
+        "n_frames": 1 + n % 24,
+        "decode_status": "fake-decoded",
+    }
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decoder: Arrow batches in, metadata batches out.
+
+    This is the real production shape for a decoder UDF: per-batch
+    columnar transfer, no per-row Python call overhead beyond the loop,
+    output schema = DECODE_SCHEMA. The decode itself is the stub above.
+    """
+    for pdf in batches:
+        out = pd.DataFrame(
+            [decode_media(b, fake=True) for b in pdf["payload"]],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           substring(hex(encode(text)), 1, 8) AS magic_hex,
+           CASE CAST(octet_length(encode(text)) % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column: payload size, magic
+    bytes (hex of the first 4), and a deterministic modality tag. At
+    100 TB the binary column stays in parquet as BYTE_ARRAY and this
+    projection never materializes more than the prefix it slices."""
+    t = tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return t.documents.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
+        F.when(F.octet_length(payload) % 3 == 0, F.lit("image"))
+        .when(F.octet_length(payload) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + octet_length(encode(text)) % 193 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 129 AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames,
+           'fake-decoded' AS decode_status
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode via mapInPandas (Arrow-batched Python, the pattern a real
+    codec would use): binary payload in, typed geometry out. The decode
+    itself is the deterministic stub (decode_media); the oracle
+    recomputes its formula in SQL, proving schema, batch shape and
+    row alignment of the Python path."""
+    t = tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, CAST(octet_length(encode(text)) % 24 AS INT), 5))
+               AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: explode every 5th frame index of each (fake)
+    video — n_frames = 1 + byte_len % 24, indices 0..n_frames-1 step 5.
+    The explode is the scalable pattern: one output row per sampled
+    frame, no driver-side loop."""
+    t = tables(spark, sf_dir)
+    n_frames = F.lit(1) + F.octet_length(F.encode(F.col("text"), "UTF-8")) % 24
+    return t.documents.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(5))).alias("frame_idx"),
+    )

@@ -1,0 +1,236 @@
+"""Similarity search over the `embeddings` table (64-dim float vectors).
+
+Engine extension (BASELINE.json north star): brute-force cosine top-k as
+the correctness baseline, an IVF (inverted-file) variant and a
+sign-LSH-bucketed near-dup pass as the 100-TB scale paths.
+
+All cosine math is DOUBLE with sequential accumulation (see
+functions/vectorfns.py) so the DuckDB oracle agrees bit-for-bit before
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.vectorfns import (
+    as_double,
+    cosine,
+    cosine_sql,
+    sign_signature,
+    sign_signature_sql,
+)
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+TOP_K = 10
+N_QUERIES = 10  # vec_id < 10 are the query set
+CENTROID_MOD = 50  # vec_id % 50 == 0 -> centroid (10 cells over 500 vecs)
+N_PROBE = 3
+NEAR_DUP_TAU = 0.4  # max pairwise cosine in the testdata is ~0.48
+
+
+@query(
+    "sim_search_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           round({cosine_sql('q.embedding', 'c.embedding')}, 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+           ) AS rn
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+    QUALIFY rn <= {TOP_K}
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full corpus — one scan of the corpus, no shuffle of it. This is
+    the exact baseline; at 100 TB brute force is still the right answer
+    when the query set is small (it's a broadcast-map, not a cross
+    shuffle), and the IVF/LSH variants below cut the scan itself."""
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv"))
+    cos = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", rnd("cos_raw", 6).alias("cosine"), "rn")
+    )
+
+
+@query(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS arn
+        FROM embeddings e CROSS JOIN centroids c
+        QUALIFY arn = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS prn
+        FROM embeddings q CROSS JOIN centroids c
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY prn <= {N_PROBE}
+    )
+    SELECT p.query_id,
+           a.vec_id AS neighbor_id,
+           round({cosine_sql('q.embedding', 'a.embedding')}, 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {cosine_sql('q.embedding', 'a.embedding')} DESC, a.vec_id
+           ) AS rn
+    FROM probes p
+    JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+    JOIN embeddings q ON q.vec_id = p.query_id
+    QUALIFY rn <= {TOP_K}
+    """,
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor: partition the corpus into cells
+    by nearest centroid (deterministic centroid pick: vec_id % 50 == 0),
+    probe the 3 best cells per query, exact top-k within them.
+
+    Scale: assignment is a broadcast map over the corpus (centroids are
+    tiny); the probe join touches nprobe/ncells of the data instead of
+    all of it. Cells are the unit of partition pruning — at 100 TB,
+    partition the corpus files BY cell id so probing reads only those
+    files. Recall vs brute force is measured in tests/test_llm_ops.py.
+    """
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("ev"))
+    cos_ac = cosine(F.col("ev"), F.col("cv"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_ac"), F.asc("cent_id"))
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ev", "cent_id", cos_ac.alias("c_ac"))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "ev", "cent_id")
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_qc"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("c_qc"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "qv", "cent_id")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("ev")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", rnd("cos_raw", 6).alias("cosine"), "rn")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, pairwise): the
+    correctness baseline for semantic dedup. The pairwise join is the
+    honest O(n²) version — usable because the corpus side fits; at scale
+    use sim_search_lsh_bucketed (same output contract, bucketed join)."""
+    t = tables(spark, sf_dir)
+    a = t.embeddings.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va"))
+    b = t.embeddings.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= NEAR_DUP_TAU)
+        .select("vec_a", "vec_b", rnd("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "sim_search_lsh_bucketed",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               {sign_signature_sql('embedding')} AS sig
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS bucket,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM sigs a
+    JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.0
+    """,
+)
+def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed candidate pairs: 16-bit coordinate-hyperplane
+    signature; only same-bucket pairs are scored (cosine >= 0 keeps all
+    scored candidates visible for the oracle).
+
+    Scale: this replaces the O(n²) pair join with an equi-join on the
+    signature — candidates per bucket ~ n/2^16 on spread-out data. More
+    bits => higher precision / lower recall; band multiple signatures
+    (as in dedup_minhash) to recover recall."""
+    t = tables(spark, sf_dir)
+    sigs = t.embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("ev"),
+        sign_signature(F.col("embedding")).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("ev").alias("va"), F.col("sig").alias("bucket")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("ev").alias("vb"), F.col("sig").alias("sig_b")
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "bucket", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.0)
+        .select("vec_a", "vec_b", "bucket", rnd("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,223 @@
+"""Text-analysis operators over the `documents` table: statistics,
+language ID, quality scoring, token counting, fingerprinting.
+
+Engine extension (BASELINE.json north star). Every operator is a
+single-pass, shuffle-free projection (or one groupBy) built from
+JVM-side functions — the per-document work parallelizes embarrassingly
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.textfns import (
+    LANG_MARKERS,
+    WORDS_SQL,
+    marker_hits,
+    marker_hits_sql,
+    shingles,
+    shingles_sql,
+    words,
+)
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len({WORDS_SQL}) AS n_words,
+           len(list_distinct({WORDS_SQL})) AS n_distinct_words,
+           round(list_sum(list_transform({WORDS_SQL}, x -> length(x))) * 1.0
+                 / greatest(len({WORDS_SQL}), 1), 4) AS avg_word_len,
+           round(len(list_distinct({WORDS_SQL})) * 1.0
+                 / greatest(len({WORDS_SQL}), 1), 4) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (length, vocab size, TTR)."""
+    t = tables(spark, sf_dir)
+    w = words()
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    denom = F.greatest(n_words, F.lit(1))
+    return t.documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        rnd(sum_len * 1.0 / denom, 4).alias("avg_word_len"),
+        rnd(n_distinct * 1.0 / denom, 4).alias("type_token_ratio"),
+    )
+
+
+_LANG_SCORES_SQL = ",\n           ".join(
+    f"{marker_hits_sql(WORDS_SQL, m)} AS score_{lang}" for lang, m in LANG_MARKERS.items()
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_LANG_SCORES_SQL},
+               length(text) - length(regexp_replace(text, '[\x{{4e00}}-\x{{9fff}}]', '', 'g'))
+                   AS score_zh
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           score_en, score_de, score_fr, score_es, score_zh,
+           CASE
+             WHEN score_zh > 0 THEN 'zh'
+             WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+             WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+             WHEN score_fr >= score_es THEN 'fr'
+             ELSE 'es'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/n-gram language heuristic: count marker-stopword hits per
+    language (CJK by codepoint class), pick the max with a fixed
+    priority order (en > de > fr > es) for determinism."""
+    t = tables(spark, sf_dir)
+    w = words()
+    scores = {
+        lang: marker_hits(w, markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    zh = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[一-鿿]", ""))
+    ).alias("score_zh")
+    scored = t.documents.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), *scores.values(), zh
+    )
+    pred = (
+        F.when(F.col("score_zh") > 0, F.lit("zh"))
+        .when(
+            F.col("score_en") >= F.greatest("score_de", "score_fr", "score_es"), F.lit("en")
+        )
+        .when(F.col("score_de") >= F.greatest("score_fr", "score_es"), F.lit("de"))
+        .when(F.col("score_fr") >= F.col("score_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({WORDS_SQL}) AS n_words,
+               len(list_distinct({WORDS_SQL})) AS n_distinct,
+               list_sum(list_transform({WORDS_SQL}, x -> length(x))) AS sum_wl,
+               {marker_hits_sql(WORDS_SQL, LANG_MARKERS["en"])} AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           round(least(n_chars / 400.0, 1.0), 4) AS len_score,
+           round(least(stop_hits * 5.0 / greatest(n_words, 1), 1.0), 4) AS stopword_score,
+           round(n_distinct * 1.0 / greatest(n_words, 1), 4) AS uniq_score,
+           round(1.0 - least(abs(sum_wl * 1.0 / greatest(n_words, 1) - 5.0) / 5.0, 1.0), 4)
+               AS wordlen_score,
+           round(0.25 * least(n_chars / 400.0, 1.0)
+               + 0.25 * least(stop_hits * 5.0 / greatest(n_words, 1), 1.0)
+               + 0.25 * (n_distinct * 1.0 / greatest(n_words, 1))
+               + 0.25 * (1.0 - least(abs(sum_wl * 1.0 / greatest(n_words, 1) - 5.0) / 5.0, 1.0)),
+               4) AS quality
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, stopword
+    density, vocabulary uniqueness, mean-word-length plausibility —
+    the classic cheap pre-filters for LLM training corpora."""
+    t = tables(spark, sf_dir)
+    w = words()
+    n_words = F.size(w)
+    denom = F.greatest(n_words, F.lit(1))
+    n_chars = F.length("text")
+    n_distinct = F.size(F.array_distinct(w))
+    sum_wl = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_hits = marker_hits(w, LANG_MARKERS["en"])
+    len_score = F.least(n_chars / 400.0, F.lit(1.0))
+    stop_score = F.least(stop_hits * 5.0 / denom, F.lit(1.0))
+    uniq_score = n_distinct * 1.0 / denom
+    wl_score = 1.0 - F.least(F.abs(sum_wl * 1.0 / denom - 5.0) / 5.0, F.lit(1.0))
+    return t.documents.select(
+        "doc_id",
+        rnd(len_score, 4).alias("len_score"),
+        rnd(stop_score, 4).alias("stopword_score"),
+        rnd(uniq_score, 4).alias("uniq_score"),
+        rnd(wl_score, 4).alias("wordlen_score"),
+        rnd(
+            0.25 * len_score + 0.25 * stop_score + 0.25 * uniq_score + 0.25 * wl_score, 4
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({WORDS_SQL}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, BPE-ish regex
+    pre-tokenizer matches (letters|digits|punct), and the chars/4
+    heuristic LLM budget estimate."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(words()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("n_re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+_SHINGLES_SQL = shingles_sql(WORDS_SQL)
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS full_hash,
+           array_to_string(
+               list_sort(list_distinct(list_transform({_SHINGLES_SQL}, s -> md5(s))))[1:5],
+               '|') AS winnow_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: full-content md5 plus a winnowing-style
+    fingerprint (5 smallest distinct shingle hashes — a rolling-hash
+    sketch stable under small edits). Docs sharing winnow_fp prefixes
+    are near-dup candidates via equi-join at scale."""
+    t = tables(spark, sf_dir)
+    sh_hashes = F.transform(shingles(words()), lambda s: F.md5(s))
+    return t.documents.select(
+        "doc_id",
+        F.md5("text").alias("full_hash"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(sh_hashes)), 1, 5), "|"
+        ).alias("winnow_fp"),
+    )

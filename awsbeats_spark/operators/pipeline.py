@@ -1,0 +1,148 @@
+"""Pipeline-surface operators: the reference's actual job, batch-checkable.
+
+These reproduce the libbeat-side pipeline the reference is configured
+into (SURVEY.md §2.B) and the plugin's own per-event transforms
+(§2.A): partition-key providers, enrichment, and observability counters.
+The streaming wiring lives in awsbeats_spark/streaming/; these batch
+twins exist so the DuckDB oracle can check the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.registry import query
+
+
+@query(
+    "partition_key_field",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS partition_key
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def partition_key_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field partition-key provider: the configured field's value becomes
+    the key; events missing the field are dropped, not retried
+    (/root/reference/streams/partition_key.go:26-39 + the drop semantics
+    of mapEvents, /root/reference/streams/client.go:109-125)."""
+    t = tables(spark, sf_dir)
+    pk = F.get_json_object("props", "$.k")
+    return (
+        t.events.select("event_id", pk.alias("partition_key"))
+        .filter(F.col("partition_key").isNotNull())
+    )
+
+
+@query(
+    "partition_key_xid",
+    oracle="""
+    SELECT event_id,
+           lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 16, '0')
+             || lpad(CAST(event_id AS VARCHAR), 12, '0') AS partition_key
+    FROM events
+    """,
+)
+def partition_key_xid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xid-style partition key: globally unique and time-sortable
+    (/root/reference/streams/partition_key.go:41-47 — xid = timestamp +
+    machine + counter). Engine version: zero-padded micros-since-epoch ++
+    zero-padded event_id — same uniqueness/sortability contract, but
+    deterministic so the oracle can check it. Uniform spread across
+    Kinesis shards comes from key cardinality, as with xid."""
+    t = tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("partition_key"),
+    )
+
+
+@query(
+    "enrich_metadata",
+    oracle="""
+    SELECT event_id, event_type,
+           'aws'            AS cloud_provider,
+           'us-east-1'      AS cloud_region,
+           n_name           AS node_name
+    FROM events
+    JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+    """,
+)
+def enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment processor (add_cloud_metadata —
+    /root/reference/example/streams/filebeat.yml:16-17): constant
+    environment fields plus a broadcast-joined lookup. The lookup dim is
+    broadcast: zero shuffle on the event stream at any scale."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.join(
+            F.broadcast(t.nation),
+            (F.col("user_id") % 25).cast("int") == F.col("n_nationkey"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.lit("aws").alias("cloud_provider"),
+            F.lit("us-east-1").alias("cloud_region"),
+            F.col("n_name").alias("node_name"),
+        )
+    )
+
+
+@query(
+    "observability_counters",
+    oracle="""
+    SELECT count(*) AS new_batch,
+           count(json_extract_string(props, '$.k')) AS acked,
+           count(*) - count(json_extract_string(props, '$.k')) AS dropped
+    FROM events
+    """,
+)
+def observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observer counters NewBatch/Acked/Dropped
+    (/root/reference/streams/client.go:87-96): events that fail
+    projection (missing partition-key field) count as dropped, the rest
+    as acked. One-row global aggregate — partial aggregation makes this
+    a constant-size shuffle at any scale."""
+    t = tables(spark, sf_dir)
+    pk = F.get_json_object("props", "$.k")
+    return t.events.agg(
+        F.count(F.lit(1)).alias("new_batch"),
+        F.count(pk).alias("acked"),
+        (F.count(F.lit(1)) - F.count(pk)).alias("dropped"),
+    )
+
+
+@query(
+    "json_parse_promote",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           upper(event_type) AS event_type_norm,
+           CASE WHEN json_valid(props) THEN NULL ELSE 'parse_error' END AS error
+    FROM events
+    """,
+)
+def json_parse_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-line parsing with keys promoted to top level and an error
+    column for corrupt input (json.keys_under_root + add_error_key —
+    /root/reference/example/streams/filebeat.yml:13-14). On the clean
+    testdata the error column is all-NULL; the corrupt path is exercised
+    in tests/test_streaming_pipeline.py with malformed lines."""
+    t = tables(spark, sf_dir)
+    parsed = F.from_json(
+        "props", "k bigint", {"mode": "PERMISSIVE"}
+    )
+    return t.events.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.upper("event_type").alias("event_type_norm"),
+        F.when(parsed.isNull(), F.lit("parse_error")).otherwise(F.lit(None)).alias("error"),
+    )

@@ -1,0 +1,286 @@
+"""Scans, projections, filters, scalar functions, sorts.
+
+Reference parity (SURVEY.md §2): the reference's only per-event
+transforms are JSON-encode + project-to-record
+(/root/reference/streams/client.go:127-154) and regex/field filters from
+its pipeline configs (/root/reference/example/metricbeat/metricbeat.yml:44-46).
+Everything else here is the engine extension mandated by BASELINE.json.
+
+Scale notes: all operators below are single-pass, shuffle-free scans —
+Catalyst pushes the filters into the parquet reader (PushedFilters) and
+prunes columns (ReadSchema), so at 100 TB they read only the needed
+bytes. `sort_limit` compiles to TakeOrderedAndProject: per-partition
+top-K then a K-row merge on the driver — no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection pruning: reads 4 of 11 columns."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_discount > 0.05
+      AND l_returnflag = 'R'
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate — pushed down to the parquet row-group level."""
+    t = tables(spark, sf_dir)
+    li = t.lineitem
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+
+
+@query(
+    "filter_regex",
+    oracle=r"""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE NOT regexp_matches(event_type, '^(error|view)$')
+    """,
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex drop-filter: reference pipeline's `drop_event.when.regexp`
+    processor (/root/reference/example/metricbeat/metricbeat.yml:44-46)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.filter(~F.col("event_type").rlike(r"^(error|view)$"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "project_record",
+    oracle="""
+    SELECT
+        event_id,
+        '{"event_id":' || CAST(event_id AS VARCHAR)
+            || ',"event_type":"' || event_type
+            || '","user_id":' || CAST(user_id AS VARCHAR) || '}'
+            || chr(10) AS data,
+        json_extract_string(props, '$.k') AS partition_key
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def project_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event -> delivery record {data, partition_key}.
+
+    Mirrors the reference's mapEvent: compact JSON + trailing newline
+    (/root/reference/streams/client.go:127-154; the `\\n` contract is
+    asserted by its test at streams/client_test.go:76-78) and the field
+    partition-key provider (/root/reference/streams/partition_key.go:26-39)
+    with its drop-on-missing-key semantics (client.go:109-125).
+
+    JSON is built with string concat (not to_json) so the byte layout is
+    engine-independent and oracle-checkable; the streaming sink
+    (awsbeats_spark.sinks.kinesis) uses the same projection.
+    """
+    t = tables(spark, sf_dir)
+    pk = F.get_json_object("props", "$.k")
+    data = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('","user_id":'),
+        F.col("user_id").cast("string"),
+        F.lit("}\n"),
+    )
+    return (
+        t.events.select(
+            "event_id",
+            data.alias("data"),
+            pk.alias("partition_key"),
+        )
+        .filter(F.col("partition_key").isNotNull())
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           json_extract_string(props, '$.missing') AS prop_missing
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the dynamic `props` column — the engine
+    analog of the reference's schema-less common.MapStr field access
+    (/root/reference/streams/partition_key.go:26-38)."""
+    t = tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.missing").alias("prop_missing"),
+    )
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+           substr(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           abs(l_discount - 0.05) AS disc_dist,
+           CAST(l_quantity AS INT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t.lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        rnd(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charged"),
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by sort: compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge of K rows), never a full global sort shuffle.
+    o_orderkey tiebreaks ties deterministically."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_flagship_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("flagship",),
+)
+def q_flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue by nation for one region (TPC-H Q5 shape).
+
+    Plan shape at scale: lineitem⨝orders shuffles on orderkey and
+    orders⨝customer on custkey — the two unavoidable big-big shuffles
+    (customer grows with SF, so no hint: AQE broadcasts it at small SF
+    and shuffles at large). nation/region are fixed-size dims and get
+    explicit broadcast hints; the region filter prunes the broadcast
+    before it ships.
+    """
+    t = tables(spark, sf_dir)
+    li, o, c, n, r = t.lineitem, t.orders, t.customer, t.nation, t.region
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Set operators (union / intersect / except) — engine extension
+(absent in the reference, SURVEY.md §2.C).
+
+Scale notes: distinct set semantics imply a shuffle on the full row; at
+100 TB prefer pushing the distinct below the union (dedup each branch
+first) when branches are individually large but overlap-heavy — Catalyst
+does not do that rewrite automatically for unions of similar size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.registry import query
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): building-segment customers ∪ big spenders."""
+    t = tables(spark, sf_dir)
+    a = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = t.orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — compiles to a left-semi join over distinct rows."""
+    t = tables(spark, sf_dir)
+    a = t.customer.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    b = t.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — compiles to a left-anti join over distinct
+    rows (DataFrame.subtract == SQL EXCEPT). The price filter keeps the
+    difference non-empty (every customer has some order)."""
+    t = tables(spark, sf_dir)
+    a = t.customer.select(F.col("c_custkey").alias("custkey"))
+    b = t.orders.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)

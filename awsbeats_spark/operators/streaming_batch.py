@@ -1,0 +1,165 @@
+"""Batch twins of the streaming analytics operators.
+
+Structured Streaming's windowed aggregations run identically over a
+batch DataFrame (same `window()` / `session_window()` expressions), so
+each streaming operator registers its batch twin here for the DuckDB
+oracle; the actual readStream→writeStream wiring and watermark behavior
+are exercised in tests/test_streaming.py (SURVEY.md §2.B B5/B6 —
+size+time micro-batch flush and periodic metric sampling).
+
+Window starts are emitted as epoch seconds (BIGINT) — engine-neutral,
+no timestamp-precision ambiguity in the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type — the engine form of the
+    reference pipeline's periodic metric sampling (10s/60s periods,
+    /root/reference/example/metricbeat/metricbeat.yml:20-46), scaled to
+    the testdata's time range. Uses F.window (streaming-identical), not
+    date_trunc, so the same expression runs under readStream."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH expanded AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) - offs AS window_start,
+               value
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 3600]) AS offs)
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour window sliding every hour: each event lands in exactly two
+    windows (starts at trunc(ts) and trunc(ts)-1h — the oracle expands
+    the same two offsets). Sliding windows multiply rows by
+    (length/slide); keep that ratio small at scale."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_seconds,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap, via Spark's
+    native session_window (merging windows in streaming). The oracle
+    rebuilds sessions with the classic gaps-and-islands SQL. span_seconds
+    is max(ts)-min(ts) (event span; session_window.end adds the gap)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("min_ts").alias("session_start"),
+            "n_events",
+            (F.unix_timestamp("max_ts") - F.unix_timestamp("min_ts")).alias("span_seconds"),
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_watermark_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type FROM events
+    )
+    """,
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-ify duplicated delivery: dropDuplicates on the event
+    key over an at-least-once (duplicated) input — the batch twin of
+    withWatermark(ts, d).dropDuplicates(["event_id"]) which bounds the
+    dedup state in streaming (SURVEY.md §2.C). The input is the events
+    table unioned with itself to simulate redelivery."""
+    t = tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type")
+    return ev.unionByName(ev).dropDuplicates(["event_id"])

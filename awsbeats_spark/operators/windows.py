@@ -1,0 +1,168 @@
+"""Window-function operators.
+
+Reference parity: top-N selection is the one windowed operation in the
+reference's pipeline configs (top 5 processes by cpu/memory —
+/root/reference/example/metricbeat/metricbeat.yml:36-38, SURVEY.md §2.B
+B7); the rest generalizes it.
+
+Scale notes: a window partitioned by a key is ONE shuffle on that key;
+the per-partition sort is local. Skewed partition keys (one user with
+10^9 events) are the hazard — AQE skew handling does not split window
+partitions, so for known-skewed keys pre-bucket by (key, ts-range) and
+merge. The partitionBy-less global window is deliberately absent: it
+would serialize on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "window_topn_rank",
+    oracle="""
+    SELECT event_type, event_id, round(value, 2) AS value, rn
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn <= 5
+    """,
+)
+def window_topn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 per group by metric — the reference pipeline's top-N
+    processor (SURVEY.md B7). event_id tiebreaks equal values so the
+    selected set is deterministic."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", rnd("value", 2).alias("value"), "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value, 2) AS value,
+           round(lag(value)  OVER w, 2) AS prev_value,
+           round(lead(value) OVER w, 2) AS next_value,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                - floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT)
+               AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time (inter-event gaps)."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "event_id",
+        "user_id",
+        rnd("value", 2).alias("value"),
+        rnd(F.lag("value").over(w), 2).alias("prev_value"),
+        rnd(F.lead("value").over(w), 2).alias("next_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "secs_since_prev"
+        ),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spent,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer with an explicit ROWS frame; o_orderkey
+    in the sort makes the prefix (hence the sum) deterministic."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spent"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           rank()         OVER w AS bal_rank,
+           dense_rank()   OVER w AS bal_dense_rank,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           ntile(4)       OVER w AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile per nation."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t.customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        rnd(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg_3,
+           round(min(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 2) AS moving_min_3
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame aggregates per user."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        rnd(F.avg("value").over(w), 4).alias("moving_avg_3"),
+        rnd(F.min("value").over(w), 2).alias("moving_min_3"),
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings are chosen for the driver's harness (local[N] on one
+host) but every knob documents its cluster-scale rationale so the same
+code runs on a 1000-executor cluster by swapping the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "awsbeats-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Scale rationale:
+    * AQE on — runtime coalescing of small shuffle partitions and skew-join
+      splitting are essential at 100 TB where static partition counts are
+      always wrong for some stage.
+    * shuffle.partitions — sized to cores locally; on a real cluster AQE's
+      coalescing makes the initial number a ceiling, not a target.
+    * Arrow on — all pandas_udf / toPandas paths batch through Arrow.
+    * Session TZ pinned UTC — oracle (DuckDB) timestamps are UTC-naive.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the full plan with the noop sink (count()
+would let Catalyst prune the projections away). One warmup query runs
+first so JVM/codegen startup isn't billed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from awsbeats_spark.registry import load_all
+from awsbeats_spark.session import get_spark
+
+HEADLINE = [
+    "q_flagship_revenue_by_nation",
+    "agg_group_sum_avg",
+    "agg_rollup",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "window_topn_rank",
+    "window_running_sum",
+    "stream_session_window",
+    "project_record",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_search_topk",
+    "sim_search_ivf",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_decode",
+    "sort_limit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("awsbeats-bench")
+    specs = load_all()
+
+    # warmup: JVM / codegen / parquet footer caches
+    specs["q_flagship_revenue_by_nation"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

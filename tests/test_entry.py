@@ -1,0 +1,41 @@
+"""Driver-contract smoke tests for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"n_name", "revenue", "n_lineitems"}
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 60
+    assert set(oracles) <= set(qs)
+    # every oracle is non-empty SQL
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    """HLL++ estimate within 5% of exact (rsd=0.01 configured)."""
+    qs = entrymod.queries()
+    rows = {
+        r["l_returnflag"]: r for r in qs["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    from awsbeats_spark.catalog import tables
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in tables(spark, sf_dir)
+        .lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, row in rows.items():
+        assert abs(row["approx_orders"] - exact[flag]) / exact[flag] < 0.05

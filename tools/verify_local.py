@@ -1,0 +1,121 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered operator on Spark AND its DuckDB oracle over the
+same parquet, compares row count, column names, and values
+(order-insensitive: columns sorted by name, rows sorted by all columns).
+Floats compare exactly by default (the engine rounds both sides), with a
+1e-9 isclose fallback reported as WEAK so drift is visible before the
+driver's hash compare fails.
+
+Usage: python tools/verify_local.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from awsbeats_spark.catalog import TABLE_NAMES  # noqa: E402
+from awsbeats_spark.registry import load_all  # noqa: E402
+from awsbeats_spark.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str]:
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return "FAIL", f"columns differ: spark={s_cols} oracle={o_cols}"
+    if len(spark_pdf) != len(oracle_pdf):
+        return "FAIL", f"rowcount differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    weak = []
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv):
+            exact = ((sv == ov) | (sv.isna() & ov.isna())).all()
+            if not exact:
+                close = np.isclose(
+                    sv.fillna(0), ov.fillna(0), rtol=1e-9, atol=1e-9
+                ).all() and (sv.isna() == ov.isna()).all()
+                if close:
+                    weak.append(c)
+                else:
+                    bad = (~((sv == ov) | (sv.isna() & ov.isna()))).idxmax()
+                    return "FAIL", (
+                        f"col {c!r} differs at row {bad}: "
+                        f"spark={sv[bad]!r} oracle={ov[bad]!r}"
+                    )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                bad = (~eq).idxmax()
+                return "FAIL", (
+                    f"col {c!r} differs at row {bad}: spark={sv[bad]!r} oracle={ov[bad]!r}"
+                )
+    if weak:
+        return "WEAK", f"float cols only isclose (hash may fail!): {weak}"
+    return "OK", f"{len(s)} rows"
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
+    specs = load_all()
+    names = args or list(specs)
+    spark = get_spark("verify-local")
+    con = duck_con(sf_dir)
+    failures = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:32s} spark error: {exc}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"SKIP  {name:32s} rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            oracle_pdf = con.sql(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:32s} oracle error: {exc}")
+            failures += 1
+            continue
+        status, msg = compare(name, spark_pdf, oracle_pdf)
+        if status == "FAIL":
+            failures += 1
+        print(f"{status:5s} {name:32s} {msg} ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names)} checked, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
