@@ -12,6 +12,9 @@ over a directory prunes partitions from pushed-down filters.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,9 +79,40 @@ class Catalog:
             self[name].createOrReplaceTempView(name)
 
 
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship awsbeats_spark to executor Python workers via addPyFile.
+
+    Functions sent to workers (mapInPandas decoders, foreachPartition
+    sink writers) are pickled BY REFERENCE to this package; a driver
+    running from an arbitrary cwd (the harness) gives workers no import
+    path to it. Zipping the package once per process and registering it
+    with addPyFile makes every worker able to import it, local or
+    cluster mode alike.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_awsbeats_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), f"awsbeats_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "awsbeats_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._awsbeats_pkg_shipped = True
+
+
 def tables(spark: SparkSession, sf_dir: str) -> Catalog:
     # The DuckDB oracle reads parquet timestamps as UTC-naive; pin the
     # session TZ so date/window functions agree even when the engine runs
     # under a driver-created session on a non-UTC host.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_package_shipped(spark)
     return Catalog(spark, sf_dir)

@@ -1,0 +1,255 @@
+"""Kinesis / Firehose-style batched delivery sink with partial-failure
+retry — the engine's re-expression of the reference's entire Go plugin
+(SURVEY.md §2.A).
+
+Reference parity map (file:line into /root/reference):
+* config + validation        -> SinkConfig            (streams/config.go:8-59,
+                                                       firehose/config.go:8-51)
+* Publish ack-or-retry       -> publish_records       (streams/client.go:69-84)
+* publishEvents orchestration-> _attempt              (streams/client.go:86-107)
+* mapEvents drop-on-error    -> project step in writer(streams/client.go:109-125)
+* bulk PutRecords/PutRecordBatch chunks              (streams/client.go:155-165,
+                                                       firehose/client.go:138-144)
+* collectFailedEvents        -> collect_failed        (streams/client.go:167-189,
+                                                       firehose/client.go:146-158)
+* retry-all on request error -> publish_records       (streams/client.go:100-102)
+* backoff 1s->60s, retries 3 -> publish_records       (streams/streams.go:38-39,
+                                                       streams/config.go:30-39)
+* observer counters          -> DeliveryCounters      (streams/client.go:87-96)
+
+Spark integration: `foreach_batch_writer` returns a function for
+``df.writeStream.foreachBatch(...)``. Inside the micro-batch it runs
+``foreachPartition`` so each EXECUTOR ships its own partition directly
+(records never funnel through the Spark driver) — at 1000 executors the
+sink fan-out is the cluster width, the exact property Kinesis partition
+keys exist for. Returning normally commits the epoch (= batch.ACK());
+raising lets Spark retry the task/epoch (at-least-once, as the
+reference's contract — duplicates are in-contract).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Protocol
+
+MAX_BATCH_SIZE = 500  # AWS PutRecords / PutRecordBatch hard cap
+DEFAULT_BATCH_SIZE = 50
+
+
+class DeliveryError(Exception):
+    """Raised when records remain undelivered after max_retries."""
+
+
+@dataclass
+class SinkConfig:
+    """Validated sink options (the reference's StreamsConfig /
+    FirehoseConfig)."""
+
+    region: str = ""
+    stream_name: str = ""
+    mode: str = "streams"  # "streams" (partition keys) | "firehose" (none)
+    partition_key: str | None = None
+    partition_key_provider: str | None = None  # None => field provider; "xid"
+    batch_size: int = DEFAULT_BATCH_SIZE
+    max_retries: int = 3
+    timeout_s: float = 90.0
+    backoff_init_s: float = 1.0
+    backoff_max_s: float = 60.0
+
+    def validate(self) -> None:
+        # streams/config.go:41-59 + firehose/config.go:37-51, one rule each
+        if not self.region:
+            raise ValueError("region is not defined")
+        if not self.stream_name:
+            raise ValueError("stream_name is not defined")
+        if self.mode not in ("streams", "firehose"):
+            raise ValueError(f"invalid mode: {self.mode!r}")
+        if not (1 <= self.batch_size <= MAX_BATCH_SIZE):
+            raise ValueError(
+                f"invalid batch_size: {self.batch_size} (expected 1..{MAX_BATCH_SIZE})"
+            )
+        if self.partition_key_provider not in (None, "xid"):
+            raise ValueError(
+                f"invalid partition_key_provider: {self.partition_key_provider!r} "
+                "(only 'xid' is supported)"
+            )
+        if self.mode == "streams" and self.partition_key_provider is None and not self.partition_key:
+            raise ValueError("partition_key is required for the field provider")
+
+
+@dataclass
+class DeliveryCounters:
+    """Observer counters (streams/client.go:87-96). In the streaming
+    writer these are summed per-partition and reported through the
+    StreamingQueryListener / logs."""
+
+    new_batch: int = 0
+    acked: int = 0
+    dropped: int = 0
+    retried: int = 0
+    attempts: int = 0
+
+
+class BulkPutClient(Protocol):
+    """One bulk call per chunk. Implementations: boto3 (production),
+    stubs (tests). Response shape mirrors the AWS APIs:
+
+    streams:  {"FailedRecordCount": int, "Records": [ {"ErrorCode": str?} | None ]}
+    firehose: {"FailedPutCount": int, "RequestResponses": [ {"ErrorCode": str?} | None ]}
+    """
+
+    def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]: ...
+
+
+def make_boto3_client(cfg: SinkConfig) -> BulkPutClient:
+    """Production client (requires boto3 + AWS credentials; not present
+    in this environment — tests inject stubs)."""
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "boto3 is not installed in this environment; inject a BulkPutClient stub"
+        ) from exc
+
+    if cfg.mode == "streams":  # pragma: no cover - needs AWS
+        kin = boto3.client("kinesis", region_name=cfg.region)
+
+        class _Streams:
+            def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]:
+                return kin.put_records(
+                    StreamName=cfg.stream_name,
+                    Records=[
+                        {"Data": r["data"], "PartitionKey": r["partition_key"]}
+                        for r in records
+                    ],
+                )
+
+        return _Streams()
+
+    fh = boto3.client("firehose", region_name=cfg.region)  # pragma: no cover
+
+    class _Firehose:  # pragma: no cover
+        def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]:
+            resp = fh.put_record_batch(
+                DeliveryStreamName=cfg.stream_name,
+                Records=[{"Data": r["data"]} for r in records],
+            )
+            return {
+                "FailedRecordCount": resp.get("FailedPutCount", 0),
+                "Records": resp.get("RequestResponses", []),
+            }
+
+    return _Firehose()
+
+
+def collect_failed(
+    response: dict[str, Any], records: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Positional zip of response entries with request records; keep the
+    records that must be retried.
+
+    Reference semantics (streams/client.go:167-189, firehose/client.go:146-158):
+    * FailedRecordCount == 0 (or missing)  -> nothing to retry
+    * response record is None              -> skip with warning (issues/27)
+    * ErrorCode missing/None               -> skip with warning
+    * ErrorCode == ""                      -> success
+    * ErrorCode != ""                      -> retry that record
+    """
+    failed_count = response.get("FailedRecordCount") or response.get("FailedPutCount") or 0
+    if not failed_count:
+        return []
+    entries = response.get("Records") or response.get("RequestResponses") or []
+    failed: list[dict[str, Any]] = []
+    for i, rec in enumerate(records):
+        entry = entries[i] if i < len(entries) else None
+        if entry is None:
+            continue  # nil response record: not retryable, skip
+        code = entry.get("ErrorCode")
+        if code is None:
+            continue  # nil error code: skip
+        if code != "":
+            failed.append(rec)
+    return failed
+
+
+def publish_records(
+    client: BulkPutClient,
+    records: list[dict[str, Any]],
+    cfg: SinkConfig,
+    counters: DeliveryCounters | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DeliveryCounters:
+    """Deliver records at-least-once: chunk to <= batch_size per bulk
+    call, collect per-record failures, retry exactly the failed subset
+    with capped exponential backoff, raise after max_retries.
+
+    This is Publish + publishEvents (streams/client.go:69-107) with the
+    libbeat queue's re-enqueue replaced by an in-function retry loop
+    (the Spark epoch is the transaction; see module docstring).
+    """
+    counters = counters if counters is not None else DeliveryCounters()
+    counters.new_batch += len(records)
+    pending = list(records)
+    attempt = 0
+    while pending:
+        if attempt > cfg.max_retries:
+            raise DeliveryError(
+                f"{len(pending)} records undelivered after {cfg.max_retries} retries"
+            )
+        if attempt > 0:
+            counters.retried += len(pending)
+            # outputs.WithBackoff semantics: init * 2^(n-1), capped
+            sleep(min(cfg.backoff_init_s * (2 ** (attempt - 1)), cfg.backoff_max_s))
+        next_round: list[dict[str, Any]] = []
+        for start in range(0, len(pending), cfg.batch_size):
+            chunk = pending[start : start + cfg.batch_size]
+            counters.attempts += 1
+            try:
+                response = client.put_records(chunk)
+            except Exception:  # noqa: BLE001 - request-level failure
+                # no per-record info: retry ALL (streams/client.go:100-102)
+                next_round.extend(chunk)
+                continue
+            next_round.extend(collect_failed(response, chunk))
+        counters.acked += len(pending) - len(next_round)
+        pending = next_round
+        attempt += 1
+    return counters
+
+
+def foreach_batch_writer(
+    cfg: SinkConfig,
+    client_factory: Callable[[SinkConfig], BulkPutClient] = make_boto3_client,
+    on_counters: Callable[[DeliveryCounters], None] | None = None,
+):
+    """Build the ``foreachBatch`` function wiring the sink into
+    Structured Streaming.
+
+    The incoming DataFrame must already be projected to
+    ``(data, partition_key)`` — see operators/relational.py
+    ``project_record`` (rows whose key extraction failed were dropped
+    there and counted, mirroring mapEvents' drop-not-retry policy,
+    streams/client.go:109-125).
+
+    Each partition builds its own client (boto3 is connectionless, as
+    the reference's Connect() no-op notes — streams/client.go:57-67) and
+    publishes its rows; the driver never sees record payloads.
+    """
+    cfg.validate()
+
+    def write_batch(df, epoch_id: int) -> None:  # noqa: ANN001 - Spark API
+        def write_partition(rows) -> None:  # noqa: ANN001
+            client = client_factory(cfg)
+            records = [
+                {"data": r["data"], "partition_key": r["partition_key"]} for r in rows
+            ]
+            if not records:
+                return
+            counters = publish_records(client, records, cfg)
+            if on_counters is not None:
+                on_counters(counters)
+
+        df.foreachPartition(write_partition)
+
+    return write_batch

@@ -1,0 +1,216 @@
+"""Failure-matrix tests for the Kinesis-style sink — mirrors the
+reference's test suite scenario-for-scenario
+(/root/reference/streams/client_test.go:109-226,
+/root/reference/firehose/client_test.go:44-72,
+/root/reference/streams/config_test.go:5-51): success, nil response
+record, nil error code, per-record error, whole-request failure, plus
+config validation bounds. Pure Python — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from awsbeats_spark.sinks.kinesis import (
+    DeliveryCounters,
+    DeliveryError,
+    SinkConfig,
+    collect_failed,
+    publish_records,
+)
+
+
+def rec(i: int) -> dict:
+    return {"data": f"event-{i}\n", "partition_key": str(i)}
+
+
+def ok_entry():
+    return {"ErrorCode": ""}
+
+
+def cfg(**kw) -> SinkConfig:
+    base = dict(region="us-east-1", stream_name="test", partition_key="k")
+    base.update(kw)
+    return SinkConfig(**base)
+
+
+class ScriptedClient:
+    """Returns scripted responses per call; records call payloads."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.calls: list[list[dict]] = []
+
+    def put_records(self, records):
+        self.calls.append(list(records))
+        resp = self.responses.pop(0)
+        if isinstance(resp, Exception):
+            raise resp
+        return resp
+
+
+def test_all_success_acks_everything_no_retry():
+    records = [rec(i) for i in range(3)]
+    client = ScriptedClient(
+        [{"FailedRecordCount": 0, "Records": [ok_entry()] * 3}]
+    )
+    counters = publish_records(client, records, cfg(), sleep=lambda s: None)
+    assert counters.acked == 3
+    assert counters.retried == 0
+    assert len(client.calls) == 1
+
+
+def test_nil_response_record_skipped_not_retried():
+    # reference issues/27: response.Records[i] == nil -> warn + skip
+    records = [rec(0), rec(1)]
+    client = ScriptedClient(
+        [{"FailedRecordCount": 1, "Records": [None, ok_entry()]}]
+    )
+    counters = publish_records(client, records, cfg(), sleep=lambda s: None)
+    assert counters.retried == 0
+    assert len(client.calls) == 1
+
+
+def test_nil_error_code_skipped_not_retried():
+    records = [rec(0), rec(1)]
+    client = ScriptedClient(
+        [{"FailedRecordCount": 1, "Records": [{"ErrorCode": None}, ok_entry()]}]
+    )
+    counters = publish_records(client, records, cfg(), sleep=lambda s: None)
+    assert counters.retried == 0
+
+
+def test_simulated_error_retries_exactly_that_record():
+    records = [rec(0), rec(1), rec(2)]
+    client = ScriptedClient(
+        [
+            {
+                "FailedRecordCount": 1,
+                "Records": [ok_entry(), {"ErrorCode": "simulated_error"}, ok_entry()],
+            },
+            {"FailedRecordCount": 0, "Records": [ok_entry()]},
+        ]
+    )
+    sleeps: list[float] = []
+    counters = publish_records(client, records, cfg(), sleep=sleeps.append)
+    assert counters.acked == 3
+    assert counters.retried == 1
+    assert client.calls[1] == [rec(1)]  # exactly the failed record
+    assert sleeps == [1.0]  # backoff_init
+
+
+def test_whole_request_failure_retries_all():
+    # streams/client.go:100-102: request error w/o per-record info
+    records = [rec(0), rec(1)]
+    client = ScriptedClient(
+        [
+            RuntimeError("network down"),
+            {"FailedRecordCount": 0, "Records": [ok_entry()] * 2},
+        ]
+    )
+    counters = publish_records(client, records, cfg(), sleep=lambda s: None)
+    assert counters.acked == 2
+    assert client.calls[1] == records
+
+
+def test_retries_exhausted_raises_for_task_retry():
+    records = [rec(0)]
+    client = ScriptedClient([RuntimeError("down")] * 10)
+    with pytest.raises(DeliveryError):
+        publish_records(client, records, cfg(max_retries=3), sleep=lambda s: None)
+    assert len(client.calls) == 4  # initial + 3 retries
+
+
+def test_backoff_is_exponential_and_capped():
+    records = [rec(0)]
+    client = ScriptedClient(
+        [RuntimeError("down")] * 3
+        + [{"FailedRecordCount": 0, "Records": [ok_entry()]}]
+    )
+    sleeps: list[float] = []
+    publish_records(
+        client,
+        records,
+        cfg(max_retries=5, backoff_init_s=1.0, backoff_max_s=2.5),
+        sleep=sleeps.append,
+    )
+    assert sleeps == [1.0, 2.0, 2.5]  # 1, 2, capped(4 -> 2.5)
+
+
+def test_chunking_respects_batch_size():
+    records = [rec(i) for i in range(7)]
+    client = ScriptedClient(
+        [{"FailedRecordCount": 0, "Records": [ok_entry()] * 3}] * 3
+    )
+    counters = publish_records(client, records, cfg(batch_size=3), sleep=lambda s: None)
+    assert [len(c) for c in client.calls] == [3, 3, 1]
+    assert counters.acked == 7
+    assert counters.attempts == 3
+
+
+def test_firehose_response_shape_supported():
+    records = [rec(0), rec(1)]
+    client = ScriptedClient(
+        [
+            {
+                "FailedPutCount": 1,
+                "RequestResponses": [{"ErrorCode": "boom"}, ok_entry()],
+            },
+            {"FailedPutCount": 0, "RequestResponses": [ok_entry()]},
+        ]
+    )
+    counters = publish_records(
+        client, records, cfg(mode="firehose", partition_key=None), sleep=lambda s: None
+    )
+    assert counters.acked == 2
+    assert client.calls[1] == [rec(0)]
+
+
+def test_collect_failed_tolerates_short_response():
+    failed = collect_failed({"FailedRecordCount": 1, "Records": [{"ErrorCode": "x"}]},
+                            [rec(0), rec(1)])
+    assert failed == [rec(0)]
+
+
+def test_counters_accumulate_across_batches():
+    counters = DeliveryCounters()
+    client = ScriptedClient(
+        [{"FailedRecordCount": 0, "Records": [ok_entry()]}] * 2
+    )
+    publish_records(client, [rec(0)], cfg(), counters, sleep=lambda s: None)
+    publish_records(client, [rec(1)], cfg(), counters, sleep=lambda s: None)
+    assert counters.new_batch == 2 and counters.acked == 2
+
+
+# --- config validation (streams/config_test.go:5-51, one rule per test) ---
+
+
+def test_config_missing_region_rejected():
+    with pytest.raises(ValueError, match="region"):
+        cfg(region="").validate()
+
+
+def test_config_missing_stream_rejected():
+    with pytest.raises(ValueError, match="stream_name"):
+        cfg(stream_name="").validate()
+
+
+@pytest.mark.parametrize("size", [0, 501])
+def test_config_batch_size_bounds_rejected(size):
+    with pytest.raises(ValueError, match="batch_size"):
+        cfg(batch_size=size).validate()
+
+
+def test_config_batch_size_50_ok():
+    cfg(batch_size=50).validate()
+
+
+def test_config_unknown_provider_rejected():
+    # reference: only "xid" is a legal provider (streams/config.go:53-57)
+    with pytest.raises(ValueError, match="provider"):
+        cfg(partition_key_provider="uuid").validate()
+
+
+def test_config_field_provider_requires_key():
+    with pytest.raises(ValueError, match="partition_key"):
+        SinkConfig(region="r", stream_name="s").validate()
