@@ -114,5 +114,15 @@ def tables(spark: SparkSession, sf_dir: str) -> Catalog:
     # session TZ so date/window functions agree even when the engine runs
     # under a driver-created session on a non-UTC host.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # InferFiltersFromGenerate infers `size(expr)>0` filters from
+    # explode() and pushes them into the scan — when the generator input
+    # is an expensive expression (the shingle pipeline) that re-evaluates
+    # it per row at the scan AND at the project (measured 2.5x slowdown
+    # on dedup_ngram_jaccard). The inferred filter only skips rows the
+    # generator would drop anyway; excluding the rule is pure win here.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     _ensure_package_shipped(spark)
     return Catalog(spark, sf_dir)

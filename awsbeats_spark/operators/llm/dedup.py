@@ -49,12 +49,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shs: distinct shingle array, n: set size)."""
+    """(doc_id, shs: distinct shingle array, n: set size).
+
+    The word array is materialized in its own projection BEFORE the
+    shingle transform references it: inlining `split()` into the
+    transform lambda would re-tokenize the document once per shingle
+    (O(words²) per doc — measured 6x slower). Catalyst's CollapseProject
+    keeps the split un-inlined because the shingle expression references
+    the column more than once.
+    """
     t = tables(spark, sf_dir)
-    return t.documents.select(
-        "doc_id",
-        F.array_distinct(shingles(words())).alias("shs"),
-    ).select("doc_id", "shs", F.size("shs").alias("n"))
+    return (
+        t.documents.select("doc_id", words().alias("w"))
+        .select("doc_id", F.array_distinct(shingles(F.col("w"))).alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("n"))
+    )
 
 
 _NGRAM_ORACLE = f"""
@@ -88,21 +97,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency cap) before the self-join; the testdata needs no cap.
     """
     sets = _doc_shingle_sets(spark, sf_dir)
-    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
+    # Set sizes ride along through the join (extra group keys) instead of
+    # joining back to per-doc counts afterwards: two joins and two
+    # recomputations of the shingle pipeline removed. The two sides of
+    # the self-join share one shuffle via ReusedExchange.
+    # shuffle_hash instead of the planner's broadcast pick: both sides
+    # are the SAME plan, and a shuffle join lets the second side reuse
+    # the first side's exchange instead of recomputing the shingle
+    # pipeline into a broadcast (measured 2x on sf0.1).
+    exploded = sets.select("doc_id", "n", F.explode("shs").alias("sh")).hint("shuffle_hash")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    ca = sets.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
     )
 
@@ -166,40 +184,46 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash count/bands are tuned by recall target, not data size.
     """
     sets = _doc_shingle_sets(spark, sf_dir)
-    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
-    hashes = F.array(
-        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))) for i in range(N_MINHASH)]
-    )
-    mh = (
-        exploded.select("doc_id", F.posexplode(hashes).alias("i", "h"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("m"))
-    )
-    sig = mh.groupBy("doc_id").agg(
-        *[F.min(F.when(F.col("i") == i, F.col("m"))).alias(f"m{i}") for i in range(N_MINHASH)]
+    # Signatures as pure projection — array_min over the hashed shingle
+    # set, NO shuffle (the explode+groupBy formulation costs two extra
+    # exchanges for the same result).
+    sig = sets.select(
+        "doc_id",
+        "shs",
+        "n",
+        *[
+            F.array_min(
+                F.transform(F.col("shs"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"m{i}")
+            for i in range(N_MINHASH)
+        ],
     )
     band_vals = F.array(
         *[F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))) for j in range(N_BANDS)]
     )
-    bands = sig.select("doc_id", F.posexplode(band_vals).alias("j", "bv"))
+    # Shingle sets ride along with the band rows so candidate pairs can
+    # be Jaccard-verified in place — no join back to the doc table (the
+    # docs-sharing-a-band row count is tiny, so the wider rows are free).
+    bands = sig.select(
+        "doc_id", "shs", "n", F.posexplode(band_vals).alias("j", "bv")
+    ).hint("shuffle_hash")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
+    return (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("n").alias("na"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("n").alias("nb"))
-    shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jac = shared / (F.col("na") + F.col("nb") - shared)
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.first(F.col("a.shs")).alias("sa"),
+            F.first(F.col("b.shs")).alias("sb"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
     )

@@ -179,10 +179,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline for semantic dedup. The pairwise join is the
     honest O(n²) version — usable because the corpus side fits; at scale
     use sim_search_lsh_bucketed (same output contract, bucketed join)."""
+    from awsbeats_spark.functions.vectorfns import dot, norm
+
     t = tables(spark, sf_dir)
-    a = t.embeddings.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va"))
-    b = t.embeddings.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # Per-vector norms are computed ONCE per side (500 rows) before the
+    # pair join, so each of the n²/2 pairs costs a single zip_with dot
+    # instead of three; repartition spreads the nested-loop join across
+    # cores (the parquet side arrives as one partition). Same arithmetic
+    # as cosine(): dot/(sqrt(aa)*sqrt(bb)) — oracle-bit-identical.
+    a = t.embeddings.select(
+        F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va")
+    ).select("vec_a", "va", norm(F.col("va")).alias("na")).repartition(32)
+    b = t.embeddings.select(
+        F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb")
+    ).select("vec_b", "vb", norm(F.col("vb")).alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_raw"))

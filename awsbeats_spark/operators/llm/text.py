@@ -213,11 +213,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch stable under small edits). Docs sharing winnow_fp prefixes
     are near-dup candidates via equi-join at scale."""
     t = tables(spark, sf_dir)
-    sh_hashes = F.transform(shingles(words()), lambda s: F.md5(s))
-    return t.documents.select(
-        "doc_id",
-        F.md5("text").alias("full_hash"),
-        F.array_join(
-            F.slice(F.array_sort(F.array_distinct(sh_hashes)), 1, 5), "|"
-        ).alias("winnow_fp"),
+    return (
+        t.documents.select("doc_id", F.md5("text").alias("full_hash"), words().alias("w"))
+        .select(
+            "doc_id",
+            "full_hash",
+            F.transform(shingles(F.col("w")), lambda s: F.md5(s)).alias("shm"),
+        )
+        .select(
+            "doc_id",
+            "full_hash",
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(F.col("shm"))), 1, 5), "|"
+            ).alias("winnow_fp"),
+        )
     )
