@@ -3,6 +3,7 @@ into ``awsbeats_spark.registry.QUERIES``."""
 
 from awsbeats_spark.operators import (  # noqa: F401
     aggregates,
+    extended,
     joins,
     pipeline,
     relational,

@@ -1,0 +1,460 @@
+"""Extended operator coverage: streaming scan + sink as first-class
+queries, the Pandas-UDF surface, SQL-API operators (CTEs, grouping
+sets, correlated subqueries, unpivot), and TPC-H-shaped composites.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "scan_events_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def scan_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table: a real readStream (file
+    source standing in for Kinesis locally — SURVEY.md §2.C) drained
+    synchronously with an availableNow trigger into a memory sink. The
+    oracle checks the streamed rows equal the batch table: streaming
+    and batch reads are the same DataFrame algebra."""
+    import os
+    import tempfile
+
+    t = tables(spark, sf_dir)  # pins TZ + nanos conf + ships package
+    schema = t.events.schema  # post-normalization schema (ts: timestamp)
+    # the file streaming source wants a DIRECTORY to watch; expose the
+    # single parquet file through a temp dir of symlinks
+    watch_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(watch_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(watch_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = f"scan_stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert schema is not None
+    return spark.table(name)
+
+
+@query("sink_kinesis_batched_retry", oracle=None, tags=("rows-only",))
+def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delivery sink as a queries() operator: project the events
+    table to records, push them through the chunked/retrying writer
+    against the filesystem stand-in client, and return what ARRIVED —
+    rows-only check (the driver asserts row count stability; the byte
+    contract is oracle-checked via project_record and pytest)."""
+    from awsbeats_spark.sinks.kinesis import SinkConfig, foreach_batch_writer
+    from awsbeats_spark.sinks.local import FileDumpClient
+    from awsbeats_spark.streaming.pipeline import project_records
+
+    t = tables(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="kinesis_sink_")
+    cfg = SinkConfig(
+        region="us-east-1",
+        stream_name="events",
+        partition_key_provider="xid",
+        batch_size=500,
+    )
+    records = project_records(t.events, cfg)
+    foreach_batch_writer(cfg, client_factory=lambda _c: FileDumpClient(out_dir))(
+        records, 0
+    )
+    delivered = spark.read.option("multiLine", "true").json(out_dir)
+    return delivered.select("partition_key", F.length("data").alias("data_len"))
+
+
+def _zscore_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    import math
+
+    m = pdf["value"].mean()
+    s = pdf["value"].std(ddof=1)
+    z = (pdf["value"] - m) / s
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "zscore": [math.floor(v * 10000 + 0.5) / 10000 for v in z],
+        }
+    )
+    return out
+
+
+@query(
+    "udf_pandas_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map Pandas UDF surface (applyInPandas): per-group
+    z-score computed in Arrow-batched pandas, checked against the pure
+    SQL window formulation. This is the escape hatch pattern for
+    operators Spark can't express (SURVEY.md §2.C UDF row) — used here
+    on a computation that CAN be expressed so the oracle can check the
+    batch plumbing itself."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_zscore_fn, schema="event_id long, event_type string, zscore double")
+    )
+
+
+def _spread_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "value_spread": [float(pdf["value"].max() - pdf["value"].min())],
+            "n": [len(pdf)],
+        }
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           max(value) - min(value) AS value_spread,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate UDF surface: one output row per group from
+    pandas (exact min/max arithmetic — engine-independent)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_spread_fn, schema="event_type string, value_spread double, n long")
+    )
+
+
+@query(
+    "sql_cte_query",
+    oracle="""
+    WITH seg_rev AS (
+        SELECT c_mktsegment AS segment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT segment, revenue, n_orders
+    FROM seg_rev
+    WHERE revenue > 0
+    """,
+)
+def sql_cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface: same Catalyst plan as the DataFrame form
+    (SURVEY.md §2.C scalar/SQL rows) — revenue per market segment
+    through a CTE."""
+    t = tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH seg_rev AS (
+            SELECT c_mktsegment AS segment,
+                   floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT segment, revenue, n_orders
+        FROM seg_rev
+        WHERE revenue > 0
+        """
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)')   AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (by status / by priority / grand total) in
+    one pass — Spark expands to a single Expand + aggregate, not three
+    scans."""
+    t = tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)')   AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS revenue,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT round(max(o_totalprice), 2) FROM orders
+             WHERE o_custkey = c_custkey) AS max_order
+    FROM customer
+    WHERE c_acctbal > 5000
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst de-correlates it into a
+    left outer aggregate join (no per-row re-execution, unlike the
+    naive nested-loop reading of the SQL)."""
+    t = tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT floor(max(o_totalprice) * 100.0D + 0.5D) / 100.0D FROM orders
+                 WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE c_acctbal > 5000
+        """
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS metric_value FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) FROM supplier
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack()."""
+    t = tables(spark, sf_dir)
+    return t.supplier.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE)) "
+            "AS (metric, metric_value)"
+        ),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'large'
+                WHEN o_totalprice > 50000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           least(o_totalprice, 100000.0)    AS capped,
+           greatest(o_totalprice, 1000.0)   AS floored,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "large")
+        .when(F.col("o_totalprice") > 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate
+    reaches the parquet reader, making this I/O-bound at any scale."""
+    t = tables(spark, sf_dir)
+    li = t.lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join, then a
+    tiny aggregate."""
+    t = tables(spark, sf_dir)
+    big_items = t.lineitem.filter(F.col("l_quantity") > 45)
+    return (
+        t.orders.join(big_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20 with
+    deterministic tiebreak; the limit folds into TakeOrderedAndProject
+    after the aggregate."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t.lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_brand_supplier_stats",
+    oracle="""
+    SELECT p_brand,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per brand over a broadcast
+    dim join."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            rnd(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit full-partition frames (the
+    default frame would silently make last_value = current row)."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
+
+
+@query("agg_percentile_approx", oracle=None, tags=("rows-only",))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (mergeable sketch): the scale path for the
+    exact percentile in agg_stats. No oracle — DuckDB's approx sketch
+    differs; tests bound it against the exact percentile."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -188,6 +188,45 @@ def test_pipeline_retries_partial_failures_end_to_end(spark, in_dir, tmp_path):
     assert len(set(keys)) == 3 and all(len(k) == 28 for k in keys)  # xid: 16+12 chars
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    file 2 arrives as a second batch and the user-7 totals accumulate."""
+    from awsbeats_spark.streaming.stateful import running_user_totals
+
+    d = tmp_path / "stateful"
+    d.mkdir()
+    (d / "a.ndjson").write_text(json.dumps(LINES[0]) + "\n")
+
+    events = transform_events(ndjson_stream(spark, str(d)))
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: two more events (one user 7, one user 8)
+        (d / "b.ndjson").write_text(
+            json.dumps(LINES[1]) + "\n" + json.dumps(LINES[2]) + "\n"
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT user_id, n_events, total_value FROM {name}"
+        ).collect()
+    finally:
+        q.stop()
+    # last update per user wins
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[7] == (2, 4.0)  # 1.5 + 2.5 accumulated across batches
+    assert latest[8] == (1, 9.0)
+
+
 def test_heartbeat_stream_schema(spark):
     from awsbeats_spark.sources.streams import heartbeat_stream
 
