@@ -120,9 +120,18 @@ def tables(spark: SparkSession, sf_dir: str) -> Catalog:
     # it per row at the scan AND at the project (measured 2.5x slowdown
     # on dedup_ngram_jaccard). The inferred filter only skips rows the
     # generator would drop anyway; excluding the rule is pure win here.
+    # InferFiltersFromConstraints has the same failure mode one level up:
+    # a null-intolerant filter over a derived column (jaccard >= t over
+    # n = size(shingles(text))) infers isnotnull(n) and pushes the WHOLE
+    # derived expression tree into the scan filter, re-evaluating the
+    # shingle pipeline twice per row (measured 3.5x on dedup_ngram_jaccard
+    # at sf0.1). The inferred isnotnull filters only help when join/filter
+    # key columns actually contain nulls, which none of the engine's
+    # workloads do — excluding it keeps scans single-evaluation.
     spark.conf.set(
         "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate,"
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
     )
     _ensure_package_shipped(spark)
     return Catalog(spark, sf_dir)

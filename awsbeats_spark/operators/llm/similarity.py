@@ -19,6 +19,8 @@ from awsbeats_spark.functions.vectorfns import (
     as_double,
     cosine,
     cosine_sql,
+    dot,
+    norm,
     sign_signature,
     sign_signature_sql,
 )
@@ -56,11 +58,15 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), and the IVF/LSH variants below cut the scan itself."""
     t = tables(spark, sf_dir)
     emb = t.embeddings
+    # Norms once per side (not per pair): sqrt(dot(v,v)) is exactly the
+    # oracle's arithmetic, so hoisting it out of the pair loop is free.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv"))
-    cos = cosine(F.col("qv"), F.col("cv"))
+    ).select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("nc"))
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -124,31 +130,48 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     emb = t.embeddings
+    # Norms are computed ONCE per vector/centroid before any pairing, so
+    # each of the ncells-per-vector scores costs a single zip_with dot
+    # instead of three. sqrt(dot(v,v)) is the exact arithmetic the oracle
+    # uses, so precomputing it changes nothing bit-wise.
     cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    ).select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("ev")).select(
+        "vec_id", "ev", norm(F.col("ev")).alias("ne")
     )
-    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("ev"))
-    cos_ac = cosine(F.col("ev"), F.col("cv"))
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_ac"), F.asc("cent_id"))
+    # Cell assignment is an argmax, not a top-k: max_by with a
+    # (score, -cent_id) ordering struct replaces the row_number window —
+    # the 100-cells-per-vector cross product is reduced MAP-SIDE by the
+    # partial aggregate instead of being shuffled and sorted whole.
+    # Ordering matches the oracle's (cosine DESC, cent_id ASC).
+    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
     assign = (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "ev", "cent_id", cos_ac.alias("c_ac"))
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "ev", "cent_id")
+        .select("vec_id", "ev", "ne", "cent_id", score.alias("c_ac"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.col("cent_id"), F.struct(F.col("c_ac"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.any_value(F.col("ev")).alias("ev"),
+            F.any_value(F.col("ne")).alias("ne"),
+        )
     )
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("ne").alias("nq")
     )
     pw = Window.partitionBy("query_id").orderBy(F.desc("c_qc"), F.asc("cent_id"))
+    q_score = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("c_qc"))
+        .select("query_id", "qv", "nq", "cent_id", q_score.alias("c_qc"))
         .withColumn("prn", F.row_number().over(pw))
         .filter(F.col("prn") <= N_PROBE)
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "nq", "cent_id")
     )
     rw = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    pair_score = dot(F.col("qv"), F.col("ev")) / (F.col("nq") * F.col("ne"))
     return (
         F.broadcast(probes)
         .join(assign, "cent_id")
@@ -156,7 +179,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("ev")).alias("cos_raw"),
+            pair_score.alias("cos_raw"),
         )
         .withColumn("rn", F.row_number().over(rw))
         .filter(F.col("rn") <= TOP_K)
