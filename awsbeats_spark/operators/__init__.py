@@ -7,6 +7,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     joins,
     pipeline,
     relational,
+    scale,
     setops,
     streaming_batch,
     windows,

@@ -1,0 +1,376 @@
+"""Scale-pattern operators: skew mitigation, codec round-trips, the
+batch twin of the stateful streaming operator, and more TPC-H-shaped
+composites.
+
+These exist for the 100-TB design story as much as for coverage: salting
+is the standard fix for hot keys that AQE's skew-join can't always catch
+(aggregations, deliberate co-location), and the codec round-trips prove
+the NDJSON/CSV wire formats the reference ships (A9 encode — see
+/root/reference/streams/client.go:127-154) parse back losslessly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+N_SALT = 8
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.py's applyInPandasWithState
+    operator: the same per-user accumulation expressed as a grouped
+    Pandas UDF. The streaming version's final state after draining all
+    batches equals this batch result — which is exactly what the oracle
+    checks (the cross-batch accumulation itself is covered by
+    tests/test_streaming.py::test_stateful_running_totals_across_batches).
+    """
+    t = tables(spark, sf_dir)
+
+    def totals(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "total_value": [float(pdf["value"].sum())],
+            }
+        )
+
+    out = (
+        t.events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(totals, "user_id long, n_events long, total_value double")
+    )
+    return out.select("user_id", "n_events", rnd("total_value", 4).alias("total_value"))
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot grouping keys: phase 1
+    groups on (key, salt) so a hot key's rows spread over N_SALT
+    reducers; phase 2 merges the partials. events.event_type has few
+    distinct values — exactly the shape where a single reducer per key
+    melts at 100 TB. Same result as the direct groupBy (the oracle IS
+    the direct groupBy); sum/count are algebraic so the two-phase split
+    is exact."""
+    t = tables(spark, sf_dir)
+    partial = (
+        t.events.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(N_SALT)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pc"), F.sum("value").alias("ps"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"), rnd(F.sum("ps"), 4).alias("total_value")
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the probe (fact) side adds a deterministic
+    salt, the build (dim) side explodes each row N_SALT ways, and the
+    join key becomes (key, salt) — a hot orderkey's lineitems spread
+    over N_SALT partitions instead of one. Join output is identical to
+    the unsalted join (every probe row still matches exactly one build
+    row); the oracle is the unsalted join. At 100 TB this is the manual
+    fallback when AQE skew-join can't split (e.g. bucketed inputs or
+    broadcast-ineligible dims)."""
+    t = tables(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.col("l_linenumber").cast("long"), F.lit(N_SALT)).alias("salt"),
+    )
+    o = t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    return (
+        li.join(o, (F.col("l_orderkey") == F.col("o_orderkey")) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "codec_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def codec_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON codec round-trip: serialize each event row to a compact
+    JSON line (the reference's wire format — A9,
+    /root/reference/streams/client.go:127-154), then parse it back with
+    an explicit schema (B2, filebeat json.keys_under_root). The oracle
+    is the identity — proving the encode/decode pair is lossless,
+    including the nested JSON-in-a-string `props` column. All JVM-side
+    (to_json/from_json), no Python in the loop."""
+    t = tables(spark, sf_dir)
+    line = F.to_json(F.struct("event_id", "user_id", "event_type", "value", "props"))
+    parsed = F.from_json(
+        F.col("line"),
+        "event_id long, user_id long, event_type string, value double, props string",
+    )
+    return (
+        t.events.select(line.alias("line"))
+        .select(parsed.alias("e"))
+        .select("e.event_id", "e.user_id", "e.event_type", "e.value", "e.props")
+    )
+
+
+@query(
+    "codec_csv_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def codec_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec round-trip (to_csv -> from_csv with explicit schema):
+    the other row-oriented wire format a Firehose->S3->Athena pipeline
+    consumes. Identity oracle proves losslessness for the scalar
+    columns."""
+    t = tables(spark, sf_dir)
+    line = F.to_csv(F.struct("event_id", "user_id", "event_type", "value"))
+    parsed = F.from_csv(
+        F.col("line"), F.lit("event_id long, user_id long, event_type string, value double")
+    )
+    return (
+        t.events.select(line.alias("line"))
+        .select(parsed.alias("e"))
+        .select("e.event_id", "e.user_id", "e.event_type", "e.value")
+    )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n_name = 'CHINA'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per order
+    year — a 5-table join where every dimension (customer, nation,
+    region) broadcasts and only the fact tables shuffle. The region
+    filter prunes through two joins before touching lineitem rows."""
+    t = tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("n_name") == "CHINA", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-table join, grouped revenue, top-10 —
+    Spark executes the sort+limit as TakeOrderedAndProject (per-partition
+    top-k then a driver merge of k*partitions rows, never a full sort).
+    Ordering on the ROUNDED revenue with the unique l_orderkey tiebreaker
+    keeps the selected set deterministic across engines."""
+    t = tables(spark, sf_dir)
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "agg_mode_argmax",
+    oracle="""
+    SELECT user_id, event_type AS top_event_type, cnt AS n
+    FROM (
+        SELECT user_id, event_type, count(*) AS cnt,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY count(*) DESC, event_type
+               ) AS rn
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mode (most frequent value, ties broken lexicographically)
+    via count + min_by over a (-count, value) ordering struct — two
+    map-side-combinable aggregations, no window, no sort. The window
+    formulation the oracle uses would shuffle and sort every (key,
+    value) pair; min_by reduces map-side."""
+    t = tables(spark, sf_dir)
+    counts = t.events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("user_id").agg(
+        F.min_by(
+            F.col("event_type"), F.struct(-F.col("cnt"), F.col("event_type"))
+        ).alias("top_event_type"),
+        F.max("cnt").alias("n"),
+    )
+
+
+@query(
+    "window_ntile_cume",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist)
+    over a global ordering with a unique tiebreaker. A single unbounded
+    window = one sort; at 100 TB global ntile needs range partitioning
+    (Spark plans a single-partition window — use approx percentiles
+    instead at that scale, kept here for SQL-surface parity)."""
+    t = tables(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+FEATURE_SCHEMA = "doc_id bigint, f0 double, f1 double, f2 double, f3 double"
+
+
+def extract_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas feature extractor: binary payloads in, fixed-width
+    float features out — the batch shape of a real embedding/feature
+    model (which would run an ONNX/torch session per Arrow batch here).
+    Features are a deterministic function of payload length so the
+    DuckDB oracle can recompute them."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "f0": n / 1000.0,
+                "f1": (n % 97) / 97.0,
+                "f2": (n * 7 % 129) / 129.0,
+                "f3": (n * 13 % 251) / 251.0,
+            }
+        )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           round(octet_length(encode(text)) / 1000.0, 6) AS f0,
+           round((octet_length(encode(text)) % 97) / 97.0, 6) AS f1,
+           round((octet_length(encode(text)) * 7 % 129) / 129.0, 6) AS f2,
+           round((octet_length(encode(text)) * 13 % 251) / 251.0, 6) AS f3
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque binary payloads via mapInPandas —
+    the plumbing (binary column in, typed float features out, Arrow
+    batches, partition-parallel) is exactly what a production
+    image/audio featurizer uses; the feature formula is the
+    deterministic stand-in for the missing codec libraries (same policy
+    as multimodal_decode)."""
+    t = tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = payloads.mapInPandas(extract_feature_batches, schema=FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        rnd("f0", 6).alias("f0"),
+        rnd("f1", 6).alias("f1"),
+        rnd("f2", 6).alias("f2"),
+        rnd("f3", 6).alias("f3"),
+    )
