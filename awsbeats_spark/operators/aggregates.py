@@ -247,3 +247,28 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_extendedprice), 2) AS price_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (corr/covar/stddev/variance) —
+    all algebraic (sum, sum-of-squares, sum-of-products moments), so
+    they combine map-side and shuffle only one row per group."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        rnd(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        rnd(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+    )

@@ -284,3 +284,47 @@ def q_flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_brand || ':' || p_type) AS brand_type_sha,
+           CAST(length(md5(p_name)) AS INT) AS md5_len
+    FROM part
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash scalar functions (md5/sha256) — the content-
+    addressing primitives the dedup operators build on, exposed as
+    first-class scalars."""
+    t = tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.concat_ws(":", "p_brand", "p_type"), 256).alias("brand_type_sha"),
+        F.length(F.md5("p_name")).cast("int").alias("md5_len"),
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT event_id, nullif(value, 0.0) AS v
+    FROM events
+    ORDER BY v ASC NULLS FIRST, event_id
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering sort (NULLS FIRST) over a derived nullable
+    column — nulls sort consistently across engines only when the order
+    spells it out; event_id tiebreaks the LIMIT deterministically."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.select("event_id", F.nullif(F.col("value"), F.lit(0.0)).alias("v"))
+        .orderBy(F.asc_nulls_first("v"), F.asc("event_id"))
+        .limit(50)
+    )

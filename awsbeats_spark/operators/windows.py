@@ -166,3 +166,33 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("value").over(w), 4).alias("moving_avg_3"),
         rnd(F.min("value").over(w), 2).alias("moving_min_3"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-customer rolling 30-day spend.
+    Unlike ROWS frames, RANGE bounds are value-based — rows with equal
+    order timestamps share a frame, so the result is deterministic
+    without a unique tiebreaker. Ordering on epoch seconds keeps both
+    engines on identical integer arithmetic."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
