@@ -100,3 +100,46 @@ def test_codegen_covers_relational_operators(q, spark):
             assert counts["codegen_spans"] >= 1, f"{name} has no WholeStageCodegen span"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_market_share_broadcasts_all_dims(q):
+    # customer/nation/region all broadcast; only the fact join + agg shuffle
+    counts = plan_counts(q("q_market_share"))
+    assert counts["broadcast_joins"] >= 3
+    assert counts["sort_merge_joins"] + counts["shuffled_hash_joins"] <= 1
+
+
+def test_ship_priority_is_take_ordered(q):
+    counts = plan_counts(q("q_ship_priority"))
+    assert counts["take_ordered"] == 1  # top-10 never global-sorts
+
+
+def test_salted_join_spreads_hot_keys(q):
+    # the join key includes the salt: hash partitioning must carry both
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("join_skew_salted"))
+    assert "salt" in plan
+
+
+def test_mode_argmax_avoids_window_sort(q):
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("agg_mode_argmax"))
+    assert "Window" not in plan  # two aggregations, no window sort
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_assignment_aggregates_map_side(q):
+    # cell assignment is max_by aggregation (partial combine), not a
+    # row_number window over the vectors x centroids cross product
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("sim_search_ivf"))
+    assert "max_by" in plan or "partial_max_by" in plan
+
+
+def test_codec_roundtrips_are_shuffle_free(q):
+    for name in ["codec_json_roundtrip", "codec_csv_roundtrip"]:
+        counts = plan_counts(q(name))
+        assert counts["exchanges"] == 0, f"{name} should be a pure projection"
