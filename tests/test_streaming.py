@@ -233,3 +233,43 @@ def test_heartbeat_stream_schema(spark):
     hb = heartbeat_stream(spark)
     assert set(hb.columns) == {"ts", "monitor_id", "status"}
     assert hb.isStreaming
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams join within a 30-minute interval: the user-7
+    click at 00:00:01 attributes a (synthetic) purchase at 00:10:00;
+    the user-8 purchase at 00:40:00 has no click within the gap."""
+    from awsbeats_spark.streaming.joins import interval_join_clicks_to_purchases
+
+    d = tmp_path / "ss"
+    d.mkdir()
+    rows = [
+        dict(LINES[0]),  # user 7 click at 00:00:01
+        {"event_id": 10, "ts": "2024-01-01T00:10:00.000Z", "user_id": 7,
+         "event_type": "purchase", "value": 42.0, "props": "{}"},
+        dict(LINES[2]),  # user 8 purchase at 00:40:00, no prior click
+    ]
+    (d / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    events = transform_events(ndjson_stream(spark, str(d)))
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = interval_join_clicks_to_purchases(clicks, purchases)
+    assert joined.isStreaming
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p_user"], r["click_id"], r["purchase_id"], r["amount"]) == (7, 1, 10, 42.0)
