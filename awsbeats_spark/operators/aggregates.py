@@ -272,3 +272,27 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         rnd(F.var_samp("l_extendedprice"), 2).alias("price_var"),
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation. collect_list order is
+    nondeterministic under parallel aggregation on BOTH engines, so the
+    contract (and the oracle comparison) is the SORTED array — the only
+    deterministic form a distributed engine can promise without a
+    within-group sort specification. Serialized to a joined string for
+    the hash compare (array cells don't hash portably)."""
+    t = tables(spark, sf_dir)
+    return t.nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )

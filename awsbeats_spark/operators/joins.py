@@ -260,3 +260,20 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "join_cross_limited",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product — legitimate only when one side is
+    tiny and bounded (5 regions x 25 nations here). Spark requires the
+    explicit crossJoin call precisely because an accidental cross product
+    is the classic 100-TB query killer; the planner broadcasts the
+    smaller side so no shuffle occurs."""
+    t = tables(spark, sf_dir)
+    return t.region.select("r_name").crossJoin(t.nation.select("n_name"))

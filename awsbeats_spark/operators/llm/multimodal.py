@@ -116,6 +116,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, out_width int, out_height int, scale double"
+TARGET_EDGE = 224  # classic vision-model input edge
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resizer: compute the aspect-preserving scale that fits
+    the (fake-decoded) geometry into TARGET_EDGE x TARGET_EDGE. A real
+    implementation would also transform pixels (PIL/opencv — not in this
+    container, same stub policy as decode_media); the geometry math and
+    the Arrow batch plumbing are the real, tested parts."""
+    for pdf in batches:
+        meta = pd.DataFrame([decode_media(b, fake=True) for b in pdf["payload"]])
+        long_edge = meta[["width", "height"]].max(axis=1)
+        scale = TARGET_EDGE / long_edge
+        # raw scale out; the operator rounds Spark-side with the shared
+        # half-up formula (pandas .round is half-even — oracle mismatch)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "out_width": (meta["width"] * scale).astype(int),
+                "out_height": (meta["height"] * scale).astype(int),
+                "scale": scale,
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               64 + octet_length(encode(text)) % 193 AS w,
+               64 + (octet_length(encode(text)) * 7) % 129 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(trunc(w * ({TARGET_EDGE}.0 / greatest(w, h))) AS INT) AS out_width,
+           CAST(trunc(h * ({TARGET_EDGE}.0 / greatest(w, h))) AS INT) AS out_height,
+           round({TARGET_EDGE}.0 / greatest(w, h), 6) AS scale
+    FROM g
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over binary media payloads via
+    mapInPandas (decode geometry -> scale to fit 224px). The oracle
+    recomputes the geometry formula in SQL, pinning schema, batch shape
+    and the rounding of the scale factor."""
+    from awsbeats_spark.functions.rounding import rnd
+
+    t = tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = payloads.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+    return out.select(
+        "doc_id", "out_width", "out_height", rnd("scale", 6).alias("scale")
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

@@ -328,3 +328,31 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_first("v"), F.asc("event_id"))
         .limit(50)
     )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           array_to_string(list_sort(string_split(lower(text), ' '))[1:3], ',')
+               AS first_sorted,
+           list_contains(string_split(lower(text), ' '), 'the') AS has_the
+    FROM documents
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions (split/element_at/sort/slice/contains) —
+    all higher-order JVM expressions inside whole-stage codegen; arrays
+    never leave the row, so this stays a pure projection at any scale."""
+    t = tables(spark, sf_dir)
+    toks = F.split("text", " ", -1)
+    ltoks = F.split(F.lower("text"), " ", -1)
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.slice(F.array_sort(ltoks), 1, 3), ",").alias("first_sorted"),
+        F.array_contains(ltoks, "the").alias("has_the"),
+    )
