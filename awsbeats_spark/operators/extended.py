@@ -82,7 +82,12 @@ def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreach_batch_writer(cfg, client_factory=lambda _c: FileDumpClient(out_dir))(
         records, 0
     )
-    delivered = spark.read.option("multiLine", "true").json(out_dir)
+    # explicit schema: inference would read every delivered file twice
+    delivered = (
+        spark.read.schema("data string, partition_key string")
+        .option("multiLine", "true")
+        .json(out_dir)
+    )
     return delivered.select("partition_key", F.length("data").alias("data_len"))
 
 

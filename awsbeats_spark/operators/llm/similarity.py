@@ -254,14 +254,20 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         as_double("embedding").alias("ev"),
         sign_signature(F.col("embedding")).alias("sig"),
-    )
+    ).select("vec_id", "ev", "sig", norm(F.col("ev")).alias("nv"))
     a = sigs.select(
-        F.col("vec_id").alias("vec_a"), F.col("ev").alias("va"), F.col("sig").alias("bucket")
+        F.col("vec_id").alias("vec_a"),
+        F.col("ev").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("sig").alias("bucket"),
     )
     b = sigs.select(
-        F.col("vec_id").alias("vec_b"), F.col("ev").alias("vb"), F.col("sig").alias("sig_b")
+        F.col("vec_id").alias("vec_b"),
+        F.col("ev").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("sig").alias("sig_b"),
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("bucket") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "bucket", cos.alias("cos_raw"))
