@@ -1,0 +1,148 @@
+"""Property-based invariants (hypothesis) for the engine's algebraic
+claims — the guarantees the scale patterns rely on:
+
+- salted two-phase aggregation == direct aggregation (any data, any salt)
+- the union-and-carry as-of join == the brute-force per-row definition
+- the shared rounding formula is exact half-up on representable inputs
+- MinHash banding candidates are a superset of identical-set pairs
+
+Each test generates small random inputs and compares Spark against a
+pure-Python brute-force model (one Spark job per example; examples kept
+small so the suite stays fast).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from awsbeats_spark.functions.rounding import rnd
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=4)
+vals = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=40))
+@SET
+def test_salted_agg_equals_direct(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)], "id long, k int, v double"
+    )
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = (
+        df.withColumn("salt", F.pmod(F.hash("id"), F.lit(4)))
+        .groupBy("k", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("v").alias("ps"))
+        .groupBy("k")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert got.keys() == direct.keys()
+    for k in direct:
+        assert got[k][0] == direct[k][0]
+        assert math.isclose(got[k][1], direct[k][1], rel_tol=1e-9, abs_tol=1e-9)
+
+
+ts_vals = st.integers(min_value=0, max_value=100)
+
+
+@given(
+    clicks=st.lists(st.tuples(keys, ts_vals), max_size=15),
+    purchases=st.lists(st.tuples(keys, ts_vals), min_size=1, max_size=15),
+)
+@SET
+def test_asof_union_carry_equals_bruteforce(spark, clicks, purchases):
+    """The union-and-carry as-of join returns, per purchase, the latest
+    click at-or-before it (ties on ts broken by larger click id, the
+    union order's last-wins) — compare against the brute-force scan."""
+    cdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(clicks)], "cid long, k int, t long"
+    )
+    pdf = spark.createDataFrame(
+        [(1000 + i, k, t) for i, (k, t) in enumerate(purchases)], "pid long, k int, t long"
+    )
+    from pyspark.sql import Window
+
+    c = cdf.select("k", "t", F.lit(0).alias("kind"), "cid", F.lit(None).cast("long").alias("pid"))
+    p = pdf.select("k", "t", F.lit(1).alias("kind"), F.lit(None).cast("long").alias("cid"), "pid")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind", "cid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["pid"]: r["last_cid"]
+        for r in c.unionByName(p)
+        .withColumn("last_cid", F.last("cid", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("pid", "last_cid")
+        .collect()
+    }
+    for i, (k, t) in enumerate(purchases):
+        cand = [(ct, ci) for ci, (ck, ct) in enumerate(clicks) if ck == k and ct <= t]
+        expect = max(cand)[1] if cand else None
+        assert got[1000 + i] == expect, (k, t, cand)
+
+
+@given(
+    x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    n=st.integers(min_value=0, max_value=6),
+)
+@SET
+def test_rnd_is_exact_halfup_floor_formula(spark, x, n):
+    got = spark.range(1).select(rnd(F.lit(x), n).alias("r")).collect()[0]["r"]
+    expect = math.floor(x * 10**n + 0.5) / 10**n
+    assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=8), min_size=2, max_size=6
+    )
+)
+@SET
+def test_minhash_bands_catch_identical_sets(spark, docs):
+    """Any two docs with IDENTICAL shingle sets must share every band —
+    banding may miss similar pairs (probabilistic) but never identical
+    ones. Build docs from letter sequences; identical sequences =>
+    identical sets."""
+    from awsbeats_spark.operators.llm.dedup import N_BANDS, N_MINHASH
+
+    df = spark.createDataFrame(
+        [(i, [f"w{c}" for c in doc]) for i, doc in enumerate(docs)],
+        "doc_id long, shs array<string>",
+    )
+    sig = df.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.array_distinct("shs"),
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_MINHASH)
+        ],
+    )
+    bands = {
+        r["doc_id"]: tuple(r[f"m{i}"] for i in range(N_MINHASH)) for r in sig.collect()
+    }
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i < j and set(a) == set(b):
+                assert bands[i] == bands[j]
+    assert N_BANDS * 2 == N_MINHASH  # banding layout the operator assumes
