@@ -296,3 +296,30 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical definition on
+    both engines, unlike the t-digest sketch in agg_percentile_approx
+    which stays rows-only). Exact percentile shuffles every value to its
+    group; at 100 TB prefer approx_percentile unless the contract
+    demands exactness."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        rnd(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        rnd(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median"),
+        rnd(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+    )
