@@ -374,3 +374,66 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("f2", 6).alias("f2"),
         rnd("f3", 6).alias("f3"),
     )
+
+
+@query(
+    "upsert_scd1",
+    oracle="""
+    SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+           coalesce(u.new_acctbal, c.c_acctbal) AS acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS updated
+    FROM customer c
+    FULL OUTER JOIN (
+        SELECT c_custkey, round(c_acctbal * 1.1, 2) AS new_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) u ON c.c_custkey = u.c_custkey
+    """,
+)
+def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert (merge-overwrite) expressed as a full outer join +
+    coalesce: rows in the update set replace the base values, unmatched
+    base rows pass through, brand-new keys insert. This is the engine's
+    MERGE INTO — at 100 TB both sides hash-partition on the key, and a
+    format with merge support (Delta/Iceberg) turns the same plan into
+    a file-level rewrite."""
+    t = tables(spark, sf_dir)
+    base = t.customer.select("c_custkey", "c_acctbal")
+    updates = (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("c_custkey").alias("u_custkey"),
+            rnd(F.col("c_acctbal") * 1.1, 2).alias("new_acctbal"),
+        )
+    )
+    return base.join(
+        updates, F.col("c_custkey") == F.col("u_custkey"), "full_outer"
+    ).select(
+        F.coalesce("u_custkey", "c_custkey").alias("c_custkey"),
+        F.coalesce("new_acctbal", "c_acctbal").alias("acctbal"),
+        F.when(F.col("u_custkey").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("updated"),
+    )
+
+
+@query(
+    "lateral_explode_props",
+    oracle="""
+    SELECT event_id, je.key AS prop_key, je.value AS prop_value
+    FROM events,
+         LATERAL (SELECT unnest(map_keys(props_map)) AS key,
+                         unnest(map_values(props_map)) AS value
+                  FROM (SELECT CAST(json(props) AS MAP(VARCHAR, VARCHAR)) AS props_map)) je
+    WHERE props IS NOT NULL AND props <> ''
+    """,
+)
+def lateral_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of the dynamic props map (the reference's
+    schema-less MapStr remainder — SURVEY.md §1.2): one output row per
+    (event, key). from_json to MAP then explode — the standard pattern
+    for promoting semi-structured key/values to rows without a schema
+    migration."""
+    t = tables(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return (
+        t.events.filter(F.col("props").isNotNull() & (F.col("props") != ""))
+        .select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+    )

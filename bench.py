@@ -39,6 +39,9 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_decode",
     "sort_limit",
+    # the reference's actual job: project-to-records + chunked retrying
+    # delivery (filesystem stand-in client), measured end-to-end
+    "sink_kinesis_batched_retry",
 ]
 
 
