@@ -52,3 +52,68 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x): the full stateful-processor API
+# (named state variables, TTL, timers) — the successor to
+# applyInPandasWithState above. Same engine semantics, richer lifecycle.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - availability gate
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # TWS runs a protobuf-based state server between the JVM and the
+    # Python worker; without google.protobuf the worker crashes at init,
+    # so the gate checks BOTH the API and its transport dependency.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # older Spark, or protobuf not installed
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running totals as a TWS StatefulProcessor: one ValueState
+    holding (n, total), updated per micro-batch — the reference's
+    retry-set-per-batch state generalized exactly as in
+    running_user_totals, but on the API that also offers timers and TTL
+    for eviction at scale."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("totals", "n long, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """TWS twin of running_user_totals (requires Spark 4.x)."""
+    if not HAS_TWS:
+        raise NotImplementedError("transformWithStateInPandas requires Spark 4.x")
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

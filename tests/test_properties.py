@@ -146,3 +146,42 @@ def test_minhash_bands_catch_identical_sets(spark, docs):
             if i < j and set(a) == set(b):
                 assert bands[i] == bands[j]
     assert N_BANDS * 2 == N_MINHASH  # banding layout the operator assumes
+
+
+adversarial_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"
+    ),
+    max_size=30,
+)
+
+
+@given(s=adversarial_text, v=vals)
+@SET
+def test_json_codec_roundtrip_any_string(spark, s, v):
+    """The NDJSON wire format (A9) must round-trip ANY utf-8 payload —
+    quotes, backslashes, newlines, emoji, CJK — through to_json/from_json."""
+    df = spark.createDataFrame([(1, s, float(v))], "id long, s string, v double")
+    out = (
+        df.select(F.to_json(F.struct("id", "s", "v")).alias("line"))
+        .select(F.from_json("line", "id long, s string, v double").alias("e"))
+        .select("e.id", "e.s", "e.v")
+        .collect()[0]
+    )
+    assert out["id"] == 1 and out["s"] == s and out["v"] == float(v)
+
+
+@given(s=adversarial_text, v=vals)
+@SET
+def test_csv_codec_roundtrip_any_string(spark, s, v):
+    """CSV round-trip with quoting: separators, quotes and newlines in
+    the payload must survive to_csv/from_csv."""
+    df = spark.createDataFrame([(1, s, float(v))], "id long, s string, v double")
+    out = (
+        df.select(F.to_csv(F.struct("id", "s", "v")).alias("line"))
+        .select(F.from_csv("line", F.lit("id long, s string, v double")).alias("e"))
+        .select("e.id", "e.s", "e.v")
+        .collect()[0]
+    )
+    got = out["s"] if out["s"] is not None else ""
+    assert out["id"] == 1 and got == s and out["v"] == float(v)

@@ -273,3 +273,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["p_user"], r["click_id"], r["purchase_id"], r["amount"]) == (7, 1, 10, 42.0)
+
+
+def test_tws_stateful_totals_across_batches(spark, tmp_path):
+    """transformWithStateInPandas accumulates named ValueState across
+    micro-batches (Spark 4.x API with timers/TTL; the richer twin of
+    test_stateful_running_totals_across_batches)."""
+    from awsbeats_spark.streaming.stateful import HAS_TWS, running_user_totals_tws
+
+    if not HAS_TWS:
+        pytest.skip("requires Spark 4.x transformWithStateInPandas")
+
+    d = tmp_path / "tws"
+    d.mkdir()
+    (d / "a.ndjson").write_text(json.dumps(LINES[0]) + "\n")
+    events = transform_events(ndjson_stream(spark, str(d)))
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals_tws(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (d / "b.ndjson").write_text(
+            json.dumps(LINES[1]) + "\n" + json.dumps(LINES[2]) + "\n"
+        )
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT user_id, n_events, total_value FROM {name}").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[7] == (2, 4.0)
+    assert latest[8] == (1, 9.0)
