@@ -437,3 +437,70 @@ def lateral_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.filter(F.col("props").isNotNull() & (F.col("props") != ""))
         .select("event_id", F.explode(m).alias("prop_key", "prop_value"))
     )
+
+
+@query(
+    "q_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join — the rewrite Catalyst and
+    every serious optimizer performs. Expressed directly as the
+    decorrelated form: one pass computes per-part averages, a broadcast
+    join applies the threshold."""
+    t = tables(spark, sf_dir)
+    part_avg = t.lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("p_brand") == "Brand#1")
+        .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue — selective
+    fact filter, three joins (nation broadcasts), top-20 via
+    TakeOrderedAndProject on the rounded measure with a unique key
+    tiebreaker."""
+    t = tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

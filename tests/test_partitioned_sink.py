@@ -43,3 +43,46 @@ def test_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     assert back.count() == events.count()
     # event payload survives (dt is additive)
     assert set(events.columns).issubset(set(back.columns))
+
+
+def test_streaming_foreachbatch_to_partitioned_lake(spark, tmp_path):
+    """Streaming events land in the date-partitioned lake through
+    foreachBatch — the Firehose->S3 delivery path with the engine's
+    partitioned writer as the destination. Partition directories appear
+    per event day; rows survive exactly once per micro-batch."""
+    import json
+
+    from awsbeats_spark.sinks.partitioned import write_date_partitioned
+    from awsbeats_spark.sources.streams import ndjson_stream
+    from awsbeats_spark.streaming.pipeline import transform_events
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    lines = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-02T10:00:00.000Z", "user_id": 2,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    (in_dir / "a.ndjson").write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+
+    out = str(tmp_path / "lake")
+    events = transform_events(ndjson_stream(spark, str(in_dir)))
+
+    q = (
+        events.writeStream.foreachBatch(
+            lambda df, _id: write_date_partitioned(df, out, mode="append")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_lake"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import os
+
+    dts = sorted(d for d in os.listdir(out) if d.startswith("dt="))
+    assert dts == ["dt=2024-01-01", "dt=2024-01-02"]
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {r["event_id"] for r in back.collect()} == {1, 2}
