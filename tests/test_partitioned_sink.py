@@ -86,3 +86,36 @@ def test_streaming_foreachbatch_to_partitioned_lake(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert {r["event_id"] for r in back.collect()} == {1, 2}
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second columnar lake format the engine writes/reads
+    (built into Spark; Avro needs an external package and is gated off
+    in this environment). Full-fidelity round-trip of the orders table."""
+    out = str(tmp_path / "orders_orc")
+    orders = tables(spark, sf_dir).orders
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    a = {tuple(r) for r in orders.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution: a v2 writer adds a column; mergeSchema reads
+    both generations with the unified schema and nulls for the old
+    files — the lake-format contract a 100-TB dataset lives by (columns
+    get added over years; readers must not break)."""
+    out = tmp_path / "evolving"
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.parquet(str(out / "batch=1"))
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    v2.write.parquet(str(out / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows[1] == ("a", None)
+    assert rows[2] == ("b", 9.5)
