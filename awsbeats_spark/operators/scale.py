@@ -504,3 +504,24 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed deterministic sampling (~3/16 of rows): rows
+    whose key-md5 starts with 0|1|2. Unlike rand()-based sampling this
+    is reproducible across engines, runs, and partitionings — the only
+    sampling a 100-TB pipeline can debug with (the same rows appear in
+    every rerun and on every engine; the RNG-based df.sample cannot be
+    oracle-checked at all)."""
+    t = tables(spark, sf_dir)
+    return t.events.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1", "2")
+    ).select("event_id", "user_id", "event_type")
