@@ -162,6 +162,16 @@ def codec_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Spark's CSV codec TRIMS unquoted whitespace by default — a
+#: whitespace-only payload silently becomes empty (found by the
+#: hypothesis round-trip property). These options make the codec
+#: lossless; every engine CSV path must pass them.
+CSV_LOSSLESS_OPTS = {
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
 @query(
     "codec_csv_roundtrip",
     oracle="""
@@ -174,9 +184,13 @@ def codec_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes. Identity oracle proves losslessness for the scalar
     columns."""
     t = tables(spark, sf_dir)
-    line = F.to_csv(F.struct("event_id", "user_id", "event_type", "value"))
+    line = F.to_csv(
+        F.struct("event_id", "user_id", "event_type", "value"), CSV_LOSSLESS_OPTS
+    )
     parsed = F.from_csv(
-        F.col("line"), F.lit("event_id long, user_id long, event_type string, value double")
+        F.col("line"),
+        F.lit("event_id long, user_id long, event_type string, value double"),
+        CSV_LOSSLESS_OPTS,
     )
     return (
         t.events.select(line.alias("line"))

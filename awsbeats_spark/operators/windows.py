@@ -196,3 +196,58 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         rnd(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+@query(
+    "window_sessionize_gap",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization built from primitives (lag -> new-session
+    flag -> running sum = session id -> per-session aggregate): the
+    manual form of session_window (stream_session_window uses the
+    built-in), needed whenever session boundaries depend on more than a
+    fixed gap (e.g. a logout event). One shuffle on user_id serves both
+    windows and the final aggregate."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - prev) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        t.events.select("user_id", "event_id", "ts", new_session.alias("ns"))
+        .withColumn("session_id", F.sum("ns").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+    )

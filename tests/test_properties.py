@@ -174,12 +174,20 @@ def test_json_codec_roundtrip_any_string(spark, s, v):
 @given(s=adversarial_text, v=vals)
 @SET
 def test_csv_codec_roundtrip_any_string(spark, s, v):
-    """CSV round-trip with quoting: separators, quotes and newlines in
-    the payload must survive to_csv/from_csv."""
+    """CSV round-trip with quoting: separators, quotes, newlines AND
+    whitespace-only payloads must survive to_csv/from_csv. Requires the
+    engine's CSV_LOSSLESS_OPTS — the default codec trims unquoted
+    whitespace (this property found that)."""
+    from awsbeats_spark.operators.scale import CSV_LOSSLESS_OPTS
+
     df = spark.createDataFrame([(1, s, float(v))], "id long, s string, v double")
     out = (
-        df.select(F.to_csv(F.struct("id", "s", "v")).alias("line"))
-        .select(F.from_csv("line", F.lit("id long, s string, v double")).alias("e"))
+        df.select(F.to_csv(F.struct("id", "s", "v"), CSV_LOSSLESS_OPTS).alias("line"))
+        .select(
+            F.from_csv(
+                "line", F.lit("id long, s string, v double"), CSV_LOSSLESS_OPTS
+            ).alias("e")
+        )
         .select("e.id", "e.s", "e.v")
         .collect()[0]
     )
