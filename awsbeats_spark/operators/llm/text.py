@@ -228,3 +228,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winnow_fp"),
         )
     )
+
+
+@query(
+    "text_ngram_freq",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+    ),
+    bigrams AS (
+        SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    )
+    SELECT bigram, count(*) AS freq
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram frequencies: per-doc bigram arrays
+    (zip the word array with its own tail — no self-join), one explode,
+    one count. The corpus-frequency table is what doc-frequency caps and
+    stopword lists are built from at 100 TB; bigram ordered by (freq,
+    bigram) for a deterministic top-20."""
+    t = tables(spark, sf_dir)
+    w = words()
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        t.documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -539,3 +539,50 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1", "2")
     ).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_view) AS n_viewed,
+           count(CASE WHEN first_click > first_view THEN 1 END) AS n_then_clicked,
+           count(CASE WHEN first_purchase > first_click
+                       AND first_click > first_view THEN 1 END) AS n_completed
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per-user first-touch
+    timestamps via conditional min (ONE pass, one shuffle on user_id —
+    no self-joins, the naive N-step funnel join is N shuffles), then
+    ordering predicates count stage completions."""
+    t = tables(spark, sf_dir)
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    firsts = t.events.groupBy("user_id").agg(
+        first("click").alias("first_click"),
+        first("view").alias("first_view"),
+        first("purchase").alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(F.when(F.col("first_click") > F.col("first_view"), F.lit(1))).alias(
+            "n_then_clicked"
+        ),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                F.lit(1),
+            )
+        ).alias("n_completed"),
+    )
