@@ -88,18 +88,23 @@ def start_delivery(
     client_factory=None,
     trigger_seconds: float = 3.0,
     drop_event_type_regex: str | None = None,
+    transform: bool = True,
 ):
     """Wire source -> processors -> records -> Kinesis sink and start
     the query. Checkpointing + foreachBatch give the at-least-once
     end-to-end contract (B9): an epoch re-run after failure re-sends its
-    records, exactly as the reference's RetryEvents re-enqueue does."""
+    records, exactly as the reference's RetryEvents re-enqueue does.
+
+    ``transform=False`` skips the default processor chain — for callers
+    (pipeline_config.build_pipeline) that already applied their own
+    configured processors."""
     cfg.validate()
     from awsbeats_spark.catalog import _ensure_package_shipped
 
     _ensure_package_shipped(events.sparkSession)
-    records = project_records(
-        transform_events(events, drop_event_type_regex=drop_event_type_regex), cfg
-    )
+    if transform:
+        events = transform_events(events, drop_event_type_regex=drop_event_type_regex)
+    records = project_records(events, cfg)
     kwargs = {} if client_factory is None else {"client_factory": client_factory}
     return (
         records.writeStream.foreachBatch(foreach_batch_writer(cfg, **kwargs))
