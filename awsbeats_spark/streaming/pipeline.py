@@ -64,11 +64,17 @@ def transform_events(
     )
 
 
-def project_records(df: DataFrame, cfg: SinkConfig) -> DataFrame:
+def project_records(df: DataFrame, cfg: SinkConfig, guaranteed: bool = False) -> DataFrame:
     """Event -> {data, partition_key} delivery record: compact JSON of
     all event fields + trailing newline (streams/client.go:127-154), key
-    per the configured provider. Rows with a NULL key are dropped (the
-    mapEvents drop-and-count path)."""
+    per the configured provider.
+
+    Rows with a NULL key are dropped (the mapEvents drop-and-count path,
+    streams/client.go:109-125) — unless ``guaranteed=True``, the engine's
+    version of the reference's guaranteed-event branch
+    (firehose/client.go:116-121: the reference can only escalate the log
+    level, both paths still drop; an engine with typed errors can do
+    better and FAIL the batch so the data is never silently lost)."""
     if cfg.partition_key_provider == "xid":
         pk = xid_partition_key()
     else:
@@ -77,7 +83,20 @@ def project_records(df: DataFrame, cfg: SinkConfig) -> DataFrame:
     data = F.concat(F.to_json(F.struct(*payload_cols)), F.lit("\n"))
     out = df.select(data.alias("data"), pk.alias("partition_key"))
     if cfg.mode == "streams":
-        out = out.filter(F.col("partition_key").isNotNull())
+        if guaranteed:
+            fail = F.raise_error(
+                F.concat(
+                    F.lit("guaranteed event has no partition key: "), F.col("data")
+                )
+            )
+            out = out.withColumn(
+                "partition_key",
+                F.when(F.col("partition_key").isNull(), fail).otherwise(
+                    F.col("partition_key")
+                ),
+            )
+        else:
+            out = out.filter(F.col("partition_key").isNotNull())
     return out
 
 

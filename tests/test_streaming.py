@@ -311,3 +311,20 @@ def test_tws_stateful_totals_across_batches(spark, tmp_path):
         latest[r["user_id"]] = (r["n_events"], r["total_value"])
     assert latest[7] == (2, 4.0)
     assert latest[8] == (1, 9.0)
+
+
+def test_guaranteed_mode_fails_on_missing_key(spark):
+    """A10 engine version: in guaranteed mode a missing partition key
+    FAILS the batch (typed error) instead of silently dropping; default
+    mode drops and delivers the rest."""
+    from awsbeats_spark.streaming.pipeline import project_records
+
+    cfg = SinkConfig(region="r", stream_name="s", partition_key="props.missing")
+    events = spark.createDataFrame(
+        [(1, "click", '{"k": "a"}')], "event_id long, event_type string, props string"
+    )
+    # default: dropped
+    assert project_records(events, cfg).count() == 0
+    # guaranteed: batch fails loudly
+    with pytest.raises(Exception, match="guaranteed event has no partition key"):
+        project_records(events, cfg, guaranteed=True).collect()
