@@ -284,3 +284,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(64)
     ]
     return sums.select("doc_id", F.concat(*bitchar).alias("simhash"))
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE
+    mh AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) pairs),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mh
+        UNION ALL
+        SELECT doc_b, doc_a FROM mh
+    ),
+    walk(doc, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id
+    FROM walk GROUP BY doc
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    near-dup pair graph (cluster id = min doc_id in the component) via
+    iterative min-label propagation — each round, every node takes the
+    min of its own and its neighbors' labels; fixpoint when nothing
+    changes. The oracle walks the same graph with a recursive CTE.
+
+    Scale: rounds needed = component diameter (near-dup clusters are
+    shallow); each round is one equi-join + map-side min aggregate on
+    the EDGE list only — candidates, not the corpus. For web-scale
+    graphs swap the loop for large-star/small-star (O(log n) rounds,
+    same per-round plan). The driver-side loop only orchestrates; all
+    data stays distributed."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)  # pin: reused every round
+    labels = edges.select(F.col("src").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")
+    )
+    for _ in range(16):  # diameter bound; near-dup clusters are shallow
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc == nbr.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))

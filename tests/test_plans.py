@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from awsbeats_spark.plans import (
     has_broadcast_join,
     has_pushed_filters,
@@ -143,3 +145,40 @@ def test_codec_roundtrips_are_shuffle_free(q):
     for name in ["codec_json_roundtrip", "codec_csv_roundtrip"]:
         counts = plan_counts(q(name))
         assert counts["exchanges"] == 0, f"{name} should be a pure projection"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at WRITE time: both sides
+    bucketed by the key into the same bucket count join WITHOUT any
+    exchange — the pre-partitioning strategy that turns the biggest
+    recurring shuffle at 100 TB into a free join. (SortMergeJoin reads
+    bucketed data directly; only sorts remain.)"""
+    from awsbeats_spark.catalog import tables as load_tables
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    t = load_tables(spark, sf_dir)
+    try:
+        (
+            t.orders.write.mode("overwrite")
+            .option("path", str(tmp_path / "orders_b"))
+            .bucketBy(4, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            t.lineitem.write.mode("overwrite")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .bucketBy(4, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("lineitem_bucketed")
+        )
+        joined = spark.table("lineitem_bucketed").join(
+            spark.table("orders_bucketed").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = executed_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, "bucketed join should not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
