@@ -10,6 +10,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     scale,
     setops,
     streaming_batch,
+    tpch_more,
     windows,
 )
 from awsbeats_spark.operators.llm import (  # noqa: F401

@@ -1,0 +1,389 @@
+"""Remaining TPC-H query shapes, adapted to the driver's reduced
+schemas (no partsupp table; lineitem lacks shipmode/commitdate,
+customer lacks phone — filters use the columns that exist).
+
+These widen the SQL surface beyond the reference (which has no query
+engine at all — see SURVEY.md §0) with the classic composite patterns:
+conditional aggregation (Q14), HAVING-semi-join (Q18), outer-join
+distribution (Q13), nation-pair volume (Q7), profit rollup (Q9),
+argmax-by-scalar-subquery (Q15), fraction-of-total filter (Q11),
+anti-join + scalar subquery (Q22), and a disjunctive multi-range
+predicate (Q19).
+
+Scale notes live per-operator; the recurring ones: dimension tables
+(nation, supplier, part at these SFs) are broadcast so the fact scan
+never shuffles for them, and aggregate-then-join orderings keep the
+shuffled payload at the aggregate's cardinality, not the fact table's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+
+@query(
+    "q_promo_revenue_ratio",
+    oracle="""
+    SELECT round(
+               100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_ratio
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of promo-part revenue in a quarter — one
+    broadcast join (part is the small side) and one conditional
+    aggregation, single pass over the date-pruned lineitem scan. The
+    shipdate range predicate reaches the parquet scan as a pushed
+    filter, so at 100 TB only the quarter's row groups are read."""
+    t = tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            rnd(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_ratio")
+        )
+    )
+
+
+@query(
+    "q_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customers. The HAVING subquery is computed ONCE as a
+    grouped aggregate (map-side partial combine, ~1% selectivity at the
+    threshold) and broadcast-semi-joined back to orders, so the big
+    lineitem table is scanned once for the filter and once for the
+    final per-order sums — never cross-joined. Top-100 by totalprice
+    runs as TakeOrderedAndProject with o_orderkey as the unique
+    tiebreaker."""
+    t = tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t.orders.join(
+            F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+        )
+        .join(t.lineitem, F.col("o_orderkey") == t.lineitem["l_orderkey"])
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(rnd(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … non-urgent
+    orders. The priority predicate lives in the JOIN CONDITION, not a
+    WHERE — a left join must keep order-less customers with count 0
+    (`count(o_orderkey)` skips the nulls the outer join fabricates).
+    Two-level aggregation: the first groups by the join key (so it
+    reuses the join's hash partitioning — no second exchange), the
+    second is a tiny shuffle on the distinct counts."""
+    t = tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, by year
+    and direction. Both nation joins AND the supplier/customer dims are
+    broadcast; crucially the nation-name filter is applied to the
+    broadcast sides BEFORE the join, so the fact-side scan drops to the
+    two nations' suppliers/customers immediately — at 100 TB the only
+    shuffle left is lineitem⨝orders on orderkey."""
+    t = tables(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = t.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = t.supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = t.customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    return (
+        t.lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(rnd(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_product_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation, year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
+               AS net_revenue
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit per nation-year for one product line;
+    net of discount and tax since the reduced schema has no
+    ps_supplycost). The p_type filter prunes the broadcast part dim
+    first, which turns the fact join into a broadcast-semi-style
+    reduction; supplier→nation is a two-hop broadcast chain. One
+    shuffle total: the final group-by."""
+    t = tables(spark, sf_dir)
+    econ = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    return (
+        t.lineitem.join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year"))
+        .agg(
+            rnd(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 - F.col("l_tax"))
+                ),
+                2,
+            ).alias("net_revenue")
+        )
+    )
+
+
+@query(
+    "q_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter. The revenue CTE is computed once; the scalar max comes
+    from a 1-row aggregate cross-joined (broadcast) back — NOT a
+    window over all suppliers, which would shuffle+sort the whole
+    aggregate for one scalar. Ties (multiple max suppliers) survive,
+    matching the SQL subquery semantics."""
+    t = tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q_important_suppliers",
+    oracle="""
+    WITH sv AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, round(value, 2) AS supplier_value
+    FROM sv
+    WHERE value > (SELECT sum(value) * 0.0015 FROM sv)
+    """,
+)
+def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (fraction-of-total filter, on supplier revenue
+    since there is no partsupp): suppliers whose revenue exceeds 0.15%
+    of ALL revenue. The per-supplier aggregate is computed once and
+    reused for both the scalar total (second-level 1-row aggregate,
+    broadcast) and the filter — Spark's ReusedExchange makes the reuse
+    free; the alternative correlated rewrite would rescan lineitem."""
+    t = tables(spark, sf_dir)
+    sv = (
+        t.lineitem.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = sv.agg((F.sum("value") * F.lit(0.0015)).alias("cutoff"))
+    return (
+        sv.join(F.broadcast(total), sv["value"] > total["cutoff"])
+        .select(F.col("l_suppkey").alias("s_suppkey"), rnd(F.col("value"), 2).alias("supplier_value"))
+    )
+
+
+@query(
+    "q_rich_inactive_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, counted per nation. Composition of the two subquery forms:
+    the scalar AVG becomes a broadcast 1-row cross join, the NOT EXISTS
+    becomes a LEFT ANTI join against the pre-filtered (and therefore
+    small) urgent-order keys. Anti-join side is projected to the join
+    key only before the shuffle — at 100 TB that's the difference
+    between shuffling a column and shuffling the orders table."""
+    t = tables(spark, sf_dir)
+    avg_bal = t.customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = (
+        t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t.customer.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q_disjunctive_brand_filter",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q_disjunctive_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand × quantity-range × size
+    conditions across the join. Catalyst extracts the common
+    single-side conjuncts (quantity ∈ [1,30] on lineitem, the brand set
+    and size ∈ [1,15] on part) and pushes them below the join, so the
+    scan is pruned even though the user predicate spans both tables —
+    the classic OR-predicate pushdown test."""
+    t = tables(spark, sf_dir)
+    j = t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#23") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#3") & q.between(20, 30) & s.between(1, 15))
+    )
+    return j.filter(cond).agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )

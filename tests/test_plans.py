@@ -182,3 +182,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_important_suppliers_reuses_exchange(q):
+    """Q11 shape computes the per-supplier aggregate ONCE: the scalar
+    total must come from a ReusedExchange of the same aggregate, not a
+    second lineitem scan. Reuse only materializes in the FINAL AQE plan,
+    so execute first and read the same QueryExecution."""
+    df = q("q_important_suppliers")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_disjunctive_filter_pushes_or_conjuncts(q):
+    """Q19 shape: Catalyst must extract the common single-side conjuncts
+    of the cross-table OR and push them into BOTH scans."""
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("q_disjunctive_brand_filter"))
+    assert "l_quantity" in plan.split("FileScan parquet [l_partkey")[1].split("]")[1][:400]
+    assert "p_brand" in plan
+
+
+def test_volume_shipping_broadcasts_dims(q):
+    """Q7 shape: every dim join broadcast; only orderkey join + agg shuffle."""
+    counts = plan_counts(q("q_volume_shipping"))
+    assert counts["broadcast_joins"] >= 3
+    assert counts["sort_merge_joins"] + counts["shuffled_hash_joins"] <= 1
