@@ -14,6 +14,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     windows,
 )
 from awsbeats_spark.operators.llm import (  # noqa: F401
+    corpus,
     dedup,
     multimodal,
     similarity,

@@ -1,0 +1,332 @@
+"""Corpus-level training-data pipeline operators over `documents`:
+TF-IDF keyword extraction, sliding-window chunking, PII scrubbing,
+token-budget packing, train/eval decontamination, stratified splits.
+
+Engine extension (BASELINE.json north star): the reference has no query
+engine at all (SURVEY.md §0); these are the corpus-preparation stages a
+100-TB LLM-data pipeline runs between raw scan and tokenizer. All
+per-document stages are shuffle-free projections; the corpus-wide
+stages (document frequency, contaminated-id set) aggregate to small
+intermediates before touching the fact scan again, so at 1000
+executors the heavy table is read once and shuffled at aggregate
+cardinality only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.textfns import WORDS_SQL, shingles, shingles_sql, words
+from awsbeats_spark.registry import query
+
+# --------------------------------------------------------------------------
+# TF-IDF keywords
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    withdf AS (
+        SELECT doc_id, token, tf,
+               count(*) OVER (PARTITION BY token) AS df
+        FROM tf
+    ),
+    scored AS (
+        SELECT doc_id, token, tf, df,
+               round(tf * ln(n.n_docs * 1.0 / df), 4) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf DESC, df ASC, token ASC
+               ) AS rk
+        FROM withdf CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rk FROM scored WHERE rk <= 5
+    """,
+)
+def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document. Keywords rank by the integer
+    key (tf DESC, df ASC, token ASC) — monotone in tf·ln(N/df) per doc
+    and float-free, so the selected set is deterministic across
+    engines; the float tfidf score is reported but never compared
+    unrounded. Scale shape: document frequency is a window count over
+    the tf aggregate ((doc, token) rows are already distinct), not a
+    self-join — the 100-TB scan + explode happens ONCE (asserted in
+    test_plans.py) and the pipeline is three shuffles at strictly
+    shrinking cardinality: (doc, token) agg → token window → doc_id
+    rank."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(words()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    withdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        withdf.crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", rnd(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 4))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking
+# --------------------------------------------------------------------------
+
+_CHUNK = 64
+_STRIDE = 48
+
+
+@query(
+    "corpus_doc_chunk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+    starts AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws), 1), {_STRIDE})) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           len(list_slice(ws, start, start + {_CHUNK - 1})) AS n_chunk_words,
+           array_to_string(list_slice(ws, start, start + {_CHUNK - 1}), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
+def corpus_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping {CHUNK}-word windows with
+    stride {STRIDE} (context-window preparation for training). Spec:
+    chunks start at word 1, 1+stride, … while start ≤ n_words; an empty
+    document yields one empty chunk. Pure per-row explode — no shuffle,
+    embarrassingly parallel at 100 TB; output rows ≈ n_words/stride per
+    doc, so downstream partition sizing sees ~1.3× the input token
+    volume."""
+    t = tables(spark, sf_dir)
+    ws = words()
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(_STRIDE))
+    exploded = t.documents.select(
+        "doc_id", ws.alias("ws"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("ws"), F.col("start"), _CHUNK)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_words"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "idnum": r"\b\d{9,}\b",
+}
+
+
+def scrub_expr(col):
+    """Redact every PII pattern in order, returning the clean Column."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def _scrub_sql(expr: str) -> str:
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return expr
+
+
+@query(
+    "corpus_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {" + ".join(f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values())}
+               AS n_pii,
+           {_scrub_sql("text")} AS clean_text
+    FROM documents
+    """,
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped / long-id-number substrings
+    with typed placeholder tokens and count the hits (compliance stage
+    of a training-data pipeline). Chained JVM regexp_replace — single
+    codegen'd pass, no shuffle. The pattern table is shared with the
+    DuckDB oracle, restricted to the Java∩RE2 regex dialect."""
+    t = tables(spark, sf_dir)
+    n_pii = None
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_count(F.col("text"), F.lit(pat))
+        n_pii = c if n_pii is None else n_pii + c
+    return t.documents.select(
+        "doc_id", n_pii.alias("n_pii"), scrub_expr(F.col("text")).alias("clean_text")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "corpus_token_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, len({WORDS_SQL}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM sized
+    """,
+)
+def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a fixed-budget training pack: pack_id =
+    floor(tokens-before-me / {_PACK_BUDGET}) in deterministic doc_id
+    order within each source shard. This is the offset-based packing
+    spec (a pack may overflow by at most one document), chosen over
+    greedy first-fit because it is expressible as ONE window cumsum —
+    a single shuffle on `source` — instead of a sequential scan, so it
+    parallelizes per shard at 100 TB."""
+    t = tables(spark, sf_dir)
+    sized = t.documents.select(
+        "doc_id", "source", F.size(words()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.withColumn(
+        "pack_id", F.floor(before / _PACK_BUDGET).cast("bigint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination
+# --------------------------------------------------------------------------
+
+_EVAL_BUCKETS = ("0", "1")  # md5 first hex digit => ~1/8 of docs are "eval"
+_DECON_N = 5  # shingle width for contamination matching
+
+
+def _bucket_sql() -> str:
+    return "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+
+
+def _bucket_col():
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({shingles_sql(WORDS_SQL, _DECON_N)}) AS sh
+        FROM documents
+        WHERE {_bucket_sql()} IN {_EVAL_BUCKETS}
+    ),
+    train AS (
+        SELECT doc_id, source, {shingles_sql(WORDS_SQL, _DECON_N)} AS shs
+        FROM documents
+        WHERE {_bucket_sql()} NOT IN {_EVAL_BUCKETS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(shs) AS sh FROM train) t
+        JOIN ev USING (sh)
+    )
+    SELECT doc_id, source FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every train document sharing any
+    word {_DECON_N}-gram with the held-out eval split (deterministic
+    md5-bucket split, same idiom as sample_hash_deterministic). Scale
+    shape: the eval shingle set is eval-corpus-sized (small — here 1/8,
+    in practice benchmark-sized), so it broadcasts; the train side is
+    explode → semi-join → distinct ids → left_anti, i.e. the 100-TB
+    train scan never shuffles on shingle text, only the contaminated-id
+    set (≤ one id per train doc) does."""
+    t = tables(spark, sf_dir)
+    is_eval = _bucket_col().isin(*_EVAL_BUCKETS)
+    sh = shingles(words(), _DECON_N)
+    ev = (
+        t.documents.filter(is_eval)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    train = t.documents.filter(~is_eval).select("doc_id", "source", sh.alias("shs"))
+    contaminated = (
+        train.select("doc_id", F.explode("shs").alias("sh"))
+        .join(F.broadcast(ev), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(contaminated, "doc_id", "left_anti").select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# Stratified split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_stratified_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_bucket_sql()} BETWEEN '0' AND 'b' THEN 'train'
+                    WHEN {_bucket_sql()} BETWEEN 'c' AND 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12/2/2-sixteenths train/val/test assignment by
+    content-addressed md5 bucket, audited per language stratum. The
+    same document lands in the same split on every engine, rerun, and
+    partitioning — rand()-based splits can't be reproduced or
+    oracle-checked. One map-side-combined groupBy at (lang, split)
+    cardinality; no other shuffle."""
+    t = tables(spark, sf_dir)
+    b = _bucket_col()
+    split = (
+        F.when(b.between("0", "b"), F.lit("train"))
+        .when(b.between("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t.documents.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

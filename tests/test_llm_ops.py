@@ -114,3 +114,176 @@ def test_embedding_cosine_pairs_symmetric_and_thresholded(run):
     for r in rows:
         assert r["vec_a"] < r["vec_b"]
         assert r["cosine"] >= 0.4
+
+
+# --------------------------------------------------------------------------
+# Corpus-preparation operators (operators/llm/corpus.py)
+# --------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, docs):
+    """Write crafted rows in the documents schema; returns the dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([r[2] if len(r) > 2 else "crafted" for r in docs], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pii_scrub_redacts_crafted_pii(spark, tmp_path):
+    docs = [
+        (0, "contact alice.smith+x@example.co.uk for details"),
+        (1, "server at 10.0.255.3 answered"),
+        (2, "call +1 555 867-5309 maybe 555-867-5309 today"),
+        (3, "account 123456789012 was closed"),
+        (4, "nothing sensitive here at all"),
+    ]
+    rows = SPECS["corpus_pii_scrub"].fn(spark, _write_docs(tmp_path, docs)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert "<EMAIL>" in by_id[0]["clean_text"] and "@" not in by_id[0]["clean_text"]
+    assert "<IPV4>" in by_id[1]["clean_text"]
+    assert "<PHONE>" in by_id[2]["clean_text"]
+    assert "<IDNUM>" in by_id[3]["clean_text"]
+    assert by_id[4]["clean_text"] == docs[4][1] and by_id[4]["n_pii"] == 0
+    assert all(by_id[i]["n_pii"] >= 1 for i in range(4))
+
+
+def test_chunks_cover_document_with_overlap(spark, sf_dir):
+    """Every chunk start is stride-aligned; consecutive chunks overlap by
+    chunk-stride words; concatenating de-overlapped chunks reconstructs
+    the document's token stream exactly."""
+    from awsbeats_spark.operators.llm.corpus import _CHUNK, _STRIDE
+
+    chunks = SPECS["corpus_doc_chunk"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: [w for w in r["text"].lower().split() if w]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(docs)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        ws = docs[doc_id]
+        for i, r in enumerate(rs):
+            cw = r["chunk_text"].split() if r["chunk_text"] else []
+            assert len(cw) == r["n_chunk_words"] <= _CHUNK
+            start = i * _STRIDE
+            assert cw == ws[start : start + _CHUNK]
+        # stride-prefix concatenation plus the last chunk's tail == doc
+        full = []
+        for i, r in enumerate(rs):
+            cw = r["chunk_text"].split() if r["chunk_text"] else []
+            full.extend(cw if i == len(rs) - 1 else cw[:_STRIDE])
+        assert full == ws
+
+
+def test_token_pack_invariants(spark, sf_dir):
+    from awsbeats_spark.operators.llm.corpus import _PACK_BUDGET
+
+    rows = SPECS["corpus_token_pack"].fn(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        # pack ids are non-decreasing in doc order
+        packs = [r["pack_id"] for r in rs]
+        assert packs == sorted(packs)
+        totals: dict[int, int] = {}
+        maxdoc: dict[int, int] = {}
+        for r in rs:
+            totals[r["pack_id"]] = totals.get(r["pack_id"], 0) + r["n_tokens"]
+            maxdoc[r["pack_id"]] = max(maxdoc.get(r["pack_id"], 0), r["n_tokens"])
+        for p, tot in totals.items():
+            # overflow bounded by one document
+            assert tot < _PACK_BUDGET + maxdoc[p] + 1
+        # cumulative boundary law: pack_id == floor(tokens_before/budget)
+        cum = 0
+        for r in rs:
+            assert r["pack_id"] == cum // _PACK_BUDGET
+            cum += r["n_tokens"]
+
+
+def test_decontaminate_removes_all_shared_shingles(spark, sf_dir):
+    """No surviving train doc shares a 5-gram with the eval split, and
+    every removed doc really does share one (exactness both ways)."""
+    import hashlib
+
+    from awsbeats_spark.operators.llm.corpus import _DECON_N, _EVAL_BUCKETS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def bucket(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+
+    def shingle_set(text):
+        ws = [w for w in text.lower().split() if w]
+        return {
+            " ".join(ws[i : i + _DECON_N]) for i in range(len(ws) - _DECON_N + 1)
+        }
+
+    ev_sh = set()
+    train_ids = set()
+    sh_by_id = {}
+    for r in docs:
+        s = shingle_set(r["text"])
+        sh_by_id[r["doc_id"]] = s
+        if bucket(r["doc_id"]) in _EVAL_BUCKETS:
+            ev_sh |= s
+        else:
+            train_ids.add(r["doc_id"])
+    survived = {
+        r["doc_id"]
+        for r in SPECS["corpus_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert survived <= train_ids
+    for doc_id in train_ids:
+        contaminated = bool(sh_by_id[doc_id] & ev_sh)
+        assert (doc_id not in survived) == contaminated, doc_id
+
+
+def test_stratified_split_covers_and_sums(spark, sf_dir):
+    rows = SPECS["corpus_stratified_split"].fn(spark, sf_dir).collect()
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    by_split: dict[str, int] = {}
+    for r in rows:
+        assert r["split"] in {"train", "val", "test"}
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    # 12/2/2 sixteenths with sampling noise at 500 docs
+    assert by_split["train"] / n_total > 0.6
+    assert 0.02 < by_split["val"] / n_total < 0.25
+    assert 0.02 < by_split["test"] / n_total < 0.25
+
+
+def test_tfidf_keywords_prefer_rare_tokens(spark, sf_dir):
+    rows = SPECS["corpus_tfidf_topk"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert 1 <= r["rk"] <= 5
+        assert r["tfidf"] >= 0.0
+    for rs in per_doc.values():
+        assert len(rs) == len({r["rk"] for r in rs}) <= 5
+        rs.sort(key=lambda r: r["rk"])
+        # ranking key is (tf desc, df asc, token asc)
+        keys = [(-r["tf"], r["df"], r["token"]) for r in rs]
+        assert keys == sorted(keys)
+        # a token present in EVERY doc has idf 0 — it can only appear
+        # ranked below some positive-idf token or when nothing else exists
+        if len(rs) > 1 and rs[0]["df"] == n_docs:
+            assert all(r["df"] == n_docs for r in rs)

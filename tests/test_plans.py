@@ -210,3 +210,30 @@ def test_volume_shipping_broadcasts_dims(q):
     counts = plan_counts(q("q_volume_shipping"))
     assert counts["broadcast_joins"] >= 3
     assert counts["sort_merge_joins"] + counts["shuffled_hash_joins"] <= 1
+
+
+def test_tfidf_scans_documents_once_for_tokens(q):
+    """TF-IDF derives document frequency from a window over the tf
+    aggregate, not a second explode of the corpus: exactly one scan of
+    documents reads `text` (the other is the count-only scan for
+    n_docs, pruned to zero columns)."""
+    from awsbeats_spark.plans.inspect import read_schema_columns
+
+    schemas = read_schema_columns(q("corpus_tfidf_topk"))
+    with_text = [s for s in schemas if "text" in s]
+    assert len(with_text) == 1
+
+
+def test_decontaminate_broadcasts_eval_shingles(q):
+    """The eval shingle set must broadcast (benchmark-sized); the train
+    side must never SortMergeJoin on shingle text."""
+    counts = plan_counts(q("corpus_decontaminate"))
+    assert counts["broadcast_joins"] >= 1
+    assert counts["sort_merge_joins"] == 0
+
+
+def test_corpus_per_doc_stages_are_shuffle_free(q):
+    """Chunking and PII scrubbing are pure projections — any Exchange in
+    their plans is a scale regression."""
+    for name in ("corpus_doc_chunk", "corpus_pii_scrub"):
+        assert plan_counts(q(name))["exchanges"] == 0, name
