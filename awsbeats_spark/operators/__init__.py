@@ -11,6 +11,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     setops,
     streaming_batch,
     tpch_more,
+    timeseries,
     windows,
 )
 from awsbeats_spark.operators.llm import (  # noqa: F401

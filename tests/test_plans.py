@@ -237,3 +237,22 @@ def test_corpus_per_doc_stages_are_shuffle_free(q):
     their plans is a scale regression."""
     for name in ("corpus_doc_chunk", "corpus_pii_scrub"):
         assert plan_counts(q(name))["exchanges"] == 0, name
+
+
+def test_timeseries_ops_scans_are_pruned(q):
+    """Every events scan in the time-series plans must be pruned to the
+    columns the operator needs — a full-width scan of the fact table is
+    a 100-TB regression."""
+    from awsbeats_spark.plans.inspect import read_schema_columns
+
+    allowed = {"ts", "event_type", "value", "user_id", "event_id"}
+    for name in ("ts_gap_fill_ffill", "ts_ohlc_hourly", "events_retention_cohort"):
+        for schema in read_schema_columns(q(name)):
+            assert set(schema) <= allowed, (name, schema)
+            assert "props" not in schema, name
+
+
+def test_retention_cohort_no_sort_merge(q):
+    counts = plan_counts(q("events_retention_cohort"))
+    assert counts["sort_merge_joins"] == 0
+    assert counts["broadcast_joins"] >= 1
