@@ -6,12 +6,13 @@ from awsbeats_spark.operators import (  # noqa: F401
     extended,
     joins,
     pipeline,
+    profiling,
     relational,
     scale,
     setops,
     streaming_batch,
-    tpch_more,
     timeseries,
+    tpch_more,
     windows,
 )
 from awsbeats_spark.operators.llm import (  # noqa: F401

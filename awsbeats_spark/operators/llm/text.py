@@ -267,3 +267,35 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                THEN 0
+                ELSE len(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+           END AS n_words_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pre-tokenizer cleanup stage):
+    lowercase, collapse every non-alphanumeric run to a single space,
+    trim; plus the normalized word count. Pure narrow projection —
+    no shuffle, scales embarrassingly; Spark regexp_replace is
+    replace-all by default (DuckDB needs the 'g' flag)."""
+    t = tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return t.documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.when(norm == "", 0)
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_words_norm"),
+    )

@@ -1,0 +1,176 @@
+"""Data-profiling and historization operators.
+
+Engine extension (SURVEY.md §2.C): the reference has no catalog or
+statistics surface at all; a 100-TB ingest pipeline needs both a
+column-profiling pass (the ANALYZE TABLE analog that feeds skew / null
+decisions) and slowly-changing-dimension historization over the event
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Column profiling (ANALYZE TABLE analog)
+# --------------------------------------------------------------------------
+
+# (column, kind) — kind 'dbl' goes through printf('%.4f') so both engines
+# format the repr identically (plain cast picks scientific notation at
+# different thresholds in JVM vs DuckDB); kind 'str' columns get their
+# extrema in a separate expand-free pass (string aggregate buffers force
+# Spark into SortAggregate, which must NOT touch the 11x Expand stream).
+_PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "dbl"),
+    ("l_extendedprice", "dbl"),
+    ("l_discount", "dbl"),
+    ("l_tax", "dbl"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "num"),
+)
+
+
+def _repr_sql(c: str, kind: str, agg: str) -> str:
+    if kind == "dbl":
+        return f"printf('%.4f', {agg}({c}))"
+    return f"CAST({agg}({c}) AS varchar)"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {_repr_sql(c, kind, 'min')} AS min_repr,
+           {_repr_sql(c, kind, 'max')} AS max_repr
+    FROM lineitem"""
+    for c, kind in _PROFILE_COLS
+)
+
+
+@query("profile_columns", oracle=_PROFILE_ORACLE)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem (null count, exact distinct count,
+    min/max repr) in two passes: one wide HashAggregate carrying the
+    null counts, the multi-column exact distincts (Catalyst Expand) and
+    the fixed-width min/max buffers, plus a separate expand-free pass
+    for the string-column extrema (string buffers would demote the
+    whole Expand stream to SortAggregate — measured 3x slower). Reprs
+    are formatted AFTER aggregation, on one row. At 100 TB flip the
+    exact distincts to approx_count_distinct: Expand disappears for
+    mergeable HLL sketches and the heavy pass is map-side + one
+    shuffle. The oracle's UNION ALL of per-column scans is the semantic
+    spec only — the engine never rescans per column."""
+    li = tables(spark, sf_dir).lineitem
+    aggs: list = []
+    str_aggs: list = []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+        target = str_aggs if kind == "str" else aggs
+        target += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    wide = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*str_aggs)))
+
+    def _repr(c: str, kind: str, side: str) -> str:
+        if kind == "dbl":
+            return f"printf('%.4f', {side}_{c})"
+        return f"CAST({side}_{c} AS string)"
+
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, {_repr(c, kind, 'mn')}, {_repr(c, kind, 'mx')}"
+        for c, kind in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD-2 historization (gaps-and-islands over the event stream)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_history_intervals",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(changed) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM marked
+    ),
+    hist AS (
+        SELECT user_id, island_id, event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY island_id
+           ) AS valid_to,
+           n_events,
+           CASE WHEN lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY island_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM hist
+    """,
+)
+def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history derived from the event stream: per user,
+    consecutive same-type runs collapse to [valid_from, valid_to)
+    intervals (gaps-and-islands), the open interval flagged is_current.
+    Scale shape: ONE shuffle on user_id serves the change-detection
+    window, the island aggregate, and the interval window — all three
+    are partitioned by (a prefix of) the same key, so Catalyst plans a
+    single Exchange and the per-user sort is reused."""
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("changed"),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = islands.groupBy("user_id", "island_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
+    )

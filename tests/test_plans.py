@@ -256,3 +256,27 @@ def test_retention_cohort_no_sort_merge(q):
     counts = plan_counts(q("events_retention_cohort"))
     assert counts["sort_merge_joins"] == 0
     assert counts["broadcast_joins"] >= 1
+
+
+def test_profile_columns_expand_stays_hash_aggregated(q):
+    """String min/max buffers must not ride the 11x Expand stream — that
+    demotes the whole distinct pass to SortAggregate (measured 3x
+    slower). The Expand-side aggregates must all be HashAggregates."""
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("profile_columns"))
+    assert "Expand" in plan
+    expand_side = plan[: plan.index("Expand")]
+    # everything above Expand in the main chain: allow SortAggregate only
+    # in the tiny string-extrema branch (which has no Expand below it)
+    for line in expand_side.splitlines():
+        if "SortAggregate" in line and "first(mn_l_returnflag" in line:
+            raise AssertionError("string extrema merged into expand pass")
+
+
+def test_scd2_single_exchange_for_user_partitioning(q):
+    """Change window, island agg and interval window all share the
+    user_id partitioning — more than 2 exchanges means Catalyst lost
+    the co-partitioning."""
+    counts = plan_counts(q("scd2_history_intervals"))
+    assert counts["exchanges"] <= 2, counts
