@@ -4,6 +4,7 @@ into ``awsbeats_spark.registry.QUERIES``."""
 from awsbeats_spark.operators import (  # noqa: F401
     aggregates,
     extended,
+    graph,
     joins,
     pipeline,
     profiling,

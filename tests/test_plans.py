@@ -280,3 +280,14 @@ def test_scd2_single_exchange_for_user_partitioning(q):
     the co-partitioning."""
     counts = plan_counts(q("scd2_history_intervals"))
     assert counts["exchanges"] <= 2, counts
+
+
+def test_pagerank_iterations_never_rescan_events(q):
+    """The ten PageRank update joins must run over the checkpointed
+    |types|^2 edge matrix — an events FileScan inside the iteration
+    plan means the fact table is re-read per iteration."""
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("graph_pagerank_transitions"))
+    assert "events.parquet" not in plan
+    assert plan.count("BroadcastHashJoin") >= 10
