@@ -330,3 +330,70 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter funnel
+# --------------------------------------------------------------------------
+
+_MIN_WORDS = 30
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH f AS (
+        SELECT text,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    flags AS (
+        SELECT text, norm <> '' AS ok_nonempty,
+               norm <> '' AND len(string_split(norm, ' ')) >= {_MIN_WORDS}
+                   AS ok_minlen
+        FROM f
+    ),
+    wide AS (
+        SELECT count(*) AS n_raw,
+               sum(CASE WHEN ok_nonempty THEN 1 ELSE 0 END) AS n_nonempty,
+               sum(CASE WHEN ok_minlen THEN 1 ELSE 0 END) AS n_minlen,
+               count(DISTINCT CASE WHEN ok_minlen THEN text END) AS n_dedup
+        FROM flags
+    )
+    SELECT 0 AS stage_id, 'raw' AS stage, n_raw AS n_docs FROM wide
+    UNION ALL SELECT 1, 'non_empty', n_nonempty FROM wide
+    UNION ALL SELECT 2, 'min_len_{_MIN_WORDS}', n_minlen FROM wide
+    UNION ALL SELECT 3, 'dedup_exact', n_dedup FROM wide
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through the canonical corpus-cleaning funnel
+    (raw -> normalized non-empty -> min-length -> exact-dedup) computed
+    in ONE pass: per-doc flags, then a single wide aggregate unpivoted
+    with `stack`. At 100 TB this is the pipeline-health dashboard
+    query; the only exact-distinct is over surviving text (flip to
+    approx_count_distinct when survivors exceed memory)."""
+    docs = tables(spark, sf_dir).documents
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    flags = docs.select(
+        "text",
+        (norm != "").alias("ok_nonempty"),
+        ((norm != "") & (F.size(F.split(norm, " ")) >= _MIN_WORDS)).alias(
+            "ok_minlen"
+        ),
+    )
+    wide = flags.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("ok_nonempty").cast("long")).alias("n_nonempty"),
+        F.sum(F.col("ok_minlen").cast("long")).alias("n_minlen"),
+        F.count_distinct(
+            F.when(F.col("ok_minlen"), F.col("text"))
+        ).alias("n_dedup"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, 0, 'raw', n_raw, 1, 'non_empty', n_nonempty, "
+            f"2, 'min_len_{_MIN_WORDS}', n_minlen, 3, 'dedup_exact', n_dedup) "
+            "AS (stage_id, stage, n_docs)"
+        )
+    )

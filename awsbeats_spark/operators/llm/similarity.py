@@ -274,3 +274,88 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.0)
         .select("vec_a", "vec_b", "bucket", rnd("cos_raw", 6).alias("cosine"))
     )
+
+
+KNN_K = 5
+
+
+@query(
+    "embed_knn_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    nn AS (
+        SELECT q.query_id, q.true_label, e.label AS nn_label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {cosine_sql('q.qv', 'e.embedding')} DESC, e.vec_id
+               ) AS rn
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id >= {N_QUERIES}
+        QUALIFY rn <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, nn_label, count(*) AS n_votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY count(*) DESC, nn_label
+               ) AS vrn
+        FROM nn GROUP BY 1, 2, 3
+    )
+    SELECT query_id, nn_label AS pred_label, n_votes, true_label,
+           CASE WHEN nn_label = true_label THEN 1 ELSE 0 END AS is_correct
+    FROM votes WHERE vrn = 1
+    """,
+)
+def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k=5, cosine, majority vote with
+    smallest-label tie-break): the retrieval-as-inference pattern of a
+    training-data pipeline (label propagation / nearest-class
+    auditing). Same scale shape as sim_search_topk — the query set
+    broadcasts, the corpus streams through one scan, and only the
+    (query, k) vote table shuffles."""
+    emb = tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("nn_label"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    nn = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "true_label",
+            "nn_label",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nn_label")
+    )
+    return (
+        nn.groupBy("query_id", "true_label", "nn_label")
+        .agg(F.count("*").alias("n_votes"))
+        .withColumn("vrn", F.row_number().over(wv))
+        .filter(F.col("vrn") == 1)
+        .select(
+            "query_id",
+            F.col("nn_label").alias("pred_label"),
+            "n_votes",
+            "true_label",
+            (F.col("nn_label") == F.col("true_label")).cast("int").alias("is_correct"),
+        )
+    )

@@ -287,3 +287,27 @@ def test_tfidf_keywords_prefer_rare_tokens(spark, sf_dir):
         # ranked below some positive-idf token or when nothing else exists
         if len(rs) > 1 and rs[0]["df"] == n_docs:
             assert all(r["df"] == n_docs for r in rs)
+
+
+def test_knn_classify_votes_and_flags(spark, sf_dir):
+    rows = SPECS["embed_knn_classify"].fn(spark, sf_dir).collect()
+    from awsbeats_spark.operators.llm.similarity import KNN_K, N_QUERIES
+
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 1 <= r["n_votes"] <= KNN_K
+        assert r["is_correct"] == int(r["pred_label"] == r["true_label"])
+
+
+def test_filter_funnel_is_monotone(spark, sf_dir):
+    rows = sorted(
+        SPECS["corpus_filter_funnel"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "non_empty", "min_len_30", "dedup_exact",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_raw = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert counts[0] == n_raw and counts[-1] > 0
