@@ -76,3 +76,14 @@ def test_retention_cohort_laws(spark, sf_dir):
         .count()
     )
     assert sum(r["cohort_size"] for r in rows if r["week_no"] == 0) == n_users
+
+
+def test_anomaly_mad_flags_match_definition(spark, sf_dir):
+    rows = SPECS["ts_anomaly_mad"].fn(spark, sf_dir).collect()
+    n_anom = 0
+    for r in rows:
+        expected = int(r["mad"] > 0 and abs(r["hourly_avg"] - r["med"]) > 3 * r["mad"])
+        assert r["is_anomaly"] == expected
+        n_anom += r["is_anomaly"]
+    # MAD on ~700 hourly buckets per type must flag something but not most
+    assert 0 < n_anom < len(rows) * 0.2
