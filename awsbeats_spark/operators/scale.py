@@ -586,3 +586,38 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_completed"),
     )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, round(value, 2) AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (the CDC compaction / snapshot-build
+    primitive): keep each user's most recent event. Implemented as a
+    single struct-max aggregate — mergeable map-side partials, ONE
+    shuffle at key cardinality, no window sort over the raw scan (the
+    oracle's row_number form is the semantic spec; the extremum is
+    identical because event_id breaks ts ties uniquely)."""
+    ev = tables(spark, sf_dir).events
+    latest = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))
+    ).alias("s")
+    return ev.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        rnd(F.col("s.value"), 2).alias("last_value"),
+    )

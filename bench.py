@@ -44,6 +44,29 @@ HEADLINE = [
     "sink_kinesis_batched_retry",
 ]
 
+# Measured by tools/scale_probe.py and planned by tools/dump_plans.py but
+# NOT part of the headline bench metric (keeps the recorded BASELINE
+# comparison stable across rounds).
+EXTENDED_PROBE = [
+    "corpus_tfidf_topk",
+    "corpus_doc_chunk",
+    "corpus_pii_scrub",
+    "corpus_token_pack",
+    "corpus_decontaminate",
+    "corpus_stratified_split",
+    "corpus_filter_funnel",
+    "text_normalize",
+    "ts_gap_fill_ffill",
+    "ts_ohlc_hourly",
+    "ts_anomaly_mad",
+    "events_retention_cohort",
+    "events_markov_transitions",
+    "graph_pagerank_transitions",
+    "profile_columns",
+    "scd2_history_intervals",
+    "embed_knn_classify",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -291,3 +291,13 @@ def test_pagerank_iterations_never_rescan_events(q):
     plan = executed_plan(q("graph_pagerank_transitions"))
     assert "events.parquet" not in plan
     assert plan.count("BroadcastHashJoin") >= 10
+
+
+def test_latest_per_key_is_one_aggregate_no_window_sort(q):
+    """CDC compaction must be a struct-max aggregate (map-side partials,
+    one exchange), never a row_number window over the raw scan."""
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q("dedup_latest_per_key"))
+    assert "Window" not in plan
+    assert plan_counts(q("dedup_latest_per_key"))["exchanges"] <= 1
