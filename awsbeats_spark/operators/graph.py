@@ -116,6 +116,8 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src_type").alias("node")).distinct()
     n_nodes = nodes.count()  # |event types| — constant-size graph state
+    if n_nodes == 0:  # empty input: no graph, well-typed empty result
+        return nodes.select("node", F.lit(0.0).alias("pagerank")).limit(0)
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(_PR_ITERS):
         pr = (

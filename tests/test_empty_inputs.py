@@ -24,6 +24,9 @@ SPECS = load_all()
 # (global aggregates return one row of zeros/nulls)
 GLOBAL_AGG = {"q6_forecast_revenue"}
 
+# operators with a fixed output shape regardless of input rows
+FIXED_ROWS = {"profile_columns": 11}
+
 SAMPLE = [
     "scan_parquet",
     "filter_predicate",
@@ -56,6 +59,23 @@ SAMPLE = [
     "q_flagship_revenue_by_nation",
     "q_market_share",
     "codec_json_roundtrip",
+    "corpus_tfidf_topk",
+    "corpus_doc_chunk",
+    "corpus_pii_scrub",
+    "corpus_token_pack",
+    "corpus_decontaminate",
+    "corpus_stratified_split",
+    "ts_gap_fill_ffill",
+    "ts_ohlc_hourly",
+    "ts_anomaly_mad",
+    "events_retention_cohort",
+    "events_markov_transitions",
+    "graph_pagerank_transitions",
+    "profile_columns",
+    "scd2_history_intervals",
+    "embed_knn_classify",
+    "dedup_latest_per_key",
+    "text_normalize",
 ]
 
 
@@ -75,5 +95,7 @@ def test_operator_handles_empty_input(spark, empty_dir, name):
     rows = out.collect()
     if name in GLOBAL_AGG:
         assert len(rows) <= 1
+    elif name in FIXED_ROWS:
+        assert len(rows) == FIXED_ROWS[name]
     else:
         assert rows == []
