@@ -397,3 +397,80 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (stage_id, stage, n_docs)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model quality score
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_lm_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+    bi AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    ucnt AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT count(DISTINCT unnest.w) AS vocab
+          FROM (SELECT unnest(ws) AS w FROM w) AS unnest),
+    scored AS (
+        SELECT b.doc_id,
+               ln((bc.c2 + 1.0) / (uc.c1 + v.vocab)) AS logp
+        FROM bi b
+        JOIN bcnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN ucnt uc ON b.w1 = uc.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(logp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score (add-one smoothing,
+    trained on the corpus itself): avg ln P(w2|w1) — the classic
+    statistical quality signal for corpus filtering (low scores =
+    unnatural token sequences). Scale shape: the LM tables (bigram and
+    unigram counts) are aggregates of ONE explode pass; the scoring
+    join hash-partitions on the bigram key at token cardinality, never
+    on documents. At 100 TB the vocabulary would be capped top-K and
+    broadcast; here the exact model is the oracle contract. Rounded at
+    4 so the two engines' summation orders over a doc's logs cannot
+    flip low bits."""
+    docs = tables(spark, sf_dir).documents
+    w = words()
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ucnt = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = docs.select(F.explode(w).alias("t")).agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(ucnt, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), rnd(F.avg("logp"), 4).alias("avg_logp")
+    )

@@ -65,6 +65,8 @@ EXTENDED_PROBE = [
     "profile_columns",
     "scd2_history_intervals",
     "embed_knn_classify",
+    "dedup_latest_per_key",
+    "corpus_lm_score",
 ]
 
 

