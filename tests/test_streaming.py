@@ -328,3 +328,45 @@ def test_guaranteed_mode_fails_on_missing_key(spark):
     # guaranteed: batch fails loudly
     with pytest.raises(Exception, match="guaranteed event has no partition key"):
         project_records(events, cfg, guaranteed=True).collect()
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, in_dir, tmp_path):
+    """Stop the delivery query, add new input, restart against the SAME
+    checkpoint: the file-source offset log must skip already-delivered
+    files (no duplicate records) and pick up only the new ones — the
+    engine's version of libbeat's registry-file resume semantics."""
+    out_dir = tmp_path / "out_ckpt"
+    out_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_resume")
+    cfg = SinkConfig(
+        region="us-east-1", stream_name="events",
+        partition_key="props.k", batch_size=10,
+    )
+
+    def deliver():
+        q = start_delivery(
+            ndjson_stream(spark, in_dir), cfg,
+            checkpoint_dir=ckpt,
+            client_factory=lambda _cfg: FileDumpClient(str(out_dir)),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    deliver()
+    first = []
+    for f in out_dir.glob("call-*.json"):
+        first.extend(json.loads(f.read_text()))
+    assert {json.loads(r["data"])["event_id"] for r in first} == {1, 2, 3}
+
+    late = {"event_id": 4, "ts": "2024-01-01T01:00:00.000Z", "user_id": 9,
+            "event_type": "click", "value": 4.0, "props": '{"k": 4}'}
+    (Path(in_dir) / "c.ndjson").write_text(json.dumps(late) + "\n")
+    deliver()
+
+    all_recs = []
+    for f in out_dir.glob("call-*.json"):
+        all_recs.extend(json.loads(f.read_text()))
+    ids = [json.loads(r["data"])["event_id"] for r in all_recs]
+    assert sorted(ids) == [1, 2, 3, 4]  # old files not reprocessed
