@@ -193,3 +193,51 @@ def test_csv_codec_roundtrip_any_string(spark, s, v):
     )
     got = out["s"] if out["s"] is not None else ""
     assert out["id"] == 1 and got == s and out["v"] == float(v)
+
+
+pii_free_words = st.lists(
+    st.text(alphabet="abcdefghij ", min_size=1, max_size=12), min_size=1, max_size=8
+)
+
+
+@given(
+    words=pii_free_words,
+    email_local=st.text(alphabet="abcdef", min_size=1, max_size=8),
+    inject=st.booleans(),
+)
+@SET
+def test_pii_scrub_redacts_injected_email_exactly(
+    spark, tmp_path_factory, words, email_local, inject
+):
+    """For any pii-free filler text: injecting an email yields exactly
+    one <EMAIL> redaction and the address never survives; without
+    injection the text passes through unchanged with n_pii == 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.registry import load_all
+
+    filler = " ".join(words)
+    email = f"{email_local}@example.com"
+    text = f"{filler} {email} {filler}" if inject else filler
+    d = tmp_path_factory.mktemp("pii")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([text], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["h"], pa.string()),
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    row = load_all()["corpus_pii_scrub"].fn(spark, str(d)).collect()[0]
+    if inject:
+        assert row["n_pii"] == 1
+        assert "<EMAIL>" in row["clean_text"]
+        assert email not in row["clean_text"]
+    else:
+        assert row["n_pii"] == 0
+        assert row["clean_text"] == text
