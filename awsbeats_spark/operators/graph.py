@@ -135,3 +135,48 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node_next").alias("node"), "pr")
         )
     return pr.select("node", rnd(F.col("pr"), 6).alias("pagerank"))
+
+
+@query(
+    "events_path_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || '>' || t1 || '>' || t2 AS path
+        FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    )
+    SELECT path, count(*) AS n_paths
+    FROM paths GROUP BY path
+    ORDER BY n_paths DESC, path
+    LIMIT 10
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step event paths across user timelines
+    (order-2 sequence mining; the Markov matrix above is order-1).
+    Scale shape: the user_id window shuffle produces path strings that
+    aggregate to at most |types|³ rows — map-side partials absorb the
+    volume — and the top-10 is a TakeOrdered, not a global sort.
+    Ordered by (count DESC, path) for a deterministic set."""
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )

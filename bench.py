@@ -67,6 +67,7 @@ EXTENDED_PROBE = [
     "embed_knn_classify",
     "dedup_latest_per_key",
     "corpus_lm_score",
+    "events_path_topk",
 ]
 
 

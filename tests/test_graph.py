@@ -34,3 +34,16 @@ def test_pagerank_is_a_probability_vector(spark, sf_dir):
     assert {r["node"] for r in rows} == types
     assert all(r["pagerank"] > 0 for r in rows)
     assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-3
+
+
+def test_path_topk_deterministic_and_bounded(spark, sf_dir):
+    rows = SPECS["events_path_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    counts = [r["n_paths"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+    # ties broken by path: equal counts must be in path order
+    for a, b in zip(rows, rows[1:]):
+        if a["n_paths"] == b["n_paths"]:
+            assert a["path"] < b["path"]
