@@ -68,6 +68,7 @@ EXTENDED_PROBE = [
     "dedup_latest_per_key",
     "corpus_lm_score",
     "events_path_topk",
+    "orders_open_backlog",
 ]
 
 

@@ -87,3 +87,32 @@ def test_anomaly_mad_flags_match_definition(spark, sf_dir):
         n_anom += r["is_anomaly"]
     # MAD on ~700 hourly buckets per type must flag something but not most
     assert 0 < n_anom < len(rows) * 0.2
+
+
+def test_open_backlog_sweep_matches_bruteforce(spark, sf_dir):
+    """The running sum must equal the brute-force interval count on a
+    sample of days, and return to zero after the last end."""
+    rows = sorted(
+        SPECS["orders_open_backlog"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[-1]["open_orders"] == 0  # every order eventually closes
+    assert all(r["open_orders"] >= 0 for r in rows)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    ends = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("end_ts")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(ends, "o_orderkey")
+        .withColumn("end_ts", F.greatest("end_ts", "o_orderdate"))
+    )
+    for r in rows[:: max(1, len(rows) // 7)]:
+        d = r["day"]
+        brute = orders.filter(
+            (F.date_trunc("day", "o_orderdate") <= d)
+            & (F.date_trunc("day", "end_ts") >= d)
+        ).count()
+        assert r["open_orders"] == brute, d
