@@ -387,3 +387,123 @@ def q_disjunctive_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+
+
+@query(
+    "q_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the reduced schema (lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate): l_linestatus stands in for
+    the ship mode and "late" means shipped more than 90 days after the
+    order date. Counts high- vs low-priority orders among late lines.
+
+    Scale: the shipdate window is a pushed parquet filter, so only two
+    years of row groups are scanned; lineitem⨝orders is a shuffle join
+    on the natural key (orderkey), which co-partitions with no skew;
+    the 90-day lateness predicate needs both sides so it evaluates
+    post-join; the final aggregate has 2 groups — partial (map-side)
+    aggregation reduces each task's output to ~2 rows before the
+    exchange, so the agg shuffle is negligible at any SF."""
+    t = tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~hi, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_waiting_suppliers",
+    oracle="""
+    WITH f_li AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+        FROM f_li
+        GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM f_li
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE is_late AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted (no l_commitdate/l_receiptdate: "late"
+    means shipped >60 days after the order date): suppliers who were
+    the SOLE late supplier on a finished multi-supplier order. The
+    classic exists/not-exists pair is re-expressed aggregate-first —
+    per-order distinct-supplier and distinct-late-supplier counts, then
+    a join back to the late lines — which is the scalable plan: both
+    the aggregate and the join key on l_orderkey, so AQE coalesces
+    them onto one exchange, and no correlated per-row subquery runs.
+
+    Scale: supplier is broadcast; the self-join of lineitem with its
+    own per-order aggregate reuses the orderkey partitioning (one
+    shuffle feeds both the aggregate and the join); top-20 with a
+    (numwait, s_name) tiebreak is deterministic for the oracle."""
+    t = tables(spark, sf_dir)
+    f_li = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t.orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    per_order = f_li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        f_li.filter(F.col("is_late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
