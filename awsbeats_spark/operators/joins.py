@@ -277,3 +277,143 @@ def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller side so no shuffle occurs."""
     t = tables(spark, sf_dir)
     return t.region.select("r_name").crossJoin(t.nation.select("n_name"))
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_orderdate AS window_start, count(*) AS n_shipped
+    FROM orders
+    JOIN lineitem ON l_shipdate >= o_orderdate
+                 AND l_shipdate <  o_orderdate + INTERVAL 7 DAY
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, bucketized: count lineitems shipped inside
+    each sampled order's 7-day window. A pure range join (no equi key)
+    is a nested-loop cross product in OSS Spark — quadratic at 100 TB.
+    The scalable rewrite: explode each interval into its covered day
+    buckets (8 rows per 7-day window), bucket each point by its day,
+    equi-join on the bucket (hash join, co-partitioned shuffle), then
+    re-check the exact containment predicate. Each point's day matches
+    at most one exploded row per interval, so the bucket join produces
+    no duplicate pairs and needs no post-dedup. Bucket width tunes the
+    explode factor vs join selectivity; at any SF the shuffle carries
+    interval_count × 8 + point_count rows instead of the cross product."""
+    t = tables(spark, sf_dir)
+    ivl = (
+        t.orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("window_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+        )
+        .withColumn(
+            "bucket_day",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("DAY", F.col("window_start")),
+                    F.date_trunc("DAY", F.col("window_end")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+    )
+    pts = t.lineitem.select(
+        "l_shipdate", F.date_trunc("DAY", F.col("l_shipdate")).alias("bucket_day")
+    )
+    return (
+        pts.join(ivl, "bucket_day")
+        .filter(
+            (F.col("l_shipdate") >= F.col("window_start"))
+            & (F.col("l_shipdate") < F.col("window_end"))
+        )
+        .groupBy("o_orderkey", "window_start")
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           c.event_id AS nearest_click_id,
+           c.ts       AS nearest_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        ORDER BY abs(epoch(p.ts) - epoch(c.ts)), c.ts, c.event_id
+        LIMIT 1
+    ) c ON true
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join (pandas merge_asof direction='nearest'):
+    for each purchase, the click by the same user closest in time in
+    EITHER direction, ties to the earlier click. One union-and-carry
+    pass computes both candidates — the last click at-or-before
+    (forward carry) and the first click after (backward carry over the
+    same sorted run) — then a row-local comparison picks the smaller
+    |Δt|. ONE shuffle on user_id total, versus the oracle's per-row
+    lateral scan which is quadratic per user; at 100 TB the carry
+    pattern is the only viable plan, and it reuses the single sort."""
+    t = tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    both = clicks.unionByName(purchases)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(wb)
+    prev_id = F.last("click_id", ignorenulls=True).over(wb)
+    next_ts = F.first(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(wf)
+    next_id = F.first("click_id", ignorenulls=True).over(wf)
+    d_prev = F.col("p_ts").cast("double") - F.col("prev_ts").cast("double")
+    d_next = F.col("next_ts").cast("double") - F.col("p_ts").cast("double")
+    # prev wins ties (earlier click); a missing side loses automatically.
+    use_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (d_prev <= d_next)
+    )
+    return (
+        both.withColumn("prev_ts", prev_ts)
+        .withColumn("prev_id", prev_id)
+        .withColumn("next_ts", next_ts)
+        .withColumn("next_id", next_id)
+        .filter(F.col("kind") == 1)
+        .withColumnRenamed("ts", "p_ts")
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.when(use_prev, F.col("prev_id"))
+            .otherwise(F.col("next_id"))
+            .alias("nearest_click_id"),
+            F.when(use_prev, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("nearest_click_ts"),
+        )
+    )

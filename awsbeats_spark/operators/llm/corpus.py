@@ -474,3 +474,43 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), rnd(F.avg("logp"), 4).alias("avg_logp")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle (training-order randomization)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           md5(doc_id || ':seed42') AS skey,
+           CAST(('0x' || substr(md5(doc_id || ':seed42'), 1, 2))::INTEGER % 16
+                AS BIGINT) AS shard,
+           row_number() OVER (ORDER BY md5(doc_id || ':seed42')) AS pos
+    FROM documents
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training-order randomization:
+    every doc gets a seeded md5 shuffle key (reproducible across runs
+    and engines, unlike rand()), a shard id from the key's top byte for
+    partitioned output, and its global position in shuffled order.
+    Scale: sorting by skey is Spark's sample-based RANGE partitioning —
+    the standard way to materialize a shuffled 100-TB corpus (each
+    output file is one contiguous key range, no single-point
+    bottleneck). The global row_number here runs in one window for
+    oracle comparability; at scale you'd keep only the range-sorted
+    order (or zipWithIndex per partition + offset) and let the shard
+    column drive the partitioned write."""
+    docs = tables(spark, sf_dir).documents
+    skey = F.md5(F.concat(F.col("doc_id"), F.lit(":seed42")))
+    return (
+        docs.select("doc_id", skey.alias("skey"))
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("skey", 1, 2), 16, 10).cast("bigint") % 16),
+        )
+        .withColumn("pos", F.row_number().over(Window.orderBy("skey")))
+    )

@@ -251,3 +251,60 @@ def window_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_s"),
         )
     )
+
+
+@query(
+    "window_sliding_distinct",
+    oracle="""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS h, user_id FROM events
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    grid AS (
+        SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS window_end
+        FROM bounds b
+    )
+    SELECT window_end, count(DISTINCT user_id) AS users_24h
+    FROM grid
+    JOIN ev ON ev.h BETWEEN window_end - INTERVAL 23 HOUR AND window_end
+    GROUP BY window_end
+    """,
+)
+def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users, evaluated hourly. Spark window
+    frames cannot hold COUNT(DISTINCT), and the naive rewrite (range
+    self-join of every hour against 24 hours of raw events) is
+    quadratic in window count. Scalable rewrite: each event's hour
+    bucket is exploded into the 24 window-end hours it contributes to
+    (bounded ×24 row growth), then one hash aggregate counts distinct
+    users per window — Spark plans the distinct as the standard
+    two-phase (window_end, user_id) partial-dedup then count, so the
+    shuffled volume is the deduped pair count, not the exploded rows.
+    Pre-shrinking to (hour, user_id) distinct BEFORE the explode bounds
+    the multiplier input at key-cardinality, not event count."""
+    ev = (
+        tables(spark, sf_dir)
+        .events.select(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+        )
+        .distinct()
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "h0",
+            "h1",
+            F.explode(
+                F.sequence(
+                    F.col("h"),
+                    F.col("h") + F.expr("INTERVAL 23 HOURS"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("window_end"),
+        )
+        .filter((F.col("window_end") >= F.col("h0")) & (F.col("window_end") <= F.col("h1")))
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("users_24h"))
+    )

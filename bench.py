@@ -69,6 +69,13 @@ EXTENDED_PROBE = [
     "corpus_lm_score",
     "events_path_topk",
     "orders_open_backlog",
+    "q_shipmode_priority",
+    "q_waiting_suppliers",
+    "join_interval_bucketed",
+    "ts_ewma",
+    "window_sliding_distinct",
+    "join_asof_nearest",
+    "corpus_global_shuffle",
 ]
 
 

@@ -76,6 +76,13 @@ SAMPLE = [
     "embed_knn_classify",
     "dedup_latest_per_key",
     "text_normalize",
+    "q_shipmode_priority",
+    "q_waiting_suppliers",
+    "join_interval_bucketed",
+    "ts_ewma",
+    "window_sliding_distinct",
+    "join_asof_nearest",
+    "corpus_global_shuffle",
 ]
 
 
