@@ -507,3 +507,168 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE p_type = 'STANDARD' AND p_size <= 5)
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost,
+               min(supply_cost) OVER (PARTITION BY p_partkey) AS best
+        FROM ps
+        JOIN part     ON partkey = p_partkey
+        JOIN supplier ON suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(supply_cost, 4) AS supply_cost
+    FROM cand
+    WHERE supply_cost = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted: the driver schema has no partsupp table
+    (FIXTURES.md), so the part-supplier cost relation is derived from
+    lineitem as min observed unit price per (partkey, suppkey). For each
+    small STANDARD part, find the EUROPE supplier(s) offering the
+    minimum cost — the classic correlated-min subquery, expressed as a
+    window min instead of a self-join (one pass, no second scan).
+
+    Scale: the part filter is applied as a broadcast semi-join BEFORE
+    the (partkey, suppkey) aggregate, so at 100 TB the shuffle carries
+    only the selective subset, not every lineitem. All four dimension
+    joins broadcast; the only wide exchanges are the aggregate and the
+    window repartition on p_partkey (AQE coalesces both at runtime).
+    """
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    sel_parts = t.part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5)
+    )
+    ps = (
+        t.lineitem.join(
+            F.broadcast(sel_parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
+    )
+    cand = (
+        ps.join(F.broadcast(sel_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("best", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("best"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            rnd(F.col("supply_cost"), 4).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        GROUP BY 1, 2
+    ), dominant AS (
+        SELECT DISTINCT suppkey FROM (
+            SELECT suppkey, qty,
+                   sum(qty) OVER (PARTITION BY partkey) AS total
+            FROM shipped)
+        WHERE qty > 0.5 * total
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted: without partsupp.ps_availqty the
+    "excess stock" predicate becomes a dominance predicate — suppliers
+    who shipped more than half of a part's total 1996 volume for any
+    ECONOMY part. Preserves Q20's nested structure: part-filter
+    semi-join -> per-(part, supplier) aggregate -> correlated comparison
+    against a per-part total -> semi-join back to supplier + nation.
+
+    Scale: part filter pushed as a broadcast semi before the aggregate;
+    the correlated total is a window sum over the already-aggregated
+    (part, supplier) relation (cardinality |parts x suppliers|, tiny
+    next to lineitem); the final supplier semi-join broadcasts the
+    dominant-supplier set. l_quantity is integral, so sums are exact
+    and the 0.5*total threshold has no float-order hazard.
+    """
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    eco = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    shipped = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(eco), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

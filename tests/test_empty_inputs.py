@@ -83,6 +83,8 @@ SAMPLE = [
     "window_sliding_distinct",
     "join_asof_nearest",
     "corpus_global_shuffle",
+    "q_min_cost_supplier",
+    "q_dominant_part_suppliers",
 ]
 
 
