@@ -514,3 +514,99 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pos", F.row_number().over(Window.orderBy("skey")))
     )
+
+
+@query(
+    "corpus_dup_span_detect",
+    oracle=f"""
+    WITH spans AS (
+        SELECT doc_id, unnest({shingles_sql(n=5)}) AS span FROM documents
+    ),
+    agg AS (
+        SELECT span,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occ
+        FROM spans GROUP BY span
+    )
+    SELECT span, n_docs, n_occ
+    FROM agg WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span
+    LIMIT 100
+    """,
+)
+def corpus_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span detection (Raffel et al. 2020 §2.2
+    adapted to unpunctuated text): word 5-grams that recur across >=2
+    distinct documents, ranked by spread — the candidate boilerplate /
+    contamination spans a cleanup pass would excise.
+
+    Scale: explode inflates the scan by ~words-per-doc, but both
+    aggregate levels partial-aggregate map-side before their shuffle.
+    The distinct-doc count is an explicit two-level aggregate —
+    (span, doc_id) occurrences, then span — NOT countDistinct mixed
+    with count, which Catalyst plans as an Expand that doubles every
+    shuffled row. Span keys are near-unique (no skew); the >=2 filter
+    plus top-100 TakeOrderedAndProject means only the tiny ranked head
+    ever reaches the driver. Ties at the limit boundary break on the
+    unique span string, so the cutoff is deterministic."""
+    t = tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id", F.explode(shingles(words(), 5)).alias("span")
+        )
+        .groupBy("span", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "span")
+        .limit(100)
+    )
+
+
+#: Per-language keep-rates for the deterministic mixture sampler, in
+#: sixteenths (one hex digit of the doc_id md5): a doc survives when its
+#: first hash nibble is lexicographically below the threshold char.
+#: 'g' sorts above every hex digit -> keep all.
+_MIX_THRESHOLDS: dict[str, str] = {
+    "en": "g",  # 16/16
+    "zh": "8",  # 8/16
+    "de": "8",  # 8/16
+    "fr": "4",  # 4/16
+    "es": "2",  # 2/16
+}
+_MIX_DEFAULT = "1"  # 1/16 for any other language
+
+
+@query(
+    "corpus_mix_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+          CASE lang
+               WHEN 'en' THEN 'g' WHEN 'zh' THEN '8' WHEN 'de' THEN '8'
+               WHEN 'fr' THEN '4' WHEN 'es' THEN '2' ELSE '1' END
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling — the domain/language
+    re-weighting stage of a pretraining data recipe (keep all English,
+    half zh/de, a quarter fr, an eighth es). Content-addressed via the
+    doc_id md5 nibble instead of rand(), so the SAME documents survive
+    on every engine, rerun, and partitioning — reproducible mixtures
+    are the only kind a 100-TB pipeline can debug or decontaminate
+    against. Fixed-width lowercase-hex strings compare identically
+    (lexicographic == numeric) in Spark and DuckDB.
+
+    Scale: pure narrow filter, no shuffle, no driver state; the hash
+    predicate pushes into the scan stage and composes with partition
+    pruning on a lang-partitioned layout."""
+    t = tables(spark, sf_dir)
+    thr = F.lit(_MIX_DEFAULT)
+    for lang, ch in _MIX_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, ch).otherwise(thr)
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return t.documents.filter(nibble < thr).select("doc_id", "lang", "source")

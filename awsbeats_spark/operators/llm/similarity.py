@@ -359,3 +359,99 @@ def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nn_label") == F.col("true_label")).cast("int").alias("is_correct"),
         )
     )
+
+
+N_DIMS = 64  # fixed embedding dimensionality across all SFs (FIXTURES.md)
+
+
+@query(
+    "embed_quantize_sq8",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i.dim,
+               min(CAST(embedding[i.dim] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i.dim] AS DOUBLE)) AS mx
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {N_DIMS})) AS dim) i
+        GROUP BY i.dim
+    ),
+    coded AS (
+        SELECT e.vec_id, d.dim, d.mn, d.mx,
+               CAST(e.embedding[d.dim] AS DOUBLE) AS x,
+               CASE WHEN d.mx > d.mn
+                    THEN CAST(floor((CAST(e.embedding[d.dim] AS DOUBLE) - d.mn)
+                                    / (d.mx - d.mn) * 255 + 0.5) AS INT)
+                    ELSE 0 END AS code
+        FROM embeddings e CROSS JOIN dims d
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
+           round(max(abs(x - (mn + (code / 255.0) * (mx - mn)))), 6)
+               AS max_abs_err
+    FROM coded
+    GROUP BY vec_id
+    """,
+)
+def embed_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization: per-dimension global [min, max] -> each
+    vector compressed to 64 uint8 codes (the storage layout an IVF-SQ8
+    ANN index actually persists; 4x smaller than float32, 8x than
+    float64). Returns the code string plus each vector's max absolute
+    reconstruction error. Engine extension — the quantization stage of
+    the similarity-search path (SURVEY.md §2.C, LLM-data ops).
+
+    Scale: the stats pass reduces 100 TB of vectors to exactly 64
+    (dim, min, max) rows via partial map-side min/max — the shuffle is
+    64 rows per partition. The 1-row stats relation then broadcasts
+    back (BroadcastNestedLoopJoin over a single row), and encoding is a
+    narrow per-row transform: two scans total, no wide exchange of the
+    vectors themselves. All arithmetic is DOUBLE with the same op order
+    in both engines, so codes match exactly, not just approximately."""
+    t = tables(spark, sf_dir)
+    stats = (
+        t.embeddings.select(
+            F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x")
+        )
+        .groupBy("dim0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mn"))),
+                lambda s: s.mn,
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mx"))),
+                lambda s: s.mx,
+            ).alias("mxs"),
+        )
+    )
+
+    def _mn(i):
+        return F.element_at(F.col("mns"), i + 1)
+
+    def _mx(i):
+        return F.element_at(F.col("mxs"), i + 1)
+
+    def _code(x, i):
+        return F.when(
+            _mx(i) > _mn(i),
+            F.floor((x - _mn(i)) / (_mx(i) - _mn(i)) * 255 + 0.5).cast("int"),
+        ).otherwise(F.lit(0))
+
+    xd = as_double(F.col("embedding"))
+    codes = F.transform(xd, _code)
+    err = F.transform(
+        xd,
+        lambda x, i: F.abs(
+            x - (_mn(i) + (_code(x, i) / F.lit(255.0)) * (_mx(i) - _mn(i)))
+        ),
+    )
+    return (
+        t.embeddings.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.array_join(codes.cast("array<string>"), ",").alias("codes"),
+            rnd(F.array_max(err), 6).alias("max_abs_err"),
+        )
+    )

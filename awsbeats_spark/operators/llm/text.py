@@ -299,3 +299,79 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(norm, " ")))
         .alias("n_words_norm"),
     )
+
+
+@query(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({WORDS_SQL}) AS n_words,
+               len(list_distinct({WORDS_SQL})) AS n_distinct
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest({shingles_sql(n=2)}) AS bigram FROM documents
+    ),
+    bgc AS (
+        SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    ),
+    bga AS (
+        SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_words,
+           round(CASE WHEN n_words > 0
+                      THEN 1.0 - n_distinct * 1.0 / n_words
+                      ELSE 0.0 END, 4) AS dup_word_frac,
+           round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                      THEN top_cnt * 1.0 / n_bigrams
+                      ELSE 0.0 END, 4) AS top_bigram_frac,
+           (CASE WHEN n_words > 0
+                 THEN 1.0 - n_distinct * 1.0 / n_words
+                 ELSE 0.0 END) > 0.6 AS flag_repetitive
+    FROM base LEFT JOIN bga ON base.doc_id = bga.doc_id
+    """,
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+    duplicate-word fraction and most-frequent-bigram mass, plus the
+    repetition filter flag a pretraining pipeline gates on. Engine
+    extension — the reference has no text analytics (SURVEY.md §2.C).
+
+    Scale: vocab stats are a shuffle-free projection (array_distinct
+    inside the row); the bigram mode needs a real distributed mode —
+    explode -> partial-agg on (doc_id, bigram) -> per-doc max — because
+    a per-row O(k^2) in-array mode would blow up on long documents.
+    Both aggregates and the final join hash on doc_id-derived keys, so
+    the stage parallelizes evenly at 100 TB (doc_id is unique; no skew)."""
+    t = tables(spark, sf_dir)
+    w = words()
+    base = t.documents.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    bga = (
+        t.documents.select(
+            "doc_id", F.explode(shingles(words(), 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    dup = F.when(
+        F.col("n_words") > 0, 1.0 - F.col("n_distinct") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    top = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+        F.col("top_cnt") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return base.join(bga, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        rnd(dup, 4).alias("dup_word_frac"),
+        rnd(top, 4).alias("top_bigram_frac"),
+        (dup > 0.6).alias("flag_repetitive"),
+    )

@@ -85,6 +85,10 @@ SAMPLE = [
     "corpus_global_shuffle",
     "q_min_cost_supplier",
     "q_dominant_part_suppliers",
+    "text_repetition_gopher",
+    "corpus_dup_span_detect",
+    "corpus_mix_sample",
+    "embed_quantize_sq8",
 ]
 
 

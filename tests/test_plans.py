@@ -301,3 +301,31 @@ def test_latest_per_key_is_one_aggregate_no_window_sort(q):
     plan = executed_plan(q("dedup_latest_per_key"))
     assert "Window" not in plan
     assert plan_counts(q("dedup_latest_per_key"))["exchanges"] <= 1
+
+
+def test_dup_span_two_level_agg_no_expand(q):
+    df = q("corpus_dup_span_detect")
+    counts = plan_counts(df)
+    assert counts["take_ordered"] >= 1  # top-100 never global-sorts
+    assert counts["exchanges"] <= 2  # (span, doc_id) then span; no Expand
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    assert "Expand" not in executed_plan(df)
+
+
+def test_mix_sample_is_pure_filter(q):
+    counts = plan_counts(q("corpus_mix_sample"))
+    assert counts["exchanges"] == 0  # narrow hash-predicate scan
+
+
+def test_quantize_broadcasts_stats_not_vectors(q):
+    counts = plan_counts(q("embed_quantize_sq8"))
+    # vectors are never hash-shuffled: only the 64-row dim stats move
+    assert counts["exchanges"] <= 2
+    assert counts["nested_loop_joins"] >= 1  # 1-row stats broadcast
+
+
+def test_repetition_gopher_bounded_exchanges(q):
+    counts = plan_counts(q("text_repetition_gopher"))
+    # (doc_id, bigram) partial agg, doc_id agg, doc_id join
+    assert counts["exchanges"] <= 4
