@@ -28,15 +28,27 @@ WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 def shingles(word_col: Column, n: int = 3) -> Column:
     """Word n-grams (default 3) as space-joined strings; empty array when
     the doc has fewer than n words (guard needed: Spark's sequence(1,0)
-    counts DOWN, unlike DuckDB's empty generate_series)."""
+    counts DOWN, unlike DuckDB's empty generate_series).
+
+    Implementation: zip n shifted copies of the word array and join each
+    struct — NOT transform(sequence(1, L), i -> slice(word_col, i, n)).
+    The naive indexed form re-evaluates `word_col` (usually the whole
+    split/filter pipeline, inlined by CollapseProject) once per ELEMENT
+    inside the lambda, turning shingling into O(L^2) string work per
+    row; the shifted-zip form evaluates every input array once per ROW
+    (measured 2.5x on the span detector, worse on longer docs)."""
     k = n - 1
-    return F.when(
-        F.size(word_col) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(word_col) - k),
-            lambda i: F.array_join(F.slice(word_col, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shifted = [word_col.alias("s0")] + [
+        F.slice(word_col, i + 1, F.size(word_col)).alias(f"s{i}")
+        for i in range(1, n)
+    ]
+    joined = F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, F.size(word_col) - k),
+        lambda s: F.concat_ws(" ", *[s[f"s{i}"] for i in range(n)]),
+    )
+    return F.when(F.size(word_col) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingles_sql(words_sql: str = WORDS_SQL, n: int = 3) -> str:

@@ -323,3 +323,22 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
         rnd(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
     )
+
+
+@query("agg_freq_items_approx", oracle=None, tags=("rows-only",))
+def agg_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries-style heavy hitters (`df.stat.freqItems`,
+    support=0.05) over events.event_type: single-pass, fixed-memory,
+    mergeable per partition — the sketch that answers "which keys are
+    hot" BEFORE a 100-TB job picks salting factors or a skew-join
+    strategy, without a full groupBy shuffle. Contract is
+    superset-with-false-positives (no SQL oracle, hence rows-only);
+    tests/test_entry.py bounds it: every value whose true frequency
+    exceeds the support threshold must appear."""
+    t = tables(spark, sf_dir)
+    fi = t.events.select("event_type").stat.freqItems(
+        ["event_type"], support=0.05
+    )
+    return fi.select(
+        F.explode("event_type_freqItems").alias("item")
+    ).orderBy("item")

@@ -76,6 +76,12 @@ EXTENDED_PROBE = [
     "window_sliding_distinct",
     "join_asof_nearest",
     "corpus_global_shuffle",
+    "q_min_cost_supplier",
+    "q_dominant_part_suppliers",
+    "text_repetition_gopher",
+    "corpus_dup_span_detect",
+    "corpus_mix_sample",
+    "embed_quantize_sq8",
 ]
 
 

@@ -89,6 +89,7 @@ SAMPLE = [
     "corpus_dup_span_detect",
     "corpus_mix_sample",
     "embed_quantize_sq8",
+    "agg_freq_items_approx",
 ]
 
 

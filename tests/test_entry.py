@@ -39,3 +39,21 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     }
     for flag, row in rows.items():
         assert abs(row["approx_orders"] - exact[flag]) / exact[flag] < 0.05
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    import __spark_entry__ as E
+
+    from awsbeats_spark.catalog import tables
+
+    qs = E.queries()
+    items = {r["item"] for r in qs["agg_freq_items_approx"](spark, sf_dir).collect()}
+    ev = tables(spark, sf_dir).events
+    n = ev.count()
+    counts = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    heavy = {k for k, c in counts.items() if c / n > 0.05}
+    assert heavy, "fixture should have heavy event types"
+    assert heavy <= items  # freqItems may over-report, never under

@@ -329,3 +329,51 @@ def test_repetition_gopher_bounded_exchanges(q):
     counts = plan_counts(q("text_repetition_gopher"))
     # (doc_id, bigram) partial agg, doc_id agg, doc_id join
     assert counts["exchanges"] <= 4
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """At 100 TB a selective filter on one fact side should seed a
+    runtime bloom filter that prunes the other fact side's scan before
+    the shuffle (Spark 3.3+ runtime row-level filtering). Local sizes
+    are below the production thresholds, so lower them here to prove
+    the engine's plans are eligible when sizes warrant."""
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.plans.inspect import executed_plan
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # broadcast off: injection only targets shuffle joins (a
+        # broadcast-able side never needs a bloom filter)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = tables(spark, sf_dir)
+        sel = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            t.lineitem.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        df.collect()
+        assert "might_contain" in executed_plan(df)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -70,3 +70,33 @@ def test_pruned_read_matches_unpartitioned(spark, part_dir, sf_dir):
     a = pruned.agg(F.sum("value"), F.count_distinct("user_id")).collect()[0]
     b = full.agg(F.sum("value"), F.count_distinct("user_id")).collect()[0]
     assert abs(a[0] - b[0]) < 1e-6 and a[1] == b[1]
+
+
+# ---------------------------------------------------------------------------
+# ORC: the other columnar format Spark writes natively (no extra jars).
+# A Firehose->S3 lake is often ORC for Athena/Hive consumers; prove the
+# engine round-trips it losslessly and pushes filters into the ORC scan.
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path):
+    src = tables(spark, sf_dir).events.select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    out = str(tmp_path / "events_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # full-row symmetric difference is empty -> lossless
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    src = tables(spark, sf_dir).events.select("event_id", "event_type", "value")
+    out = str(tmp_path / "events_orc_f")
+    src.write.mode("overwrite").orc(out)
+    df = spark.read.orc(out).filter(F.col("event_type") == "click").select("event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
