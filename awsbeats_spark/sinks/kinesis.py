@@ -222,6 +222,7 @@ def foreach_batch_writer(
     cfg: SinkConfig,
     client_factory: Callable[[SinkConfig], BulkPutClient] = make_boto3_client,
     on_counters: Callable[[DeliveryCounters], None] | None = None,
+    idempotent_dir: str | None = None,
 ):
     """Build the ``foreachBatch`` function wiring the sink into
     Structured Streaming.
@@ -239,6 +240,23 @@ def foreach_batch_writer(
     cfg.validate()
 
     def write_batch(df, epoch_id: int) -> None:  # noqa: ANN001 - Spark API
+        # Epoch-commit guard: after a crash between sink delivery and
+        # Spark's checkpoint commit, the restarted query redelivers the
+        # last epoch (at-least-once). A marker per committed epoch_id
+        # (epoch ids are stable across restarts of the same checkpoint)
+        # turns redelivery into a no-op — effectively-once at batch
+        # granularity. Locally a directory; on a cluster the same two
+        # lines against S3/DynamoDB. Upgrade over the reference, which
+        # has no dedup story at all (duplicates in-contract,
+        # streams/client.go:72-80).
+        marker = None
+        if idempotent_dir is not None:
+            from pathlib import Path
+
+            marker = Path(idempotent_dir) / f"epoch-{int(epoch_id)}.done"
+            if marker.exists():
+                return
+
         def write_partition(rows) -> None:  # noqa: ANN001
             client = client_factory(cfg)
             records = [
@@ -251,5 +269,8 @@ def foreach_batch_writer(
                 on_counters(counters)
 
         df.foreachPartition(write_partition)
+        if marker is not None:
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text("")
 
     return write_batch

@@ -214,3 +214,40 @@ def test_config_unknown_provider_rejected():
 def test_config_field_provider_requires_key():
     with pytest.raises(ValueError, match="partition_key"):
         SinkConfig(region="r", stream_name="s").validate()
+
+
+def test_idempotent_epoch_guard_skips_redelivered_batch(tmp_path):
+    """Simulated crash-redelivery: Spark re-invokes foreachBatch with
+    the SAME epoch_id after a restart that lost the checkpoint commit.
+    With idempotent_dir set, the second delivery is a no-op; a new
+    epoch still writes. (Spark session needed: foreachPartition.)"""
+    import json
+    from pathlib import Path
+
+    from awsbeats_spark.session import get_spark
+    from awsbeats_spark.sinks.kinesis import foreach_batch_writer
+    from awsbeats_spark.sinks.local import FileDumpClient
+
+    spark = get_spark("awsbeats-tests")
+    out = tmp_path / "out"
+    out.mkdir()
+    writer = foreach_batch_writer(
+        cfg(batch_size=2),
+        client_factory=lambda c: FileDumpClient(str(out)),
+        idempotent_dir=str(tmp_path / "epochs"),
+    )
+    df = spark.createDataFrame(
+        [(f"e{i}\n", str(i)) for i in range(5)], "data string, partition_key string"
+    ).coalesce(1)
+
+    def n_records():
+        return sum(
+            len(json.loads(p.read_text())) for p in Path(out).glob("call-*.json")
+        )
+
+    writer(df, 7)
+    assert n_records() == 5
+    writer(df, 7)  # redelivery of the same epoch: must be a no-op
+    assert n_records() == 5
+    writer(df, 8)  # next epoch still delivers
+    assert n_records() == 10

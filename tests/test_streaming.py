@@ -370,3 +370,61 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, in_dir, tmp_path
         all_recs.extend(json.loads(f.read_text()))
     ids = [json.loads(r["data"])["event_id"] for r in all_recs]
     assert sorted(ids) == [1, 2, 3, 4]  # old files not reprocessed
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: the matched purchase emits with
+    its click; the unmatched purchase emits with NULL click columns —
+    but only after the watermark proves no qualifying click can still
+    arrive. Later files advance event time to force that eviction."""
+    from awsbeats_spark.streaming.joins import interval_join_attribution_outer
+
+    d = tmp_path / "sso"
+    d.mkdir()
+    rows = [
+        dict(LINES[0]),  # user 7 click at 00:00:01
+        {"event_id": 10, "ts": "2024-01-01T00:10:00.000Z", "user_id": 7,
+         "event_type": "purchase", "value": 42.0, "props": "{}"},
+        dict(LINES[2]),  # user 8 purchase at 00:40:00, no prior click
+    ]
+    (d / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    events = transform_events(ndjson_stream(spark, str(d)))
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = interval_join_attribution_outer(clicks, purchases)
+    assert joined.isStreaming
+
+    name = f"sso_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sso"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance BOTH sides' watermarks (global watermark is the min
+        # across inputs; rows filtered out before withWatermark don't
+        # count) with late click+purchase pairs for unrelated users
+        for i, ts in enumerate(
+            ["2024-01-01T02:00:00.000Z", "2024-01-01T03:00:00.000Z"]
+        ):
+            (d / f"wm{i}.ndjson").write_text(
+                "\n".join(
+                    json.dumps({"event_id": 100 + 2 * i + j, "ts": ts,
+                                "user_id": 90 + j, "event_type": et,
+                                "value": 0.0, "props": "{}"})
+                    for j, et in enumerate(["click", "purchase"])
+                )
+                + "\n"
+            )
+            q.processAllAvailable()
+        out = {r["purchase_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+
+    assert out[10]["click_id"] == 1 and out[10]["amount"] == 42.0
+    assert 3 in out, f"unmatched purchase not emitted; got {out}"
+    assert out[3]["click_id"] is None
