@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
 from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.textfns import words
 from awsbeats_spark.registry import query
 
 _DAMPING = 0.85
@@ -180,3 +181,83 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(10)
     )
+
+
+_COOC_FRAC = 0.2  # an edge = word pair co-occurring in >= 20% of docs
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+        ) AS w
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    edges AS (
+        SELECT a.w AS wa, b.w AS wb, count(*) AS n_cooc
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w
+        HAVING count(*) >= (SELECT {_COOC_FRAC} * n_docs FROM n)
+    ),
+    tris AS (
+        SELECT e1.wa AS a, e1.wb AS b, e2.wb AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.wb = e2.wa
+        JOIN edges e3 ON e3.wa = e1.wa AND e3.wb = e2.wb
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           count(*) AS n_triangles
+    FROM tris
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the word co-occurrence graph of `documents`
+    (edge = pair co-occurring in >= 20% of docs). Engine extension: the
+    canonical distributed triangle algorithm — canonicalize every edge
+    a<b, then count paths a->b->c closed by edge (a,c) with two
+    equi-joins. The a<b<c ordering counts each triangle exactly once
+    AND is the degree-ordering trick that keeps the path join from
+    exploding on hub nodes.
+
+    Scale: co-occurring pairs are generated IN-ROW from each doc's
+    sorted distinct-word array (nested transform -> flatten -> explode)
+    instead of the classic tok-self-join on doc_id — same relation, but
+    zero join shuffle and no second scan; the only wide exchange before
+    the edge joins is the (wa, wb) partial-aggregated groupBy. Pair
+    volume is bounded by distinct-words-per-doc squared, not corpus
+    size. The triangle joins then run on the thresholded edge relation,
+    orders of magnitude smaller than the corpus. The co-occurrence
+    threshold scales with corpus size (a fraction via a broadcast 1-row
+    aggregate, not a driver-side count), so edge density — and plan
+    shape — is SF-stable."""
+    t = tables(spark, sf_dir)
+    ws = F.array_sort(F.array_distinct(words()))
+    pairs = F.flatten(
+        F.transform(
+            ws,
+            lambda x, i: F.transform(
+                F.slice(ws, i + 2, F.size(ws)),
+                lambda y: F.struct(x.alias("wa"), y.alias("wb")),
+            ),
+        )
+    )
+    tokp = t.documents.select(F.explode(pairs).alias("p")).select("p.wa", "p.wb")
+    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        tokp.groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_cooc") >= _COOC_FRAC * F.col("n_docs"))
+        .select("wa", "wb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = e1.join(e2, F.col("e1.wb") == F.col("e2.wa")).join(
+        e3,
+        (F.col("e3.wa") == F.col("e1.wa")) & (F.col("e3.wb") == F.col("e2.wb")),
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    ).select("n_edges", "n_triangles")

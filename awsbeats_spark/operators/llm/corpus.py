@@ -610,3 +610,43 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr = F.when(F.col("lang") == lang, ch).otherwise(thr)
     nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return t.documents.filter(nibble < thr).select("doc_id", "lang", "source")
+
+
+_K_PER_GROUP = 20
+
+
+@query(
+    "corpus_sample_k_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents)
+    WHERE rk <= {_K_PER_GROUP}
+    """,
+)
+def corpus_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language balanced subset (k=20): rank docs inside
+    each language by content-addressed hash order and keep the first k —
+    the deterministic replacement for reservoir sampling when building
+    eval slices or annotation batches (same docs on every engine, rerun,
+    and partitioning; reservoir/rand() sampling can't be oracle-checked
+    or reproduced). Complements [corpus_mix_sample], which keeps a RATE
+    per group; this keeps a COUNT.
+
+    Scale: one hash-partitioned window on lang. Group count is small
+    (languages), so a 100-TB run would hit window-partition skew: the
+    production shape for huge groups is a per-partition top-k
+    (partial TakeOrdered) before the global rank — here rows-per-group
+    are bounded and the single window is the right plan."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t.documents.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _K_PER_GROUP)
+    )

@@ -22,7 +22,7 @@ SPECS = load_all()
 
 # operators whose outputs are legitimately non-empty on empty input
 # (global aggregates return one row of zeros/nulls)
-GLOBAL_AGG = {"q6_forecast_revenue"}
+GLOBAL_AGG = {"q6_forecast_revenue", "graph_triangle_count"}
 
 # operators with a fixed output shape regardless of input rows
 FIXED_ROWS = {"profile_columns": 11}
@@ -90,6 +90,8 @@ SAMPLE = [
     "corpus_mix_sample",
     "embed_quantize_sq8",
     "agg_freq_items_approx",
+    "graph_triangle_count",
+    "corpus_sample_k_per_group",
 ]
 
 
