@@ -417,3 +417,64 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nearest_click_ts"),
         )
     )
+
+
+_FUZZY_MAX_DIST = 4
+
+
+@query(
+    "join_fuzzy_name_blocked",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name, count(*) AS n_parts,
+               string_split(p_name, ' ')[1] AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    ORDER BY dist, name_a, name_b
+    """,
+)
+def join_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: near-identical part names
+    (Levenshtein distance <= 4) found WITHOUT an O(n^2) cross join —
+    candidate pairs are restricted to a blocking key (first name word)
+    before the edit-distance predicate runs. Engine extension: the
+    name/record-linkage step of a dedup pipeline, same
+    block-then-verify shape as the MinHash band join (llm/dedup.py).
+
+    Scale: dedupe to distinct names FIRST (the distinct-name relation
+    is tiny next to the row count), equi-join on the blocking key so
+    the expensive Levenshtein only runs inside blocks, carry per-name
+    row counts so downstream merges know the blast radius. A 100-TB
+    run swaps the single blocking key for multiple redundant keys
+    (first word, length band, soundex) unioned — same plan shape."""
+    t = tables(spark, sf_dir)
+    names = (
+        t.part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.split(F.col("p_name"), " ")[0])
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+            F.col("a.n_parts").alias("n_a"),
+            F.col("b.n_parts").alias("n_b"),
+        )
+        .orderBy("dist", "name_a", "name_b")
+    )

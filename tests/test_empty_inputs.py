@@ -92,6 +92,7 @@ SAMPLE = [
     "agg_freq_items_approx",
     "graph_triangle_count",
     "corpus_sample_k_per_group",
+    "join_fuzzy_name_blocked",
 ]
 
 
