@@ -82,6 +82,9 @@ EXTENDED_PROBE = [
     "corpus_dup_span_detect",
     "corpus_mix_sample",
     "embed_quantize_sq8",
+    "graph_triangle_count",
+    "corpus_sample_k_per_group",
+    "join_fuzzy_name_blocked",
 ]
 
 

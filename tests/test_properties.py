@@ -241,3 +241,33 @@ def test_pii_scrub_redacts_injected_email_exactly(
     else:
         assert row["n_pii"] == 0
         assert row["clean_text"] == text
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c\t\nxy")), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shingles_zip_impl_matches_naive(spark, texts, n):
+    """The shifted-arrays_zip shingle builder (textfns.shingles) must
+    produce exactly the naive per-index n-grams for ANY whitespace mess
+    — pins the O(L^2)->O(L) rewrite against a Python reference."""
+    import re
+
+    from awsbeats_spark.functions.textfns import shingles, words
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["sh"]
+        for r in df.select(shingles(words(), n).alias("sh")).collect()
+    ]
+    for t, g in zip(texts, got):
+        ws = [w for w in re.split(r"\s+", t.lower()) if w != ""]
+        expected = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        assert g == expected, (t, n, g, expected)
