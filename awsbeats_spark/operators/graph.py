@@ -222,32 +222,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND is the degree-ordering trick that keeps the path join from
     exploding on hub nodes.
 
-    Scale: co-occurring pairs are generated IN-ROW from each doc's
-    sorted distinct-word array (nested transform -> flatten -> explode)
-    instead of the classic tok-self-join on doc_id — same relation, but
-    zero join shuffle and no second scan; the only wide exchange before
-    the edge joins is the (wa, wb) partial-aggregated groupBy. Pair
-    volume is bounded by distinct-words-per-doc squared, not corpus
-    size. The triangle joins then run on the thresholded edge relation,
+    Scale: pairs come from the classic tok-self-join on doc_id over the
+    distinct (doc_id, word) relation. The tempting join-free variant —
+    nested transform over the word array building (i, j) pairs in-row —
+    re-evaluates the sorted-distinct-words pipeline once per ELEMENT
+    (CollapseProject inlining; see textfns.shingles) and measured 7x
+    slower at sf0.1, so the single-eval explode + equi-join wins even
+    with its shuffle. Pair volume is bounded by distinct-words-per-doc
+    squared, not corpus size; the (wa, wb) aggregate is map-side
+    partial; the triangle joins run on the thresholded edge relation,
     orders of magnitude smaller than the corpus. The co-occurrence
     threshold scales with corpus size (a fraction via a broadcast 1-row
     aggregate, not a driver-side count), so edge density — and plan
     shape — is SF-stable."""
     t = tables(spark, sf_dir)
-    ws = F.array_sort(F.array_distinct(words()))
-    pairs = F.flatten(
-        F.transform(
-            ws,
-            lambda x, i: F.transform(
-                F.slice(ws, i + 2, F.size(ws)),
-                lambda y: F.struct(x.alias("wa"), y.alias("wb")),
-            ),
-        )
+    tok = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(words())).alias("w")
     )
-    tokp = t.documents.select(F.explode(pairs).alias("p")).select("p.wa", "p.wb")
     n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
     edges = (
-        tokp.groupBy("wa", "wb")
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
         .agg(F.count(F.lit(1)).alias("n_cooc"))
         .crossJoin(F.broadcast(n))
         .filter(F.col("n_cooc") >= _COOC_FRAC * F.col("n_docs"))
