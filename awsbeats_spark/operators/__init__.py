@@ -11,6 +11,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     relational,
     scale,
     setops,
+    sqlfuncs,
     streaming_batch,
     timeseries,
     tpch_more,
