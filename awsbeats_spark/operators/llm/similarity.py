@@ -455,3 +455,89 @@ def embed_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.array_max(err), 6).alias("max_abs_err"),
         )
     )
+
+
+KMEANS_K = 8  # init centroids: vec_id % 64 == 0 over the 500-vector table
+KMEANS_ITERS = 3
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids against the
+    corpus and reduce the k candidates per vector MAP-SIDE via min_by —
+    the corpus is scanned once and never shuffled whole (the groupBy key
+    is vec_id, already unique, so AQE coalesces it to a near-no-op; the
+    k-way candidate fan-out collapses in the partial aggregate)."""
+    sqdist = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ev", "cent_id", sqdist.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("cent_id"), F.struct(F.col("d2"), F.col("cent_id"))).alias(
+                "cluster_id"
+            ),
+            F.min(F.struct(F.col("d2"), F.col("cent_id"))).getField("d2").alias("d2"),
+            F.any_value(F.col("ev")).alias("ev"),
+        )
+    )
+
+
+@query("embed_kmeans_cluster", oracle=None)  # iterative; no SQL oracle (rows-only)
+def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 3 iterations,
+    deterministic init: vec_id % 64 == 0) — the clustering primitive
+    behind semantic dedup / corpus mixing; returns per-cluster size and
+    inertia.
+
+    Scale design: the corpus side is only ever (a) broadcast-joined
+    against k centroids and (b) partially aggregated — it is never
+    shuffled whole and never collected. Centroid updates compute the
+    element-wise mean via posexplode → (cluster, dim) partial aggregate
+    (shuffle volume O(k·dim), not O(rows·dim)). Only the k×dim centroid
+    matrix crosses to the driver between iterations (the standard
+    scalable-k-means step; a few KB at any corpus size), which also
+    keeps the lineage flat instead of 3 plans deep.
+
+    Checked against a NumPy reference implementation in
+    tests/test_llm_ops.py (same init, same iteration count).
+    """
+    t = tables(spark, sf_dir)
+    vecs = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("ev"))
+    cents = (
+        vecs.filter(F.col("vec_id") % 64 == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv"))
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(vecs, cents)
+        # element-wise mean per cluster; re-key cent_id to the cluster id
+        new_cents = (
+            assigned.select("cluster_id", F.posexplode("ev").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster_id").alias("cent_id"), "cv")
+        )
+        # k rows × dim doubles — driver-side materialization by design
+        cents = spark.createDataFrame(
+            [(r["cent_id"], list(r["cv"])) for r in new_cents.collect()],
+            "cent_id long, cv array<double>",
+        )
+    final = _kmeans_assign(vecs, cents)
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            rnd(F.sum("d2"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

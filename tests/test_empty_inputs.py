@@ -93,6 +93,14 @@ SAMPLE = [
     "graph_triangle_count",
     "corpus_sample_k_per_group",
     "join_fuzzy_name_blocked",
+    "agg_conditional_bools",
+    "agg_regression_by_group",
+    "scalar_higher_order",
+    "scalar_sequence_months",
+    "lateral_posexplode",
+    "scalar_array_setops",
+    "cdc_apply_tombstones",
+    "embed_kmeans_cluster",
 ]
 
 

@@ -327,3 +327,42 @@ def test_lm_score_laws(spark, sf_dir):
         assert r["n_bigrams"] >= 1
         assert r["avg_logp"] < 0.0
         assert math.isfinite(r["avg_logp"])
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """The distributed Lloyd's iteration must agree with a plain NumPy
+    implementation of the same algorithm (same deterministic init, same
+    iteration count): identical cluster sizes and inertia to ~1e-6
+    relative (fp summation order differs between the engines)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.operators.llm.similarity import (
+        KMEANS_ITERS,
+        embed_kmeans_cluster,
+    )
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tab = tab.sort_values("vec_id").reset_index(drop=True)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
+    ids = tab["vec_id"].to_numpy()
+    cents = X[ids % 64 == 0]
+    for _ in range(KMEANS_ITERS):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        cents = np.stack(
+            [X[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+             for c in range(len(cents))]
+        )
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    ref_sizes = np.bincount(assign, minlength=len(cents))
+    ref_inertia = d2.min(axis=1).sum()
+
+    got = {r["cluster_id"]: r for r in embed_kmeans_cluster(spark, sf_dir).collect()}
+    cent_ids = sorted(ids[ids % 64 == 0])
+    spark_sizes = np.array([got[c]["n_members"] if c in got else 0 for c in cent_ids])
+    assert (spark_sizes == ref_sizes[: len(cent_ids)]).all(), (
+        spark_sizes, ref_sizes)
+    spark_inertia = sum(r["inertia"] for r in got.values())
+    assert abs(spark_inertia - ref_inertia) / ref_inertia < 1e-6
