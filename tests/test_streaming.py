@@ -428,3 +428,86 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_pat
     assert out[10]["click_id"] == 1 and out[10]["amount"] == 42.0
     assert 3 in out, f"unmatched purchase not emitted; got {out}"
     assert out[3]["click_id"] is None
+
+
+def test_drop_duplicates_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay are suppressed, but once the watermark passes a key's
+    eviction point its state is dropped — a LATER re-occurrence is
+    re-emitted. That bounded-state contract is what makes streaming
+    dedup viable at 100 TB (plain dropDuplicates keeps key state
+    forever and OOMs); re-emission after eviction is in-contract for an
+    at-least-once pipeline (reference semantics: duplicates allowed,
+    /root/reference/streams/client.go:72-80)."""
+    d = tmp_path / "wmdup"
+    d.mkdir()
+
+    def emit(fname, *rows):
+        (d / fname).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": 1,
+                     "event_type": "click", "value": 1.0, "props": "{}"}
+                )
+                for eid, ts in rows
+            )
+            + "\n"
+        )
+
+    events = ndjson_stream(spark, str(d))
+    deduped = (
+        transform_events(events)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts")
+    )
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        emit("f1.ndjson", (1, "2024-01-01T00:00:00.000Z"))
+        q.processAllAvailable()
+        # duplicate of id 1 within the delay + a watermark-advancing event
+        emit("f2.ndjson",
+             (1, "2024-01-01T00:00:30.000Z"),
+             (2, "2024-01-01T01:00:00.000Z"))
+        q.processAllAvailable()
+        # id 1's state expired (watermark 00:50 > 00:00 + 10 min) -> re-emit
+        emit("f3.ndjson", (1, "2024-01-01T01:00:00.000Z"))
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT event_id FROM {name}").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 1, 2], ids
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process everything present, in bounded
+    micro-batches, then stop — the batch-over-stream mode used for
+    backfills and scheduled catch-up runs of the delivery pipeline."""
+    d = tmp_path / "avnow"
+    d.mkdir()
+    body = "\n".join(json.dumps(line) for line in LINES) + "\n"
+    (d / "a.ndjson").write_text(body)
+
+    counts = (
+        transform_events(ndjson_stream(spark, str(d)))
+        .groupBy("event_type")
+        .count()
+    )
+    name = f"avnow_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+    got = {r["event_type"]: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"click": 1, "error": 1, "purchase": 1}
