@@ -541,3 +541,160 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
+PQ_SUBDIM = 8
+PQ_CODEBOOK_MOD = 16  # vec_id % 16 == 0 -> 32 sampled codebook entries/subspace
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    """DuckDB twin of the sequential squared-L2 between two DOUBLE[]."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+_PQ_SUBS = f"""
+    SELECT vec_id,
+           t.s AS s,
+           (embedding::DOUBLE[])[t.s * {PQ_SUBDIM} + 1 : t.s * {PQ_SUBDIM} + {PQ_SUBDIM}]
+               AS sub
+    FROM embeddings, unnest(generate_series(0, {PQ_M - 1})) AS t(s)
+"""
+
+
+@query(
+    "sim_search_pq",
+    oracle=f"""
+    WITH subs AS ({_PQ_SUBS}),
+    cents AS (
+        SELECT vec_id AS cid, s, sub AS cv FROM subs
+        WHERE vec_id % {PQ_CODEBOOK_MOD} = 0
+    ),
+    codes AS (
+        SELECT v.vec_id, v.s,
+               min_by(c.cid, {_pq_d2_sql('v.sub', 'c.cv')} + c.cid * 1e-9) AS code
+        FROM subs v JOIN cents c USING (s)
+        GROUP BY v.vec_id, v.s
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id,
+               k.vec_id AS neighbor_id,
+               list_sum(list({_pq_d2_sql('q.sub', 'c.cv')} ORDER BY k.s))
+                   AS approx_d2
+        FROM codes k
+        JOIN cents c ON c.s = k.s AND c.cid = k.code
+        JOIN subs q ON q.s = k.s AND q.vec_id < {N_QUERIES}
+                    AND q.vec_id <> k.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           round(approx_d2, 6) AS approx_d2,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rn
+    FROM adc
+    QUALIFY rn <= {TOP_K}
+    """,
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: split each 64-dim vector into 8
+    sub-vectors, quantize each against a 32-entry sampled codebook
+    (vec_id % 16 == 0 — PQ with a sampled rather than k-means-trained
+    codebook, keeping it deterministic), then score queries against the
+    COMPRESSED corpus via asymmetric distance computation (ADC): the
+    exact query sub-vector vs the centroid standing in for each corpus
+    sub-vector.
+
+    Scale: the corpus is represented by m small integer codes per vector
+    (8 bytes here vs 256 for the raw floats) — the scan side of ADC
+    reads only the code table + the broadcast codebook; the raw corpus
+    is touched once at encode time. The per-pair ADC sum is accumulated
+    in FIXED subspace order (collect-sorted fold, list(ORDER BY s) in
+    the oracle) so ranking is bit-deterministic across engines.
+    Recall vs exact L2 is measured in tests/test_llm_ops.py."""
+    t = tables(spark, sf_dir)
+    sqd2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    subs = (
+        t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("ev"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "ev",
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.slice("ev", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        )
+    )
+    cents = subs.filter(F.col("vec_id") % PQ_CODEBOOK_MOD == 0).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("cv")
+    )
+    codes = (
+        subs.join(F.broadcast(cents), "s")
+        .select(
+            "vec_id",
+            "s",
+            "sub",
+            "cid",
+            sqd2(F.col("sub"), F.col("cv")).alias("d2"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            # deterministic argmin: cid * 1e-9 sits far above double ulp at
+            # d2 magnitude but below any real distance gap (same idiom as
+            # agg_conditional_bools); identical expression on both engines
+            F.min_by(
+                F.col("cid"), F.col("d2") + F.col("cid") * F.lit(1e-9)
+            ).alias("code")
+        )
+    )
+    qsubs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sub").alias("qsub")
+    )
+    return (
+        codes.join(
+            F.broadcast(cents.select(F.col("cid").alias("code"), "s", "cv")),
+            ["s", "code"],
+        )
+        .join(F.broadcast(qsubs), "s")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "s",
+            sqd2(F.col("qsub"), F.col("cv")).alias("pd2"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "pd2"))),
+                    lambda st: st["pd2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2_raw")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("approx_d2_raw"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd("approx_d2_raw", 6).alias("approx_d2"),
+            "rn",
+        )
+    )

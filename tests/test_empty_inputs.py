@@ -101,6 +101,7 @@ SAMPLE = [
     "scalar_array_setops",
     "cdc_apply_tombstones",
     "embed_kmeans_cluster",
+    "sim_search_pq",
 ]
 
 

@@ -366,3 +366,34 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
         spark_sizes, ref_sizes)
     spark_inertia = sum(r["inertia"] for r in got.values())
     assert abs(spark_inertia - ref_inertia) / ref_inertia < 1e-6
+
+
+def test_pq_recall_vs_exact_l2(spark, sf_dir):
+    """PQ/ADC with a 32-entry sampled codebook must recover a meaningful
+    share of the exact L2 top-k (way above the ~2% random baseline) —
+    proves the compressed codes preserve geometry."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.operators.llm.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_search_pq,
+    )
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tab = tab.sort_values("vec_id").reset_index(drop=True)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
+    ids = tab["vec_id"].to_numpy()
+    exact = set()
+    for q in range(N_QUERIES):
+        d2 = ((X - X[q]) ** 2).sum(axis=1)
+        order = sorted((d, i) for d, i in zip(d2, ids) if i != q)
+        exact |= {(q, int(i)) for _, i in order[:TOP_K]}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_search_pq(spark, sf_dir).collect()
+    }
+    assert len(approx) == N_QUERIES * TOP_K
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"PQ recall {recall:.2f} vs exact L2"
