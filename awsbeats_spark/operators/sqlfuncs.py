@@ -300,3 +300,54 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ops",
         )
     )
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+    WITH docs AS (
+        SELECT event_id,
+               json_object(
+                   'who', json_object('user_id', user_id,
+                                      'event_type', event_type),
+                   'vals', json_array(value, value * 2),
+                   'k', CAST(json_extract(props, '$.k') AS INTEGER)
+               ) AS doc
+        FROM events
+    )
+    SELECT event_id,
+           json_extract_string(doc, '$.who.event_type')       AS who_type,
+           CAST(json_extract(doc, '$.k') AS INTEGER)          AS k,
+           round(CAST(json_extract(doc, '$.vals[1]') AS DOUBLE), 6)
+               AS second_val
+    FROM docs
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round trip through Spark 4's VARIANT type: build a
+    nested JSON document from typed columns, parse_json it into a
+    variant, extract typed fields back out with variant_get paths.
+
+    This is the engine's answer to the reference's schema-less
+    `common.MapStr` events (SURVEY.md §1.2,
+    /root/reference/streams/partition_key.go:26-38): keep the dynamic
+    remainder as VARIANT, extract-and-cast lazily at query time.
+
+    Scale: variant parse/extract are JVM expressions in the projection —
+    no shuffle, no Python; VARIANT's binary encoding avoids re-parsing
+    the JSON text per extraction (the get paths read the parsed tree)."""
+    t = tables(spark, sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.struct("user_id", "event_type").alias("who"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+    v = F.parse_json(doc)
+    return t.events.select(
+        "event_id",
+        F.variant_get(v, "$.who.event_type", "string").alias("who_type"),
+        F.variant_get(v, "$.k", "int").alias("k"),
+        rnd(F.variant_get(v, "$.vals[1]", "double"), 6).alias("second_val"),
+    )

@@ -102,6 +102,7 @@ SAMPLE = [
     "cdc_apply_tombstones",
     "embed_kmeans_cluster",
     "sim_search_pq",
+    "scalar_variant_json",
 ]
 
 

@@ -377,3 +377,32 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_join_strategy_fallbacks_smj_and_shuffled_hash(spark, sf_dir):
+    """Large-large joins where neither side broadcasts must pick
+    SortMergeJoin by default (spill-safe at any scale), and the
+    shuffle_hash hint must switch to ShuffledHashJoin (no sort, wins
+    when one side is modest and memory fits) — the two strategies that
+    carry every non-broadcastable join at 100 TB."""
+    from awsbeats_spark.catalog import tables as load_tables
+    from awsbeats_spark.plans.inspect import plan_counts
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_quantity")
+    od = t.orders.select("o_orderkey", "o_totalprice")
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        smj = li.join(od, li.l_orderkey == od.o_orderkey)
+        counts = plan_counts(smj)
+        assert counts["sort_merge_joins"] == 1 and counts["broadcast_joins"] == 0
+
+        shj = li.join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey)
+        counts = plan_counts(shj)
+        assert counts["shuffled_hash_joins"] == 1 and counts["sort_merge_joins"] == 0
+        # both must still agree with the broadcast plan's answer
+        assert smj.count() == shj.count() == t.lineitem.count()
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)

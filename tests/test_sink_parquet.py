@@ -10,6 +10,7 @@ filter), and (c) pruned reads touch only the matching files.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pytest
@@ -100,3 +101,64 @@ def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
     df = spark.read.orc(out).filter(F.col("event_type") == "click").select("event_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_compaction_reduces_files_preserving_rows(spark, sf_dir, tmp_path):
+    """Small-file compaction: a deliberately fragmented copy of events
+    (64 files) compacts down to the byte-sized target count with
+    identical content."""
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.sinks.maintenance import compact_small_files
+
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    events = tables(spark, sf_dir).events
+    events.repartition(64).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag >= 32  # actually fragmented
+
+    n_target = compact_small_files(spark, frag, compacted,
+                                   target_file_bytes=256 * 1024)
+    n_out = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_out == n_target < n_frag
+
+    a = {r["event_id"] for r in spark.read.parquet(frag).collect()}
+    b = {r["event_id"] for r in spark.read.parquet(compacted).collect()}
+    assert a == b and len(b) == events.count()
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-sorted layout: per-file user_id min/max are pairwise
+    disjoint (footer-level data skipping works), and a point lookup
+    still pushes its filter to the scan and answers correctly."""
+    import pyarrow.parquet as papq
+
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.plans.inspect import has_pushed_filters
+    from awsbeats_spark.sinks.maintenance import write_range_sorted
+
+    out = str(tmp_path / "sorted")
+    events = tables(spark, sf_dir).events
+    write_range_sorted(events, out, "user_id", n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = papq.read_metadata(os.path.join(out, f))
+        idx = md.schema.names.index("user_id")
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, f"overlapping file ranges: {ranges}"
+
+    probe_uid = events.select("user_id").first()["user_id"]
+    lookup = spark.read.parquet(out).filter(F.col("user_id") == probe_uid)
+    assert has_pushed_filters(lookup, "user_id")
+    expect = events.filter(F.col("user_id") == probe_uid).count()
+    assert lookup.count() == expect > 0
