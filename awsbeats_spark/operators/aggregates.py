@@ -342,3 +342,34 @@ def agg_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fi.select(
         F.explode("event_type_freqItems").alias("item")
     ).orderBy("item")
+
+
+@query("agg_hll_sketch_union", oracle=None)  # sketch binaries are engine-specific
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL):
+    build one user_id sketch per (day, event_type), then UNION the
+    sketches across days per event_type and estimate.
+
+    This is THE pattern for distinct counts at 100 TB: per-partition
+    (here per-day) sketches are computed once, stored small (~KB), and
+    re-aggregated along any rollup axis WITHOUT touching raw rows again
+    — exact countDistinct re-shuffles every row for every new grouping.
+    The binary sketch is engine-specific, so this is rows-only for the
+    oracle; accuracy vs exact is asserted in tests/test_properties.py
+    (HLL lgk=12 → ~1.6% standard error)."""
+    t = tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"),
+              F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_rows").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

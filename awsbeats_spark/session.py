@@ -36,6 +36,8 @@ def get_spark(app_name: str = "awsbeats-spark", cpus: str | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python DataSources (sources/python_ds.py) receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

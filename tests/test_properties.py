@@ -271,3 +271,30 @@ def test_shingles_zip_impl_matches_naive(spark, texts, n):
         ws = [w for w in re.split(r"\s+", t.lower()) if w != ""]
         expected = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
         assert g == expected, (t, n, g, expected)
+
+
+def test_hll_sketch_union_accuracy_vs_exact(spark, sf_dir):
+    """Day-sketches unioned per event_type must estimate distinct users
+    within HLL's error envelope (<5% at default lgk), and the exact
+    row counts carried alongside must be exact."""
+    from awsbeats_spark.operators.aggregates import agg_hll_sketch_union
+    from awsbeats_spark.catalog import tables
+    from pyspark.sql import functions as F
+
+    got = {r["event_type"]: r for r in agg_hll_sketch_union(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in tables(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        ex = exact[et]
+        assert row["n_events"] == ex["n_events"]
+        rel = abs(row["approx_users"] - ex["exact_users"]) / ex["exact_users"]
+        assert rel < 0.05, f"{et}: HLL rel err {rel:.3f}"

@@ -511,3 +511,43 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     assert q.awaitTermination(120), "availableNow query did not self-stop"
     got = {r["event_type"]: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {"click": 1, "error": 1, "purchase": 1}
+
+
+def test_metrics_listener_captures_batch_progress(spark, in_dir, tmp_path):
+    """The StreamingQueryListener metrics surface (reference Observer
+    counters, A21) must account for every input row the delivery
+    pipeline processed, and expose them as a queryable DataFrame."""
+    import time
+
+    from awsbeats_spark.streaming.metrics import PipelineMetricsListener
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    cfg = SinkConfig(
+        region="eu-west-1", stream_name="metrics-test", batch_size=2,
+        partition_key_provider="xid",
+    )
+    q = start_delivery(
+        ndjson_stream(spark, in_dir),
+        cfg,
+        str(tmp_path / "ckpt"),
+        client_factory=lambda _cfg: FileDumpClient(str(out_dir)),
+    )
+    try:
+        q.processAllAvailable()
+        qid = str(q.id)
+        # listener events are delivered async on the listener bus
+        deadline = time.time() + 30
+        while listener.total_input_rows(qid) < 3 and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    assert listener.total_input_rows(qid) >= 3  # the 3 valid LINES (+ corrupt line)
+    mdf = listener.as_dataframe(spark).filter(F.col("query_id") == qid)
+    got = mdf.selectExpr(
+        "sum(num_input_rows) AS rows", "count(*) AS batches"
+    ).first()
+    assert got["rows"] >= 3 and got["batches"] >= 1
