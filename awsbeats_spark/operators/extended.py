@@ -463,3 +463,76 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_quantiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_records,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the events table through the `kinesis_replay` Python
+    DataSource (sources/python_ds.py): archive events as NDJSON shard
+    files keyed by user_id % 4 (the materialization is test plumbing),
+    then read them back via `spark.read.format("kinesis_replay")` — one
+    input partition per shard — parse the payload JSON, and aggregate.
+    Matching the oracle on the raw table proves the source's
+    shard/sequence/payload plumbing is lossless.
+
+    Engine twin of the reference's consumer side: records land exactly
+    as the delivery path serialized them (streams/client.go:127-154
+    NDJSON contract) and are re-read with Kinesis GetRecords semantics
+    (shard_id + per-shard sequence numbers).
+    """
+    import json
+    import os
+
+    t = tables(spark, sf_dir)  # pins TZ; ships package to executors
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from awsbeats_spark.sources.python_ds import register
+
+    register(spark)
+    archive = tempfile.mkdtemp(prefix="kinesis_archive_")
+    lines = (
+        t.events.select(
+            (F.col("user_id") % 4).alias("shard"),
+            F.col("user_id").cast("string").alias("partition_key"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
+                "payload"
+            ),
+        )
+        .toLocalIterator()  # sf0.01 fixture write; prod archives come from the sink
+    )
+    files = {}
+    for row in lines:
+        shard = f"shard-{row['shard']}"
+        if shard not in files:
+            files[shard] = open(
+                os.path.join(archive, f"{shard}.ndjson"), "w", encoding="utf-8"
+            )
+        files[shard].write(
+            json.dumps({"partition_key": row["partition_key"], "data": row["payload"]})
+            + "\n"
+        )
+    for f in files.values():
+        f.close()
+
+    payload_schema = "event_id long, user_id long, event_type string, value double"
+    return (
+        spark.read.format("kinesis_replay")
+        .option("path", archive)
+        .load()
+        .select(F.from_json("data", payload_schema).alias("e"))
+        .groupBy(F.col("e.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            rnd(F.sum("e.value"), 2).alias("sum_value"),
+            F.countDistinct("e.user_id").alias("n_keys"),
+        )
+    )

@@ -69,3 +69,68 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_expr(df: DataFrame, cols: list[str], bits: int = 16):
+    """A Column computing the Z-order (Morton) value of `cols`: each
+    column is min/max-normalized into a `bits`-bit bucket, then the
+    buckets' bits are interleaved. Pure built-in expressions (floor /
+    shiftright / bitwise ops), so the whole computation stays inside
+    whole-stage codegen — no UDF, no shuffle beyond the one min/max agg.
+
+    Interleaving makes points close in ALL dimensions close in z-value,
+    so sorting by it clusters every dimension at once — the multi-column
+    generalization of write_range_sorted. Bucket edges come from a
+    single global min/max aggregate (one cheap job); for heavily skewed
+    dimensions substitute quantile edges from approx_percentile.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    k = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top)),
+        ).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, i).bitwiseAND(F.lit(1)), k * i + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` clustered on the Z-order curve over `cols`:
+    range-partition by z-value into `n_files` files, sorted within each.
+
+    Read-side payoff: parquet footer min/max on EVERY listed column is
+    tight per file, so conjunctive range predicates over any subset of
+    `cols` skip most files — where a linear sort only skips on its
+    leading column. This is the layout pass behind multi-dimensional
+    data skipping at 100 TB (Delta/Iceberg OPTIMIZE ZORDER does the
+    same thing); rewriting costs one full shuffle, amortized across
+    every subsequent scan."""
+    zcol = zorder_expr(df, cols, bits)
+    (
+        df.withColumn("__z", zcol)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

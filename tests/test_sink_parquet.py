@@ -162,3 +162,66 @@ def test_range_sorted_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     assert has_pushed_filters(lookup, "user_id")
     expect = events.filter(F.col("user_id") == probe_uid).count()
     assert lookup.count() == expect > 0
+
+
+def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
+    """Z-order clustering must give tight per-file min/max boxes on BOTH
+    columns: a predicate on the non-leading dimension prunes most files,
+    where a linear single-column sort layout prunes none."""
+    import pyarrow.parquet as papq
+
+    from awsbeats_spark.sinks.maintenance import write_range_sorted, write_zordered
+
+    df = spark.range(40000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 2654435761) % 1000003 % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z_dir, lin_dir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(df, z_dir, ["x", "y"], n_files=16)
+    write_range_sorted(df, lin_dir, "x", n_files=16)
+
+    def file_boxes(path, cols):
+        boxes = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = papq.read_metadata(os.path.join(path, f))
+            box = {}
+            for c in cols:
+                idx = md.schema.names.index(c)
+                box[c] = (
+                    min(md.row_group(i).column(idx).statistics.min
+                        for i in range(md.num_row_groups)),
+                    max(md.row_group(i).column(idx).statistics.max
+                        for i in range(md.num_row_groups)),
+                )
+            boxes.append(box)
+        return boxes
+
+    z_boxes = file_boxes(z_dir, ["x", "y"])
+    lin_boxes = file_boxes(lin_dir, ["x", "y"])
+    assert len(z_boxes) == 16 and len(lin_boxes) == 16
+
+    def candidates(boxes, pred):  # pred: {col: (lo, hi)}
+        return sum(
+            1
+            for b in boxes
+            if all(b[c][0] <= hi and b[c][1] >= lo for c, (lo, hi) in pred.items())
+        )
+
+    y_pred = {"y": (100, 109)}
+    # x-sorted files each span the full y range: nothing prunes
+    assert candidates(lin_boxes, y_pred) == 16
+    # z-ordered files carve y into bands: most files prune
+    assert candidates(z_boxes, y_pred) <= 8
+    # conjunctive rectangle: z-order touches only the matching cell(s)
+    rect = {"x": (50, 59), "y": (100, 109)}
+    assert candidates(z_boxes, rect) <= 4
+    # layout change loses nothing
+    assert spark.read.parquet(z_dir).count() == 40000
+    got = spark.read.parquet(z_dir).filter(
+        "x BETWEEN 50 AND 59 AND y BETWEEN 100 AND 109"
+    ).count()
+    expect = df.filter("x BETWEEN 50 AND 59 AND y BETWEEN 100 AND 109").count()
+    assert got == expect > 0
