@@ -698,3 +698,78 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query("embed_pca_project", oracle=None)  # eigendecomposition; no SQL oracle
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: project every embedding onto the top-2 principal
+    components.
+
+    100 TB shape: the N×d data never leaves the executors — each
+    partition reduces its rows to one (count, sum, d×d Gram) partial via
+    an Arrow-batched mapInPandas; the driver merges O(partitions) d×d
+    matrices (d=64 → 32 KB each), eigendecomposes the covariance there
+    (O(d³), microseconds), and the projection pass is a second
+    vectorized map with the components captured in the closure
+    (broadcast-by-serialization). Two scans, no shuffle.
+
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive, so results are deterministic across partitionings
+    (eigenvectors are otherwise sign-ambiguous). Accuracy vs a NumPy
+    whole-matrix PCA is pinned in tests/test_llm_ops.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    d = 64
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        gram_partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    comps = eigvecs[:, ::-1][:, :2]  # top-2 columns
+    for j in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+
+    mean_l, comps_l = mean.tolist(), comps.tolist()
+
+    def project(batches):
+        m = np.asarray(mean_l)
+        c = np.asarray(comps_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (x - m) @ c
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc1": np.round(p[:, 0], 6),
+                    "pc2": np.round(p[:, 1], 6),
+                }
+            )
+
+    return emb.mapInPandas(
+        project, schema="vec_id long, pc1 double, pc2 double"
+    ).orderBy("vec_id")

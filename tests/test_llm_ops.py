@@ -397,3 +397,35 @@ def test_pq_recall_vs_exact_l2(spark, sf_dir):
     assert len(approx) == N_QUERIES * TOP_K
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"PQ recall {recall:.2f} vs exact L2"
+
+
+def test_pca_projection_matches_numpy_whole_matrix(spark, sf_dir):
+    """The partition-wise Gram-matrix PCA must equal a single-machine
+    NumPy PCA on the full matrix (same sign convention) to 1e-6 — the
+    distributed reduction loses nothing."""
+    import numpy as np
+
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.llm.similarity import embed_pca_project
+
+    got = embed_pca_project(spark, sf_dir).collect()
+    rows = (
+        tables(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comps = eigvecs[:, ::-1][:, :2]
+    for j in range(2):
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+    expect = xc @ comps
+    got_m = np.array([[r["pc1"], r["pc2"]] for r in sorted(got, key=lambda r: r["vec_id"])])
+    assert np.allclose(got_m, expect, atol=1e-5)
+    # top-2 PCs must actually dominate: projected variance ratio sanity
+    var_ratio = expect.var(axis=0).sum() / x.var(axis=0).sum()
+    assert var_ratio > 0.03  # random-ish 64-dim data: top-2 of 64 dims

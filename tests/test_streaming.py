@@ -551,3 +551,32 @@ def test_metrics_listener_captures_batch_progress(spark, in_dir, tmp_path):
         "sum(num_input_rows) AS rows", "count(*) AS batches"
     ).first()
     assert got["rows"] >= 3 and got["batches"] >= 1
+
+
+def test_stream_static_broadcast_enrichment_join(spark, in_dir):
+    """Stream-static join: each micro-batch broadcast-joins a static
+    dimension table — the streaming twin of the reference's
+    add_cloud_metadata enrichment (B3, example/streams/filebeat.yml:16-17).
+    Unmatched stream rows survive (left join); the static side is
+    re-read per batch, so it never holds watermark state."""
+    from pyspark.sql.functions import broadcast
+
+    dim = spark.createDataFrame(
+        [(7, "emea", "gold"), (99, "apac", "basic")],
+        "user_id long, region string, tier string",
+    )
+    enriched = transform_events(ndjson_stream(spark, in_dir)).join(
+        broadcast(dim), "user_id", "left"
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r["event_id"]: r for r in spark.table(name).collect()}
+    assert rows[1]["region"] == "emea" and rows[1]["tier"] == "gold"
+    assert rows[2]["region"] == "emea"
+    assert rows[3]["region"] is None  # user 8: no dim row, event kept
