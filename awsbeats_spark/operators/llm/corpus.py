@@ -650,3 +650,52 @@ def corpus_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _K_PER_GROUP)
     )
+
+
+@query(
+    "corpus_forget_users",
+    oracle="""
+    WITH forget AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    )
+    SELECT e.event_type,
+           count(*) FILTER (WHERE f.user_id IS NULL) AS rows_kept,
+           count(*) FILTER (WHERE f.user_id IS NOT NULL) AS rows_purged,
+           count(DISTINCT CASE WHEN f.user_id IS NOT NULL
+                               THEN e.user_id END) AS users_purged
+    FROM events e
+    LEFT JOIN forget f ON e.user_id = f.user_id
+    GROUP BY e.event_type
+    """,
+)
+def corpus_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given an erasure-request list (here
+    derived deterministically as user_id % 97 == 0), report per
+    event_type how many rows survive, how many are purged, and how many
+    distinct requesters had data — the accounting a GDPR/CCPA delete
+    pass over a training corpus must emit.
+
+    Scale shape: erasure lists are tiny next to the corpus, so the
+    membership test is a BROADCAST left join marking rows — one scan of
+    the fact table, no shuffle of it. The actual delete is the same
+    join as left_anti + partition rewrite (write_zordered /
+    compact_small_files handle the layout); this operator returns the
+    audit so the driver can hash-check the bookkeeping."""
+    ev = tables(spark, sf_dir).events
+    forget = (
+        ev.filter((F.col("user_id") % 97) == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("f_marker", F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(forget), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("f_marker").isNull(), 1)).alias("rows_kept"),
+            F.count(F.when(F.col("f_marker").isNotNull(), 1)).alias("rows_purged"),
+            F.countDistinct(
+                F.when(F.col("f_marker").isNotNull(), F.col("user_id"))
+            ).alias("users_purged"),
+        )
+    )
