@@ -37,6 +37,20 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def _ts_unit(path: str) -> str:
+    """Timestamp unit of the ``ts`` column from the parquet footer ('ns',
+    'us', ...). Footer-only read; a directory of part files checks one."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+        if not parts:
+            return "us"
+        path = os.path.join(path, parts[0])
+    field = pq.read_schema(path).field("ts")
+    return getattr(field.type, "unit", "us")
+
+
 @dataclass
 class Catalog:
     """Lazy per-sf-dir table access: ``cat.lineitem``, ``cat["orders"]``."""
@@ -53,11 +67,13 @@ class Catalog:
         return self._cache[name]
 
     def _load(self, name: str) -> DataFrame:
-        if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-            # reader refuses. Read it as raw nanos and truncate to micros —
-            # the exact same truncation DuckDB applies reading the file, so
-            # oracle comparisons agree (FIXTURES.md: "normalize on load").
+        if name == "events" and _ts_unit(f"{self.sf_dir}/events.parquet") == "ns":
+            # events.ts as parquet TIMESTAMP(NANOS) is refused by Spark's
+            # vectorized reader. Read it as raw nanos and truncate to
+            # micros — the exact same truncation DuckDB applies reading
+            # the file, so oracle comparisons agree (FIXTURES.md:
+            # "normalize on load"). Datasets written with micros (the
+            # common case) take the plain path below.
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             from pyspark.sql import functions as F
 
