@@ -39,16 +39,29 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 def _ts_unit(path: str) -> str:
     """Timestamp unit of the ``ts`` column from the parquet footer ('ns',
-    'us', ...). Footer-only read; a directory of part files checks one."""
+    'us', ...). Footer-only read; a directory (including a partitioned
+    dt=... layout) probes the first part file found recursively. Remote
+    URIs (s3://, hdfs://) that local pyarrow I/O can't open fall back to
+    'ns' — the prior behavior — so the legacy-nanos read path (which also
+    handles micros correctly after the cast in _load) is taken rather
+    than raising before Spark ever reads the data."""
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
-        if not parts:
-            return "us"
-        path = os.path.join(path, parts[0])
-    field = pq.read_schema(path).field("ts")
-    return getattr(field.type, "unit", "us")
+    try:
+        if os.path.isdir(path):
+            part = None
+            for root, _dirs, files in sorted(os.walk(path)):
+                cand = sorted(f for f in files if f.endswith(".parquet"))
+                if cand:
+                    part = os.path.join(root, cand[0])
+                    break
+            if part is None:
+                return "ns"
+            path = part
+        field = pq.read_schema(path).field("ts")
+        return getattr(field.type, "unit", "us")
+    except (OSError, KeyError, ValueError):
+        return "ns"
 
 
 @dataclass
@@ -67,19 +80,31 @@ class Catalog:
         return self._cache[name]
 
     def _load(self, name: str) -> DataFrame:
-        if name == "events" and _ts_unit(f"{self.sf_dir}/events.parquet") == "ns":
-            # events.ts as parquet TIMESTAMP(NANOS) is refused by Spark's
-            # vectorized reader. Read it as raw nanos and truncate to
-            # micros — the exact same truncation DuckDB applies reading
-            # the file, so oracle comparisons agree (FIXTURES.md:
-            # "normalize on load"). Datasets written with micros (the
-            # common case) take the plain path below.
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            from pyspark.sql import functions as F
+        path = f"{self.sf_dir}/{name}.parquet"
+        if name != "events":
+            return self.spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
-            df = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
+        if _ts_unit(path) == "ns":
+            # events.ts as parquet TIMESTAMP(NANOS) is refused by Spark's
+            # vectorized reader; the legacy flag reads it as raw nanos.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Raw nanos under the legacy flag: truncate to micros — the
+            # exact truncation DuckDB applies reading the file, so oracle
+            # comparisons agree (FIXTURES.md: "normalize on load").
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if not isinstance(ts_type, TimestampType):
+            # Micros/millis data with no timezone in the footer loads as
+            # TIMESTAMP_NTZ, which breaks unix_micros()/double casts
+            # downstream. The session TZ is pinned UTC (tables() below),
+            # so NTZ -> session TimestampType is value-identical and the
+            # DuckDB naive-timestamp oracle still agrees.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_") or name in ("spark", "sf_dir"):

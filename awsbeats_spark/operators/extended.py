@@ -39,14 +39,30 @@ def scan_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single parquet file through a temp dir of symlinks
     watch_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(watch_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # Gate the streaming schema on the parquet footer's timestamp unit so
+    # the stream read stays consistent with the catalog's batch read for
+    # BOTH nanos (legacy raw-long + truncate) and micros (NTZ -> session
+    # timestamp) datasets.
+    from awsbeats_spark.catalog import _ts_unit
+
+    if _ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .parquet(watch_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-        .parquet(watch_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    else:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+                " value double, props string"
+            )
+            .parquet(watch_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    stream = stream.select("event_id", "user_id", "event_type", "value")
     name = f"scan_stream_{uuid.uuid4().hex[:10]}"
     q = (
         stream.writeStream.format("memory")
@@ -459,9 +475,25 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile in agg_stats. No oracle — DuckDB's approx sketch
     differs; tests bound it against the exact percentile."""
     t = tables(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_quantiles"),
-        F.count(F.lit(1)).alias("n"),
+    qs = [0.5, 0.95, 0.99]
+    # explode the sketch's quantile array to (event_type, quantile, value)
+    # rows: scalar columns only, so the driver's pandas canonicalizer can
+    # sort/hash the frame (arrays are unhashable there).
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", qs, 10000).alias("qv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "n", F.posexplode("qv").alias("pos", "value"))
+        .select(
+            "event_type",
+            F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
+                "quantile"
+            ),
+            "value",
+            "n",
+        )
     )
 
 
@@ -490,38 +522,53 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDJSON contract) and are re-read with Kinesis GetRecords semantics
     (shard_id + per-shard sequence numbers).
     """
-    import json
     import os
+    import shutil
 
     t = tables(spark, sf_dir)  # pins TZ; ships package to executors
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     from awsbeats_spark.sources.python_ds import register
 
     register(spark)
-    archive = tempfile.mkdtemp(prefix="kinesis_archive_")
-    lines = (
+    # Fixture write is DISTRIBUTED: executors write one text file per
+    # shard (repartition("shard") puts each shard value in exactly one
+    # task, so partitionBy yields one part file per shard dir); the
+    # driver only does O(#shards) file renames — no row iteration
+    # through the driver at any scale.
+    staging = tempfile.mkdtemp(prefix="kinesis_archive_stage_")
+    (
         t.events.select(
-            (F.col("user_id") % 4).alias("shard"),
-            F.col("user_id").cast("string").alias("partition_key"),
-            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
-                "payload"
-            ),
+            (F.col("user_id") % 4).cast("string").alias("shard"),
+            F.to_json(
+                F.struct(
+                    F.col("user_id").cast("string").alias("partition_key"),
+                    F.to_json(
+                        F.struct("event_id", "user_id", "event_type", "value")
+                    ).alias("data"),
+                )
+            ).alias("value"),
         )
-        .toLocalIterator()  # sf0.01 fixture write; prod archives come from the sink
+        .repartition("shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .text(staging)
     )
-    files = {}
-    for row in lines:
-        shard = f"shard-{row['shard']}"
-        if shard not in files:
-            files[shard] = open(
-                os.path.join(archive, f"{shard}.ndjson"), "w", encoding="utf-8"
-            )
-        files[shard].write(
-            json.dumps({"partition_key": row["partition_key"], "data": row["payload"]})
-            + "\n"
+    archive = tempfile.mkdtemp(prefix="kinesis_archive_")
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("shard="):
+            continue
+        shard_id = d.split("=", 1)[1]
+        parts = sorted(
+            p
+            for p in os.listdir(os.path.join(staging, d))
+            if p.startswith("part-") and p.endswith(".txt")
         )
-    for f in files.values():
-        f.close()
+        with open(
+            os.path.join(archive, f"shard-{shard_id}.ndjson"), "wb"
+        ) as out:
+            for p in parts:
+                with open(os.path.join(staging, d, p), "rb") as src:
+                    shutil.copyfileobj(src, out)
 
     payload_schema = "event_id long, user_id long, event_type string, value double"
     return (

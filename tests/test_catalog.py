@@ -1,0 +1,72 @@
+"""Catalog load-path regression tests.
+
+The round-1 regression: driver testdata writes ``events.ts`` as parquet
+``timestamp[us]`` with no timezone, which Spark loads as TIMESTAMP_NTZ —
+and NTZ breaks ``unix_micros()`` (partition keys) and ``cast("double")``
+(as-of joins) downstream. The catalog must normalize ``ts`` to the
+session TimestampType regardless of the on-disk unit (ns / us / ms).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from awsbeats_spark.catalog import _ts_unit, tables
+
+
+def test_events_ts_is_session_timestamp(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    assert isinstance(t.events.schema["ts"].dataType, TimestampType)
+
+
+def test_events_ts_supports_unix_micros(spark, sf_dir):
+    # the exact expression that regressed (streaming/pipeline.py xid key)
+    t = tables(spark, sf_dir)
+    row = t.events.select(F.unix_micros("ts").alias("us")).first()
+    assert row["us"] is not None
+
+
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_catalog_normalizes_any_unit(spark, tmp_path, unit):
+    ts = pa.array([1_600_000_000_000_000], type=pa.timestamp("us")).cast(
+        pa.timestamp(unit)
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([7], type=pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.5]),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    t = tables(spark, str(tmp_path))
+    df = t.events
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = df.select(F.unix_micros("ts").alias("us")).first()["us"]
+    assert got == 1_600_000_000_000_000
+
+
+def test_ts_unit_probes_partitioned_layout(tmp_path):
+    # dt=... subdirectory layout: the probe must recurse, not default
+    part_dir = tmp_path / "events.parquet" / "dt=2026-01-01"
+    os.makedirs(part_dir)
+    tbl = pa.table(
+        {"ts": pa.array([1_600_000_000_000_000], type=pa.timestamp("ns"))}
+    )
+    pq.write_table(tbl, str(part_dir / "part-0.parquet"))
+    assert _ts_unit(str(tmp_path / "events.parquet")) == "ns"
+
+
+def test_ts_unit_remote_uri_falls_back(tmp_path):
+    # remote URIs aren't probeable with local I/O; fall back, don't raise
+    assert _ts_unit("s3://bucket/events.parquet") in ("ns", "us")
+    assert _ts_unit(str(tmp_path / "missing.parquet")) in ("ns", "us")
