@@ -89,6 +89,7 @@ class DeliveryCounters:
     dropped: int = 0
     retried: int = 0
     attempts: int = 0
+    timeouts: int = 0
 
 
 class BulkPutClient(Protocol):
@@ -112,8 +113,23 @@ def make_boto3_client(cfg: SinkConfig) -> BulkPutClient:
             "boto3 is not installed in this environment; inject a BulkPutClient stub"
         ) from exc
 
-    if cfg.mode == "streams":  # pragma: no cover - needs AWS
-        kin = boto3.client("kinesis", region_name=cfg.region)
+    # Request timeout lives in the transport too (streams/config.go:31):
+    # botocore aborts a hung HTTP call at timeout_s, and its own retry
+    # layer is disabled — publish_records owns ALL retry/backoff policy,
+    # so SDK-level retries would double-deliver ack'd records.
+    try:
+        from botocore.config import Config  # type: ignore[import-not-found]
+
+        boto_cfg = Config(
+            connect_timeout=cfg.timeout_s,
+            read_timeout=cfg.timeout_s,
+            retries={"max_attempts": 0},
+        )
+    except ImportError:  # pragma: no cover
+        boto_cfg = None
+
+    if cfg.mode == "streams":
+        kin = boto3.client("kinesis", region_name=cfg.region, config=boto_cfg)
 
         class _Streams:
             def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]:
@@ -127,9 +143,9 @@ def make_boto3_client(cfg: SinkConfig) -> BulkPutClient:
 
         return _Streams()
 
-    fh = boto3.client("firehose", region_name=cfg.region)  # pragma: no cover
+    fh = boto3.client("firehose", region_name=cfg.region, config=boto_cfg)
 
-    class _Firehose:  # pragma: no cover
+    class _Firehose:
         def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]:
             resp = fh.put_record_batch(
                 DeliveryStreamName=cfg.stream_name,
@@ -188,33 +204,60 @@ def publish_records(
     libbeat queue's re-enqueue replaced by an in-function retry loop
     (the Spark epoch is the transaction; see module docstring).
     """
+    import concurrent.futures
+
     counters = counters if counters is not None else DeliveryCounters()
     counters.new_batch += len(records)
     pending = list(records)
     attempt = 0
-    while pending:
-        if attempt > cfg.max_retries:
-            raise DeliveryError(
-                f"{len(pending)} records undelivered after {cfg.max_retries} retries"
-            )
-        if attempt > 0:
-            counters.retried += len(pending)
-            # outputs.WithBackoff semantics: init * 2^(n-1), capped
-            sleep(min(cfg.backoff_init_s * (2 ** (attempt - 1)), cfg.backoff_max_s))
-        next_round: list[dict[str, Any]] = []
-        for start in range(0, len(pending), cfg.batch_size):
-            chunk = pending[start : start + cfg.batch_size]
-            counters.attempts += 1
-            try:
-                response = client.put_records(chunk)
-            except Exception:  # noqa: BLE001 - request-level failure
-                # no per-record info: retry ALL (streams/client.go:100-102)
-                next_round.extend(chunk)
-                continue
-            next_round.extend(collect_failed(response, chunk))
-        counters.acked += len(pending) - len(next_round)
-        pending = next_round
-        attempt += 1
+    # Request-timeout enforcement (streams/config.go:31, default 90 s):
+    # each bulk call runs under a bounded wait; a call still hung at
+    # timeout_s is abandoned and its chunk retried, exactly like an SDK
+    # client aborting the HTTP request. The pool is per-publish (one
+    # partition's delivery), created lazily only when a timeout is set.
+    pool: concurrent.futures.ThreadPoolExecutor | None = None
+    try:
+        while pending:
+            if attempt > cfg.max_retries:
+                raise DeliveryError(
+                    f"{len(pending)} records undelivered after {cfg.max_retries} retries"
+                )
+            if attempt > 0:
+                counters.retried += len(pending)
+                # outputs.WithBackoff semantics: init * 2^(n-1), capped
+                sleep(min(cfg.backoff_init_s * (2 ** (attempt - 1)), cfg.backoff_max_s))
+            next_round: list[dict[str, Any]] = []
+            for start in range(0, len(pending), cfg.batch_size):
+                chunk = pending[start : start + cfg.batch_size]
+                counters.attempts += 1
+                try:
+                    if cfg.timeout_s and cfg.timeout_s > 0:
+                        if pool is None:
+                            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+                        response = pool.submit(client.put_records, chunk).result(
+                            timeout=cfg.timeout_s
+                        )
+                    else:
+                        response = client.put_records(chunk)
+                except concurrent.futures.TimeoutError:
+                    counters.timeouts += 1
+                    next_round.extend(chunk)
+                    # the worker thread is wedged on the old call; replace
+                    # the pool so the next attempt gets a fresh thread
+                    pool.shutdown(wait=False)
+                    pool = None
+                    continue
+                except Exception:  # noqa: BLE001 - request-level failure
+                    # no per-record info: retry ALL (streams/client.go:100-102)
+                    next_round.extend(chunk)
+                    continue
+                next_round.extend(collect_failed(response, chunk))
+            counters.acked += len(pending) - len(next_round)
+            pending = next_round
+            attempt += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     return counters
 
 

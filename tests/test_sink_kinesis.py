@@ -251,3 +251,143 @@ def test_idempotent_epoch_guard_skips_redelivered_batch(tmp_path):
     assert n_records() == 5
     writer(df, 8)  # next epoch still delivers
     assert n_records() == 10
+
+
+class HangingClient:
+    """First call blocks until released; later calls succeed."""
+
+    def __init__(self, release):
+        self.release = release
+        self.calls = 0
+
+    def put_records(self, records):
+        self.calls += 1
+        if self.calls == 1:
+            self.release.wait(timeout=30)
+        return {"FailedRecordCount": 0, "Records": [ok_entry()] * len(records)}
+
+
+def test_timeout_aborts_hung_attempt_and_retries():
+    # streams/config.go:31 — a put still hung at timeout_s fails the
+    # attempt; the chunk is retried and counted.
+    import threading
+
+    release = threading.Event()
+    client = HangingClient(release)
+    records = [rec(0)]
+    counters = publish_records(
+        client, records, cfg(timeout_s=0.05), sleep=lambda s: None
+    )
+    release.set()
+    assert counters.timeouts == 1
+    assert counters.retried == 1
+    assert counters.acked == 1
+    assert client.calls == 2
+
+
+def test_timeout_exhaustion_raises_delivery_error():
+    import threading
+
+    class AlwaysHanging:
+        def __init__(self):
+            self.release = threading.Event()
+
+        def put_records(self, records):
+            self.release.wait(timeout=30)
+            return {"FailedRecordCount": 0, "Records": []}
+
+    client = AlwaysHanging()
+    with pytest.raises(DeliveryError):
+        publish_records(
+            client,
+            [rec(0)],
+            cfg(timeout_s=0.02, max_retries=1),
+            sleep=lambda s: None,
+        )
+    client.release.set()
+
+
+class _FakeAwsClient:
+    """Stub for boto3.client(...): records constructor + request kwargs."""
+
+    def __init__(self, service, **kwargs):
+        self.service = service
+        self.kwargs = kwargs
+        self.requests = []
+
+    def put_records(self, **req):
+        self.requests.append(req)
+        return {"FailedRecordCount": 0, "Records": [{"ErrorCode": ""}] * len(req["Records"])}
+
+    def put_record_batch(self, **req):
+        self.requests.append(req)
+        return {"FailedPutCount": 1, "RequestResponses": [{"ErrorCode": "X"}]}
+
+
+@pytest.fixture()
+def fake_boto3(monkeypatch):
+    import sys
+    import types
+
+    created = []
+
+    boto3 = types.ModuleType("boto3")
+
+    def client(service, **kwargs):
+        c = _FakeAwsClient(service, **kwargs)
+        created.append(c)
+        return c
+
+    boto3.client = client
+    botocore = types.ModuleType("botocore")
+    botocore_config = types.ModuleType("botocore.config")
+
+    class Config:
+        def __init__(self, **kw):
+            self.kw = kw
+
+    botocore_config.Config = Config
+    botocore.config = botocore_config
+    monkeypatch.setitem(sys.modules, "boto3", boto3)
+    monkeypatch.setitem(sys.modules, "botocore", botocore)
+    monkeypatch.setitem(sys.modules, "botocore.config", botocore_config)
+    return created
+
+
+def test_boto3_streams_adapter_request_shape(fake_boto3):
+    # the production adapter maps records to the PutRecords wire shape
+    # (streams/client.go:155-165) and carries timeout_s into the
+    # transport config with SDK retries off (publish_records owns retry)
+    from awsbeats_spark.sinks.kinesis import make_boto3_client
+
+    c = cfg(partition_key_provider="xid", timeout_s=45.0)
+    client = make_boto3_client(c)
+    resp = client.put_records([{"data": "d1\n", "partition_key": "pk1"}])
+    aws = fake_boto3[0]
+    assert aws.service == "kinesis"
+    assert aws.kwargs["region_name"] == "us-east-1"
+    assert aws.kwargs["config"].kw == {
+        "connect_timeout": 45.0,
+        "read_timeout": 45.0,
+        "retries": {"max_attempts": 0},
+    }
+    assert aws.requests[0]["StreamName"] == "test"
+    assert aws.requests[0]["Records"] == [{"Data": "d1\n", "PartitionKey": "pk1"}]
+    assert collect_failed(resp, [rec(0)]) == []
+
+
+def test_boto3_firehose_adapter_normalizes_response(fake_boto3):
+    # firehose PutRecordBatch responses (FailedPutCount/RequestResponses)
+    # are normalized to the streams shape so collect_failed is shared
+    # (firehose/client.go:138-158)
+    from awsbeats_spark.sinks.kinesis import make_boto3_client
+
+    client = make_boto3_client(cfg(mode="firehose", partition_key=None))
+    resp = client.put_records([{"data": "d1\n", "partition_key": "pk1"}])
+    aws = fake_boto3[0]
+    assert aws.service == "firehose"
+    assert aws.requests[0]["DeliveryStreamName"] == "test"
+    assert aws.requests[0]["Records"] == [{"Data": "d1\n"}]
+    assert resp["FailedRecordCount"] == 1
+    failed = collect_failed(resp, [rec(0)])
+    assert len(failed) == 1
