@@ -98,6 +98,45 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("profile_columns_approx", oracle=None, tags=("rows-only",))
+def profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB scale path for profile_columns: approx_count_distinct
+    (HLL++, rsd 0.01) replaces every exact distinct, so the plan has NO
+    Catalyst Expand — one map-side-combined HashAggregate over a single
+    scan, one exchange of a single row of sketch buffers. Null counts
+    and min/max ride in the same pass (string extrema still split to an
+    expand-free twin pass, same reasoning as the exact key). Rows-only:
+    DuckDB's approx sketch differs; tests bound each estimate within 5%
+    of the exact distinct count."""
+    li = tables(spark, sf_dir).lineitem
+    aggs: list = []
+    str_aggs: list = []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.approx_count_distinct(c, 0.01).alias(f"nd_{c}"),
+        ]
+        target = str_aggs if kind == "str" else aggs
+        target += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    wide = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*str_aggs)))
+
+    def _repr(c: str, kind: str, side: str) -> str:
+        if kind == "dbl":
+            return f"printf('%.4f', {side}_{c})"
+        return f"CAST({side}_{c} AS string)"
+
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, {_repr(c, kind, 'mn')}, {_repr(c, kind, 'mx')}"
+        for c, kind in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct_approx, min_repr, max_repr)"
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SCD-2 historization (gaps-and-islands over the event stream)
 # --------------------------------------------------------------------------

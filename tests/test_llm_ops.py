@@ -429,3 +429,43 @@ def test_pca_projection_matches_numpy_whole_matrix(spark, sf_dir):
     # top-2 PCs must actually dominate: projected variance ratio sanity
     var_ratio = expect.var(axis=0).sum() / x.var(axis=0).sum()
     assert var_ratio > 0.03  # random-ish 64-dim data: top-2 of 64 dims
+
+
+def test_dedup_cosine_lsh_path_high_recall_exact_precision(spark, sf_dir):
+    # the >EXACT_DEDUP_MAX_ROWS strategy, forced at small sf: every pair
+    # it returns must carry the true cosine (precision 1.0 by rescoring)
+    # and recall vs the exact path must be high at tau
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.llm.similarity import (
+        _dedup_cosine_exact,
+        _dedup_cosine_lsh,
+    )
+
+    t = tables(spark, sf_dir)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _dedup_cosine_exact(t).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"] for r in _dedup_cosine_lsh(t).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1.0
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.9, (len(lsh), len(exact))
+
+
+def test_dedup_cosine_plan_has_no_cartesian_at_scale_path(spark, sf_dir):
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.llm.similarity import _dedup_cosine_lsh
+
+    plan = (
+        _dedup_cosine_lsh(tables(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -60,3 +60,23 @@ def test_text_normalize_idempotent_and_clean(spark, sf_dir):
         t = r["norm_text"]
         assert re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)*", t) or t == ""
         assert r["n_words_norm"] == (len(t.split()) if t else 0)
+
+
+def test_profile_approx_within_5pct_of_exact_and_no_expand(spark, sf_dir):
+    load_all()
+    from awsbeats_spark.registry import QUERIES
+
+    exact = {
+        r["column_name"]: r["n_distinct"]
+        for r in QUERIES["profile_columns"].fn(spark, sf_dir).collect()
+    }
+    approx_df = QUERIES["profile_columns_approx"].fn(spark, sf_dir)
+    approx = {
+        r["column_name"]: r["n_distinct_approx"] for r in approx_df.collect()
+    }
+    assert set(approx) == set(exact)
+    for c, est in approx.items():
+        assert abs(est - exact[c]) <= max(1, 0.05 * exact[c]), (c, est, exact[c])
+    # the whole point of the approx twin: no Catalyst Expand in the plan
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
