@@ -16,6 +16,7 @@ from awsbeats_spark.operators.llm import (  # noqa: F401
     text,
 )
 from awsbeats_spark.operators import (  # noqa: F401
+    quality,
     relational,
     windows,
     setops,

@@ -260,3 +260,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     ).select("n_edges", "n_triangles")
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, '(none)') AS touch_type,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, '(none)')
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRIOR non-purchase event type ('(none)' when the
+    purchase opens the timeline). One window pass per user timeline —
+    a single shuffle on user_id, the natural partition key — then a
+    tiny groupBy over |event_types| rows. The (ts, event_id) ordering
+    tiebreaker makes attribution deterministic under same-timestamp
+    events."""
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            rnd(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

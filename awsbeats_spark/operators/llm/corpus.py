@@ -699,3 +699,83 @@ def corpus_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("users_purged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-quantile filtering + source-mix entropy
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_quantile_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round(pr, 6) AS len_pctile
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+               ) AS pr
+        FROM documents
+    )
+    WHERE pr >= 0.75
+    """,
+)
+def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile gate: keep documents at or above the 75th
+    length percentile OF THEIR LANGUAGE — the standard 'top-quartile
+    per stratum' quality filter (absolute thresholds starve low-resource
+    languages). percent_rank is one window per lang partition — a single
+    shuffle on lang; the doc_id tiebreaker makes the cut deterministic.
+    At 100 TB swap the exact window for approx_percentile per lang
+    broadcast back (sketch pass + map filter, no big shuffle)."""
+    docs = tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+        )
+        .filter(F.col("pr") >= 0.75)
+        .select("doc_id", "lang", "n_chars", rnd("pr", 6).alias("len_pctile"))
+    )
+
+
+@query(
+    "corpus_source_mix",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len({WORDS_SQL})) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(n_tokens) AS all_tokens FROM per_source)
+    SELECT s.source, s.n_docs,
+           round(s.n_tokens * 1.0 / t.all_tokens, 6) AS token_share,
+           round(-(s.n_tokens * 1.0 / t.all_tokens)
+                 * ln(s.n_tokens * 1.0 / t.all_tokens), 6) AS entropy_term
+    FROM per_source s CROSS JOIN tot t
+    """,
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix audit: per-source token share and its Shannon
+    entropy contribution (sum of entropy_term = mix entropy — the
+    number mixture designers tune against). One groupBy(source) with
+    map-side combine; the grand total is a one-row broadcast back over
+    the tiny per-source aggregate, so the documents scan happens
+    exactly once."""
+    docs = tables(spark, sf_dir).documents
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words())).alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("all_tokens"))
+    share = F.col("n_tokens") / F.col("all_tokens")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            rnd(share, 6).alias("token_share"),
+            rnd(-share * F.log(share), 6).alias("entropy_term"),
+        )
+    )

@@ -847,3 +847,43 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         project, schema="vec_id long, pc1 double, pc2 double"
     ).orderBy("vec_id")
+
+
+RANGE_TAU = 0.3
+
+
+@query(
+    "sim_search_range",
+    oracle=f"""
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           round({cosine_sql('q.embedding', 'c.embedding')}, 6) AS cosine
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+    WHERE q.vec_id < {N_QUERIES}
+      AND {cosine_sql('q.embedding', 'c.embedding')} >= {RANGE_TAU}
+    """,
+)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within
+    cosine >= tau of each query — the retrieval mode dedup pipelines
+    use when "how many" isn't known up front (vs top-k's fixed cut).
+    Same physical shape as sim_search_topk: broadcast query set over
+    ONE corpus scan, no shuffle of the corpus, no window needed (the
+    radius predicate is a filter, cheaper than ranking)."""
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    ).select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("nc"))
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= RANGE_TAU)
+        .select("query_id", "neighbor_id", rnd("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,206 @@
+"""Data-quality / validation operators — engine extension (SURVEY.md
+§2.C). The reference ships records blind (it drops rows only on encode
+error, streams/client.go:109-125); a 100-TB ingest pipeline needs
+declarative quality gates that run as ONE aggregation pass per table,
+not a rule-at-a-time rescan.
+
+Scale notes: every operator here is a single scan with map-side partial
+aggregation (conditional sums / anti-join counts against broadcast
+dims); nothing rescans per rule. At 1000 executors each check is one
+exchange of a handful of counter rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.registry import query
+
+# (rule_name, spark predicate SQL, duckdb predicate SQL) — violations
+# counted where the predicate is TRUE. Expressions are ANSI enough to be
+# identical on both engines.
+_LINEITEM_RULES = (
+    ("quantity_out_of_range", "l_quantity < 1 OR l_quantity > 50"),
+    ("discount_out_of_range", "l_discount < 0 OR l_discount > 0.5"),
+    ("tax_negative", "l_tax < 0"),
+    ("price_not_positive", "l_extendedprice <= 0"),
+    ("returnflag_invalid", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("linestatus_invalid", "l_linestatus NOT IN ('O', 'F')"),
+    ("orderkey_null", "l_orderkey IS NULL"),
+)
+
+
+@query(
+    "dq_constraint_violations",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS rule_name,
+               sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS n_violations,
+               count(*) AS n_rows
+        FROM lineitem"""
+        for name, pred in _LINEITEM_RULES
+    ),
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint checking (the Deequ/expectations analog):
+    every rule compiles to a conditional sum in ONE HashAggregate over a
+    single lineitem scan — adding a rule adds a column to the aggregate,
+    not a pass over the data. The oracle's UNION ALL of per-rule scans
+    is the semantic spec only."""
+    li = tables(spark, sf_dir).lineitem
+    aggs = [
+        F.sum(F.expr(pred).cast("long")).alias(f"v_{name}")
+        for name, pred in _LINEITEM_RULES
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', v_{name}" for name, _ in _LINEITEM_RULES)
+    return wide.select(
+        F.expr(
+            f"stack({len(_LINEITEM_RULES)}, {stack_args}) AS (rule_name, n_violations)"
+        ),
+        "n_rows",
+    ).select("rule_name", "n_violations", "n_rows")
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer' AS fk_edge,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'customer->nation' AS fk_edge,
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+    UNION ALL
+    SELECT 'supplier->nation' AS fk_edge,
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey)) AS n_orphans
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan counts across the star schema's edges, each an
+    anti-join count. Dimension sides are broadcast (BROADCAST_TABLES),
+    so each edge costs one scan of the fact side and zero shuffles of
+    it; the lineitem->orders edge is the only shuffled anti-join and it
+    shuffles on the join key exactly once."""
+    t = tables(spark, sf_dir)
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, edge: str):
+        dim_keys = dim.select(F.col(pk).alias(fk)).distinct()
+        # orders is a fact-sized dim: let the anti-join shuffle on its
+        # key; the true dimensions broadcast
+        side = dim_keys if edge == "lineitem->orders" else F.broadcast(dim_keys)
+        return (
+            fact.join(side, on=fk, how="left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    return (
+        orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(t.orders, "o_custkey", t.customer, "c_custkey", "orders->customer"))
+        .unionAll(orphans(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer->nation"))
+        .unionAll(orphans(t.supplier, "s_nationkey", t.nation, "n_nationkey", "supplier->nation"))
+    )
+
+
+@query(
+    "dq_duplicate_keys",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           count(*) AS n_dup_keys,
+           coalesce(sum(n), 0) AS n_dup_rows
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'customer' AS table_name,
+           count(*) AS n_dup_keys,
+           coalesce(sum(n), 0) AS n_dup_rows
+    FROM (SELECT c_custkey, count(*) AS n FROM customer
+          GROUP BY c_custkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'part' AS table_name,
+           count(*) AS n_dup_keys,
+           coalesce(sum(n), 0) AS n_dup_rows
+    FROM (SELECT p_partkey, count(*) AS n FROM part
+          GROUP BY p_partkey HAVING count(*) > 1)
+    """,
+)
+def dq_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: per table, how many key values
+    occur more than once and how many rows they cover. Each branch is
+    groupBy(key) with map-side combine then a one-row rollup — the same
+    shape ANALYZE-style jobs use; branches union into one result."""
+
+    t = tables(spark, sf_dir)
+
+    def dups(df: DataFrame, key: str, label: str) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(
+                F.count(F.lit(1)).alias("n_dup_keys"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_dup_rows"),
+            )
+            .select(F.lit(label).alias("table_name"), "n_dup_keys", "n_dup_rows")
+        )
+
+    return (
+        dups(t.orders, "o_orderkey", "orders")
+        .unionAll(dups(t.customer, "c_custkey", "customer"))
+        .unionAll(dups(t.part, "p_partkey", "part"))
+    )
+
+
+@query(
+    "dq_freshness_watermark",
+    oracle="""
+    WITH hi AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT CAST(hi.max_ts AS VARCHAR) AS max_ts_repr,
+           sum(CASE WHEN e.ts >= hi.max_ts - INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END) AS n_last_hour,
+           sum(CASE WHEN e.ts < hi.max_ts - INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END) AS n_older_than_day
+    FROM events e CROSS JOIN hi
+    GROUP BY hi.max_ts
+    """,
+)
+def dq_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness audit: the table's high-watermark timestamp,
+    how many events landed in the trailing hour, and how much of the
+    table is older than a day. One max() aggregate broadcast back over
+    one scan — the standard freshness SLO probe."""
+    ev = tables(spark, sf_dir).events
+    hi = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(hi))
+        .groupBy("max_ts")
+        .agg(
+            F.sum(
+                (F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 HOURS")).cast(
+                    "long"
+                )
+            ).alias("n_last_hour"),
+            F.sum(
+                (F.col("ts") < F.col("max_ts") - F.expr("INTERVAL 24 HOURS")).cast(
+                    "long"
+                )
+            ).alias("n_older_than_day"),
+        )
+        .select(
+            F.col("max_ts").cast("string").alias("max_ts_repr"),
+            "n_last_hour",
+            "n_older_than_day",
+        )
+    )
