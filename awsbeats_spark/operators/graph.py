@@ -309,3 +309,39 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             rnd(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, path
+    FROM seq
+    WHERE regexp_matches(path, 'view(>[a-z]+)*?>purchase')
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern over user timelines: users
+    whose event path contains a view ... purchase subsequence (any
+    events between). The timeline is assembled with ONE sort-based
+    aggregate on user_id (array_sort over (ts,event_id,type) structs —
+    no window pass needed) and the pattern is a single JVM regex per
+    user — the cheap CEP shape: shuffle once on the session key, then
+    map-side regex. The deterministic (ts, event_id) ordering makes the
+    path string reproducible under equal timestamps."""
+    ev = tables(spark, sf_dir).events
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_join(ordered, ">").alias("path"))
+        .filter(F.col("path").rlike("view(>[a-z]+)*?>purchase"))
+    )

@@ -768,14 +768,16 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(words())).alias("n_tokens"),
     )
-    tot = per_source.agg(F.sum("n_tokens").alias("all_tokens"))
-    share = F.col("n_tokens") / F.col("all_tokens")
-    return (
-        per_source.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            rnd(share, 6).alias("token_share"),
-            rnd(-share * F.log(share), 6).alias("entropy_term"),
-        )
+    # grand total as an unpartitioned window over the |sources|-row
+    # aggregate — no second scan of documents (a separate .agg() branch
+    # would re-run the tokenize pipeline over the whole table), and the
+    # single-partition window only ever sees |sources| rows.
+    share = F.col("n_tokens") / F.sum("n_tokens").over(
+        Window.partitionBy(F.lit(1))
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        rnd(share, 6).alias("token_share"),
+        rnd(-share * F.log(share), 6).alias("entropy_term"),
     )

@@ -887,3 +887,46 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= RANGE_TAU)
         .select("query_id", "neighbor_id", rnd("cos_raw", 6).alias("cosine"))
     )
+
+
+MRL_DIMS = (8, 16, 32, 64)
+
+
+@query(
+    "embed_matryoshka_energy",
+    oracle=f"""
+    SELECT vec_id, d AS dim,
+           round(list_dot_product(embedding[1:d]::DOUBLE[], embedding[1:d]::DOUBLE[])
+                 / list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6)
+               AS energy_ratio
+    FROM embeddings
+    CROSS JOIN (SELECT unnest({list(MRL_DIMS)}) AS d)
+    """,
+)
+def embed_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: the fraction of each vector's
+    L2 energy retained by its first 8/16/32/64 dims — the number that
+    decides how far an MRL-trained embedding can be truncated before
+    retrieval quality drops. Pure projection: all four prefix energies
+    come from ONE pass over the vector (posexplode of a 4-entry array),
+    no shuffle, no join — at 100 TB this is a map-only scan."""
+    emb = tables(spark, sf_dir).embeddings
+    base = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("ev")
+    ).select("vec_id", "ev", dot(F.col("ev"), F.col("ev")).alias("full_e"))
+    ratios = F.array(
+        *[
+            dot(F.slice("ev", 1, d), F.slice("ev", 1, d)) / F.col("full_e")
+            for d in MRL_DIMS
+        ]
+    )
+    return (
+        base.select("vec_id", F.posexplode(ratios).alias("pos", "er"))
+        .select(
+            "vec_id",
+            F.element_at(
+                F.array(*[F.lit(d) for d in MRL_DIMS]), F.col("pos") + 1
+            ).alias("dim"),
+            rnd("er", 6).alias("energy_ratio"),
+        )
+    )

@@ -85,6 +85,18 @@ EXTENDED_PROBE = [
     "graph_triangle_count",
     "corpus_sample_k_per_group",
     "join_fuzzy_name_blocked",
+    # round 2 additions
+    "dq_constraint_violations",
+    "dq_referential_orphans",
+    "dq_duplicate_keys",
+    "dq_freshness_watermark",
+    "profile_columns_approx",
+    "sim_search_range",
+    "corpus_quantile_filter",
+    "corpus_source_mix",
+    "events_attribution_last_touch",
+    "events_pattern_match",
+    "embed_matryoshka_energy",
 ]
 
 

@@ -454,3 +454,46 @@ def test_aqe_rebalances_skewed_join_at_runtime(spark):
                 conf.unset(key)
             else:
                 conf.set(key, val)
+
+
+def test_dq_constraint_violations_single_scan_no_joins(q):
+    # every rule is a conditional sum in ONE aggregate pass: a single
+    # lineitem scan, no hash-key shuffle, no joins
+    df = q("dq_constraint_violations")
+    counts = plan_counts(df)
+    assert executed_plan(df).count("Scan parquet") == 1
+    assert counts["exchanges"] == 0  # only the SinglePartition gather
+    assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0
+
+
+def test_dq_referential_orphans_broadcasts_dims(q):
+    counts = plan_counts(q("dq_referential_orphans"))
+    # customer/nation(x2) edges broadcast; only lineitem->orders shuffles
+    assert counts["broadcast_joins"] >= 3
+
+
+def test_profile_columns_approx_has_no_expand(q):
+    plan = executed_plan(q("profile_columns_approx"))
+    assert "Expand" not in plan
+
+
+def test_sim_search_range_no_corpus_shuffle(q):
+    # broadcast(queries) x corpus scan compiles to a broadcast
+    # nested-loop join (the scored filter runs per pair); the corpus
+    # itself never shuffles
+    counts = plan_counts(q("sim_search_range"))
+    assert counts["nested_loop_joins"] == 1
+    assert counts["exchanges"] == 0
+
+
+def test_corpus_source_mix_single_scan(q):
+    # the grand total is a window over the tiny per-source aggregate:
+    # one documents scan feeds both levels, no join at all
+    df = q("corpus_source_mix")
+    assert executed_plan(df).count("Scan parquet") == 1
+
+
+def test_attribution_single_user_shuffle(q):
+    counts = plan_counts(q("events_attribution_last_touch"))
+    # one shuffle for the user_id window + one for the tiny final group
+    assert counts["exchanges"] <= 2
