@@ -25,7 +25,13 @@ SPECS = load_all()
 GLOBAL_AGG = {"q6_forecast_revenue", "graph_triangle_count"}
 
 # operators with a fixed output shape regardless of input rows
-FIXED_ROWS = {"profile_columns": 11}
+FIXED_ROWS = {
+    "profile_columns": 11,
+    "profile_columns_approx": 11,
+    "dq_constraint_violations": 7,
+    "dq_referential_orphans": 4,
+    "dq_duplicate_keys": 3,
+}
 
 SAMPLE = [
     "scan_parquet",
@@ -103,6 +109,18 @@ SAMPLE = [
     "embed_kmeans_cluster",
     "sim_search_pq",
     "scalar_variant_json",
+    # round-2 operators
+    "dq_constraint_violations",
+    "dq_referential_orphans",
+    "dq_duplicate_keys",
+    "dq_freshness_watermark",
+    "profile_columns_approx",
+    "sim_search_range",
+    "corpus_quantile_filter",
+    "corpus_source_mix",
+    "events_attribution_last_touch",
+    "events_pattern_match",
+    "embed_matryoshka_energy",
 ]
 
 
