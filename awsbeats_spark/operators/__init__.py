@@ -17,6 +17,7 @@ from awsbeats_spark.operators.llm import (  # noqa: F401
 )
 from awsbeats_spark.operators import (  # noqa: F401
     quality,
+    udtf,
     relational,
     windows,
     setops,

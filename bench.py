@@ -97,6 +97,7 @@ EXTENDED_PROBE = [
     "events_attribution_last_touch",
     "events_pattern_match",
     "embed_matryoshka_energy",
+    "udtf_sentence_split",
 ]
 
 

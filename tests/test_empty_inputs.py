@@ -121,6 +121,7 @@ SAMPLE = [
     "events_attribution_last_touch",
     "events_pattern_match",
     "embed_matryoshka_energy",
+    "udtf_sentence_split",
 ]
 
 
