@@ -621,3 +621,26 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("last_event_type"),
         rnd(F.col("s.value"), 2).alias("last_value"),
     )
+
+
+@query(
+    "codec_orc_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def codec_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: write the events table to ORC and
+    read it back (identity oracle against the parquet source — the
+    round trip must be lossless). ORC is the other columnar lake format
+    a Spark warehouse exchanges with Hive/Trino; the read path gets the
+    same vectorized scan + pushdown treatment as parquet
+    (tests/test_sink_parquet.py pins ORC predicate pushdown). The write
+    is executor-parallel; the driver only names the directory."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="codec_orc_")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    t.events.select(*cols).write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(*cols)

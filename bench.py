@@ -98,6 +98,7 @@ EXTENDED_PROBE = [
     "events_pattern_match",
     "embed_matryoshka_energy",
     "udtf_sentence_split",
+    "codec_orc_roundtrip",
 ]
 
 

@@ -122,6 +122,7 @@ SAMPLE = [
     "events_pattern_match",
     "embed_matryoshka_energy",
     "udtf_sentence_split",
+    "codec_orc_roundtrip",
 ]
 
 
