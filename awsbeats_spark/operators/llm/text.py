@@ -9,7 +9,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
@@ -374,4 +374,43 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(dup, 4).alias("dup_word_frac"),
         rnd(top, 4).alias("top_bigram_frac"),
         (dup > 0.6).alias("flag_repetitive"),
+    )
+
+
+@query(
+    "text_entropy_char",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                                             i -> substring(text, i, 1))) AS ch
+        FROM documents
+    ),
+    freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+    withn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM freq)
+    SELECT doc_id, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS char_entropy
+    FROM withn GROUP BY doc_id
+    """,
+)
+def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the CCNet/Gopher
+    gibberish gate (too-low entropy = repeated chars/boilerplate,
+    too-high = random bytes). The char explode stays JVM-side via a
+    substring transform over a sequence (no Python, no regex); the
+    per-doc distribution is two hash aggregates partitioned by doc_id —
+    at 100 TB this shuffles (doc_id, ch) pairs once, bounded by
+    |alphabet| per doc."""
+    t = tables(spark, sf_dir)
+    chars = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("n")
+    return (
+        freq.select("doc_id", "c", n.alias("n"))
+        .groupBy("doc_id")
+        .agg(rnd(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
     )

@@ -356,3 +356,58 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.array_sort(ltoks), 1, 3), ",").alias("first_sorted"),
         F.array_contains(ltoks, "the").alias("has_the"),
     )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-25'
+    GROUP BY 1, 2
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned table layout + partition pruning, end to end:
+    the events table is written partitioned by day (dt=...) — the
+    layout a 100-TB event lake actually uses — then read back with a
+    date predicate that must prune at the DIRECTORY level
+    (PartitionFilters in the scan, pinned by tests/test_plans.py), so
+    five of thirty day-partitions are opened and the rest never touch
+    I/O. The write is executor-parallel (repartition by dt, one file
+    per day here); the oracle computes the same aggregate from the
+    unpartitioned source."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="events_lake_")
+    (
+        t.events.withColumn("dt", F.col("ts").cast("date").cast("string"))
+        .repartition("dt")
+        .write.partitionBy("dt")
+        .mode("overwrite")
+        .parquet(lake)
+    )
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(lake, "dt=*")):
+        # zero-row source: the partitioned write emits no directories and
+        # the reader cannot infer a schema from nothing — return the
+        # operator's (empty) contract shape instead of raising
+        return spark.createDataFrame(
+            [], "dt string, event_type string, n_events long, sum_value double"
+        )
+    return (
+        spark.read.parquet(lake)
+        .filter(F.col("dt") >= "2024-01-25")
+        .groupBy("dt", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("dt").cast("string").alias("dt"), "event_type", "n_events", "sum_value")
+    )

@@ -99,6 +99,8 @@ EXTENDED_PROBE = [
     "embed_matryoshka_energy",
     "udtf_sentence_split",
     "codec_orc_roundtrip",
+    "text_entropy_char",
+    "scan_partition_pruned",
 ]
 
 

@@ -123,6 +123,8 @@ SAMPLE = [
     "embed_matryoshka_energy",
     "udtf_sentence_split",
     "codec_orc_roundtrip",
+    "text_entropy_char",
+    "scan_partition_pruned",
 ]
 
 

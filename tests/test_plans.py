@@ -497,3 +497,11 @@ def test_attribution_single_user_shuffle(q):
     counts = plan_counts(q("events_attribution_last_touch"))
     # one shuffle for the user_id window + one for the tiny final group
     assert counts["exchanges"] <= 2
+
+
+def test_scan_partition_pruned_has_partition_filters(q):
+    plan = executed_plan(q("scan_partition_pruned"))
+    # the date predicate must prune at the directory level, not as a
+    # row-level data filter
+    assert "PartitionFilters: [" in plan
+    assert "2024-01-25" in plan.split("PartitionFilters", 1)[1][:200]
