@@ -930,3 +930,49 @@ def embed_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("er", 6).alias("energy_ratio"),
         )
     )
+
+
+@query(
+    "embed_outlier_topk",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, d, embedding[d]::DOUBLE AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+    ),
+    center AS (SELECT d, avg(x) AS mu FROM dims GROUP BY d),
+    dist AS (
+        SELECT vec_id, sqrt(sum((x - mu) * (x - mu))) AS dist
+        FROM dims JOIN center USING (d) GROUP BY vec_id
+    )
+    SELECT vec_id, round(dist, 6) AS dist_to_center, rn
+    FROM (SELECT vec_id, dist,
+                 row_number() OVER (ORDER BY dist DESC, vec_id) AS rn
+          FROM dist)
+    WHERE rn <= 20
+    """,
+)
+def embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: the 20 vectors farthest from the corpus centroid —
+    the pre-training outlier sweep that catches corrupt/degenerate
+    embeddings before they poison contrastive batches. The centroid is
+    a 64-row aggregate broadcast back over one dims pass; the top-k is
+    TakeOrdered (no global sort). At 100 TB the same two aggregates are
+    map-side combined; nothing materializes beyond 64 rows + k."""
+    emb = tables(spark, sf_dir).embeddings
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("d0", "x"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    center = dims.groupBy("d").agg(F.avg("x").alias("mu"))
+    dist = (
+        dims.join(F.broadcast(center), "d")
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))).alias("dist"))
+    )
+    w = Window.orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", rnd("dist", 6).alias("dist_to_center"), "rn")
+    )

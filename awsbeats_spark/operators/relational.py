@@ -411,3 +411,51 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dt").cast("string").alias("dt"), "event_type", "n_events", "sum_value")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(CASE WHEN has_v2 THEN 1 ELSE 0 END) AS n_v2_rows,
+           round(sum(CASE WHEN has_v2 THEN value ELSE 0 END), 2) AS v2_value
+    FROM (
+        SELECT event_type, value, FALSE AS has_v2 FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, value, TRUE AS has_v2 FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY event_type
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation-1 files lack
+    the `source_v2` column, generation-2 files carry it; a mergeSchema
+    read unions the physical schemas and fills nulls for old files —
+    the exact situation a long-lived 100-TB lake is always in (columns
+    are added, history is never rewritten). The aggregate proves rows
+    from both generations survive with correct null semantics. Writes
+    are executor-parallel; at scale mergeSchema cost is footer-only and
+    is paid once per listing (or avoided with a table catalog)."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="events_evo_")
+    base = t.events.select("event_id", "event_type", "value")
+    base.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{lake}/gen=1"
+    )
+    base.filter(F.col("event_id") % 2 == 1).withColumn(
+        "source_v2", F.lit("ingest-v2")
+    ).write.mode("overwrite").parquet(f"{lake}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{lake}/gen=1", f"{lake}/gen=2"
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("source_v2").isNotNull().cast("long")).alias("n_v2_rows"),
+        rnd(
+            F.sum(F.when(F.col("source_v2").isNotNull(), F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("v2_value"),
+    )

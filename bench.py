@@ -101,6 +101,8 @@ EXTENDED_PROBE = [
     "codec_orc_roundtrip",
     "text_entropy_char",
     "scan_partition_pruned",
+    "scan_schema_evolution",
+    "embed_outlier_topk",
 ]
 
 

@@ -125,6 +125,8 @@ SAMPLE = [
     "codec_orc_roundtrip",
     "text_entropy_char",
     "scan_partition_pruned",
+    "scan_schema_evolution",
+    "embed_outlier_topk",
 ]
 
 
