@@ -49,8 +49,14 @@ def _ts_unit(path: str) -> str:
 
     try:
         if os.path.isdir(path):
+            # per-level sorted walk with early return: deterministic AND
+            # O(first partition) — sorted(os.walk(...)) would list the
+            # entire tree before yielding anything, which on a
+            # thousands-of-partitions layout makes the "footer-only
+            # probe" a full driver-side listing
             part = None
-            for root, _dirs, files in sorted(os.walk(path)):
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
                 cand = sorted(f for f in files if f.endswith(".parquet"))
                 if cand:
                     part = os.path.join(root, cand[0])

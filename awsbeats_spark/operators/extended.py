@@ -39,29 +39,25 @@ def scan_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single parquet file through a temp dir of symlinks
     watch_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(watch_dir, "events.parquet"))
-    # Gate the streaming schema on the parquet footer's timestamp unit so
-    # the stream read stays consistent with the catalog's batch read for
-    # BOTH nanos (legacy raw-long + truncate) and micros (NTZ -> session
-    # timestamp) datasets.
-    from awsbeats_spark.catalog import _ts_unit
+    # The stream read must stay consistent with the catalog's batch read
+    # for EVERY physical ts flavor (legacy nanos-as-long, naive micros ->
+    # NTZ, tz-adjusted micros -> TimestampType). Rather than re-deriving
+    # the flavor from the footer, take the RAW batch schema Spark infers
+    # for this file under the current session confs (tables() above
+    # already set the legacy-nanos flag when needed) and apply the same
+    # normalization _load does.
+    from pyspark.sql.types import LongType, TimestampType
 
-    if _ts_unit(f"{sf_dir}/events.parquet") == "ns":
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, value double, props string"
-            )
-            .parquet(watch_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    else:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts timestamp_ntz, user_id long, event_type string,"
-                " value double, props string"
-            )
-            .parquet(watch_dir)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-        )
+    raw_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    raw_schema = (
+        f"event_id long, ts {raw_ts.simpleString()}, user_id long,"
+        " event_type string, value double, props string"
+    )
+    stream = spark.readStream.schema(raw_schema).parquet(watch_dir)
+    if isinstance(raw_ts, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(raw_ts, TimestampType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     stream = stream.select("event_id", "user_id", "event_type", "value")
     name = f"scan_stream_{uuid.uuid4().hex[:10]}"
     q = (
@@ -535,7 +531,9 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task, so partitionBy yields one part file per shard dir); the
     # driver only does O(#shards) file renames — no row iteration
     # through the driver at any scale.
-    staging = tempfile.mkdtemp(prefix="kinesis_archive_stage_")
+    from awsbeats_spark.functions.workdirs import work_dir
+
+    staging = work_dir("kinesis_archive_stage", sf_dir)
     (
         t.events.select(
             (F.col("user_id") % 4).cast("string").alias("shard"),
@@ -553,7 +551,10 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .text(staging)
     )
-    archive = tempfile.mkdtemp(prefix="kinesis_archive_")
+    # fixed path for the same reason as staging: the returned DataFrame
+    # reads it lazily, so it must outlive the call — reuse, don't leak.
+    # Shard files are rewritten wholesale ("wb") each invocation.
+    archive = work_dir("kinesis_archive", sf_dir)
     for d in sorted(os.listdir(staging)):
         if not d.startswith("shard="):
             continue
@@ -569,6 +570,9 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in parts:
                 with open(os.path.join(staging, d, p), "rb") as src:
                     shutil.copyfileobj(src, out)
+    # the staging copy is fully concatenated into the archive: drop it
+    # (work_dir is a fixed path, so the NEXT call recreates it cheaply)
+    shutil.rmtree(staging, ignore_errors=True)
 
     payload_schema = "event_id long, user_id long, event_type string, value double"
     return (

@@ -754,6 +754,7 @@ def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(-(s.n_tokens * 1.0 / t.all_tokens)
                  * ln(s.n_tokens * 1.0 / t.all_tokens), 6) AS entropy_term
     FROM per_source s CROSS JOIN tot t
+    WHERE s.n_tokens > 0
     """,
 )
 def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,10 +765,14 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny per-source aggregate, so the documents scan happens
     exactly once."""
     docs = tables(spark, sf_dir).documents
+    # n_tokens > 0 guard on BOTH sides: a source whose docs all tokenize
+    # empty has share 0, where ln(0) is NULL in Spark but a hard error
+    # in DuckDB — dropping zero-token sources makes the contract total
+    # (their entropy contribution is the limit 0 anyway).
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(words())).alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     # grand total as an unpartitioned window over the |sources|-row
     # aggregate — no second scan of documents (a separate .agg() branch
     # would re-run the tokenize pipeline over the whole table), and the

@@ -212,12 +212,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       isotropic data; precision is exactly 1.0 (every candidate is
       rescored with the true cosine).
 
-    The row-count probe is a footer-level parquet count (O(metadata)).
+    The registered oracle is the exact pairwise SQL: it governs the
+    exact path (always taken at driver-comparison scale). The LSH path
+    is the documented sub-1.0-recall approximation, validated instead
+    by tests/test_llm_ops.py (forced-path recall/precision bounds).
+
+    The row-count probe reads parquet footer metadata when the dataset
+    is a local file/dir (no Spark job); only non-probeable sources pay
+    a count().
     """
     t = tables(spark, sf_dir)
-    if t.embeddings.count() > EXACT_DEDUP_MAX_ROWS:
+    n = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n is None:
+        n = t.embeddings.count()
+    if n > EXACT_DEDUP_MAX_ROWS:
         return _dedup_cosine_lsh(t)
     return _dedup_cosine_exact(t)
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Footer-metadata row count; None when not locally probeable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return None
+    except (OSError, ValueError):
+        return None
 
 
 EXACT_DEDUP_MAX_ROWS = 20_000  # ~2e8 scored pairs: the exact path's ceiling

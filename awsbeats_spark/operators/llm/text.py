@@ -400,7 +400,11 @@ def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this shuffles (doc_id, ch) pairs once, bounded by
     |alphabet| per doc."""
     t = tables(spark, sf_dir)
-    chars = t.documents.select(
+    # length(text) > 0 guard: Spark's sequence(1, 0) yields [1, 0]
+    # (negative default step), which would fabricate char rows for an
+    # empty document; DuckDB's generate_series(1, 0) is empty, so the
+    # oracle simply omits such docs — the filter makes both agree.
+    chars = t.documents.filter(F.length("text") > 0).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")

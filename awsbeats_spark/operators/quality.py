@@ -18,9 +18,9 @@ from pyspark.sql import functions as F
 from awsbeats_spark.catalog import tables
 from awsbeats_spark.registry import query
 
-# (rule_name, spark predicate SQL, duckdb predicate SQL) — violations
-# counted where the predicate is TRUE. Expressions are ANSI enough to be
-# identical on both engines.
+# (rule_name, predicate SQL) — violations counted where the predicate is
+# TRUE. One shared expression per rule: ANSI enough to be identical on
+# both engines.
 _LINEITEM_RULES = (
     ("quantity_out_of_range", "l_quantity < 1 OR l_quantity > 50"),
     ("discount_out_of_range", "l_discount < 0 OR l_discount > 0.5"),

@@ -380,10 +380,10 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     I/O. The write is executor-parallel (repartition by dt, one file
     per day here); the oracle computes the same aggregate from the
     unpartitioned source."""
-    import tempfile
+    from awsbeats_spark.functions.workdirs import work_dir
 
     t = tables(spark, sf_dir)
-    lake = tempfile.mkdtemp(prefix="events_lake_")
+    lake = work_dir("events_lake", sf_dir)
     (
         t.events.withColumn("dt", F.col("ts").cast("date").cast("string"))
         .repartition("dt")
@@ -437,10 +437,10 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from both generations survive with correct null semantics. Writes
     are executor-parallel; at scale mergeSchema cost is footer-only and
     is paid once per listing (or avoided with a table catalog)."""
-    import tempfile
+    from awsbeats_spark.functions.workdirs import work_dir
 
     t = tables(spark, sf_dir)
-    lake = tempfile.mkdtemp(prefix="events_evo_")
+    lake = work_dir("events_evo", sf_dir)
     base = t.events.select("event_id", "event_type", "value")
     base.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
         f"{lake}/gen=1"

@@ -637,10 +637,12 @@ def codec_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same vectorized scan + pushdown treatment as parquet
     (tests/test_sink_parquet.py pins ORC predicate pushdown). The write
     is executor-parallel; the driver only names the directory."""
-    import tempfile
+    from awsbeats_spark.functions.workdirs import work_dir
 
     t = tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="codec_orc_")
+    # fixed per-sf path + overwrite: repeated invocations (bench loops)
+    # reuse one directory instead of accumulating whole-table copies
+    out = work_dir("codec_orc", sf_dir)
     cols = ["event_id", "user_id", "event_type", "value", "props"]
     t.events.select(*cols).write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(*cols)

@@ -189,6 +189,34 @@ def collect_failed(
     return failed
 
 
+def _call_with_timeout(fn, arg, timeout_s: float):
+    """Run ``fn(arg)`` on a DAEMON thread, waiting at most timeout_s.
+
+    Raises TimeoutError on expiry (the thread is abandoned, not killed —
+    see publish_records for why that is in-contract). Daemon threads are
+    essential here: a wedged non-daemon worker would block interpreter
+    exit in the Spark executor."""
+    import threading
+
+    box: dict[str, Any] = {}
+    done = threading.Event()
+
+    def run() -> None:
+        try:
+            box["result"] = fn(arg)
+        except BaseException as exc:  # noqa: BLE001 - re-raised in caller
+            box["error"] = exc
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True).start()
+    if not done.wait(timeout_s):
+        raise TimeoutError(f"bulk put still pending after {timeout_s}s")
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
 def publish_records(
     client: BulkPutClient,
     records: list[dict[str, Any]],
@@ -204,60 +232,57 @@ def publish_records(
     libbeat queue's re-enqueue replaced by an in-function retry loop
     (the Spark epoch is the transaction; see module docstring).
     """
-    import concurrent.futures
-
     counters = counters if counters is not None else DeliveryCounters()
     counters.new_batch += len(records)
     pending = list(records)
     attempt = 0
     # Request-timeout enforcement (streams/config.go:31, default 90 s):
-    # each bulk call runs under a bounded wait; a call still hung at
-    # timeout_s is abandoned and its chunk retried, exactly like an SDK
-    # client aborting the HTTP request. The pool is per-publish (one
-    # partition's delivery), created lazily only when a timeout is set.
-    pool: concurrent.futures.ThreadPoolExecutor | None = None
-    try:
-        while pending:
-            if attempt > cfg.max_retries:
-                raise DeliveryError(
-                    f"{len(pending)} records undelivered after {cfg.max_retries} retries"
-                )
-            if attempt > 0:
-                counters.retried += len(pending)
-                # outputs.WithBackoff semantics: init * 2^(n-1), capped
-                sleep(min(cfg.backoff_init_s * (2 ** (attempt - 1)), cfg.backoff_max_s))
-            next_round: list[dict[str, Any]] = []
-            for start in range(0, len(pending), cfg.batch_size):
-                chunk = pending[start : start + cfg.batch_size]
-                counters.attempts += 1
-                try:
-                    if cfg.timeout_s and cfg.timeout_s > 0:
-                        if pool is None:
-                            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-                        response = pool.submit(client.put_records, chunk).result(
-                            timeout=cfg.timeout_s
-                        )
-                    else:
-                        response = client.put_records(chunk)
-                except concurrent.futures.TimeoutError:
+    # each bulk call runs under a bounded wait. Python cannot abort a
+    # blocked callable, so a call still hung at timeout_s is ABANDONED
+    # on a daemon thread (never blocks interpreter exit) and its chunk
+    # retried — if the abandoned request later succeeds server-side the
+    # records are duplicated, which is inside the at-least-once contract
+    # (the reference duplicates the same way on whole-request retry,
+    # streams/client.go:72-80). For boto3 clients the transport-level
+    # read_timeout (make_boto3_client) fires first and surfaces as an
+    # exception on the generic path below; this wait is the backstop for
+    # clients without their own timeout.
+    while pending:
+        if attempt > cfg.max_retries:
+            raise DeliveryError(
+                f"{len(pending)} records undelivered after {cfg.max_retries} retries"
+            )
+        if attempt > 0:
+            counters.retried += len(pending)
+            # outputs.WithBackoff semantics: init * 2^(n-1), capped
+            sleep(min(cfg.backoff_init_s * (2 ** (attempt - 1)), cfg.backoff_max_s))
+        next_round: list[dict[str, Any]] = []
+        for start in range(0, len(pending), cfg.batch_size):
+            chunk = pending[start : start + cfg.batch_size]
+            counters.attempts += 1
+            try:
+                if cfg.timeout_s and cfg.timeout_s > 0:
+                    response = _call_with_timeout(
+                        client.put_records, chunk, cfg.timeout_s
+                    )
+                else:
+                    response = client.put_records(chunk)
+            except TimeoutError:
+                counters.timeouts += 1
+                next_round.extend(chunk)
+                continue
+            except Exception as exc:  # noqa: BLE001 - request-level failure
+                # no per-record info: retry ALL (streams/client.go:100-102).
+                # Transport-level timeouts (botocore ReadTimeoutError etc.)
+                # arrive here — count them so the metric reflects reality.
+                if "timeout" in type(exc).__name__.lower():
                     counters.timeouts += 1
-                    next_round.extend(chunk)
-                    # the worker thread is wedged on the old call; replace
-                    # the pool so the next attempt gets a fresh thread
-                    pool.shutdown(wait=False)
-                    pool = None
-                    continue
-                except Exception:  # noqa: BLE001 - request-level failure
-                    # no per-record info: retry ALL (streams/client.go:100-102)
-                    next_round.extend(chunk)
-                    continue
-                next_round.extend(collect_failed(response, chunk))
-            counters.acked += len(pending) - len(next_round)
-            pending = next_round
-            attempt += 1
-    finally:
-        if pool is not None:
-            pool.shutdown(wait=False)
+                next_round.extend(chunk)
+                continue
+            next_round.extend(collect_failed(response, chunk))
+        counters.acked += len(pending) - len(next_round)
+        pending = next_round
+        attempt += 1
     return counters
 
 

@@ -16,12 +16,13 @@ Prints one JSON line: {"records": N, "seconds": s, "rec_per_s": r,
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from awsbeats_spark.catalog import tables  # noqa: E402
 from awsbeats_spark.session import get_spark  # noqa: E402
@@ -38,7 +39,6 @@ def measure(mode: str, sf_dir: str) -> dict:
         stream_name="events",
         mode="streams" if mode != "firehose" else "firehose",
         partition_key_provider="xid" if mode != "firehose" else None,
-        partition_key=None if mode != "firehose" else None,
         batch_size=500,
     )
     records = project_records(t.events, cfg)
