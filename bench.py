@@ -103,6 +103,7 @@ EXTENDED_PROBE = [
     "scan_partition_pruned",
     "scan_schema_evolution",
     "embed_outlier_topk",
+    "events_rfm_segmentation",
 ]
 
 

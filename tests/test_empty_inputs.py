@@ -127,6 +127,7 @@ SAMPLE = [
     "scan_partition_pruned",
     "scan_schema_evolution",
     "embed_outlier_topk",
+    "events_rfm_segmentation",
 ]
 
 
