@@ -373,3 +373,36 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps
+    (bitmap_construct_agg over bit positions): each partial aggregate is
+    a fixed-size bitmap instead of a hash set of raw values, bitmaps OR
+    together losslessly — the mergeable-exact middle ground between
+    count_distinct (big shuffled sets) and HLL (approximate). The
+    two-level shape (position-bucket partials, then bitmap_or_agg +
+    sum of bitmap_count) is exactly how a 100-TB exact-distinct rollup
+    stays map-side-combined. Oracle: plain COUNT(DISTINCT)."""
+    ev = tables(spark, sf_dir).events
+    return (
+        ev.select(
+            "event_type",
+            # canonical (bucket, position) pair — bitmap_bit_position is
+            # (v-1) % 32768, so the bucket MUST be bitmap_bucket_number's
+            # matching (v-1)/32768 split or distinct values collide
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
+    )

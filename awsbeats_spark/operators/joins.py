@@ -478,3 +478,35 @@ def join_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist", "name_a", "name_b")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           coalesce(a.pk, '(null)') AS key_repr
+    FROM (SELECT event_id, json_extract_string(props, '$.k') AS pk
+          FROM events WHERE event_id % 100 = 0) a
+    JOIN (SELECT event_id, json_extract_string(props, '$.k') AS pk
+          FROM events WHERE event_id % 100 = 50) b
+      ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): rows whose
+    extracted key is NULL on BOTH sides still match — the semantics CDC
+    merges and late-enrichment joins need (plain equality silently drops
+    every null-keyed row). Same hash-join physical shape: Spark hashes
+    the null bucket like any other key value, so the plan stays an
+    equi-join, not a nested loop."""
+    t = tables(spark, sf_dir)
+    pk = F.get_json_object("props", "$.k")
+    a = t.events.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("id_a"), pk.alias("pk_a")
+    )
+    b = t.events.filter(F.col("event_id") % 100 == 50).select(
+        F.col("event_id").alias("id_b"), pk.alias("pk_b")
+    )
+    return a.join(b, F.col("pk_a").eqNullSafe(F.col("pk_b"))).select(
+        "id_a", "id_b", F.coalesce(F.col("pk_a"), F.lit("(null)")).alias("key_repr")
+    )

@@ -128,6 +128,8 @@ SAMPLE = [
     "scan_schema_evolution",
     "embed_outlier_topk",
     "events_rfm_segmentation",
+    "join_null_safe",
+    "agg_bitmap_distinct",
 ]
 
 
