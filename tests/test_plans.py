@@ -505,3 +505,23 @@ def test_scan_partition_pruned_has_partition_filters(q):
     # row-level data filter
     assert "PartitionFilters: [" in plan
     assert "2024-01-25" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_join_null_safe_is_hash_join_not_nested_loop(q):
+    # eqNullSafe must hash the null bucket like any key value: the plan
+    # stays an equi hash join, never a nested loop
+    counts = plan_counts(q("join_null_safe"))
+    assert counts["nested_loop_joins"] == 0
+    assert (
+        counts["broadcast_joins"] + counts["shuffled_hash_joins"]
+        + counts["sort_merge_joins"]
+        >= 1
+    )
+
+
+def test_bitmap_distinct_two_level_aggregate(q):
+    # position-bucket partials then bitmap merge: two aggregate levels,
+    # no Expand (the count_distinct rewrite this key exists to avoid)
+    plan = executed_plan(q("agg_bitmap_distinct"))
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
