@@ -351,3 +351,68 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").alias("k"),
         rnd(F.variant_get(v, "$.vals[1]", "double"), 6).alias("second_val"),
     )
+
+
+@query(
+    "scalar_interval_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           datediff('day', DATE '2024-01-01', o_orderdate) AS days_into_2024,
+           round(12 * (year(o_orderdate) - 2020)
+                 + (month(o_orderdate) - 6)
+                 + (day(o_orderdate) - 15) / 31.0, 4) AS months_since_mid_2020
+    FROM orders
+    """,
+)
+def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic family: +- INTERVAL, datediff, and a
+    months_between equivalent. months_between's fractional rule (31-day
+    divisor on the day remainder) is spelled out identically on both
+    engines so the oracle is bit-stable; all expressions are
+    whole-stage-codegen projections."""
+    t = tables(spark, sf_dir)
+    o = t.orders
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date").alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 MONTH")).cast("date").alias("prior_month"),
+        F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("date")).alias(
+            "days_into_2024"
+        ),
+        rnd(
+            12 * (F.year("o_orderdate") - 2020)
+            + (F.month("o_orderdate") - 6)
+            + (F.dayofmonth("o_orderdate") - 15) / 31.0,
+            4,
+        ).alias("months_since_mid_2020"),
+    )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS priorities,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per-customer priority history concatenated in order-key order. Spark
+    expresses it as collect_list of (sort_key, value) structs +
+    array_sort + transform + array_join — all one aggregate pass; the
+    struct sort happens on the grouped arrays (bounded per key), not as
+    a global sort."""
+    t = tables(spark, sf_dir)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderpriority"))),
+        lambda s: s["o_orderpriority"],
+    )
+    return t.orders.groupBy("o_custkey").agg(
+        F.array_join(ordered, "|").alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

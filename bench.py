@@ -106,6 +106,8 @@ EXTENDED_PROBE = [
     "events_rfm_segmentation",
     "join_null_safe",
     "agg_bitmap_distinct",
+    "scalar_interval_math",
+    "agg_string_concat_ordered",
 ]
 
 

@@ -130,6 +130,8 @@ SAMPLE = [
     "events_rfm_segmentation",
     "join_null_safe",
     "agg_bitmap_distinct",
+    "scalar_interval_math",
+    "agg_string_concat_ordered",
 ]
 
 
