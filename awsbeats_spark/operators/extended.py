@@ -555,6 +555,12 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads it lazily, so it must outlive the call — reuse, don't leak.
     # Shard files are rewritten wholesale ("wb") each invocation.
     archive = work_dir("kinesis_archive", sf_dir)
+    # drop stale shards from a previous run first: if this run produces
+    # fewer shard values (dataset shrank/emptied), leftover
+    # shard-*.ndjson files would silently mix old data into the read
+    for stale in os.listdir(archive):
+        if stale.startswith("shard-") and stale.endswith(".ndjson"):
+            os.unlink(os.path.join(archive, stale))
     for d in sorted(os.listdir(staging)):
         if not d.startswith("shard="):
             continue

@@ -355,8 +355,8 @@ _MIN_WORDS = 30
     ),
     wide AS (
         SELECT count(*) AS n_raw,
-               sum(CASE WHEN ok_nonempty THEN 1 ELSE 0 END) AS n_nonempty,
-               sum(CASE WHEN ok_minlen THEN 1 ELSE 0 END) AS n_minlen,
+               CAST(sum(CASE WHEN ok_nonempty THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+               CAST(sum(CASE WHEN ok_minlen THEN 1 ELSE 0 END) AS BIGINT) AS n_minlen,
                count(DISTINCT CASE WHEN ok_minlen THEN text END) AS n_dedup
         FROM flags
     )

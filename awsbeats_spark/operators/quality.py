@@ -36,7 +36,7 @@ _LINEITEM_RULES = (
     "dq_constraint_violations",
     oracle="\nUNION ALL\n".join(
         f"""SELECT '{name}' AS rule_name,
-               sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS n_violations,
+               CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
                count(*) AS n_rows
         FROM lineitem"""
         for name, pred in _LINEITEM_RULES
@@ -119,19 +119,19 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'orders' AS table_name,
            count(*) AS n_dup_keys,
-           coalesce(sum(n), 0) AS n_dup_rows
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_rows
     FROM (SELECT o_orderkey, count(*) AS n FROM orders
           GROUP BY o_orderkey HAVING count(*) > 1)
     UNION ALL
     SELECT 'customer' AS table_name,
            count(*) AS n_dup_keys,
-           coalesce(sum(n), 0) AS n_dup_rows
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_rows
     FROM (SELECT c_custkey, count(*) AS n FROM customer
           GROUP BY c_custkey HAVING count(*) > 1)
     UNION ALL
     SELECT 'part' AS table_name,
            count(*) AS n_dup_keys,
-           coalesce(sum(n), 0) AS n_dup_rows
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_rows
     FROM (SELECT p_partkey, count(*) AS n FROM part
           GROUP BY p_partkey HAVING count(*) > 1)
     """,
@@ -168,10 +168,10 @@ def dq_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hi AS (SELECT max(ts) AS max_ts FROM events)
     SELECT CAST(hi.max_ts AS VARCHAR) AS max_ts_repr,
-           sum(CASE WHEN e.ts >= hi.max_ts - INTERVAL 1 HOUR
-                    THEN 1 ELSE 0 END) AS n_last_hour,
-           sum(CASE WHEN e.ts < hi.max_ts - INTERVAL 24 HOUR
-                    THEN 1 ELSE 0 END) AS n_older_than_day
+           CAST(sum(CASE WHEN e.ts >= hi.max_ts - INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_last_hour,
+           CAST(sum(CASE WHEN e.ts < hi.max_ts - INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_older_than_day
     FROM events e CROSS JOIN hi
     GROUP BY hi.max_ts
     """,

@@ -176,8 +176,8 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT) AS order_year,
            CAST(month(o_orderdate) AS INT) AS order_month,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month_start,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
            CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
     FROM orders
     """,
@@ -188,8 +188,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month_start"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
         F.unix_timestamp("o_orderdate").alias("order_epoch"),
     )
 
@@ -418,7 +418,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_rows,
-           sum(CASE WHEN has_v2 THEN 1 ELSE 0 END) AS n_v2_rows,
+           CAST(sum(CASE WHEN has_v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2_rows,
            round(sum(CASE WHEN has_v2 THEN value ELSE 0 END), 2) AS v2_value
     FROM (
         SELECT event_type, value, FALSE AS has_v2 FROM events WHERE event_id % 2 = 0

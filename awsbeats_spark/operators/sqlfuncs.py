@@ -33,7 +33,7 @@ _PRICE_TIEBREAK = "(o_totalprice + o_orderkey * 1e-9)"
     "agg_conditional_bools",
     oracle=f"""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 150000)    AS n_big,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
            bool_or(o_orderstatus = 'F')       AS any_final,
            bool_and(o_totalprice > 0)         AS all_positive,
            max_by(o_orderkey, {_PRICE_TIEBREAK}) AS top_order,
@@ -357,8 +357,8 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_interval_math",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
-           CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS prior_month,
            datediff('day', DATE '2024-01-01', o_orderdate) AS days_into_2024,
            round(12 * (year(o_orderdate) - 2020)
                  + (month(o_orderdate) - 6)
@@ -376,8 +376,8 @@ def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t.orders
     return o.select(
         "o_orderkey",
-        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date").alias("due_date"),
-        (F.col("o_orderdate") - F.expr("INTERVAL 1 MONTH")).cast("date").alias("prior_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date").cast("string").alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 MONTH")).cast("date").cast("string").alias("prior_month"),
         F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("date")).alias(
             "days_into_2024"
         ),

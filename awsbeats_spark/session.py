@@ -40,6 +40,9 @@ def get_spark(app_name: str = "awsbeats-spark", cpus: str | None = None) -> Spar
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
+        # keep stage progress bars out of stdout: the driver parses
+        # bench.py's one-line JSON payload and records the tail verbatim
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -217,6 +217,50 @@ def _call_with_timeout(fn, arg, timeout_s: float):
     return box["result"]
 
 
+def _transport_timeout_types() -> tuple[type, ...]:
+    """Concrete timeout exception types from the transport stacks we may
+    sit on (import-guarded: boto3/urllib3 are optional here — the test
+    and localstack clients raise plain exceptions)."""
+    types: list[type] = []
+    try:
+        from botocore.exceptions import (  # type: ignore[import-not-found]
+            ConnectTimeoutError,
+            ReadTimeoutError,
+        )
+
+        types += [ConnectTimeoutError, ReadTimeoutError]
+    except ImportError:
+        pass
+    try:
+        import urllib3.exceptions as u3  # type: ignore[import-not-found]
+
+        types += [u3.ConnectTimeoutError, u3.ReadTimeoutError, u3.TimeoutError]
+    except ImportError:
+        pass
+    return tuple(types)
+
+
+_TIMEOUT_TYPES = _transport_timeout_types()
+
+
+def _is_transport_timeout(exc: BaseException) -> bool:
+    """True when ``exc`` (or anything on its cause/context chain) is a
+    transport-level timeout. Wrapped errors — botocore surfacing urllib3
+    timeouts as ConnectionError subclasses — are found by walking the
+    chain; the class-name substring heuristic stays as the fallback for
+    stacks we don't know about."""
+    seen: set[int] = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        if _TIMEOUT_TYPES and isinstance(cur, _TIMEOUT_TYPES):
+            return True
+        if "timeout" in type(cur).__name__.lower():
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
+
+
 def publish_records(
     client: BulkPutClient,
     records: list[dict[str, Any]],
@@ -275,7 +319,7 @@ def publish_records(
                 # no per-record info: retry ALL (streams/client.go:100-102).
                 # Transport-level timeouts (botocore ReadTimeoutError etc.)
                 # arrive here — count them so the metric reflects reality.
-                if "timeout" in type(exc).__name__.lower():
+                if _is_transport_timeout(exc):
                     counters.timeouts += 1
                 next_round.extend(chunk)
                 continue

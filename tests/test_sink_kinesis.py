@@ -391,3 +391,37 @@ def test_boto3_firehose_adapter_normalizes_response(fake_boto3):
     assert resp["FailedRecordCount"] == 1
     failed = collect_failed(resp, [rec(0)])
     assert len(failed) == 1
+
+
+def test_wrapped_transport_timeout_counted():
+    # A timeout surfaced as a non-timeout-named wrapper (botocore wraps
+    # urllib3 timeouts in ConnectionError subclasses) must still count:
+    # _is_transport_timeout walks the cause chain.
+    from awsbeats_spark.sinks.kinesis import _is_transport_timeout
+
+    class EndpointConnectionError(Exception):
+        pass
+
+    class ReadTimeoutError(Exception):
+        pass
+
+    wrapper = EndpointConnectionError("could not connect")
+    wrapper.__cause__ = ReadTimeoutError("read timed out")
+    assert _is_transport_timeout(wrapper)
+    assert _is_transport_timeout(ReadTimeoutError("direct"))
+    assert not _is_transport_timeout(ValueError("boom"))
+
+    class FlakyClient:
+        def __init__(self):
+            self.calls = 0
+
+        def put_records(self, records):
+            self.calls += 1
+            if self.calls == 1:
+                raise wrapper
+            return {"FailedRecordCount": 0, "Records": [ok_entry()] * len(records)}
+
+    client = FlakyClient()
+    counters = publish_records(client, [rec(0)], cfg(), sleep=lambda s: None)
+    assert counters.timeouts == 1
+    assert counters.acked == 1

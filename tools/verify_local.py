@@ -47,12 +47,40 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype kind as the driver's hasher sees it. DuckDB HUGEINT
+    surfaces via pandas as float64 (or object), so an int-kind Spark
+    column vs a float-kind oracle column hash-mismatches even when the
+    values are numerically equal — normalize() used to mask exactly
+    that, which is how round-2's 4 red driver rows passed locally."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str]:
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return "FAIL", f"columns differ: spark={s_cols} oracle={o_cols}"
     if len(spark_pdf) != len(oracle_pdf):
         return "FAIL", f"rowcount differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    # Pre-coercion dtype-kind gate: the driver hashes raw values, so an
+    # int-vs-float (or bool-vs-int, ...) kind mismatch is a driver-hash
+    # FAIL regardless of numeric equality. Check BEFORE normalize().
+    for c in s_cols if len(spark_pdf) else []:
+        sk, ok = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+        if sk != ok:
+            return "FAIL", (
+                f"dtype-kind mismatch on {c!r}: spark={sk}({spark_pdf[c].dtype}) "
+                f"oracle={ok}({oracle_pdf[c].dtype}) — driver hash would differ "
+                f"(HUGEINT oracle? cast to BIGINT)"
+            )
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     weak = []
     for c in s.columns:
