@@ -125,6 +125,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hash family: chunk i of md5(sh) || md5('x:' || sh) — 8 chunks of 8 hex
+# chars (32 bits each). TWO md5 calls per shingle feed all 8 families
+# instead of one md5 per family (4x less hashing on the hot path);
+# 32-bit chunks keep min-collisions negligible at any realistic set size.
+_MINHASH_SENTINEL = "z" * 8  # 'z' > any hex char, so min() ignores it
+
+
+def minhash_signature(shs_col):
+    """Array of N_MINHASH per-family minima over a shingle-array column,
+    computed in ONE pass: transform hashes each shingle once (2 md5s),
+    aggregate folds elementwise minima. Shared by the operator and the
+    property tests so both pin the same family."""
+    hashed = F.transform(
+        shs_col, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x:"), s)))
+    )
+    idx = F.sequence(F.lit(0), F.lit(N_MINHASH - 1))
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(_MINHASH_SENTINEL), N_MINHASH),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, i: F.least(a, h.substr(i * F.lit(8) + 1, F.lit(8)))
+        ),
+    )
+
+
 def _minhash_band_cases() -> str:
     sigs = ", ".join(
         f"min(CASE WHEN i = {i} THEN m END) AS m{i}" for i in range(N_MINHASH)
@@ -144,7 +169,8 @@ _MINHASH_ORACLE = f"""
     ),
     exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
     mh AS (
-        SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS m
+        SELECT doc_id, i,
+               min(substring(md5(sh) || md5('x:' || sh), i * 8 + 1, 8)) AS m
         FROM exploded
         CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i)
         GROUP BY doc_id, i
@@ -173,10 +199,12 @@ _MINHASH_ORACLE = f"""
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection (8 hashes, 4 bands of 2).
 
-    hash_i(shingle) = md5("{i}:" + shingle); signature = per-doc min of
-    each hash family; band value = md5 of its 2 signature entries; docs
-    sharing any band become candidates, then exact Jaccard filters
-    (>= 0.2). md5-based family => deterministic and engine-independent.
+    hash_i(shingle) = 8-hex-char chunk i of md5(sh)||md5('x:'+sh);
+    signature = per-doc min of each family; band value = md5 of its 2
+    signature entries; docs sharing any band become candidates, then
+    exact Jaccard filters (>= 0.2). md5-based family => deterministic
+    and engine-independent; 2 md5 calls per shingle feed all 8 families
+    (minhash_signature), which is the operator's hot loop.
 
     Scale: the band equi-join is THE point — candidate generation is a
     hash join on (band_idx, band_value), linear in docs + near-dup
@@ -184,22 +212,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash count/bands are tuned by recall target, not data size.
     """
     sets = _doc_shingle_sets(spark, sf_dir)
-    # Signatures as pure projection — array_min over the hashed shingle
-    # set, NO shuffle (the explode+groupBy formulation costs two extra
-    # exchanges for the same result).
+    # Signatures as pure projection — one aggregate fold over the hashed
+    # shingle set, NO shuffle (the explode+groupBy formulation costs two
+    # extra exchanges for the same result). The sig array is aliased in
+    # its own projection so CollapseProject can't inline the fold into
+    # each of the 8 band references (it is not "cheap", so it won't).
     sig = sets.select(
-        "doc_id",
-        "shs",
-        "n",
-        *[
-            F.array_min(
-                F.transform(F.col("shs"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"m{i}")
-            for i in range(N_MINHASH)
-        ],
+        "doc_id", "shs", "n", minhash_signature(F.col("shs")).alias("sig")
     )
     band_vals = F.array(
-        *[F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))) for j in range(N_BANDS)]
+        *[
+            F.md5(F.concat(F.col("sig")[2 * j], F.col("sig")[2 * j + 1]))
+            for j in range(N_BANDS)
+        ]
     )
     # Shingle sets ride along with the band rows so candidate pairs can
     # be Jaccard-verified in place — no join back to the doc table (the

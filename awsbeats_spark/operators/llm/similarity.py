@@ -1001,9 +1001,11 @@ def embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sqrt(F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))).alias("dist"))
     )
+    # global top-k as TakeOrderedAndProject (per-partition heap + driver
+    # merge of k rows), not a single-partition row_number window; the
+    # rank is then numbered over the surviving 20 rows only
+    top = dist.orderBy(F.desc("dist"), F.asc("vec_id")).limit(20)
     w = Window.orderBy(F.desc("dist"), F.asc("vec_id"))
-    return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("vec_id", rnd("dist", 6).alias("dist_to_center"), "rn")
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", rnd("dist", 6).alias("dist_to_center"), "rn"
     )

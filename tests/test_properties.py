@@ -120,27 +120,20 @@ def test_minhash_bands_catch_identical_sets(spark, docs):
     banding may miss similar pairs (probabilistic) but never identical
     ones. Build docs from letter sequences; identical sequences =>
     identical sets."""
-    from awsbeats_spark.operators.llm.dedup import N_BANDS, N_MINHASH
+    from awsbeats_spark.operators.llm.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        minhash_signature,
+    )
 
     df = spark.createDataFrame(
         [(i, [f"w{c}" for c in doc]) for i, doc in enumerate(docs)],
         "doc_id long, shs array<string>",
     )
     sig = df.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.array_distinct("shs"),
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                )
-            ).alias(f"m{i}")
-            for i in range(N_MINHASH)
-        ],
+        "doc_id", minhash_signature(F.array_distinct("shs")).alias("sig")
     )
-    bands = {
-        r["doc_id"]: tuple(r[f"m{i}"] for i in range(N_MINHASH)) for r in sig.collect()
-    }
+    bands = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
     for i, a in enumerate(docs):
         for j, b in enumerate(docs):
             if i < j and set(a) == set(b):

@@ -7,7 +7,12 @@ Floats compare exactly by default (the engine rounds both sides), with a
 1e-9 isclose fallback reported as WEAK so drift is visible before the
 driver's hash compare fails.
 
-Usage: python tools/verify_local.py [sf_dir] [name ...]
+Usage: python tools/verify_local.py [--bare] [sf_dir] [name ...]
+
+``--bare`` runs against a plain ``SparkSession.builder.getOrCreate()``
+with none of the engine's session configs — the driver's harness builds
+its own session, so operators must be correct without relying on
+``session.get_spark()`` (catalog.tables() pins TZ/readers per-call).
 """
 
 from __future__ import annotations
@@ -113,10 +118,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tup
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     specs = load_all()
     names = args or list(specs)
-    spark = get_spark("verify-local")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("verify-local")
     con = duck_con(sf_dir)
     failures = 0
     for name in names:
