@@ -32,6 +32,7 @@ from awsbeats_spark.operators.llm import (  # noqa: F401
     corpus,
     dedup,
     multimodal,
+    retrieval,
     similarity,
     text,
 )

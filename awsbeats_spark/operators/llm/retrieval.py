@@ -1,0 +1,402 @@
+"""Sparse/dense retrieval scoring over the `documents` + `embeddings`
+tables: BM25, Dirichlet query-likelihood, and hybrid reciprocal-rank
+fusion of a dense (cosine) and a sparse (word-set Jaccard) ranking.
+
+Engine extension (BASELINE.json north star) — the reference is a
+delivery plugin with no retrieval surface (SURVEY.md §0); these are the
+retrieval-side operators a training-data/RAG pipeline runs next to the
+dedup/similarity suite. The reference's only "selection" analog is the
+top-N metric queries in its example configs (SURVEY.md §2.B).
+
+Scale notes (100 TB):
+* Query sets are tiny and BROADCAST; the corpus is scanned once per
+  operator and never shuffled on anything but its own aggregate keys.
+* BM25/QL corpus statistics (df, avgdl, collection term mass) are
+  aggregates over (term) — bounded by |vocab|, not corpus size — and
+  re-broadcast to the scoring pass, the standard two-pass sharded-index
+  build.
+* All scoring math is DOUBLE with the same associativity in both
+  engines (sequential F.aggregate ↔ DuckDB list/ln arithmetic), so the
+  DuckDB oracles agree bit-for-bit before the output rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.textfns import WORDS_SQL, words
+from awsbeats_spark.functions.vectorfns import as_double, cosine_sql, dot, norm
+from awsbeats_spark.registry import query
+
+# Fixed query-term sets (the documents vocabulary is the driver's
+# synthetic OLAP word list — TESTDATA.md). Keyed by query_id.
+QUERY_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("table", "scan", "filter"),
+    1: ("vector", "hash", "join"),
+    2: ("stream", "batch", "window"),
+}
+BM25_K1 = 1.2
+BM25_B = 0.75
+QL_MU = 300.0
+RETR_TOP_K = 15
+RRF_K = 60
+RRF_N_QUERIES = 5  # doc_id/vec_id < 5 are the hybrid query set
+RRF_DEPTH = 20  # fuse the top-20 of each ranking
+
+
+def _query_terms_sql() -> str:
+    """DuckDB VALUES list (query_id, term) for QUERY_TERMS."""
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in QUERY_TERMS.items() for t in terms
+    )
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+def _query_terms_df(spark: SparkSession) -> DataFrame:
+    rows = [(qid, t) for qid, terms in QUERY_TERMS.items() for t in terms]
+    return spark.createDataFrame(rows, "query_id int, term string")
+
+
+@query(
+    "retrieval_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, len({WORDS_SQL}) AS dl FROM documents),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        FROM dl WHERE dl > 0
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               sum(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / stats.avgdl))
+               ) AS bm25
+        FROM {_query_terms_sql()}
+        JOIN tf ON tf.term = qt.term
+        JOIN df ON df.term = qt.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+           ) AS rn
+    FROM scored
+    QUALIFY rn <= {RETR_TOP_K}
+    """,
+    tags=("retrieval",),
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed broadcast query-term set.
+
+    Two-pass sharded-index shape: pass 1 computes corpus statistics —
+    per-(doc, term) TF via explode + hash aggregate, document frequency
+    per term (|vocab|-bounded), and avgdl (scalar) — pass 2 joins the
+    tiny (query_id, term) set and the |vocab|-sized df table back onto
+    the TF table as BROADCASTS, so the big (doc, term) side shuffles
+    only for its own groupBy keys. At 100 TB this is exactly a
+    distributed inverted-index build + query: no corpus-sized shuffle
+    appears anywhere except the TF aggregate itself.
+    """
+    t = tables(spark, sf_dir)
+    w = words()
+    toks = t.documents.select("doc_id", F.explode(w).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.documents.select("doc_id", F.size(w).alias("dl"))
+    stats = dl.filter(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = _query_terms_df(spark)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("bm25"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= RETR_TOP_K)
+        .select("query_id", "doc_id", rnd("bm25", 6).alias("bm25"), "rn")
+    )
+
+
+@query(
+    "retrieval_query_likelihood",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, len({WORDS_SQL}) AS dl FROM documents WHERE len({WORDS_SQL}) > 0),
+    coll AS (SELECT sum(tf) AS coll_len FROM tf),
+    ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    scored AS (
+        SELECT qt.query_id, dl.doc_id,
+               sum(ln(
+                   (coalesce(tf.tf, 0) + {QL_MU} * ctf.ctf / coll.coll_len)
+                   / (dl.dl + {QL_MU})
+               )) AS ql
+        FROM {_query_terms_sql()}
+        JOIN ctf ON ctf.term = qt.term
+        CROSS JOIN coll
+        CROSS JOIN dl
+        LEFT JOIN tf ON tf.term = qt.term AND tf.doc_id = dl.doc_id
+        GROUP BY qt.query_id, dl.doc_id
+    )
+    SELECT query_id, doc_id, round(ql, 6) AS ql,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY ql DESC, doc_id
+           ) AS rn
+    FROM scored
+    QUALIFY rn <= {RETR_TOP_K}
+    """,
+    tags=("retrieval",),
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001):
+    score(q, d) = Σ_t∈q ln((tf_{t,d} + μ·p_c(t)) / (dl_d + μ)).
+
+    Smoothing means every document scores against every query term even
+    at tf=0, so the plan is (docs × query-terms) — the query side is a
+    ~9-row broadcast, the doc side one scan; the per-(doc,term) tf joins
+    in as a LEFT join keyed (doc_id, term). Collection stats (ctf per
+    query term, total collection length) are |q|-sized / scalar
+    broadcasts. No corpus-sized shuffle beyond the TF aggregate; scoring
+    is map-side. At 100 TB the tf table would be the pre-built inverted
+    index and this operator is a pure broadcast-scoring pass over it.
+    """
+    t = tables(spark, sf_dir)
+    w = words()
+    toks = t.documents.select("doc_id", F.explode(w).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.documents.select("doc_id", F.size(w).alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    coll = tf.agg(F.sum("tf").alias("coll_len"))
+    qt = _query_terms_df(spark)
+    ctf = (
+        tf.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+    )
+    qstats = qt.join(F.broadcast(ctf), "term").crossJoin(F.broadcast(coll))
+    pairs = dl.crossJoin(F.broadcast(qstats))
+    joined = pairs.join(
+        tf.withColumnRenamed("tf", "tf_td"), ["doc_id", "term"], "left"
+    )
+    term_score = F.log(
+        (F.coalesce(F.col("tf_td"), F.lit(0)) + QL_MU * F.col("ctf") / F.col("coll_len"))
+        / (F.col("dl") + QL_MU)
+    )
+    scored = joined.groupBy("query_id", "doc_id").agg(
+        F.sum(term_score).alias("ql")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("ql"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= RETR_TOP_K)
+        .select("query_id", "doc_id", rnd("ql", 6).alias("ql"), "rn")
+    )
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    oracle=f"""
+    WITH dense AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS drank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {RRF_N_QUERIES}
+        QUALIFY drank <= {RRF_DEPTH}
+    ),
+    wsets AS (SELECT doc_id, list_distinct({WORDS_SQL}) AS ws FROM documents),
+    sparse AS (
+        SELECT q.doc_id AS query_id, c.doc_id,
+               row_number() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY len(list_intersect(q.ws, c.ws)) * 1.0
+                            / greatest(len(list_distinct(q.ws || c.ws)), 1) DESC,
+                            c.doc_id
+               ) AS srank
+        FROM wsets q
+        JOIN wsets c ON c.doc_id <> q.doc_id
+        WHERE q.doc_id < {RRF_N_QUERIES}
+        QUALIFY srank <= {RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.doc_id, s.doc_id) AS doc_id,
+               (CASE WHEN d.drank IS NULL THEN 0.0
+                     ELSE 1.0 / ({RRF_K} + d.drank) END)
+               + (CASE WHEN s.srank IS NULL THEN 0.0
+                       ELSE 1.0 / ({RRF_K} + s.srank) END) AS rrf
+        FROM dense d
+        FULL OUTER JOIN sparse s
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+           ) AS rn
+    FROM fused
+    QUALIFY rn <= {RETR_TOP_K}
+    """,
+    tags=("retrieval",),
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009): rrf = Σ_modality 1/(60 + rank), fusing a
+    cosine ranking over `embeddings` with a word-set-Jaccard ranking
+    over `documents` (doc_id ≡ vec_id in the testdata — the two
+    modalities of the same corpus).
+
+    Both rankings broadcast the tiny query set against one scan of
+    their corpus (same shape as sim_search_topk); the fusion is a
+    FULL OUTER join of two ≤(queries × depth)-row rankings — driver-
+    trivial and broadcastable at any corpus size, since RRF only ever
+    sees the top-`RRF_DEPTH` of each modality. At 100 TB the rankings
+    would come from the ANN (sim_search_ivf) and inverted-index
+    (retrieval_bm25_topk) paths; the fusion stage is unchanged.
+    """
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < RRF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    q = q.select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("cv")
+    ).select("doc_id", "cv", norm(F.col("cv")).alias("nc"))
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    dwin = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        F.broadcast(q)
+        .join(c, F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", cos.alias("cos"))
+        .withColumn("drank", F.row_number().over(dwin))
+        .filter(F.col("drank") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "drank")
+    )
+
+    wsets = t.documents.select(
+        "doc_id", F.array_distinct(words()).alias("ws")
+    )
+    qs = wsets.filter(F.col("doc_id") < RRF_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("ws").alias("qws")
+    )
+    inter = F.size(F.array_intersect(F.col("qws"), F.col("ws")))
+    union = F.greatest(
+        F.size(F.array_distinct(F.concat(F.col("qws"), F.col("ws")))), F.lit(1)
+    )
+    jac = inter * 1.0 / union
+    swin = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.asc("doc_id"))
+    sparse = (
+        F.broadcast(qs)
+        .join(wsets, F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", jac.alias("jac"))
+        .withColumn("srank", F.row_number().over(swin))
+        .filter(F.col("srank") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "srank")
+    )
+
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.when(F.col("drank").isNull(), F.lit(0.0)).otherwise(
+                1.0 / (RRF_K + F.col("drank"))
+            )
+            + F.when(F.col("srank").isNull(), F.lit(0.0)).otherwise(
+                1.0 / (RRF_K + F.col("srank"))
+            )
+        ).alias("rrf"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+    return (
+        fused.withColumn("rn", rn)
+        .filter(F.col("rn") <= RETR_TOP_K)
+        .select("query_id", "doc_id", rnd("rrf", 6).alias("rrf"), "rn")
+    )
+
+
+@query(
+    "text_hashed_bow",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(w), 1, 4))::BIGINT % 64 AS BIGINT)
+                   AS bucket,
+               count(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket, cnt,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, bucket
+           ) AS rn
+    FROM bucketed
+    QUALIFY rn <= 8
+    """,
+    tags=("retrieval", "text"),
+)
+def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words (hashing trick, Weinberger et al.
+    2009): words hash into 64 fixed buckets (md5-prefix mod — identical
+    bytes in both engines) and each document keeps its top-8 buckets by
+    count — the sparse feature vector a downstream classifier consumes.
+
+    Fixed-width feature space means NO vocabulary build pass and no
+    |vocab| join: bucketing is a map-side expression, the count is one
+    hash aggregate on (doc_id, bucket) ≤ 64 rows/doc, and the top-8 is a
+    doc_id-partitioned window Spark prunes per-partition
+    (WindowGroupLimit). Embarrassingly parallel at 100 TB.
+    """
+    t = tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(words()).alias("w"))
+    bucket = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint") % 64
+    counts = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bucket"))
+    )
+    return counts.withColumn("rn", rn).filter(F.col("rn") <= 8)
