@@ -406,3 +406,47 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
     )
+
+
+@query(
+    "agg_decimal_exact_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS discount_amt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic: aggregate in DECIMAL, not DOUBLE. Double
+    summation drifts with partition count and merge order (a correctness
+    hazard for financial totals at 100 TB, where re-running with a
+    different partitioning changes the cents digit); decimal sums are
+    associative-exact, so the result is partitioning-invariant however
+    AQE re-plans the shuffle. Spark sums DECIMAL into a widened decimal
+    with overflow checking; partial aggregation (map-side combine)
+    still applies, so the plan is the same two-phase hash aggregate as
+    the double version.
+
+    The FINAL cast to double exists only for the comparison transport:
+    DuckDB's pandas bridge emits every DECIMAL as float64, so both
+    engines convert the exact decimal total through the same
+    nearest-double rounding at the very end (one rounding of an exact
+    rational — deterministic on both sides), rather than comparing a
+    drift-prone double SUM.
+    """
+    t = tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("double").alias("gross"),
+            F.sum(price * disc).cast("double").alias("discount_amt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -510,3 +510,43 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("pk_a").eqNullSafe(F.col("pk_b"))).select(
         "id_a", "id_b", F.coalesce(F.col("pk_a"), F.lit("(null)")).alias("key_repr")
     )
+
+
+@query(
+    "join_dynamic_in_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#13' AND p_size >= 45
+    )
+    """,
+)
+def join_dynamic_in_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join executed as a dynamic IN-list pushed into the fact scan.
+
+    The dimension predicate (brand + size) selects a small key set; we
+    collect those keys (one O(|keys|) driver action, guarded by a count
+    cap) and turn the semi join into `isin(...)`, which Catalyst pushes
+    into the parquet reader as `PushedFilters: [In(l_partkey, ...)]` —
+    the fact side is pruned AT THE SCAN, before any join or shuffle
+    exists. This is the manual twin of dynamic partition pruning /
+    runtime row-group skipping: at 100 TB the IN-filter skips whole
+    row groups via parquet min/max stats, where a broadcast semi join
+    would still read and deserialize every fact row. Above the cap the
+    operator falls back to a broadcast left-semi join (same result,
+    still no fact shuffle).
+    """
+    t = tables(spark, sf_dir)
+    dim = t.part.filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") >= 45)
+    ).select("p_partkey")
+    cap = 10_000
+    keys = [r[0] for r in dim.limit(cap + 1).collect()]
+    fact = t.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+    if len(keys) > cap:  # key set too big for an IN literal: broadcast semi
+        return fact.join(
+            F.broadcast(dim), fact.l_partkey == dim.p_partkey, "left_semi"
+        )
+    return fact.filter(F.col("l_partkey").isin(keys))

@@ -12,7 +12,7 @@ is md5-based so the DuckDB oracle reproduces it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
@@ -377,3 +377,107 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+SEMDEDUP_TAU = 0.4  # same near-dup ceiling as dedup_embedding_cosine
+_CENT_MOD = 50  # vec_id % 50 == 0 -> cluster centroid (10 cells)
+
+from awsbeats_spark.functions.vectorfns import cosine_sql as _cos_sql  # noqa: E402
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id % {_CENT_MOD} = 0
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_cos_sql('e.embedding', 'c.cv')} AS cent_cos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS arn
+        FROM embeddings e CROSS JOIN centroids c
+        QUALIFY arn = 1
+    ),
+    ranked AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (
+                   PARTITION BY cent_id ORDER BY cent_cos DESC, vec_id
+               ) AS crank
+        FROM assign
+    )
+    SELECT p.vec_id, p.cent_id AS cluster_id,
+           CAST(p.crank AS BIGINT) AS crank,
+           (count(q.vec_id) > 0) AS is_dup
+    FROM ranked p
+    LEFT JOIN ranked q
+      ON q.cent_id = p.cent_id AND q.crank < p.crank
+     AND {_cos_sql('p.embedding', 'q.embedding')} > {SEMDEDUP_TAU}
+    GROUP BY p.vec_id, p.cent_id, p.crank
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic dedup.
+    Assign every vector to its nearest centroid, rank within each
+    cluster by centroid-similarity, and mark a vector as duplicate when
+    a HIGHER-ranKED clustermate sits above the cosine threshold — the
+    survivor set keeps one representative per semantic neighborhood.
+
+    Scale shape: centroid assignment is a broadcast of k centroids over
+    one corpus scan (identical to sim_search_ivf's map-side assign);
+    the pairwise check runs ONLY inside a cluster (equi-join on
+    cent_id), so the quadratic term is bounded by cluster size — the
+    paper's trick for making all-pairs semantic dedup tractable at
+    web scale. Clusters here are the IVF cells (k = n/50); in
+    production k scales with corpus size to hold cluster width
+    constant.
+    """
+    from awsbeats_spark.functions.vectorfns import as_double, cosine
+
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    )
+    e = emb.select("vec_id", as_double("embedding").alias("ev"))
+    arn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "ev", "cent_id", cosine(F.col("ev"), F.col("cv")).alias("cent_cos")
+        )
+        .withColumn("arn", arn)
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    crank = F.row_number().over(
+        Window.partitionBy("cent_id").orderBy(F.desc("cent_cos"), F.asc("vec_id"))
+    )
+    ranked = assign.withColumn("crank", crank)
+    p = ranked.select(
+        F.col("vec_id"),
+        F.col("cent_id").alias("cluster_id"),
+        F.col("crank"),
+        F.col("ev").alias("pv"),
+    )
+    q = ranked.select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("cent_id").alias("q_cluster_id"),
+        F.col("crank").alias("q_crank"),
+        F.col("ev").alias("qv"),
+    )
+    pairs = p.join(
+        q,
+        (F.col("q_cluster_id") == F.col("cluster_id"))
+        & (F.col("q_crank") < F.col("crank"))
+        & (cosine(F.col("pv"), F.col("qv")) > SEMDEDUP_TAU),
+        "left",
+    )
+    return pairs.groupBy("vec_id", "cluster_id", "crank").agg(
+        (F.count("q_vec_id") > 0).alias("is_dup")
+    ).withColumn("crank", F.col("crank").cast("bigint"))

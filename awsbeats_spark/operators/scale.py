@@ -646,3 +646,61 @@ def codec_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "user_id", "event_type", "value", "props"]
     t.events.select(*cols).write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(*cols)
+
+
+@query(
+    "part_skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: parts minimizing (price, size) —
+    no other part is <= on both dimensions and < on one.
+
+    NOT a quadratic NOT EXISTS on the engine side: the skyline only
+    depends on the per-price minimum size, so we (1) hash-aggregate to
+    one row per distinct price (big-table work, parallel), (2) compute
+    the strictly-cheaper running-min of size with a lag over the
+    distinct-price frame — a window over |distinct prices| rows, NOT
+    over the table — and (3) broadcast the surviving (price, min size)
+    pairs back. A point survives iff its size equals its price-group
+    minimum and beats every cheaper group's minimum. At 100 TB the only
+    global step is the distinct-price window (bounded by price
+    cardinality); everything table-sized is hash-partitioned. The
+    oracle keeps the textbook NOT EXISTS formulation as the
+    independent (quadratic) definition.
+    """
+    t = tables(spark, sf_dir)
+    grp = t.part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("grp_min_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_prices = (
+        grp.withColumn("cheaper_min", F.min("grp_min_size").over(w))
+        .filter(
+            F.col("cheaper_min").isNull()
+            | (F.col("grp_min_size") < F.col("cheaper_min"))
+        )
+        .select(
+            F.col("p_retailprice").alias("sky_price"),
+            F.col("grp_min_size").alias("sky_size"),
+        )
+    )
+    return (
+        t.part.join(
+            F.broadcast(sky_prices),
+            (F.col("p_retailprice") == F.col("sky_price"))
+            & (F.col("p_size") == F.col("sky_size")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
