@@ -23,8 +23,11 @@ Rotation plan (kept current each round):
   scale(18), profiling(3), timeseries(8), tpch_more(13),
   events_attribution_last_touch, events_pattern_match — after round 4
   every key has had at least one driver row.
-* **Round 5+**: re-check the round-1/2 greens (everything after the two
-  blocks, in module order) on a rolling basis.
+* **Round 5+** (``_ROUND5_FRONT`` then module order): first the 8
+  round-3-added keys (llm.retrieval, join_dynamic_in_pushdown,
+  part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster —
+  never driver-checked), then re-check the round-1/2 greens on a
+  rolling basis.
 """
 
 from awsbeats_spark import registry
@@ -163,8 +166,20 @@ _ROUND4_BLOCK = [
 ]
 
 
+_ROUND5_FRONT = [
+    "retrieval_bm25_topk",
+    "retrieval_query_likelihood",
+    "retrieval_rrf_hybrid",
+    "text_hashed_bow",
+    "join_dynamic_in_pushdown",
+    "part_skyline_pareto",
+    "agg_decimal_exact_sum",
+    "dedup_semantic_cluster",
+]
+
+
 def _reorder() -> None:
-    priority = _ROUND3_WINDOW + _ROUND4_BLOCK
+    priority = _ROUND3_WINDOW + _ROUND4_BLOCK + _ROUND5_FRONT
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})
         raise ValueError(f"rotation lists overlap: {dupes}")

@@ -108,6 +108,15 @@ EXTENDED_PROBE = [
     "agg_bitmap_distinct",
     "scalar_interval_math",
     "agg_string_concat_ordered",
+    # round 3 additions
+    "retrieval_bm25_topk",
+    "retrieval_query_likelihood",
+    "retrieval_rrf_hybrid",
+    "text_hashed_bow",
+    "join_dynamic_in_pushdown",
+    "part_skyline_pareto",
+    "agg_decimal_exact_sum",
+    "dedup_semantic_cluster",
 ]
 
 
