@@ -23,10 +23,11 @@ Rotation plan (kept current each round):
   scale(18), profiling(3), timeseries(8), tpch_more(13),
   events_attribution_last_touch, events_pattern_match — after round 4
   every key has had at least one driver row.
-* **Round 5+** (``_ROUND5_FRONT`` then module order): first the 8
+* **Round 5+** (``_ROUND5_FRONT`` then module order): first the 12
   round-3-added keys (llm.retrieval, join_dynamic_in_pushdown,
-  part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster —
-  never driver-checked), then re-check the round-1/2 greens on a
+  part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster,
+  agg_weighted_percentile, ts_seasonal_decompose, events_lateness_stats,
+  dedup_incremental_merge — never driver-checked), then re-check the round-1/2 greens on a
   rolling basis.
 """
 
@@ -175,6 +176,10 @@ _ROUND5_FRONT = [
     "part_skyline_pareto",
     "agg_decimal_exact_sum",
     "dedup_semantic_cluster",
+    "agg_weighted_percentile",
+    "ts_seasonal_decompose",
+    "events_lateness_stats",
+    "dedup_incremental_merge",
 ]
 
 

@@ -15,7 +15,7 @@ the sketch shuffles fixed-size registers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
@@ -448,5 +448,72 @@ def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price).cast("double").alias("gross"),
             F.sum(price * disc).cast("double").alias("discount_amt"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH ordered AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    ),
+    crossing AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cumw, l_extendedprice
+               ) AS rn
+        FROM ordered
+        WHERE cumw >= 0.5 * totw
+    )
+    SELECT l_returnflag,
+           round(l_extendedprice, 2) AS weighted_median_price
+    FROM crossing WHERE rn = 1
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower weighted median): the smallest price
+    whose cumulative quantity weight reaches half the group's total —
+    the "typical unit price" where heavy line items count by volume,
+    not by row. percentile()/median() can't weight; this is the
+    standard cumulative-weight crossing formulation.
+
+    Scale shape: one window sort per group for the running weight (the
+    same shuffle an ORDER BY needs), a per-group total as a frame-free
+    window, then the crossing row via a second tiny window over the
+    filtered (>= half) rows. Deterministic tiebreak (orderkey,
+    linenumber) pins the crossing row bit-for-bit in both engines. At
+    100 TB swap the full sort for a t-digest/GK sketch if approximate
+    is acceptable — same API, one pass, no sort.
+    """
+    t = tables(spark, sf_dir)
+    w1 = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    ordered = t.lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w1).alias("cumw"),
+        F.sum("l_quantity").over(wt).alias("totw"),
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy("cumw", "l_extendedprice")
+    return (
+        ordered.filter(F.col("cumw") >= 0.5 * F.col("totw"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            rnd("l_extendedprice", 2).alias("weighted_median_price"),
         )
     )

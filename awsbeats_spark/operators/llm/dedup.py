@@ -481,3 +481,71 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("vec_id", "cluster_id", "crank").agg(
         (F.count("q_vec_id") > 0).alias("is_dup")
     ).withColumn("crank", F.col("crank").cast("bigint"))
+
+
+_CORPUS_SPLIT = 400  # doc_id < 400 = existing corpus; >= 400 = new batch
+
+
+@query(
+    "dedup_incremental_merge",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id < {_CORPUS_SPLIT}
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS h, length(text) AS n_chars_calc
+        FROM documents WHERE doc_id >= {_CORPUS_SPLIT}
+    ),
+    ranked AS (
+        SELECT doc_id, h, n_chars_calc,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id)
+                   AS h_rank
+        FROM batch
+    )
+    SELECT r.doc_id, r.n_chars_calc,
+           (c.h IS NULL AND r.h_rank = 1) AS is_new,
+           (c.h IS NOT NULL) AS dup_of_corpus,
+           (r.h_rank > 1) AS dup_in_batch
+    FROM ranked r LEFT JOIN corpus c ON r.h = c.h
+    """,
+)
+def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify a NEW batch of documents
+    against an already-deduplicated corpus — the every-day shape of a
+    production pipeline, where re-running full-corpus dedup per ingest
+    is unaffordable. A batch doc survives (`is_new`) iff its content
+    hash is absent from the corpus AND it is the first occurrence
+    within its own batch.
+
+    Scale shape: the corpus side is reduced to DISTINCT content hashes
+    (the "dedup ledger" a real pipeline persists — 16 bytes/doc, not
+    the text); the classification is a hash-partitioned LEFT join on
+    the hash plus a per-hash window over the batch only. Both sides
+    shuffle once on the 16-byte key; at 100 TB the ledger join is the
+    same shape as any fact-fact equi-join and AQE handles the
+    batch/corpus size asymmetry.
+    """
+    t = tables(spark, sf_dir)
+    corpus = (
+        t.documents.filter(F.col("doc_id") < _CORPUS_SPLIT)
+        .select(F.md5("text").alias("ch"))
+        .distinct()
+    )
+    batch = t.documents.filter(F.col("doc_id") >= _CORPUS_SPLIT).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.length("text").alias("n_chars_calc"),
+    )
+    h_rank = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")
+    )
+    ranked = batch.withColumn("h_rank", h_rank)
+    joined = ranked.join(corpus, ranked.h == corpus.ch, "left")
+    return joined.select(
+        "doc_id",
+        "n_chars_calc",
+        (F.col("ch").isNull() & (F.col("h_rank") == 1)).alias("is_new"),
+        F.col("ch").isNotNull().alias("dup_of_corpus"),
+        (F.col("h_rank") > 1).alias("dup_in_batch"),
+    )

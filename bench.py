@@ -117,6 +117,10 @@ EXTENDED_PROBE = [
     "part_skyline_pareto",
     "agg_decimal_exact_sum",
     "dedup_semantic_cluster",
+    "agg_weighted_percentile",
+    "ts_seasonal_decompose",
+    "events_lateness_stats",
+    "dedup_incremental_merge",
 ]
 
 
