@@ -379,10 +379,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-SEMDEDUP_TAU = 0.4  # same near-dup ceiling as dedup_embedding_cosine
-_CENT_MOD = 50  # vec_id % 50 == 0 -> cluster centroid (10 cells)
-
+# Shared with the similarity suite BY IMPORT so the parameters can't
+# silently desynchronize: clusters are sim_search_ivf's cells, the
+# threshold is dedup_embedding_cosine's near-dup ceiling.
 from awsbeats_spark.functions.vectorfns import cosine_sql as _cos_sql  # noqa: E402
+from awsbeats_spark.operators.llm.similarity import (  # noqa: E402
+    CENTROID_MOD as _CENT_MOD,
+    NEAR_DUP_TAU as SEMDEDUP_TAU,
+)
 
 
 @query(
@@ -427,33 +431,53 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor set keeps one representative per semantic neighborhood.
 
     Scale shape: centroid assignment is a broadcast of k centroids over
-    one corpus scan (identical to sim_search_ivf's map-side assign);
-    the pairwise check runs ONLY inside a cluster (equi-join on
-    cent_id), so the quadratic term is bounded by cluster size — the
-    paper's trick for making all-pairs semantic dedup tractable at
-    web scale. Clusters here are the IVF cells (k = n/50); in
+    one corpus scan, reduced MAP-SIDE by a max_by partial aggregate
+    (the same argmax shape as sim_search_ivf — no n-by-k shuffle); the
+    pairwise check runs ONLY inside a cluster (equi-join on cent_id),
+    so the quadratic term is bounded by cluster size — the paper's
+    trick for making all-pairs semantic dedup tractable at web scale.
+    Clusters are sim_search_ivf's cells and the threshold is
+    dedup_embedding_cosine's (constants imported, not redefined); in
     production k scales with corpus size to hold cluster width
     constant.
     """
-    from awsbeats_spark.functions.vectorfns import as_double, cosine
+    from awsbeats_spark.functions.vectorfns import as_double, dot, norm
 
     t = tables(spark, sf_dir)
     emb = t.embeddings
+    # Norms once per vector/centroid (similarity.py pattern): each of
+    # the k scores is then one zip_with dot, not three.
     cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    ).select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+    e = emb.select("vec_id", as_double("embedding").alias("ev")).select(
+        "vec_id", "ev", norm(F.col("ev")).alias("ne")
     )
-    e = emb.select("vec_id", as_double("embedding").alias("ev"))
-    arn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    )
+    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    # Argmax via max over (score, -cent_id) struct — the n-by-k cross
+    # product collapses in the map-side partial aggregate; ordering
+    # matches the oracle's (cosine DESC, cent_id ASC).
     assign = (
         e.crossJoin(F.broadcast(cents))
         .select(
-            "vec_id", "ev", "cent_id", cosine(F.col("ev"), F.col("cv")).alias("cent_cos")
+            "vec_id",
+            "ev",
+            "ne",
+            F.struct(score.alias("cent_cos"), (-F.col("cent_id")).alias("neg_cid")).alias("sc"),
         )
-        .withColumn("arn", arn)
-        .filter(F.col("arn") == 1)
-        .drop("arn")
+        .groupBy("vec_id")
+        .agg(
+            F.max("sc").alias("best"),
+            F.any_value("ev").alias("ev"),
+            F.any_value("ne").alias("ne"),
+        )
+        .select(
+            "vec_id",
+            "ev",
+            "ne",
+            (-F.col("best.neg_cid")).alias("cent_id"),
+            F.col("best.cent_cos").alias("cent_cos"),
+        )
     )
     crank = F.row_number().over(
         Window.partitionBy("cent_id").orderBy(F.desc("cent_cos"), F.asc("vec_id"))
@@ -464,18 +488,21 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_id").alias("cluster_id"),
         F.col("crank"),
         F.col("ev").alias("pv"),
+        F.col("ne").alias("np"),
     )
     q = ranked.select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("cent_id").alias("q_cluster_id"),
         F.col("crank").alias("q_crank"),
         F.col("ev").alias("qv"),
+        F.col("ne").alias("nq"),
     )
+    pair_cos = dot(F.col("pv"), F.col("qv")) / (F.col("np") * F.col("nq"))
     pairs = p.join(
         q,
         (F.col("q_cluster_id") == F.col("cluster_id"))
         & (F.col("q_crank") < F.col("crank"))
-        & (cosine(F.col("pv"), F.col("qv")) > SEMDEDUP_TAU),
+        & (pair_cos > SEMDEDUP_TAU),
         "left",
     )
     return pairs.groupBy("vec_id", "cluster_id", "crank").agg(

@@ -15,9 +15,14 @@ Scale notes (100 TB):
   aggregates over (term) — bounded by |vocab|, not corpus size — and
   re-broadcast to the scoring pass, the standard two-pass sharded-index
   build.
-* All scoring math is DOUBLE with the same associativity in both
-  engines (sequential F.aggregate ↔ DuckDB list/ln arithmetic), so the
-  DuckDB oracles agree bit-for-bit before the output rounding.
+* Scoring math is DOUBLE. Per-term quantities (tf, df, dl, idf) are
+  integer-exact, so each term's contribution is bit-identical across
+  engines; the final per-(query, doc) score is an F.sum over ≤|q| such
+  contributions, whose merge order Spark does NOT pin — the 1e-6 output
+  rounding absorbs that (addend sets are tiny and O(1)-magnitude). This
+  is deliberately weaker than the vector ops' sequential-F.aggregate
+  bit-identity; if a red row ever appears here, suspect a sum that
+  landed on a rounding boundary, not the term math.
 """
 
 from __future__ import annotations
@@ -102,20 +107,22 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k for a fixed broadcast query-term set.
 
     Two-pass sharded-index shape: pass 1 computes corpus statistics —
-    per-(doc, term) TF via explode + hash aggregate, document frequency
-    per term (|vocab|-bounded), and avgdl (scalar) — pass 2 joins the
-    tiny (query_id, term) set and the |vocab|-sized df table back onto
-    the TF table as BROADCASTS, so the big (doc, term) side shuffles
-    only for its own groupBy keys. At 100 TB this is exactly a
-    distributed inverted-index build + query: no corpus-sized shuffle
-    appears anywhere except the TF aggregate itself.
+    per-(doc, term) TF via explode + hash aggregate; doc length,
+    document frequency (|vocab|-bounded), and avgdl are all DERIVED
+    from that one TF table (dl = Σ tf per doc — the tokens ARE the
+    words), so the corpus parquet is scanned exactly once — pass 2
+    joins the tiny (query_id, term) set, the |vocab|-sized df table,
+    and the per-doc dl back onto the TF table; dl rides the same
+    doc_id hash partitioning the TF aggregate produced, so AQE plans
+    it without a second corpus-sized exchange. At 100 TB this is
+    exactly a distributed inverted-index build + query.
     """
     t = tables(spark, sf_dir)
     w = words()
     toks = t.documents.select("doc_id", F.explode(w).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = t.documents.select("doc_id", F.size(w).alias("dl"))
-    stats = dl.filter(F.col("dl") > 0).agg(
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -195,9 +202,10 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words()
     toks = t.documents.select("doc_id", F.explode(w).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = t.documents.select("doc_id", F.size(w).alias("dl")).filter(
-        F.col("dl") > 0
-    )
+    # dl derived from tf (Σ tf per doc == word count; docs with zero
+    # words have no tf rows, matching the oracle's len > 0 filter) —
+    # one corpus scan total, and dl keeps tf's doc_id partitioning.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     coll = tf.agg(F.sum("tf").alias("coll_len"))
     qt = _query_terms_df(spark)
     ctf = (
