@@ -146,3 +146,53 @@ def json_parse_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("event_type").alias("event_type_norm"),
         F.when(parsed.isNull(), F.lit("parse_error")).otherwise(F.lit(None)).alias("error"),
     )
+
+
+@query(
+    "observability_observe_inline",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    """,
+)
+def observability_observe_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native `DataFrame.observe` as the Observer seam: metrics
+    (row count, drop count, value mass) ride INSIDE the pass that
+    processes the data — zero extra scan, exactly how the reference's
+    `outputs.Observer` counts during delivery rather than after it
+    (/root/reference/streams/client.go:87-96). In production the
+    observation is read from a QueryExecutionListener / streaming
+    progress event while the main result flows to the sink; here the
+    operator returns the observed metrics as the result so the oracle
+    can check the numbers themselves.
+
+    Scale: observe() compiles to the same partial-aggregate shape as an
+    agg() — constant-size state per task merged on the driver, no
+    second job, no extra shuffle over the data.
+    """
+    from pyspark.sql import Observation
+
+    t = tables(spark, sf_dir)
+    obs = Observation("pipeline_metrics")
+    pk = F.get_json_object("props", "$.k")
+    observed = t.events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(pk.isNull().cast("long")).alias("n_dropped"),
+        F.sum("value").alias("sum_value"),
+    )
+    # Drive the observed pass with a metrics-only action (noop write =
+    # full pass, nothing collected), then surface the observation.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_dropped"], float(m["sum_value"]))],
+        "n_rows bigint, n_dropped bigint, sum_value double",
+    ).select(
+        "n_rows",
+        "n_dropped",
+        F.floor(F.col("sum_value") * 1e4 + F.lit(0.5)) / 1e4,
+    ).toDF("n_rows", "n_dropped", "sum_value")

@@ -121,6 +121,7 @@ EXTENDED_PROBE = [
     "ts_seasonal_decompose",
     "events_lateness_stats",
     "dedup_incremental_merge",
+    "observability_observe_inline",
 ]
 
 

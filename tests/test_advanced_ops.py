@@ -69,3 +69,10 @@ def test_semdedup_laws(spark, sf_dir):
     # ranks are dense within each cluster
     for _, grp in pdf.groupby("cluster_id"):
         assert sorted(grp.crank) == list(range(1, len(grp) + 1))
+
+
+def test_observe_metrics_match_direct_agg(spark, sf_dir):
+    pdf = SPECS["observability_observe_inline"].fn(spark, sf_dir).toPandas()
+    ev = tables(spark, sf_dir).events
+    assert pdf.n_rows.iloc[0] == ev.count()
+    assert 0 <= pdf.n_dropped.iloc[0] <= pdf.n_rows.iloc[0]
