@@ -109,13 +109,16 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-pass sharded-index shape: pass 1 computes corpus statistics —
     per-(doc, term) TF via explode + hash aggregate; doc length,
     document frequency (|vocab|-bounded), and avgdl are all DERIVED
-    from that one TF table (dl = Σ tf per doc — the tokens ARE the
-    words), so the corpus parquet is scanned exactly once — pass 2
-    joins the tiny (query_id, term) set, the |vocab|-sized df table,
-    and the per-doc dl back onto the TF table; dl rides the same
-    doc_id hash partitioning the TF aggregate produced, so AQE plans
-    it without a second corpus-sized exchange. At 100 TB this is
-    exactly a distributed inverted-index build + query.
+    from that TF table (dl = Σ tf per doc — the tokens ARE the words),
+    so no second tokenization logic exists — pass 2 joins the tiny
+    (query_id, term) set, the |vocab|-sized df table, and the per-doc
+    dl back onto the TF table as broadcasts/equi-joins. Caveat the plan
+    pin documents: Catalyst does NOT dedupe shared subtrees, so the
+    cold plan re-instantiates the TF pipeline once per derived
+    statistic (4 scans of the token projection). At 100 TB you persist
+    the TF table — it IS the inverted index, built once, consumed by
+    every statistic and every query batch — and this operator's scoring
+    pass is exactly the plan that runs against it.
     """
     t = tables(spark, sf_dir)
     w = words()

@@ -525,3 +525,64 @@ def test_bitmap_distinct_two_level_aggregate(q):
     plan = executed_plan(q("agg_bitmap_distinct"))
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bm25_broadcast_stats_no_cartesian(q):
+    # query terms, df and stats join back as broadcasts; the only
+    # non-broadcast join is the dl equi-join on doc_id. The cold plan
+    # instantiates the tf subtree once per derived statistic (Catalyst
+    # does not dedupe shared subtrees pre-execution) — the docstring
+    # documents persisting the tf inverted index at production scale.
+    df = q("retrieval_bm25_topk")
+    plan = executed_plan(df)
+    counts = plan_counts(df)
+    assert counts["broadcast_joins"] >= 2
+    assert counts["sort_merge_joins"] + counts["shuffled_hash_joins"] <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_cluster_assign_is_map_side_argmax(q):
+    # centroid assignment must be the max-struct partial aggregate, not
+    # a row_number window over the n-by-k cross product; pair check
+    # joins on cent_id (hash/SMJ), never a cartesian
+    df = q("dedup_semantic_cluster")
+    plan = executed_plan(df)
+    assert "partial_max(sc" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_single_table_exchange(q):
+    # big-table work = one groupBy exchange; the distinct-price window
+    # and the survivor join-back ride a broadcast
+    df = q("part_skyline_pareto")
+    counts = plan_counts(df)
+    assert counts["broadcast_joins"] >= 1
+    assert counts["exchanges"] <= 3
+
+
+def test_weighted_percentile_one_sort_per_group_chain(q):
+    # the running-weight window and the per-group total share the
+    # l_returnflag partitioning; no extra table-wide exchanges
+    df = q("agg_weighted_percentile")
+    counts = plan_counts(df)
+    assert counts["exchanges"] <= 2
+
+
+def test_incremental_merge_joins_on_hash_not_text(q):
+    # ledger join must be an equi-join on the md5 key
+    df = q("dedup_incremental_merge")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_seasonal_decompose_broadcasts_profiles(q):
+    # 24-row seasonal profile and 1-row grand mean come back as
+    # broadcasts over the hourly aggregate
+    df = q("ts_seasonal_decompose")
+    counts = plan_counts(df)
+    assert counts["broadcast_joins"] + counts["nested_loop_joins"] >= 2
+    # one table-sized exchange (the hourly aggregate); the others
+    # (seasonal hod re-agg, grand mean, broadcast prep) move only the
+    # already-aggregated hourly rows
+    assert counts["exchanges"] <= 4
