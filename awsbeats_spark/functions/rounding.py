@@ -67,7 +67,11 @@ def rewrite_round_sql(sql: str) -> str:
             j += 1
         if depth != 0 or arg_end is None:
             raise ValueError(f"unbalanced/ill-formed round() in SQL at {i}: {sql[i:i+80]!r}")
-        expr = sql[i + len("round(") : arg_end].strip()
+        # Recurse into the argument: round(round(x, m) + c, n) must
+        # rewrite the INNER call too, or it survives verbatim inside
+        # the emitted floor() and DuckDB's nearbyint semantics leak
+        # back in for the nested value.
+        expr = rewrite_round_sql(sql[i + len("round(") : arg_end].strip())
         n = int(sql[arg_end + 1 : j].strip())
         p = 10**n
         out.append(f"(floor(({expr}) * {float(p)} + 0.5) / {float(p)})")

@@ -291,3 +291,33 @@ def test_hll_sketch_union_accuracy_vs_exact(spark, sf_dir):
         assert row["n_events"] == ex["n_events"]
         rel = abs(row["approx_users"] - ex["exact_users"]) / ex["exact_users"]
         assert rel < 0.05, f"{et}: HLL rel err {rel:.3f}"
+
+
+@given(
+    x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    m=st.integers(min_value=0, max_value=6),
+    n=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_rewrite_round_sql_nested_matches_python_formula(x, m, n):
+    """rewrite_round_sql must rewrite NESTED round() calls into the
+    deterministic floor formula such that DuckDB evaluates exactly the
+    Python-side arithmetic — the guarantee every oracle leans on."""
+    import duckdb
+    import math
+
+    from awsbeats_spark.functions.rounding import rewrite_round_sql
+
+    def pyrnd(v: float, d: int) -> float:
+        p = float(10**d)
+        return math.floor(v * p + 0.5) / p
+
+    # CAST: a bare float literal parses as DECIMAL in DuckDB (overflows
+    # under the formula's multiply); oracle inputs are DOUBLE columns
+    sql = rewrite_round_sql(
+        f"SELECT round(round(CAST({x!r} AS DOUBLE), {m}) + 0.125, {n}) AS v"
+    )
+    assert "round(" not in sql.lower()
+    got = duckdb.sql(sql).fetchone()[0]
+    want = pyrnd(pyrnd(x, m) + 0.125, n)
+    assert got == want or (math.isnan(got) and math.isnan(want)), (sql, got, want)
