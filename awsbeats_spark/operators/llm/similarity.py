@@ -261,7 +261,18 @@ def _parquet_num_rows(path: str) -> int | None:
         return None
 
 
-EXACT_DEDUP_MAX_ROWS = 20_000  # ~2e8 scored pairs: the exact path's ceiling
+# Exact-path ceiling, ~2e8 scored pairs. The 10x extrapolation run
+# (EXTRAPOLATION.md) measured BOTH paths at 20k rows and the exact
+# broadcast-NL path won: at tau = 0.4 a random pair survives a 4-bit
+# band with p ~ (1/2)^4, so ~1-(15/16)^16 = 64% of ALL pairs remain
+# candidates — banding barely prunes at low thresholds and the LSH
+# path's candidate shuffle costs more than just scoring every pair in
+# codegen. Banded LSH earns its keep when tau >= ~0.9 (production
+# near-dup regimes), where per-band survival for random pairs collapses
+# but near-dups still collide; the gate keeps the LSH path for beyond-
+# ceiling corpora where exact is impossible, and the low-tau caveat is
+# documented where the threshold is set.
+EXACT_DEDUP_MAX_ROWS = 20_000
 
 
 def _dedup_cosine_exact(t) -> DataFrame:
@@ -306,34 +317,40 @@ def _dedup_cosine_lsh(t, r: int = 4, bands: int = 16) -> DataFrame:
     sigs = base.select(
         "vec_id", "v", full_sig.alias("sig"), norm(F.col("v")).alias("nv")
     )
+    # Candidate generation joins IDS ONLY: the band self-join's output
+    # is |candidate pairs| rows, and dragging two 64-dim double arrays
+    # through that shuffle multiplies its volume ~50x (measured: the
+    # array-carrying form timed out on the 10x extrapolation dataset
+    # where the id-only form finishes in seconds). Vectors re-join for
+    # rescoring only AFTER dropDuplicates — two hash joins against the
+    # n-row vector table, each moving each vector once.
     banded = sigs.select(
         "vec_id",
-        "v",
-        "nv",
         F.posexplode(
             F.array(*[F.substring("sig", k * r + 1, r) for k in range(bands)])
         ).alias("band", "bsig"),
     )
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-        "band",
-        "bsig",
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-        "band",
-        "bsig",
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["band", "bsig"])
+    cand = (
+        banded.select(F.col("vec_id").alias("vec_a"), "band", "bsig")
+        .join(
+            banded.select(F.col("vec_id").alias("vec_b"), "band", "bsig"),
+            ["band", "bsig"],
+        )
         .filter(F.col("vec_a") < F.col("vec_b"))
         # a pair colliding in several bands must score once
         .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+    )
+    va = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    vb = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= NEAR_DUP_TAU)
         .select("vec_a", "vec_b", rnd("cos_raw", 6).alias("cosine"))
@@ -573,6 +590,11 @@ def embed_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_K = 8  # init centroids: vec_id % 64 == 0 over the 500-vector table
+# Bounded-sample rule (see CENTROID_ID_CAP / EXTRAPOLATION.md): init
+# centroids and PQ codebook entries come from a FIXED id prefix so the
+# model size doesn't grow with the corpus — no-op at the driver SFs
+# (max vec_id there < 512), linear-cost beyond.
+SAMPLE_ID_CAP = 512
 KMEANS_ITERS = 3
 
 
@@ -623,7 +645,7 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     vecs = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("ev"))
     cents = (
-        vecs.filter(F.col("vec_id") % 64 == 0)
+        vecs.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < SAMPLE_ID_CAP))
         .select(F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv"))
     )
     for _ in range(KMEANS_ITERS):
@@ -686,7 +708,7 @@ _PQ_SUBS = f"""
     WITH subs AS ({_PQ_SUBS}),
     cents AS (
         SELECT vec_id AS cid, s, sub AS cv FROM subs
-        WHERE vec_id % {PQ_CODEBOOK_MOD} = 0
+        WHERE vec_id % {PQ_CODEBOOK_MOD} = 0 AND vec_id < {SAMPLE_ID_CAP}
     ),
     codes AS (
         SELECT v.vec_id, v.s,
@@ -748,7 +770,9 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ev", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
         )
     )
-    cents = subs.filter(F.col("vec_id") % PQ_CODEBOOK_MOD == 0).select(
+    cents = subs.filter(
+        (F.col("vec_id") % PQ_CODEBOOK_MOD == 0) & (F.col("vec_id") < SAMPLE_ID_CAP)
+    ).select(
         F.col("vec_id").alias("cid"), "s", F.col("sub").alias("cv")
     )
     codes = (

@@ -339,6 +339,7 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
 
     from awsbeats_spark.operators.llm.similarity import (
         KMEANS_ITERS,
+        SAMPLE_ID_CAP,
         embed_kmeans_cluster,
     )
 
@@ -346,7 +347,7 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     tab = tab.sort_values("vec_id").reset_index(drop=True)
     X = np.array([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
     ids = tab["vec_id"].to_numpy()
-    cents = X[ids % 64 == 0]
+    cents = X[(ids % 64 == 0) & (ids < SAMPLE_ID_CAP)]
     for _ in range(KMEANS_ITERS):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
@@ -360,7 +361,7 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     ref_inertia = d2.min(axis=1).sum()
 
     got = {r["cluster_id"]: r for r in embed_kmeans_cluster(spark, sf_dir).collect()}
-    cent_ids = sorted(ids[ids % 64 == 0])
+    cent_ids = sorted(ids[(ids % 64 == 0) & (ids < SAMPLE_ID_CAP)])
     spark_sizes = np.array([got[c]["n_members"] if c in got else 0 for c in cent_ids])
     assert (spark_sizes == ref_sizes[: len(cent_ids)]).all(), (
         spark_sizes, ref_sizes)
