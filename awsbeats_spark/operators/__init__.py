@@ -23,7 +23,7 @@ Rotation plan (kept current each round):
   scale(18), profiling(3), timeseries(8), tpch_more(13),
   events_attribution_last_touch, events_pattern_match — after round 4
   every key has had at least one driver row.
-* **Round 5+** (``_ROUND5_FRONT`` then module order): first the 13
+* **Round 5+** (``_ROUND5_FRONT`` then module order): first the 14
   round-3-added keys (llm.retrieval, join_dynamic_in_pushdown,
   part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster,
   agg_weighted_percentile, ts_seasonal_decompose, events_lateness_stats,
@@ -182,6 +182,7 @@ _ROUND5_FRONT = [
     "events_lateness_stats",
     "dedup_incremental_merge",
     "observability_observe_inline",
+    "dedup_ngram_df_capped",
 ]
 
 

@@ -576,3 +576,84 @@ def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ch").isNotNull().alias("dup_of_corpus"),
         (F.col("h_rank") > 1).alias("dup_in_batch"),
     )
+
+
+DF_CAP = 100  # shingles present in more than DF_CAP docs are boilerplate
+
+
+_NGRAM_DFCAP_ORACLE = f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s0
+        FROM documents
+    ),
+    exploded0 AS (SELECT doc_id, unnest(s0) AS sh FROM shs),
+    df AS (
+        SELECT sh FROM exploded0 GROUP BY sh HAVING count(*) <= {DF_CAP}
+    ),
+    exploded AS (
+        SELECT e.doc_id, e.sh FROM exploded0 e JOIN df USING (sh)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_df_capped", oracle=_NGRAM_DFCAP_ORACLE)
+def dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard's documented 100-TB mitigation as a
+    first-class operator: Jaccard over the DF-CAPPED shingle universe —
+    shingles present in more than DF_CAP documents are boilerplate and
+    are dropped BEFORE the self-join (the RefinedWeb/CCNet move). Both
+    the candidate explosion and the similarity itself are then defined
+    on the capped universe, so the semantics are internally consistent
+    and the oracle stays exact.
+
+    Why it scales where the uncapped op can't: a boilerplate shingle
+    with document frequency d contributes O(d²) candidate pairs; the
+    cap bounds every shingle's contribution at DF_CAP². What the cap
+    does NOT (and should not) remove is candidates from GENUINE
+    near-duplicates sharing low-df shingles — on the 10x extrapolation
+    dataset, where every doc truly has 9 near-dup siblings, the cost is
+    dominated by those true pairs and the capped runtime tracks the
+    uncapped one (EXTRAPOLATION.md note 5); on boilerplate-heavy real
+    corpora the cap is the difference between linear and quadratic.
+    The df computation is one |shingle-universe| aggregate, reusing the
+    exploded table the join consumes anyway.
+    """
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded0 = sets.select("doc_id", F.explode("shs").alias("sh"))
+    df_ok = (
+        exploded0.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("sh")
+    )
+    exploded = exploded0.join(df_ok, "sh")
+    counts = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
+    )

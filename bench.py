@@ -122,6 +122,7 @@ EXTENDED_PROBE = [
     "events_lateness_stats",
     "dedup_incremental_merge",
     "observability_observe_inline",
+    "dedup_ngram_df_capped",
 ]
 
 
