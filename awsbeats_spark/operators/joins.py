@@ -301,8 +301,19 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most one exploded row per interval, so the bucket join produces
     no duplicate pairs and needs no post-dedup. Bucket width tunes the
     explode factor vs join selectivity; at any SF the shuffle carries
-    interval_count × 8 + point_count rows instead of the cross product."""
+    interval_count x 8 + point_count rows instead of the cross product.
+
+    Second-order scale fix (found by the 10x extrapolation run, alpha
+    1.49 -- EXTRAPOLATION.md): when BOTH sides grow over a FIXED date
+    domain, even the bucketed join enumerates points_per_day x
+    intervals_per_day pairs -- quadratic in density. The exact cure is
+    per-day pre-aggregation: a day FULLY contained in the window
+    contributes its point COUNT (one row per day, bounded by the date
+    domain, not by data size); only BOUNDARY days (partial coverage --
+    possible only when interval endpoints are not midnight-aligned)
+    fall back to point-level checking."""
     t = tables(spark, sf_dir)
+    one_day = F.expr("INTERVAL 1 DAY")
     ivl = (
         t.orders.filter(F.col("o_orderkey") % 97 == 0)
         .select(
@@ -321,17 +332,34 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    full_day = (F.col("bucket_day") >= F.col("window_start")) & (
+        (F.col("bucket_day") + one_day) <= F.col("window_end")
+    )
     pts = t.lineitem.select(
         "l_shipdate", F.date_trunc("DAY", F.col("l_shipdate")).alias("bucket_day")
     )
-    return (
-        pts.join(ivl, "bucket_day")
+    day_counts = pts.groupBy("bucket_day").agg(F.count(F.lit(1)).alias("n_pts"))
+    full = (
+        ivl.filter(full_day)
+        .join(day_counts, "bucket_day")
+        .groupBy("o_orderkey", "window_start")
+        .agg(F.sum("n_pts").alias("n_full"))
+    )
+    partial = (
+        ivl.filter(~full_day)
+        .join(pts, "bucket_day")
         .filter(
             (F.col("l_shipdate") >= F.col("window_start"))
             & (F.col("l_shipdate") < F.col("window_end"))
         )
         .groupBy("o_orderkey", "window_start")
-        .agg(F.count(F.lit(1)).alias("n_shipped"))
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    n = F.coalesce(F.col("n_full"), F.lit(0)) + F.coalesce(F.col("n_part"), F.lit(0))
+    return (
+        full.join(partial, ["o_orderkey", "window_start"], "full_outer")
+        .select("o_orderkey", "window_start", n.cast("bigint").alias("n_shipped"))
+        .filter(F.col("n_shipped") > 0)
     )
 
 
