@@ -58,6 +58,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     graph,
     joins,
     pipeline,
+    geo,
 )
 
 _ROUND3_WINDOW = [

@@ -1,0 +1,247 @@
+"""Geospatial operators — engine extension (SURVEY.md §2.C).
+
+The reference ships host/geo metadata untouched inside the event JSON
+(`/root/reference/streams/client.go:96-125` serializes whatever libbeat
+put in the record); a fleet-scale analytics engine needs to JOIN on
+location, which a naive approach does as an all-pairs distance check —
+O(n·m) and untenable at 100 TB. These operators implement the standard
+scale shape instead: **grid-blocked spatial join** — bucket every point
+into a fixed lat/lon grid cell, equi-join on cell (with 3x3 neighbor
+expansion on the small side), THEN compute exact haversine distance on
+the candidate pairs only. The expensive trig runs on the grid-pruned
+candidate set, not the cross product, and the equi-join shuffles on the
+cell key exactly like any other hash join.
+
+The test tables carry no coordinates, so both engines derive synthetic
+ones from the integer keys with the SAME linear-congruential projection
+(integer arithmetic — bit-identical cross-engine). On a real deployment
+the projection is replaced by the actual lat/lon columns; every plan
+property (grid bucketing, neighbor expansion, candidate-only trig) is
+independent of where the coordinates come from.
+
+Determinism note: the candidate *generation* is pure integer math; only
+the final haversine (libm trig on both engines) is floating, and it is
+rounded before aggregation so last-bit libm drift cannot flip output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.registry import query
+
+# LCG projection constants (classic 233280 modulus): lat in [-85, 85]
+# (poles excluded — grid cells degenerate there), lon in [-180, 180).
+_M = 233280
+_LAT_SPAN, _LAT_OFF = 170.0, -85.0
+_LON_SPAN, _LON_OFF = 360.0, -180.0
+
+#: grid cell edge in degrees; 5 deg ~ 556 km of latitude, so one cell +
+#: one neighbor ring covers every pair within the 500 km radius for
+#: |lat| < ~64 deg (above that, longitude convergence can push a pair
+#: beyond the ring — the blocked-join contract below is the operator
+#: spec on BOTH engines, so parity is exact; a polar deployment widens
+#: the ring as ceil(R / (111*cos(lat))) cells, same plan shape).
+_CELL_DEG = 5
+_RADIUS_KM = 500.0
+_EARTH_KM = 6371.0
+
+
+def _lat(key: Column) -> Column:
+    return ((key * 9301 + 49297) % _M) / float(_M) * _LAT_SPAN + _LAT_OFF
+
+
+def _lon(key: Column) -> Column:
+    return ((key * 49297 + 9301) % _M) / float(_M) * _LON_SPAN + _LON_OFF
+
+
+def _lat_sql(key: str) -> str:
+    return f"(({key} * 9301 + 49297) % {_M}) / {float(_M)} * {_LAT_SPAN} + {_LAT_OFF}"
+
+
+def _lon_sql(key: str) -> str:
+    return f"(({key} * 49297 + 9301) % {_M}) / {float(_M)} * {_LON_SPAN} + {_LON_OFF}"
+
+
+def _cell(deg: Column) -> Column:
+    # floor() on the raw LCG double: the quotient feeding floor() is
+    # identical on both engines (same integer numerator, same constant
+    # divisor), so the bucket id is too.
+    return F.floor(deg / F.lit(float(_CELL_DEG))).cast("long")
+
+
+def _cell_sql(deg_sql: str) -> str:
+    return f"CAST(floor(({deg_sql}) / {float(_CELL_DEG)}) AS BIGINT)"
+
+
+def _haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2.0 * _EARTH_KM * F.asin(F.sqrt(h))
+
+
+_HAVERSINE_SQL = (
+    f"2.0 * {_EARTH_KM} * asin(sqrt("
+    "pow(sin(radians(c_lat - s_lat) / 2), 2)"
+    " + cos(radians(s_lat)) * cos(radians(c_lat))"
+    " * pow(sin(radians(c_lon - s_lon) / 2), 2)))"
+)
+
+
+@query(
+    "geo_grid_neighbor_join",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               {_lat_sql('c_custkey')} AS c_lat,
+               {_lon_sql('c_custkey')} AS c_lon
+        FROM customer
+    ),
+    cust_cells AS (
+        SELECT *,
+               {_cell_sql('c_lat')} AS cell_lat,
+               {_cell_sql('c_lon')} AS cell_lon
+        FROM cust
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               {_lat_sql('s_suppkey')} AS s_lat,
+               {_lon_sql('s_suppkey')} AS s_lon
+        FROM supplier
+    ),
+    supp_cells AS (
+        SELECT s.*,
+               {_cell_sql('s_lat')} + dlat AS cell_lat,
+               {_cell_sql('s_lon')} + dlon AS cell_lon
+        FROM supp s
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlat) a
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlon) b
+    ),
+    pairs AS (
+        SELECT s_suppkey, c_custkey,
+               round({_HAVERSINE_SQL}, 3) AS dist_km
+        FROM supp_cells s
+        JOIN cust_cells c USING (cell_lat, cell_lon)
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY s_suppkey
+                   ORDER BY dist_km, c_custkey) AS rn
+        FROM pairs
+        WHERE dist_km <= {_RADIUS_KM}
+    )
+    SELECT s_suppkey,
+           count(*) AS n_within,
+           round(min(dist_km), 3) AS nearest_km,
+           min(c_custkey) FILTER (WHERE rn = 1) AS nearest_custkey
+    FROM ranked
+    GROUP BY s_suppkey
+    """,
+)
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius spatial join, grid-blocked: for each supplier, the
+    customers within 500 km — candidate pairs generated by a cell
+    equi-join (supplier cells expanded to the 3x3 neighbor ring),
+    haversine evaluated on candidates only.
+
+    Scale shape: one scan per side; the 9x expansion happens on the
+    SMALL side (suppliers — dims stay broadcastable; were both sides
+    facts, the join shuffles both on (cell_lat, cell_lon) and each cell
+    pair meets in one task — never an all-pairs product). At 1000
+    executors the cell key distributes like any hash-join key; hot
+    cells (urban skew) would salt exactly like `join_skew_salted`.
+    """
+    t = tables(spark, sf_dir)
+    cust = t.customer.select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("c_lat"),
+        _lon(F.col("c_custkey")).alias("c_lon"),
+    ).select(
+        "*",
+        _cell(F.col("c_lat")).alias("cell_lat"),
+        _cell(F.col("c_lon")).alias("cell_lon"),
+    )
+    offsets = F.expr(
+        "explode(array(-1L, 0L, 1L))"
+    )  # applied twice below for the 3x3 ring
+    supp = (
+        t.supplier.select(
+            "s_suppkey",
+            _lat(F.col("s_suppkey")).alias("s_lat"),
+            _lon(F.col("s_suppkey")).alias("s_lon"),
+        )
+        .withColumn("dlat", offsets)
+        .withColumn("dlon", F.expr("explode(array(-1L, 0L, 1L))"))
+        .select(
+            "*",
+            (_cell(F.col("s_lat")) + F.col("dlat")).alias("cell_lat"),
+            (_cell(F.col("s_lon")) + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    dist = rnd(
+        _haversine_km(
+            F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
+        ),
+        3,
+    )
+    pairs = (
+        F.broadcast(supp)
+        .join(cust, ["cell_lat", "cell_lon"])
+        .select("s_suppkey", "c_custkey", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= _RADIUS_KM)
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        rnd(F.min("dist_km"), 3).alias("nearest_km"),
+        F.min_by(
+            "c_custkey", F.struct(F.col("dist_km"), F.col("c_custkey"))
+        ).alias("nearest_custkey"),
+    )
+
+
+@query(
+    "geo_cell_density_topk",
+    oracle=f"""
+    SELECT cell_lat, cell_lon,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM (
+        SELECT c_acctbal,
+               {_cell_sql(_lat_sql('c_custkey'))} AS cell_lat,
+               {_cell_sql(_lon_sql('c_custkey'))} AS cell_lon
+        FROM customer
+    )
+    GROUP BY cell_lat, cell_lon
+    ORDER BY n_customers DESC, cell_lat, cell_lon
+    LIMIT 20
+    """,
+)
+def geo_cell_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 densest grid cells (point-density heatmap feeding the
+    skew diagnosis for the blocked join above: these ARE the cells one
+    would salt). Single groupBy with map-side combine; top-k via
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    t = tables(spark, sf_dir)
+    cells = t.customer.select(
+        "c_acctbal",
+        _cell(_lat(F.col("c_custkey"))).alias("cell_lat"),
+        _cell(_lon(F.col("c_custkey"))).alias("cell_lon"),
+    )
+    return (
+        cells.groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy(F.desc("n_customers"), "cell_lat", "cell_lon")
+        .limit(20)
+    )

@@ -418,3 +418,122 @@ def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(rnd(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
     )
+
+
+# --------------------------------------------------------------------------
+# Readability (Flesch) and corpus Zipf fit — round-3 additions
+# --------------------------------------------------------------------------
+
+_SENT_RE = r"[.!?]+"
+_SYLL_RE = r"[aeiouy]+"
+
+
+@query(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id,
+               len({WORDS_SQL}) AS n_words,
+               greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1)
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '{_SYLL_RE}'))
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / greatest(n_words, 1)), 4)
+               AS flesch_ease,
+           round(0.39 * (n_words * 1.0 / n_sentences)
+                 + 11.8 * (n_syllables * 1.0 / greatest(n_words, 1))
+                 - 15.59, 4) AS fk_grade
+    FROM counts
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic curriculum/difficulty score for training-data selection
+    (syllables approximated as vowel-group runs, the standard
+    dictionary-free proxy). Pure narrow projection of three regexp
+    counts — shuffle-free, embarrassingly parallel at 100 TB, and the
+    regexes ([.!?]+ / [aeiouy]+) have identical semantics in Java regex
+    and RE2 so both engines count the same runs."""
+    t = tables(spark, sf_dir)
+    n_words = F.size(words())
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SYLL_RE), F.lit(0))
+    )
+    wps = n_words * F.lit(1.0) / n_sent
+    spw = n_syll * F.lit(1.0) / F.greatest(n_words, F.lit(1))
+    return t.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        rnd(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_ease"
+        ),
+        rnd(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )
+
+
+_ZIPF_TOPN = 200
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+        SELECT w AS term, count(*) AS freq
+        FROM (SELECT unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY w
+    ),
+    top AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS rnk
+        FROM tf
+        QUALIFY rnk <= {_ZIPF_TOPN}
+    )
+    SELECT round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+           round(regr_intercept(ln(freq), ln(rnk)), 4) AS zipf_intercept,
+           round(regr_r2(ln(freq), ln(rnk)), 4) AS zipf_r2,
+           count(*) AS n_terms
+    FROM top
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: OLS slope/intercept/R^2 of ln(freq) on ln(rank)
+    over the top-200 terms — the standard corpus-health diagnostic
+    (natural text fits slope ~ -1; a boilerplate-heavy or synthetic
+    corpus bends away). Scale shape: ONE term-frequency aggregation
+    (explode -> groupBy term, map-side combined, bounded by |vocab|),
+    then global top-200 via TakeOrderedAndProject — the 200-row window
+    and regression run on a single tiny partition; the 100-TB scan
+    never feeds a global sort."""
+    t = tables(spark, sf_dir)
+    tf = (
+        t.documents.select(F.explode(words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), F.asc("term"))
+        .limit(_ZIPF_TOPN)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+        )
+    )
+    lf, lr = F.log("freq"), F.log("rnk")
+    return top.agg(
+        rnd(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        rnd(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        rnd(F.regr_r2(lf, lr), 4).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
