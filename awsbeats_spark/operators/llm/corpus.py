@@ -786,3 +786,72 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(share, 6).alias("token_share"),
         rnd(-share * F.log(share), 6).alias("entropy_term"),
     )
+
+
+_TEMP_T = 2.0  # mixture temperature: w_i ~ p_i^(1/T); T=2 -> sqrt flattening
+
+
+@query(
+    "corpus_temperature_resample",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({WORDS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+        HAVING sum(len({WORDS_SQL})) > 0
+    ),
+    with_p AS (
+        SELECT *, n_tokens * 1.0 / sum(n_tokens) OVER () AS p
+        FROM per_source
+    ),
+    shared AS (
+        SELECT *, sqrt(p) / sum(sqrt(p)) OVER () AS w
+        FROM with_p
+    )
+    SELECT source, n_docs, n_tokens,
+           round(p, 6) AS nat_share,
+           round(w, 6) AS temp_weight,
+           round(w / p, 4) AS eff_epochs
+    FROM shared
+    """,
+)
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (T=2): the
+    multilingual/multi-domain re-balancing rule w_i = p_i^(1/T) /
+    sum_j p_j^(1/T) that upsamples small sources without letting any
+    source dominate — `eff_epochs` (= w_i / p_i) is how many passes
+    over source i the sampled mixture implies, the number capacity
+    planners check against the repetition budget.
+
+    sqrt() is IEEE-correctly-rounded on both engines, so the weights
+    are bit-identical; zero-token sources are dropped on both sides
+    (their weight is the limit 0).
+
+    Scale shape: ONE documents scan reduced to |sources| rows with
+    map-side combine; all mixture math runs in unpartitioned windows
+    over that tiny aggregate. At 100 TB this is one exchange of a
+    handful of counter rows — the same shape a mixture re-weighting
+    job needs before it writes the sampled output."""
+    docs = tables(spark, sf_dir).documents
+    per_source = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words())).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    wall = Window.partitionBy(F.lit(1))
+    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    with_p = per_source.select("source", "n_docs", "n_tokens", p.alias("p"))
+    w = F.sqrt(F.col("p")) / F.sum(F.sqrt(F.col("p"))).over(wall)
+    return with_p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("p"), 6).alias("nat_share"),
+        rnd(w, 6).alias("temp_weight"),
+        rnd(w / F.col("p"), 4).alias("eff_epochs"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.registry import query
 
 # (rule_name, predicate SQL) — violations counted where the predicate is
@@ -203,4 +204,201 @@ def dq_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_last_hour",
             "n_older_than_day",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (PSI) and Benford first-digit audit — round-3 additions
+# --------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-04-01"  # midpoint of the orders date domain
+_PSI_WIDTH = 50000.0
+_PSI_BUCKETS = 10
+
+
+@query(
+    "dq_distribution_drift_psi",
+    oracle=f"""
+    WITH counts AS (
+        SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS BIGINT),
+                     {_PSI_BUCKETS - 1}) AS bucket,
+               count(*) FILTER (WHERE o_orderdate < DATE '{_PSI_SPLIT}')
+                   AS n_ref_raw,
+               count(*) FILTER (WHERE o_orderdate >= DATE '{_PSI_SPLIT}')
+                   AS n_cur_raw
+        FROM orders
+        GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(0, {_PSI_BUCKETS - 1})) AS bucket),
+    filled AS (
+        SELECT s.bucket,
+               CAST(coalesce(n_ref_raw, 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(n_cur_raw, 0) AS BIGINT) AS n_cur
+        FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
+    ),
+    tot AS (
+        SELECT *,
+               CAST(sum(n_ref) OVER () AS DOUBLE) AS t_ref,
+               CAST(sum(n_cur) OVER () AS DOUBLE) AS t_cur
+        FROM filled
+    )
+    SELECT bucket, n_ref, n_cur,
+           round((n_ref + 1.0) / (t_ref + {_PSI_BUCKETS}), 6) AS p_ref,
+           round((n_cur + 1.0) / (t_cur + {_PSI_BUCKETS}), 6) AS p_cur,
+           round(((n_cur + 1.0) / (t_cur + {_PSI_BUCKETS})
+                  - (n_ref + 1.0) / (t_ref + {_PSI_BUCKETS}))
+                 * ln(((n_cur + 1.0) / (t_cur + {_PSI_BUCKETS}))
+                      / ((n_ref + 1.0) / (t_ref + {_PSI_BUCKETS}))), 6)
+               AS psi_term
+    FROM tot
+    """,
+)
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    reference half (orderdate < 1998-04-01) vs current half — the
+    standard production drift gate for a feature/metric column.
+    Laplace-smoothed (+1 per bucket) so empty buckets stay finite;
+    sum(psi_term) > 0.2 is the conventional alarm.
+
+    Scale shape: ONE fact scan with conditional map-side counts into a
+    fixed 10-bucket spine (broadcast range join on a 10-row dim), then
+    window totals over the 10-row aggregate. At 100 TB the only
+    exchange is 10 counter rows; drift checks rescan nothing.
+    """
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    split = F.lit(_PSI_SPLIT).cast("date")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("long"),
+        F.lit(_PSI_BUCKETS - 1),
+    )
+    counts = (
+        t.orders.select(
+            bucket.alias("bucket"),
+            (F.col("o_orderdate").cast("date") < split).cast("long").alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref_raw"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur_raw"),
+        )
+    )
+    spine = spark.range(_PSI_BUCKETS).withColumnRenamed("id", "bucket")
+    filled = (
+        F.broadcast(spine)
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref_raw", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur_raw", F.lit(0)).alias("n_cur"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t_ref = F.sum("n_ref").over(w).cast("double")
+    t_cur = F.sum("n_cur").over(w).cast("double")
+    p_ref = (F.col("n_ref") + 1.0) / (t_ref + _PSI_BUCKETS)
+    p_cur = (F.col("n_cur") + 1.0) / (t_cur + _PSI_BUCKETS)
+    return filled.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        rnd(p_ref, 6).alias("p_ref"),
+        rnd(p_cur, 6).alias("p_cur"),
+        rnd((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), injected as the
+# SAME Python double literals on both engines (no cross-engine log10).
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_SPINE_SQL = ", ".join(
+    f"({d}, {v!r})" for d, v in _BENFORD.items()
+)
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    spine(digit, exp_share) AS (VALUES {_BENFORD_SPINE_SQL}),
+    tot AS (
+        SELECT s.digit, s.exp_share,
+               CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(sum(coalesce(o.n_orders, 0)) OVER () AS DOUBLE) AS total
+        FROM spine s LEFT JOIN obs o ON s.digit = o.digit
+    )
+    SELECT digit, n_orders,
+           round(n_orders / total, 6) AS obs_share,
+           round(exp_share, 6) AS exp_share,
+           round(pow(n_orders - total * exp_share, 2)
+                 / (total * exp_share), 4) AS chi2_term
+    FROM tot
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order values: observed first-significant-
+    digit shares vs log10(1+1/d), with per-digit Pearson chi-square
+    contributions — the classic fabricated-data / unit-mixup detector
+    for monetary columns. The digit comes from integer-to-string
+    formatting (exact, engine-identical), never from float log10.
+
+    Scale shape: one scan, 9-way map-side count, broadcast join to a
+    9-row constant spine, window totals over 9 rows. Single exchange of
+    9 counter rows at any data size.
+    """
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        t.orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders_raw"))
+    )
+    spine = spark.createDataFrame(
+        [(d, v) for d, v in _BENFORD.items()], "digit long, exp_share double"
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined = (
+        F.broadcast(spine)
+        .join(obs, "digit", "left")
+        .select(
+            "digit",
+            "exp_share",
+            F.coalesce("n_orders_raw", F.lit(0)).alias("n_orders"),
+        )
+        .withColumn("total", F.sum("n_orders").over(w).cast("double"))
+    )
+    return joined.select(
+        "digit",
+        "n_orders",
+        rnd(F.col("n_orders") / F.col("total"), 6).alias("obs_share"),
+        rnd(F.col("exp_share"), 6).alias("exp_share"),
+        rnd(
+            F.pow(F.col("n_orders") - F.col("total") * F.col("exp_share"), 2)
+            / (F.col("total") * F.col("exp_share")),
+            4,
+        ).alias("chi2_term"),
     )

@@ -123,6 +123,16 @@ EXTENDED_PROBE = [
     "dedup_incremental_merge",
     "observability_observe_inline",
     "dedup_ngram_df_capped",
+    # round 3b additions
+    "geo_grid_neighbor_join",
+    "geo_cell_density_topk",
+    "text_readability_flesch",
+    "text_zipf_slope",
+    "dq_distribution_drift_psi",
+    "dq_benford_first_digit",
+    "ts_acf_hourly",
+    "ts_downsample_lttb",
+    "corpus_temperature_resample",
 ]
 
 

@@ -586,3 +586,67 @@ def test_seasonal_decompose_broadcasts_profiles(q):
     # (seasonal hod re-agg, grand mean, broadcast prep) move only the
     # already-aggregated hourly rows
     assert counts["exchanges"] <= 4
+
+
+# --------------------------------------------------------------------------
+# round-3b operators
+# --------------------------------------------------------------------------
+
+
+def test_geo_grid_join_broadcasts_expanded_small_side(q):
+    counts = plan_counts(q("geo_grid_neighbor_join"))
+    # supplier x 9-cell ring broadcasts; customer side never shuffles
+    # for the join (only the final per-supplier agg exchanges)
+    assert counts["broadcast_joins"] == 1
+    assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0
+    assert counts["nested_loop_joins"] == 0  # candidate gen is equi-join
+
+
+def test_geo_cell_density_is_takeordered(q):
+    counts = plan_counts(q("geo_cell_density_topk"))
+    assert counts["take_ordered"] == 1
+    assert counts["exchanges"] == 1  # the single groupBy
+
+
+def test_readability_is_shuffle_free(q):
+    counts = plan_counts(q("text_readability_flesch"))
+    assert counts["exchanges"] == 0
+    assert counts["codegen_spans"] >= 1
+
+
+def test_zipf_topk_avoids_global_sort(q):
+    counts = plan_counts(q("text_zipf_slope"))
+    # term-frequency agg exchanges; the top-200 must be TakeOrdered,
+    # never a global sort of the vocabulary
+    assert counts["take_ordered"] == 1
+
+
+def test_psi_single_fact_scan_single_exchange(q):
+    df = q("dq_distribution_drift_psi")
+    counts = plan_counts(df)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") == 1  # one orders pass
+    assert counts["exchanges"] <= 2  # bucket agg (+AQE coalesce variance)
+    assert counts["broadcast_joins"] >= 1  # 10-row spine broadcast
+
+
+def test_benford_single_fact_scan(q):
+    df = q("dq_benford_first_digit")
+    assert executed_plan(df).count("FileScan parquet") == 1
+    assert plan_counts(df)["broadcast_joins"] >= 1
+
+
+def test_acf_joins_on_reduced_series_not_fact(q):
+    df = q("ts_acf_hourly")
+    plan = executed_plan(df)
+    counts = plan_counts(df)
+    # events reduce to hours before any join; the lag join happens on
+    # the tiny aggregate (broadcast or shuffled-on-aggregate, never SMJ
+    # repartitioning the raw fact twice)
+    assert plan.count("FileScan parquet") <= 2
+    assert counts["nested_loop_joins"] <= 1  # the 12-row lag spine cross
+
+
+def test_temperature_resample_single_scan(q):
+    df = q("corpus_temperature_resample")
+    assert executed_plan(df).count("FileScan parquet") == 1

@@ -1,0 +1,188 @@
+"""Semantic checks for the round-3b operators (geo, readability, Zipf,
+PSI/Benford drift, ACF, LTTB, temperature mixture) — properties the
+oracle-parity sweep can't see (parity proves Spark == DuckDB, these
+prove both compute the thing the docstring claims).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from awsbeats_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return SPECS[name].fn(spark, sf_dir).toPandas()
+
+    return _run
+
+
+# --------------------------------------------------------------------------
+# geo
+# --------------------------------------------------------------------------
+
+_M = 233280
+
+
+def _lcg_lat(key: np.ndarray) -> np.ndarray:
+    return ((key * 9301 + 49297) % _M) / _M * 170.0 - 85.0
+
+
+def _lcg_lon(key: np.ndarray) -> np.ndarray:
+    return ((key * 49297 + 9301) % _M) / _M * 360.0 - 180.0
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    rl1, rl2 = np.radians(lat1), np.radians(lat2)
+    dlat = np.radians(lat2 - lat1)
+    dlon = np.radians(lon2 - lon1)
+    h = np.sin(dlat / 2) ** 2 + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2
+    return 2 * 6371.0 * np.arcsin(np.sqrt(h))
+
+
+def test_geo_join_matches_blocked_bruteforce(run, sf_dir):
+    import pandas as pd
+
+    out = run("geo_grid_neighbor_join").set_index("s_suppkey")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")["c_custkey"].to_numpy()
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")["s_suppkey"].to_numpy()
+    clat, clon = _lcg_lat(cust), _lcg_lon(cust)
+    slat, slon = _lcg_lat(supp), _lcg_lon(supp)
+    ccell = np.stack([np.floor(clat / 5), np.floor(clon / 5)])
+    scell = np.stack([np.floor(slat / 5), np.floor(slon / 5)])
+    for i, sk in enumerate(supp):
+        # the blocked-join spec: candidates are the 3x3 cell ring
+        near = (np.abs(ccell[0] - scell[0, i]) <= 1) & (
+            np.abs(ccell[1] - scell[1, i]) <= 1
+        )
+        d = np.floor(
+            _haversine(slat[i], slon[i], clat[near], clon[near]) * 1e3 + 0.5
+        ) / 1e3
+        within = d[d <= 500.0]
+        if len(within) == 0:
+            assert sk not in out.index
+            continue
+        row = out.loc[sk]
+        assert row["n_within"] == len(within)
+        assert row["nearest_km"] == pytest.approx(within.min(), abs=1e-9)
+
+
+def test_geo_cell_density_is_descending_topk(run):
+    out = run("geo_cell_density_topk")
+    assert len(out) <= 20
+    counts = out["n_customers"].to_numpy()
+    assert (counts[:-1] >= counts[1:]).all()
+
+
+# --------------------------------------------------------------------------
+# text
+# --------------------------------------------------------------------------
+
+
+def test_readability_formula_on_recomputed_counts(run):
+    out = run("text_readability_flesch")
+    wps = out["n_words"] / out["n_sentences"]
+    spw = out["n_syllables"] / out["n_words"].clip(lower=1)
+    expect = np.floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e4 + 0.5) / 1e4
+    assert np.allclose(out["flesch_ease"], expect, atol=1e-9)
+    assert (out["n_sentences"] >= 1).all()
+
+
+def test_zipf_slope_is_negative_powerlaw(run):
+    out = run("text_zipf_slope")
+    assert len(out) == 1
+    row = out.iloc[0]
+    # synthetic corpus vocab can be < 200 at tiny SF; cap still applies
+    assert 1 <= row["n_terms"] <= 200
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+    assert 0 <= row["zipf_r2"] <= 1
+
+
+# --------------------------------------------------------------------------
+# quality drift
+# --------------------------------------------------------------------------
+
+
+def test_psi_terms_nonnegative_and_spine_complete(run):
+    out = run("dq_distribution_drift_psi")
+    assert sorted(out["bucket"]) == list(range(10))
+    # (a-b)·ln(a/b) >= 0 always; rounding may leave -0.0
+    assert (out["psi_term"] >= -1e-12).all()
+    assert out["p_ref"].between(0, 1).all() and out["p_cur"].between(0, 1).all()
+
+
+def test_benford_shares_sum_to_one(run):
+    out = run("dq_benford_first_digit")
+    assert sorted(out["digit"]) == list(range(1, 10))
+    assert out["obs_share"].sum() == pytest.approx(1.0, abs=1e-4)
+    assert out["exp_share"].sum() == pytest.approx(1.0, abs=1e-4)
+    assert (out["chi2_term"] >= 0).all()
+
+
+# --------------------------------------------------------------------------
+# timeseries
+# --------------------------------------------------------------------------
+
+
+def test_acf_bounded_and_pair_counts_shrink(run, spark, sf_dir):
+    out = run("ts_acf_hourly").sort_values("lag")
+    assert list(out["lag"]) == list(range(1, 13))
+    assert out["acf"].abs().max() <= 1.0 + 1e-9
+    # each lag pairs at most (hours - lag) rows (gaps drop pairs, so
+    # counts need not be monotonic in lag — only bounded)
+    from awsbeats_spark.catalog import tables
+    from pyspark.sql import functions as F
+
+    n_hours = (
+        tables(spark, sf_dir)
+        .events.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert (out["n_pairs"] > 0).all()
+    assert (out["n_pairs"].to_numpy() <= n_hours - out["lag"].to_numpy()).all()
+
+
+def test_lttb_pins_endpoints_and_keeps_x_order(run, spark, sf_dir):
+    out = run("ts_downsample_lttb").sort_values("bucket")
+    assert len(out) == 24
+    xs = out["hour_id"].to_numpy()
+    assert (xs[:-1] < xs[1:]).all()  # one point per bucket, x-ordered
+    from awsbeats_spark.catalog import tables
+    from pyspark.sql import functions as F
+
+    hours = (
+        tables(spark, sf_dir)
+        .events.select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .first()
+    )
+    assert xs[0] == hours["lo"] and xs[-1] == hours["hi"]
+
+
+# --------------------------------------------------------------------------
+# corpus mixture
+# --------------------------------------------------------------------------
+
+
+def test_temperature_weights_flatten_toward_uniform(run):
+    out = run("corpus_temperature_resample")
+    assert out["temp_weight"].sum() == pytest.approx(1.0, abs=1e-4)
+    assert out["nat_share"].sum() == pytest.approx(1.0, abs=1e-4)
+    # T=2 upsamples below-average sources, downsamples the heaviest
+    smallest = out.loc[out["nat_share"].idxmin()]
+    largest = out.loc[out["nat_share"].idxmax()]
+    if not math.isclose(smallest["nat_share"], largest["nat_share"]):
+        assert smallest["eff_epochs"] > 1.0
+        assert largest["eff_epochs"] < 1.0
