@@ -28,10 +28,12 @@ Rotation plan (kept current each round):
   part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster,
   agg_weighted_percentile, ts_seasonal_decompose, events_lateness_stats,
   dedup_incremental_merge, observability_observe_inline — never
-  driver-checked), then the 9 round-3b keys (geo.py x2,
+  driver-checked), then the 14 round-3b keys (geo.py x2,
   text_readability_flesch, text_zipf_slope, dq_distribution_drift_psi,
-  dq_benford_first_digit, ts_acf_hourly, ts_downsample_lttb,
-  corpus_temperature_resample — they register after _ROUND5_FRONT in
+  dq_benford_first_digit, dq_ks_test_two_sample, agg_gini_by_priority,
+  ts_acf_hourly, ts_downsample_lttb, ts_changepoint_cusum,
+  ts_trend_mann_kendall, corpus_temperature_resample,
+  corpus_bpe_pair_stats — they register after _ROUND5_FRONT in
   module order), then re-check the round-1/2 greens on a rolling basis.
 """
 

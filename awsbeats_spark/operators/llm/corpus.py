@@ -855,3 +855,61 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(w, 6).alias("temp_weight"),
         rnd(w / F.col("p"), 4).alias("eff_epochs"),
     )
+
+
+_BPE_TOPN = 20
+
+
+@query(
+    "corpus_bpe_pair_stats",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY w
+        HAVING length(w) >= 2
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substring(w, i, 2))) AS pair,
+               freq
+        FROM vocab
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOPN}
+    """,
+)
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting core of BPE tokenizer training: corpus-weighted
+    frequencies of adjacent character pairs, i.e. the candidates for
+    the FIRST merge (a full trainer repeats this count after each
+    merge; one iteration is the engine-shaped primitive worth owning).
+
+    Scale shape: the classic two-level reduction — the 100-TB corpus
+    first collapses to its VOCABULARY (groupBy word with map-side
+    combine; this is why real BPE trainers count words, not tokens),
+    then pair generation and the pair aggregate run on the vocab-
+    bounded table; top-k is TakeOrderedAndProject. Nothing downstream
+    of the first exchange scales with corpus size."""
+    docs = tables(spark, sf_dir).documents
+    vocab = (
+        docs.select(F.explode(words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(_BPE_TOPN)
+    )

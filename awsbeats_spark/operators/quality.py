@@ -402,3 +402,138 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_term"),
     )
+
+
+_KS_WIDTH = 500.0
+_KS_BINS = 1000
+
+
+@query(
+    "dq_ks_test_two_sample",
+    oracle=f"""
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / {_KS_WIDTH}) AS BIGINT),
+                     {_KS_BINS - 1}) AS bin,
+               count(*) FILTER (WHERE o_orderdate < DATE '{_PSI_SPLIT}')
+                   AS r,
+               count(*) FILTER (WHERE o_orderdate >= DATE '{_PSI_SPLIT}')
+                   AS c
+        FROM orders
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin,
+               CAST(sum(r) OVER (ORDER BY bin) AS DOUBLE) AS cr,
+               CAST(sum(c) OVER (ORDER BY bin) AS DOUBLE) AS cc,
+               CAST(sum(r) OVER () AS DOUBLE) AS tr,
+               CAST(sum(c) OVER () AS DOUBLE) AS tc
+        FROM binned
+    )
+    SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+           CAST(max(tc) AS BIGINT) AS n_cur,
+           round(max(abs(cr / tr - cc / tc)), 6) AS ks_d,
+           round(2 * exp(-2 * pow(max(abs(cr / tr - cc / tc)), 2)
+                         * (max(tr) * max(tc) / (max(tr) + max(tc)))), 6)
+               AS p_approx
+    FROM cum
+    """,
+)
+def dq_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on order values,
+    reference vs current date half — the nonparametric sibling of
+    `dq_distribution_drift_psi` (PSI needs bucket tuning; KS gives a
+    p-value). D is computed on a 1000-bin quantized ECDF: the exact KS
+    would order-sort every distinct value into ONE global cumulative
+    window — a single-partition sort of the whole fact at 100 TB —
+    while the quantized ECDF reduces the scan to <=1000 integer
+    counter rows first (quantization error <= one bin of mass, far
+    below any drift worth alarming on). ECDF cumsums run over the
+    bounded bin spine; the asymptotic p-value 2·exp(-2·D²·n_eff) uses
+    the standard large-sample formula.
+    """
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    split = F.lit(_PSI_SPLIT).cast("date")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / _KS_WIDTH).cast("long"),
+        F.lit(_KS_BINS - 1),
+    )
+    binned = (
+        t.orders.select(
+            bin_.alias("bin"),
+            (F.col("o_orderdate").cast("date") < split).cast("long").alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("r"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("c"),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = binned.select(
+        F.sum("r").over(wcum).cast("double").alias("cr"),
+        F.sum("c").over(wcum).cast("double").alias("cc"),
+        F.sum("r").over(wall).cast("double").alias("tr"),
+        F.sum("c").over(wall).cast("double").alias("tc"),
+    )
+    d = F.max(F.abs(F.col("cr") / F.col("tr") - F.col("cc") / F.col("tc")))
+    n_eff = F.max("tr") * F.max("tc") / (F.max("tr") + F.max("tc"))
+    return cum.agg(
+        F.max("tr").cast("long").alias("n_ref"),
+        F.max("tc").cast("long").alias("n_cur"),
+        rnd(d, 6).alias("ks_d"),
+        rnd(2 * F.exp(-2 * F.pow(d, 2) * n_eff), 6).alias("p_approx"),
+    )
+
+
+@query(
+    "agg_gini_by_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS i
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(2.0 * sum(i * o_totalprice)
+                 / (count(*) * sum(o_totalprice))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value within each priority class —
+    the inequality/concentration gate (is 80% of the spend in 1% of
+    the orders?) used to pick sampling and partitioning strategies.
+    Exact rank formula G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n over values
+    sorted ascending (orderkey tiebreak makes ranks engine-identical).
+
+    Scale shape: one shuffle partitioned by priority with an in-
+    partition sort feeding row_number, then the same exchange's
+    aggregation — a sort-based group agg, no global sort, no second
+    scan. Skewed priorities behave like any hot group-by key."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = t.orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        rnd(
+            2.0 * F.sum(F.col("i") * F.col("o_totalprice"))
+            / (n * F.sum("o_totalprice"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -133,6 +133,11 @@ EXTENDED_PROBE = [
     "ts_acf_hourly",
     "ts_downsample_lttb",
     "corpus_temperature_resample",
+    "dq_ks_test_two_sample",
+    "agg_gini_by_priority",
+    "ts_changepoint_cusum",
+    "corpus_bpe_pair_stats",
+    "ts_trend_mann_kendall",
 ]
 
 

@@ -650,3 +650,36 @@ def test_acf_joins_on_reduced_series_not_fact(q):
 def test_temperature_resample_single_scan(q):
     df = q("corpus_temperature_resample")
     assert executed_plan(df).count("FileScan parquet") == 1
+
+
+def test_ks_reduces_to_bin_spine_before_windows(q):
+    df = q("dq_ks_test_two_sample")
+    assert executed_plan(df).count("FileScan parquet") == 1
+    # the cumulative windows run over <=1000 bin rows, after one exchange
+    assert plan_counts(df)["exchanges"] <= 2
+
+
+def test_gini_single_shuffle_sort_agg(q):
+    counts = plan_counts(q("agg_gini_by_priority"))
+    # rank window and group agg share the o_orderpriority exchange
+    assert counts["exchanges"] <= 2
+
+
+def test_cusum_single_fact_scan(q):
+    df = q("ts_changepoint_cusum")
+    assert executed_plan(df).count("FileScan parquet") == 1
+    assert plan_counts(df)["take_ordered"] == 1
+
+
+def test_bpe_pairs_reduce_to_vocab_before_pair_agg(q):
+    df = q("corpus_bpe_pair_stats")
+    assert executed_plan(df).count("FileScan parquet") == 1
+    assert plan_counts(df)["take_ordered"] == 1
+
+
+def test_mann_kendall_pair_join_on_reduced_series(q):
+    df = q("ts_trend_mann_kendall")
+    counts = plan_counts(df)
+    # the O(days^2) pair join must be a broadcast of the tiny daily
+    # aggregate, never a shuffled join of raw events
+    assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0

@@ -186,3 +186,90 @@ def test_temperature_weights_flatten_toward_uniform(run):
     if not math.isclose(smallest["nat_share"], largest["nat_share"]):
         assert smallest["eff_epochs"] > 1.0
         assert largest["eff_epochs"] < 1.0
+
+
+# --------------------------------------------------------------------------
+# batch C: KS, Gini, CUSUM
+# --------------------------------------------------------------------------
+
+
+def test_ks_d_bounded_and_counts_partition(run, sf_dir):
+    import pandas as pd
+
+    out = run("dq_ks_test_two_sample")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert 0 <= row["ks_d"] <= 1
+    assert 0 <= row["p_approx"] <= 2  # asymptotic formula caps at 2·exp(0)
+    n = len(pd.read_parquet(f"{sf_dir}/orders.parquet"))
+    assert row["n_ref"] + row["n_cur"] == n
+
+
+def test_gini_matches_numpy_reference(run, sf_dir):
+    import pandas as pd
+
+    out = run("agg_gini_by_priority").set_index("o_orderpriority")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    for prio, grp in orders.groupby("o_orderpriority"):
+        x = grp.sort_values(["o_totalprice", "o_orderkey"])["o_totalprice"].to_numpy()
+        n = len(x)
+        i = np.arange(1, n + 1)
+        gini = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        assert out.loc[prio, "n_orders"] == n
+        assert out.loc[prio, "gini"] == pytest.approx(gini, abs=1e-4)
+        assert 0 <= out.loc[prio, "gini"] < 1
+
+
+def test_cusum_is_argmax_of_cumulative_deviation(run, spark, sf_dir):
+    out = run("ts_changepoint_cusum")
+    assert len(out) == 1
+    assert out.iloc[0]["cusum_norm"] >= 0
+    # recompute the CUSUM series in pandas and confirm the argmax
+    from awsbeats_spark.catalog import tables
+    from pyspark.sql import functions as F
+
+    hourly = (
+        tables(spark, sf_dir)
+        .events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.round(F.sum("value"), 4).alias("y"))
+        .select((F.unix_timestamp("hour") / 3600).cast("long").alias("x"), "y")
+        .toPandas()
+        .sort_values("x")
+    )
+    ybar = round(hourly["y"].mean(), 6)
+    s = (hourly["y"] - ybar).cumsum()
+    best = s.abs().round(4).idxmax()
+    assert out.iloc[0]["hour_id"] == hourly.loc[best, "x"]
+
+
+def test_bpe_pairs_match_pandas_recount(run, sf_dir):
+    import pandas as pd
+    from collections import Counter
+
+    out = run("corpus_bpe_pair_stats")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
+    vocab = Counter()
+    for t in docs:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                vocab[w] += 1
+    pairs = Counter()
+    for w, f in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += f
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(zip(out["pair"], out["pair_count"]))
+    assert got == expect
+
+
+def test_mann_kendall_verdict_consistent_with_z(run):
+    out = run("ts_trend_mann_kendall")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert abs(row["s_stat"]) <= row["n_days"] * (row["n_days"] - 1) / 2
+    if row["z_stat"] > 1.96:
+        assert row["trend"] == "increasing"
+    elif row["z_stat"] < -1.96:
+        assert row["trend"] == "decreasing"
+    else:
+        assert row["trend"] == "no_trend"
