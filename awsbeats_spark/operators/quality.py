@@ -347,10 +347,13 @@ _BENFORD_SPINE_SQL = ", ".join(
         FROM spine s LEFT JOIN obs o ON s.digit = o.digit
     )
     SELECT digit, n_orders,
-           round(n_orders / total, 6) AS obs_share,
+           round(CASE WHEN total > 0 THEN n_orders / total
+                      ELSE 0.0 END, 6) AS obs_share,
            round(exp_share, 6) AS exp_share,
-           round(pow(n_orders - total * exp_share, 2)
-                 / (total * exp_share), 4) AS chi2_term
+           round(CASE WHEN total > 0
+                      THEN pow(n_orders - total * exp_share, 2)
+                           / (total * exp_share)
+                      ELSE 0.0 END, 4) AS chi2_term
     FROM tot
     """,
 )
@@ -391,14 +394,23 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("total", F.sum("n_orders").over(w).cast("double"))
     )
+    # total > 0 guard (both sides): the constant spine emits 9 rows even
+    # on an EMPTY orders table, where ANSI mode turns n/total into a
+    # divide-by-zero error instead of a 0-share row
+    nonzero = F.col("total") > 0
     return joined.select(
         "digit",
         "n_orders",
-        rnd(F.col("n_orders") / F.col("total"), 6).alias("obs_share"),
+        rnd(
+            F.when(nonzero, F.col("n_orders") / F.col("total")).otherwise(0.0), 6
+        ).alias("obs_share"),
         rnd(F.col("exp_share"), 6).alias("exp_share"),
         rnd(
-            F.pow(F.col("n_orders") - F.col("total") * F.col("exp_share"), 2)
-            / (F.col("total") * F.col("exp_share")),
+            F.when(
+                nonzero,
+                F.pow(F.col("n_orders") - F.col("total") * F.col("exp_share"), 2)
+                / (F.col("total") * F.col("exp_share")),
+            ).otherwise(0.0),
             4,
         ).alias("chi2_term"),
     )

@@ -22,7 +22,13 @@ SPECS = load_all()
 
 # operators whose outputs are legitimately non-empty on empty input
 # (global aggregates return one row of zeros/nulls)
-GLOBAL_AGG = {"q6_forecast_revenue", "graph_triangle_count"}
+GLOBAL_AGG = {
+    "q6_forecast_revenue",
+    "graph_triangle_count",
+    "text_zipf_slope",
+    "dq_ks_test_two_sample",
+    "ts_trend_mann_kendall",
+}
 
 # operators with a fixed output shape regardless of input rows
 FIXED_ROWS = {
@@ -31,6 +37,8 @@ FIXED_ROWS = {
     "dq_constraint_violations": 7,
     "dq_referential_orphans": 4,
     "dq_duplicate_keys": 3,
+    "dq_distribution_drift_psi": 10,
+    "dq_benford_first_digit": 9,
 }
 
 SAMPLE = [
@@ -132,6 +140,21 @@ SAMPLE = [
     "agg_bitmap_distinct",
     "scalar_interval_math",
     "agg_string_concat_ordered",
+    # round-3b operators
+    "geo_grid_neighbor_join",
+    "geo_cell_density_topk",
+    "text_readability_flesch",
+    "text_zipf_slope",
+    "dq_distribution_drift_psi",
+    "dq_benford_first_digit",
+    "dq_ks_test_two_sample",
+    "agg_gini_by_priority",
+    "ts_acf_hourly",
+    "ts_downsample_lttb",
+    "ts_changepoint_cusum",
+    "ts_trend_mann_kendall",
+    "corpus_temperature_resample",
+    "corpus_bpe_pair_stats",
 ]
 
 
