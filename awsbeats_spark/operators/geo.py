@@ -45,7 +45,12 @@ _LON_SPAN, _LON_OFF = 360.0, -180.0
 #: beyond the ring — the blocked-join contract below is the operator
 #: spec on BOTH engines, so parity is exact; a polar deployment widens
 #: the ring as ceil(R / (111*cos(lat))) cells, same plan shape).
+#: Longitude cells wrap modulo the 72-cell circumference so pairs that
+#: straddle the antimeridian (lon 179.9 vs -179.9) still meet; the
+#: haversine itself is 360-periodic in dlon, so only candidate
+#: generation needs the wrap.
 _CELL_DEG = 5
+_LON_CELLS = 360 // _CELL_DEG  # 72, cells [-36, 35]
 _RADIUS_KM = 500.0
 _EARTH_KM = 6371.0
 
@@ -119,7 +124,8 @@ _HAVERSINE_SQL = (
     supp_cells AS (
         SELECT s.*,
                {_cell_sql('s_lat')} + dlat AS cell_lat,
-               {_cell_sql('s_lon')} + dlon AS cell_lon
+               (({_cell_sql('s_lon')} + dlon + 36) % 72 + 72) % 72 - 36
+                   AS cell_lon
         FROM supp s
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlat) a
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlon) b
@@ -183,7 +189,9 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "*",
             (_cell(F.col("s_lat")) + F.col("dlat")).alias("cell_lat"),
-            (_cell(F.col("s_lon")) + F.col("dlon")).alias("cell_lon"),
+            (
+                ((_cell(F.col("s_lon")) + F.col("dlon") + 36) % 72 + 72) % 72 - 36
+            ).alias("cell_lon"),
         )
     )
     dist = rnd(

@@ -12,7 +12,7 @@ exchange of a handful of counter rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
@@ -265,8 +265,6 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     window totals over the 10-row aggregate. At 100 TB the only
     exchange is 10 counter rows; drift checks rescan nothing.
     """
-    from pyspark.sql import Window
-
     t = tables(spark, sf_dir)
     split = F.lit(_PSI_SPLIT).cast("date")
     bucket = F.least(
@@ -332,11 +330,12 @@ _BENFORD_SPINE_SQL = ", ".join(
     "dq_benford_first_digit",
     oracle=f"""
     WITH obs AS (
-        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                        AS BIGINT)
                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
                count(*) AS n_orders
         FROM orders
-        WHERE o_totalprice > 0
+        WHERE floor(o_totalprice * 100 + 0.5) >= 1
         GROUP BY 1
     ),
     spine(digit, exp_share) AS (VALUES {_BENFORD_SPINE_SQL}),
@@ -362,20 +361,22 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit shares vs log10(1+1/d), with per-digit Pearson chi-square
     contributions — the classic fabricated-data / unit-mixup detector
     for monetary columns. The digit comes from integer-to-string
-    formatting (exact, engine-identical), never from float log10.
+    formatting of the CENTS value (exact, engine-identical — never
+    float log10): leading significant digit is invariant under the
+    x100 decimal shift, so sub-unit amounts like 0.53 audit as digit 5
+    instead of falling out of the spine. Contract: values are read at
+    cents resolution (rounded half-up); amounts below half a cent are
+    excluded.
 
     Scale shape: one scan, 9-way map-side count, broadcast join to a
     9-row constant spine, window totals over 9 rows. Single exchange of
     9 counter rows at any data size.
     """
-    from pyspark.sql import Window
-
     t = tables(spark, sf_dir)
-    digit = F.substring(
-        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
-    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    digit = F.substring(cents.cast("long").cast("string"), 1, 1).cast("long")
     obs = (
-        t.orders.filter(F.col("o_totalprice") > 0)
+        t.orders.filter(cents >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_orders_raw"))
@@ -463,8 +464,6 @@ def dq_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded bin spine; the asymptotic p-value 2·exp(-2·D²·n_eff) uses
     the standard large-sample formula.
     """
-    from pyspark.sql import Window
-
     t = tables(spark, sf_dir)
     split = F.lit(_PSI_SPLIT).cast("date")
     bin_ = F.least(
@@ -530,8 +529,6 @@ def agg_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition sort feeding row_number, then the same exchange's
     aggregation — a sort-based group agg, no global sort, no second
     scan. Skewed priorities behave like any hot group-by key."""
-    from pyspark.sql import Window
-
     t = tables(spark, sf_dir)
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     ranked = t.orders.select(

@@ -58,10 +58,10 @@ def test_geo_join_matches_blocked_bruteforce(run, sf_dir):
     ccell = np.stack([np.floor(clat / 5), np.floor(clon / 5)])
     scell = np.stack([np.floor(slat / 5), np.floor(slon / 5)])
     for i, sk in enumerate(supp):
-        # the blocked-join spec: candidates are the 3x3 cell ring
-        near = (np.abs(ccell[0] - scell[0, i]) <= 1) & (
-            np.abs(ccell[1] - scell[1, i]) <= 1
-        )
+        # the blocked-join spec: candidates are the 3x3 cell ring,
+        # longitude wrapped modulo the 72-cell circumference
+        dlon_cells = np.mod(ccell[1] - scell[1, i] + 36, 72) - 36
+        near = (np.abs(ccell[0] - scell[0, i]) <= 1) & (np.abs(dlon_cells) <= 1)
         d = np.floor(
             _haversine(slat[i], slon[i], clat[near], clon[near]) * 1e3 + 0.5
         ) / 1e3
