@@ -194,3 +194,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(5))).alias("frame_idx"),
     )
+
+
+_AUDIO_WIN = 256  # samples (bytes) per energy window
+_AUDIO_MAX_WIN = 4  # prefix windows probed per payload
+
+_NIB = "0123456789ABCDEF"
+# byte k (0-based) of payload from its hex string h, as a DOUBLE in SQL:
+# 16*high_nibble + low_nibble via strpos on the uppercase hex alphabet —
+# the same spec the numpy side implements with frombuffer(uint8).
+_BYTE_SQL = (
+    f"(16.0 * (strpos('{_NIB}', substring(h, ({{k}}) * 2 + 1, 1)) - 1)"
+    f" + (strpos('{_NIB}', substring(h, ({{k}}) * 2 + 2, 1)) - 1))"
+)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    ),
+    wins AS (
+        SELECT doc_id, h, n,
+               unnest(generate_series(
+                   0,
+                   least(CAST(ceil(n / {_AUDIO_WIN}.0) AS BIGINT),
+                         {_AUDIO_MAX_WIN}) - 1)) AS window_id
+        FROM p
+    ),
+    scored AS (
+        SELECT doc_id, window_id,
+               least(n - window_id * {_AUDIO_WIN}, {_AUDIO_WIN}) AS n_samples,
+               list_sum(list_transform(
+                   generate_series(1, least(n - window_id * {_AUDIO_WIN},
+                                            {_AUDIO_WIN})),
+                   j -> pow({_BYTE_SQL.format(k=f"window_id * {_AUDIO_WIN} + j - 1")}
+                            - 128.0, 2))) AS ss
+        FROM wins
+    )
+    SELECT doc_id, window_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           round(sqrt(ss / n_samples), 4) AS rms
+    FROM scored
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over an audio payload's first 4 x 256-sample
+    windows — the silence/clipping probe a speech-data pipeline runs
+    before paying for transcription. The payload is read as unsigned
+    8-bit PCM centered at 128 (the deterministic stand-in codec: real
+    PCM decode swaps in here without touching the plumbing).
+
+    Spark side is the production decoder shape: Arrow-batched
+    mapInPandas, numpy vectorized per batch, output schema declared up
+    front. Sums of squares are exact integers on both engines (<= 256
+    terms of <= 128^2), so double division + IEEE sqrt round-trips
+    bit-identically against the oracle's hex-nibble SQL decode.
+
+    Scale shape: embarrassingly parallel per payload, no shuffle; the
+    prefix cap bounds output at 4 rows per document regardless of
+    payload size."""
+    import numpy as np
+
+    from awsbeats_spark.functions.rounding import rnd
+
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") > 0)
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_win = min(
+                    -(-len(arr) // _AUDIO_WIN), _AUDIO_MAX_WIN
+                )  # ceil div, capped
+                for w in range(n_win):
+                    seg = arr[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN] - 128
+                    ss = float(np.dot(seg, seg))
+                    rows.append((doc_id, w, len(seg), ss))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "window_id", "n_samples", "ss"]
+            )
+            yield out
+
+    scored = src.mapInPandas(
+        energy, "doc_id bigint, window_id bigint, n_samples bigint, ss double"
+    )
+    return scored.select(
+        "doc_id",
+        "window_id",
+        "n_samples",
+        rnd(F.sqrt(F.col("ss") / F.col("n_samples")), 4).alias("rms"),
+    )

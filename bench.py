@@ -138,6 +138,7 @@ EXTENDED_PROBE = [
     "ts_changepoint_cusum",
     "corpus_bpe_pair_stats",
     "ts_trend_mann_kendall",
+    "multimodal_audio_energy",
 ]
 
 

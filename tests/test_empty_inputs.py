@@ -155,6 +155,7 @@ SAMPLE = [
     "ts_trend_mann_kendall",
     "corpus_temperature_resample",
     "corpus_bpe_pair_stats",
+    "multimodal_audio_energy",
 ]
 
 

@@ -683,3 +683,10 @@ def test_mann_kendall_pair_join_on_reduced_series(q):
     # the O(days^2) pair join must be a broadcast of the tiny daily
     # aggregate, never a shuffled join of raw events
     assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0
+
+
+def test_audio_energy_is_shuffle_free_mapinpandas(q):
+    df = q("multimodal_audio_energy")
+    plan = executed_plan(df)
+    assert plan_counts(df)["exchanges"] == 0
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan

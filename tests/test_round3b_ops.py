@@ -273,3 +273,27 @@ def test_mann_kendall_verdict_consistent_with_z(run):
         assert row["trend"] == "decreasing"
     else:
         assert row["trend"] == "no_trend"
+
+
+def test_audio_energy_matches_numpy_on_known_payload(run, sf_dir):
+    import pandas as pd
+
+    out = run("multimodal_audio_energy")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # recompute one document end-to-end
+    row = docs.iloc[0]
+    arr = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8).astype(
+        np.int64
+    )
+    got = out[out["doc_id"] == row["doc_id"]].sort_values("window_id")
+    n_win = min(-(-len(arr) // 256), 4)
+    assert list(got["window_id"]) == list(range(n_win))
+    for w in range(n_win):
+        seg = arr[w * 256 : (w + 1) * 256] - 128
+        rms = np.sqrt(float(np.dot(seg, seg)) / len(seg))
+        expect = np.floor(rms * 1e4 + 0.5) / 1e4
+        assert got.iloc[w]["rms"] == pytest.approx(expect, abs=1e-12)
+        assert got.iloc[w]["n_samples"] == len(seg)
+    # global invariants: window cap and 8-bit PCM energy bound
+    assert out["window_id"].max() <= 3
+    assert out["rms"].between(0, 128).all()
