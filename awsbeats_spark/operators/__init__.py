@@ -33,9 +33,9 @@ Rotation plan (kept current each round):
   dq_benford_first_digit, dq_ks_test_two_sample, agg_gini_by_priority,
   ts_acf_hourly, ts_downsample_lttb, ts_changepoint_cusum,
   ts_trend_mann_kendall, corpus_temperature_resample,
-  corpus_bpe_pair_stats, multimodal_audio_energy — they register after
-  _ROUND5_FRONT in module order), then re-check the round-1/2 greens on
-  a rolling basis.
+  corpus_bpe_pair_stats, multimodal_audio_energy, ts_max_drawdown,
+  events_ltv_decay — they register after _ROUND5_FRONT in module
+  order), then re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

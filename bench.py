@@ -139,6 +139,8 @@ EXTENDED_PROBE = [
     "corpus_bpe_pair_stats",
     "ts_trend_mann_kendall",
     "multimodal_audio_energy",
+    "ts_max_drawdown",
+    "events_ltv_decay",
 ]
 
 

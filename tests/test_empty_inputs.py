@@ -156,6 +156,8 @@ SAMPLE = [
     "corpus_temperature_resample",
     "corpus_bpe_pair_stats",
     "multimodal_audio_energy",
+    "ts_max_drawdown",
+    "events_ltv_decay",
 ]
 
 

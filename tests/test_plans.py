@@ -690,3 +690,17 @@ def test_audio_energy_is_shuffle_free_mapinpandas(q):
     plan = executed_plan(df)
     assert plan_counts(df)["exchanges"] == 0
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_drawdown_reduces_before_windows(q):
+    df = q("ts_max_drawdown")
+    assert executed_plan(df).count("FileScan parquet") == 1
+    assert plan_counts(df)["take_ordered"] == 1
+
+
+def test_ltv_watermark_broadcast_single_pass(q):
+    df = q("events_ltv_decay")
+    counts = plan_counts(df)
+    assert counts["take_ordered"] == 1
+    # the max-ts watermark joins back as a broadcast, never a shuffle
+    assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0

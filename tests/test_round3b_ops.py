@@ -297,3 +297,44 @@ def test_audio_energy_matches_numpy_on_known_payload(run, sf_dir):
     # global invariants: window cap and 8-bit PCM energy bound
     assert out["window_id"].max() <= 3
     assert out["rms"].between(0, 128).all()
+
+
+def test_max_drawdown_matches_pandas_recompute(run, spark, sf_dir):
+    out = run("ts_max_drawdown")
+    assert len(out) == 1
+    row = out.iloc[0]
+    from awsbeats_spark.operators.timeseries import _series_xy
+    from awsbeats_spark.catalog import tables
+
+    s = (
+        _series_xy(tables(spark, sf_dir).events, "hour")
+        .toPandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    c = (s["y"].cumsum() * 1e4).round() / 1e4
+    peak = c.cummax()
+    dd = ((peak - c) * 1e4).round() / 1e4
+    best = dd.idxmax()
+    assert row["max_drawdown"] == pytest.approx(dd[best], abs=1e-9)
+    assert row["max_drawdown"] >= 0
+    assert row["peak"] >= row["trough_value"]
+
+
+def test_ltv_decay_matches_pandas_recompute(run, sf_dir):
+    import pandas as pd
+
+    out = run("events_ltv_decay")
+    assert len(out) <= 100
+    d = out["decayed_value"].to_numpy()
+    assert (d[:-1] >= d[1:] - 1e-9).all()  # sorted desc
+    # recompute one user end-to-end
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    uid = int(out.iloc[0]["user_id"])
+    grp = ev[ev["user_id"] == uid]
+    max_ts = ev["ts"].max()
+    age_days = (max_ts - grp["ts"]).dt.total_seconds() / 86400.0
+    decayed = (grp["value"] * np.exp(-age_days / 14.0)).sum()
+    expect = np.floor(decayed * 1e4 + 0.5) / 1e4
+    assert out.iloc[0]["decayed_value"] == pytest.approx(expect, abs=1e-9)
+    assert out.iloc[0]["n_events"] == len(grp)
