@@ -704,3 +704,54 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+_ES_TOPK = 50
+_U32 = 4294967296.0  # 2^32
+
+
+@query(
+    "sample_weighted_es",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    ::BIGINT + 0.5) / {_U32} AS u
+        FROM orders
+        WHERE o_totalprice > 0
+    )
+    SELECT o_orderkey, o_totalprice,
+           round(ln(u) / o_totalprice, 10) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT {_ES_TOPK}
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis: each
+    row draws u from a content-addressed uniform (md5 of its key — the
+    same row wins on every engine, rerun, and partitioning) and the
+    top-k by ln(u)/w are the sample. This is THE distributed weighted
+    sampler: no sequential pass, no rejection loop, and the top-k is a
+    per-partition heap + driver merge (TakeOrderedAndProject), so a
+    100-TB weighted draw costs one scan and k rows of traffic.
+
+    P(i in sample) follows sequential weighted draws w/o replacement;
+    ln(u)/w ordering is the standard log-space form of u^(1/w)."""
+    t = tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / _U32
+    return (
+        t.orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            rnd(F.log(u) / F.col("o_totalprice"), 10).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "o_orderkey")
+        .limit(_ES_TOPK)
+    )

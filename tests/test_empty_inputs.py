@@ -158,6 +158,8 @@ SAMPLE = [
     "multimodal_audio_energy",
     "ts_max_drawdown",
     "events_ltv_decay",
+    "sample_weighted_es",
+    "ts_percentile_bands_daily",
 ]
 
 

@@ -704,3 +704,15 @@ def test_ltv_watermark_broadcast_single_pass(q):
     assert counts["take_ordered"] == 1
     # the max-ts watermark joins back as a broadcast, never a shuffle
     assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0
+
+
+def test_weighted_sample_is_takeordered(q):
+    counts = plan_counts(q("sample_weighted_es"))
+    assert counts["take_ordered"] == 1
+    assert counts["exchanges"] == 0  # scan -> per-partition heap, no shuffle
+
+
+def test_percentile_bands_single_exchange(q):
+    df = q("ts_percentile_bands_daily")
+    assert executed_plan(df).count("FileScan parquet") == 1
+    assert plan_counts(df)["exchanges"] <= 1

@@ -338,3 +338,37 @@ def test_ltv_decay_matches_pandas_recompute(run, sf_dir):
     expect = np.floor(decayed * 1e4 + 0.5) / 1e4
     assert out.iloc[0]["decayed_value"] == pytest.approx(expect, abs=1e-9)
     assert out.iloc[0]["n_events"] == len(grp)
+
+
+def test_weighted_sample_prefers_heavy_items(run, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    out = run("sample_weighted_es")
+    assert len(out) == 50
+    # recompute the ES keys exactly and confirm the same top-50 set
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders = orders[orders["o_totalprice"] > 0]
+    v = orders["o_orderkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+    )
+    u = (v + 0.5) / 4294967296.0
+    key = np.floor(np.log(u) / orders["o_totalprice"] * 1e10 + 0.5) / 1e10
+    expect = (
+        pd.DataFrame({"k": orders["o_orderkey"], "key": key})
+        .sort_values(["key", "k"], ascending=[False, True])
+        .head(50)["k"]
+        .tolist()
+    )
+    assert out["o_orderkey"].tolist() == expect
+    # the weighted draw should skew heavy: sampled mean weight well
+    # above the population mean
+    assert out["o_totalprice"].mean() > orders["o_totalprice"].mean()
+
+
+def test_percentile_bands_ordered_and_flagged(run):
+    out = run("ts_percentile_bands_daily")
+    assert (out["p50"] <= out["p95"]).all() and (out["p95"] <= out["p99"]).all()
+    assert ((out["p95"] > 150.0) == (out["slo_breach"] == 1)).all()
+    assert (out["n_events"] > 0).all()
