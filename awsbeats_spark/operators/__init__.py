@@ -34,9 +34,10 @@ Rotation plan (kept current each round):
   ts_acf_hourly, ts_downsample_lttb, ts_changepoint_cusum,
   ts_trend_mann_kendall, corpus_temperature_resample,
   corpus_bpe_pair_stats, multimodal_audio_energy, ts_max_drawdown,
-  events_ltv_decay, sample_weighted_es, ts_percentile_bands_daily —
-  they register after _ROUND5_FRONT in module order), then re-check
-  the round-1/2 greens on a rolling basis.
+  events_ltv_decay, sample_weighted_es, ts_percentile_bands_daily,
+  text_pmi_collocations, events_alert_episodes — they register after
+  _ROUND5_FRONT in module order), then re-check the round-1/2 greens
+  on a rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -537,3 +537,83 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.regr_r2(lf, lr), 4).alias("zipf_r2"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPN = 20
+
+_BIGRAMS_SQL = f"""
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT {WORDS_SQL} AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+"""
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH bi AS ({_BIGRAMS_SQL}),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    marg AS (
+        SELECT w1, w2, c,
+               sum(c) OVER (PARTITION BY w1) AS c1,
+               sum(c) OVER (PARTITION BY w2) AS c2,
+               sum(c) OVER () AS n
+        FROM bc
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS pair_count,
+           round(ln(c * 1.0 * n / (c1 * c2)), 4) AS pmi
+    FROM marg
+    WHERE c >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPN}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over
+    adjacent word pairs (min pair count 5): PMI = ln(P(w1,w2) /
+    P(w1·)P(·w2)) — the classic multiword-expression detector that
+    finds 'new york'-style units a whitespace tokenizer splits (feeds
+    tokenizer vocab curation and phrase-aware dedup).
+
+    Scale shape: ONE explode pass aggregates to bigram counts; both
+    marginals are window sums over that aggregate (no re-scan, no
+    self-join) and the min-count filter prunes the long tail before
+    ranking; top-k is TakeOrderedAndProject."""
+    docs = tables(spark, sf_dir).documents
+    w = words()
+    bi = docs.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    marg = bc.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(Window.partitionBy("w1")).alias("c1"),
+        F.sum("c").over(Window.partitionBy("w2")).alias("c2"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    return (
+        marg.filter(F.col("c") >= _PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            rnd(
+                F.log(F.col("c") * 1.0 * F.col("n") / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPN)
+    )

@@ -143,6 +143,8 @@ EXTENDED_PROBE = [
     "events_ltv_decay",
     "sample_weighted_es",
     "ts_percentile_bands_daily",
+    "text_pmi_collocations",
+    "events_alert_episodes",
 ]
 
 

@@ -160,6 +160,8 @@ SAMPLE = [
     "events_ltv_decay",
     "sample_weighted_es",
     "ts_percentile_bands_daily",
+    "text_pmi_collocations",
+    "events_alert_episodes",
 ]
 
 

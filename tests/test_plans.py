@@ -716,3 +716,17 @@ def test_percentile_bands_single_exchange(q):
     df = q("ts_percentile_bands_daily")
     assert executed_plan(df).count("FileScan parquet") == 1
     assert plan_counts(df)["exchanges"] <= 1
+
+
+def test_pmi_single_explode_pass_no_self_join(q):
+    df = q("text_pmi_collocations")
+    plan = executed_plan(df)
+    counts = plan_counts(df)
+    assert plan.count("FileScan parquet") == 1
+    assert counts["take_ordered"] == 1
+    assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0
+
+
+def test_alert_episodes_single_fact_scan(q):
+    df = q("events_alert_episodes")
+    assert executed_plan(df).count("FileScan parquet") == 1

@@ -372,3 +372,36 @@ def test_percentile_bands_ordered_and_flagged(run):
     assert (out["p50"] <= out["p95"]).all() and (out["p95"] <= out["p99"]).all()
     assert ((out["p95"] > 150.0) == (out["slo_breach"] == 1)).all()
     assert (out["n_events"] > 0).all()
+
+
+def test_pmi_collocations_meet_min_count_and_rank(run):
+    out = run("text_pmi_collocations")
+    assert len(out) <= 20
+    assert (out["pair_count"] >= 5).all()
+    p = out["pmi"].to_numpy()
+    assert (p[:-1] >= p[1:] - 1e-9).all()  # ranked desc
+
+
+def test_alert_episodes_are_disjoint_hot_runs(run, spark, sf_dir):
+    out = run("events_alert_episodes").sort_values("run_id")
+    from awsbeats_spark.operators.timeseries import _series_xy, _ALERT_FACTOR
+    from awsbeats_spark.catalog import tables
+
+    s = (
+        _series_xy(tables(spark, sf_dir).events, "hour")
+        .toPandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    t = np.floor(_ALERT_FACTOR * s["y"].mean() * 1e4 + 0.5) / 1e4
+    hot = s[s["y"] > t]["x"].to_numpy()
+    # episode hours exactly cover the hot set
+    assert out["n_hours"].sum() == len(hot)
+    # episodes disjoint and ordered; every hour inside an episode
+    # bounded by [start, end]
+    prev_end = -1
+    for _, r in out.iterrows():
+        assert r["start_hour_id"] > prev_end
+        assert r["end_hour_id"] >= r["start_hour_id"]
+        assert r["n_hours"] <= r["end_hour_id"] - r["start_hour_id"] + 1
+        prev_end = r["end_hour_id"]
