@@ -35,9 +35,9 @@ Rotation plan (kept current each round):
   ts_trend_mann_kendall, corpus_temperature_resample,
   corpus_bpe_pair_stats, multimodal_audio_energy, ts_max_drawdown,
   events_ltv_decay, sample_weighted_es, ts_percentile_bands_daily,
-  text_pmi_collocations, events_alert_episodes — they register after
-  _ROUND5_FRONT in module order), then re-check the round-1/2 greens
-  on a rolling basis.
+  text_pmi_collocations, events_alert_episodes, sketch_kmv_distinct,
+  events_assoc_rules — they register after _ROUND5_FRONT in module
+  order), then re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

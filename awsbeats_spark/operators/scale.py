@@ -755,3 +755,168 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), "o_orderkey")
         .limit(_ES_TOPK)
     )
+
+
+_KMV_K = 8
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT + 0.5) / {_U32} AS u
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(max(n_exact) AS BIGINT) AS n_exact,
+           round(max(CASE WHEN rk = {_KMV_K} THEN u END), 8) AS kth_u,
+           round(CASE WHEN max(n_exact) >= {_KMV_K}
+                      THEN ({_KMV_K} - 1)
+                           / max(CASE WHEN rk = {_KMV_K} THEN u END)
+                      ELSE max(n_exact) END, 2) AS est_distinct
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch, built by hand (k=8): hash each
+    user to a content-addressed uniform, keep the k smallest per group,
+    estimate |distinct| = (k-1)/u_(k) — THE mergeable-summary
+    construction behind theta sketches, shown against the exact count
+    so the estimate is auditable. Unlike approx_count_distinct's opaque
+    HLL this sketch is mergeable BY UNION OF ROWS (min-k of a union =
+    min-k of min-k's), which is what incremental/rollup pipelines need.
+
+    Scale shape: one distinct aggregate at (type, user) cardinality,
+    then per-group windows over the distinct-hash rows; at 100 TB the
+    windowed input per group is the distinct-user set — flip the
+    row_number selection to an `approx`-style partial min-k aggregate
+    when groups get huge (same sketch, same estimator)."""
+    t = tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / _U32
+    hashed = (
+        t.events.select("event_type", u.alias("u")).distinct()
+    )
+    wrk = Window.partitionBy("event_type").orderBy("u")
+    wall = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "u",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_exact"),
+    )
+    kth = F.max(F.when(F.col("rk") == _KMV_K, F.col("u")))
+    n_exact = F.max("n_exact")
+    return ranked.groupBy("event_type").agg(
+        n_exact.cast("long").alias("n_exact"),
+        rnd(kth, 8).alias("kth_u"),
+        rnd(
+            F.when(n_exact >= _KMV_K, (_KMV_K - 1) / kth).otherwise(
+                n_exact.cast("double")
+            ),
+            2,
+        ).alias("est_distinct"),
+    )
+
+
+_ASSOC_TOPN = 20
+
+
+@query(
+    "events_assoc_rules",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+        FROM events
+    ),
+    nb AS (SELECT count(DISTINCT (user_id, day)) AS n FROM baskets),
+    singles AS (
+        SELECT event_type, count(*) AS c FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS cab
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ta, tb, CAST(cab AS BIGINT) AS n_baskets_both,
+           round(cab * 1.0 / nb.n, 6) AS support,
+           round(cab * 1.0 / sa.c, 6) AS conf_a_to_b,
+           round(cab * 1.0 / sb.c, 6) AS conf_b_to_a,
+           round(cab * 1.0 * nb.n / (sa.c * sb.c), 4) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = ta
+    JOIN singles sb ON sb.event_type = tb
+    CROSS JOIN nb
+    ORDER BY lift DESC, ta, tb
+    LIMIT {_ASSOC_TOPN}
+    """,
+)
+def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over (user, day) baskets: support, both
+    confidences, and lift for every co-occurring event-type pair —
+    market-basket analysis, the 'users who error also repurchase?'
+    query. Lift > 1 = positive association.
+
+    Scale shape: baskets are ONE distinct aggregate; the pair self-join
+    keys on the basket id, so fan-out is bounded by types-per-basket
+    (never all-pairs of users); singles and the basket count broadcast
+    back. At 100 TB everything after the basket aggregate is
+    vocabulary-sized."""
+    t = tables(spark, sf_dir)
+    baskets = t.events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    b = baskets.select(
+        F.col("user_id").alias("u2"),
+        F.col("day").alias("d2"),
+        F.col("event_type").alias("tb"),
+    )
+    pairs = (
+        baskets.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day") == F.col("d2"))
+            & (F.col("event_type") < F.col("tb")),
+        )
+        .groupBy(F.col("event_type").alias("ta"), "tb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sa = singles.select(F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ta",
+            "tb",
+            F.col("cab").alias("n_baskets_both"),
+            rnd(F.col("cab") * 1.0 / F.col("n"), 6).alias("support"),
+            rnd(F.col("cab") * 1.0 / F.col("ca"), 6).alias("conf_a_to_b"),
+            rnd(F.col("cab") * 1.0 / F.col("cb"), 6).alias("conf_b_to_a"),
+            rnd(F.col("cab") * 1.0 * F.col("n") / (F.col("ca") * F.col("cb")), 4).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "ta", "tb")
+        .limit(_ASSOC_TOPN)
+    )

@@ -145,6 +145,8 @@ EXTENDED_PROBE = [
     "ts_percentile_bands_daily",
     "text_pmi_collocations",
     "events_alert_episodes",
+    "sketch_kmv_distinct",
+    "events_assoc_rules",
 ]
 
 

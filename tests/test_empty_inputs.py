@@ -162,6 +162,8 @@ SAMPLE = [
     "ts_percentile_bands_daily",
     "text_pmi_collocations",
     "events_alert_episodes",
+    "sketch_kmv_distinct",
+    "events_assoc_rules",
 ]
 
 

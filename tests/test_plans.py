@@ -730,3 +730,14 @@ def test_pmi_single_explode_pass_no_self_join(q):
 def test_alert_episodes_single_fact_scan(q):
     df = q("events_alert_episodes")
     assert executed_plan(df).count("FileScan parquet") == 1
+
+
+def test_kmv_single_distinct_pass(q):
+    df = q("sketch_kmv_distinct")
+    assert executed_plan(df).count("FileScan parquet") == 1
+
+
+def test_assoc_rules_broadcast_marginals(q):
+    counts = plan_counts(q("events_assoc_rules"))
+    assert counts["take_ordered"] == 1
+    assert counts["broadcast_joins"] >= 2  # singles x2 + basket count

