@@ -28,7 +28,7 @@ Rotation plan (kept current each round):
   part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster,
   agg_weighted_percentile, ts_seasonal_decompose, events_lateness_stats,
   dedup_incremental_merge, observability_observe_inline — never
-  driver-checked), then the 14 round-3b keys (geo.py x2,
+  driver-checked), then the 25 round-3b keys (geo.py x2,
   text_readability_flesch, text_zipf_slope, dq_distribution_drift_psi,
   dq_benford_first_digit, dq_ks_test_two_sample, agg_gini_by_priority,
   ts_acf_hourly, ts_downsample_lttb, ts_changepoint_cusum,
@@ -36,8 +36,9 @@ Rotation plan (kept current each round):
   corpus_bpe_pair_stats, multimodal_audio_energy, ts_max_drawdown,
   events_ltv_decay, sample_weighted_es, ts_percentile_bands_daily,
   text_pmi_collocations, events_alert_episodes, sketch_kmv_distinct,
-  events_assoc_rules — they register after _ROUND5_FRONT in module
-  order), then re-check the round-1/2 greens on a rolling basis.
+  events_assoc_rules, orders_survival_km, agg_winsorized_mean —
+  they register after _ROUND5_FRONT in module order), then re-check
+  the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

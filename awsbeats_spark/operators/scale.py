@@ -920,3 +920,59 @@ def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "ta", "tb")
         .limit(_ASSOC_TOPN)
     )
+
+
+_TRIM_Q = 0.05  # symmetric 5% winsorization bounds
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, {_TRIM_Q}) AS lo,
+               quantile_cont(l_extendedprice, {1 - _TRIM_Q}) AS hi
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           round(avg(l.l_extendedprice), 4) AS raw_mean,
+           round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+               AS winsorized_mean,
+           round(avg(CASE WHEN l.l_extendedprice >= b.lo
+                           AND l.l_extendedprice <= b.hi
+                          THEN l.l_extendedprice END), 4) AS trimmed_mean
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group means: winsorized (values clamped to the 5%/95%
+    quantiles) and trimmed (values outside dropped) next to the raw
+    mean — the outlier-resistant aggregates metric pipelines switch to
+    when a single fat-fingered row moves the daily average. Quantile
+    bounds per group are a small aggregate broadcast back over ONE
+    re-scan; the clamp itself is a codegen'd expression.
+
+    Scale shape: two passes over the fact (bounds, then clamp+avg) —
+    the unavoidable minimum for exact quantile bounds; with
+    approx_percentile the first pass becomes single-exchange mergeable
+    at 100 TB, same second pass."""
+    li = tables(spark, sf_dir).lineitem
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(_TRIM_Q)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(1 - _TRIM_Q)).alias("hi"),
+    )
+    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    inside = F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+        rnd(F.avg(clamped), 4).alias("winsorized_mean"),
+        rnd(F.avg(F.when(inside, F.col("l_extendedprice"))), 4).alias(
+            "trimmed_mean"
+        ),
+    )

@@ -147,6 +147,8 @@ EXTENDED_PROBE = [
     "events_alert_episodes",
     "sketch_kmv_distinct",
     "events_assoc_rules",
+    "orders_survival_km",
+    "agg_winsorized_mean",
 ]
 
 

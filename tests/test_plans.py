@@ -741,3 +741,14 @@ def test_assoc_rules_broadcast_marginals(q):
     counts = plan_counts(q("events_assoc_rules"))
     assert counts["take_ordered"] == 1
     assert counts["broadcast_joins"] >= 2  # singles x2 + basket count
+
+
+def test_survival_windows_on_duration_aggregate(q):
+    df = q("orders_survival_km")
+    counts = plan_counts(df)
+    # the orders-lineitem join shuffles once; windows run on |durations|
+    assert counts["exchanges"] <= 4
+
+
+def test_winsorized_broadcasts_bounds(q):
+    assert has_broadcast_join(q("agg_winsorized_mean"))

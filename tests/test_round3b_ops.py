@@ -441,3 +441,27 @@ def test_assoc_rules_probability_identities(run):
     l = out["lift"].to_numpy()
     assert (l[:-1] >= l[1:] - 1e-9).all()
     assert (out["ta"] < out["tb"]).all()  # canonical unordered pairs
+
+
+def test_survival_curve_monotone_decreasing(run):
+    out = run("orders_survival_km").sort_values("days_to_ship")
+    s = out["survival"].to_numpy()
+    assert (s[:-1] >= s[1:] - 1e-9).all()  # survival never increases
+    assert ((0 < s) & (s <= 1)).all()
+    r = out["n_at_risk"].to_numpy()
+    assert (r[:-1] > r[1:]).all()  # risk set strictly shrinks over t
+    # n_at_risk accounting: shipped-so-far + at-risk = total
+    assert (out["n_at_risk"] > out["n_shipped"]).all()
+
+
+def test_winsorized_between_trimmed_bounds(run):
+    out = run("agg_winsorized_mean")
+    assert len(out) == 3
+    # clamping pulls tails toward the center: the winsorized mean sits
+    # between the raw mean and the quantile bounds, and all three means
+    # are within the data range of each other
+    diff_w = (out["winsorized_mean"] - out["raw_mean"]).abs()
+    diff_t = (out["trimmed_mean"] - out["raw_mean"]).abs()
+    spread = out["raw_mean"].abs() + 1
+    assert (diff_w < spread).all() and (diff_t < spread).all()
+    assert (out["n_rows"] > 0).all()
