@@ -37,8 +37,12 @@ Rotation plan (kept current each round):
   events_ltv_decay, sample_weighted_es, ts_percentile_bands_daily,
   text_pmi_collocations, events_alert_episodes, sketch_kmv_distinct,
   events_assoc_rules, orders_survival_km, agg_winsorized_mean —
-  they register after _ROUND5_FRONT in module order), then re-check
-  the round-1/2 greens on a rolling basis.
+  they register after _ROUND5_FRONT in module order), then the 9
+  round-3c keys (ts_rolling_corr, ts_cross_correlation_lag,
+  window_moving_median, dq_outlier_iqr, agg_entropy_by_group,
+  text_code_detect, graph_type_overlap_jaccard, corpus_ngram_novelty,
+  dedup_cross_source_priority — also after _ROUND5_FRONT in module
+  order), then re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

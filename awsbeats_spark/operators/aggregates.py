@@ -517,3 +517,63 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("l_extendedprice", 2).alias("weighted_median_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of the per-user event mix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_entropy_by_group",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, sum(n) AS total, CAST(count(*) AS BIGINT) AS n_types
+        FROM per GROUP BY 1
+    )
+    SELECT p.user_id,
+           t.n_types,
+           CAST(t.total AS BIGINT) AS n_events,
+           round(-sum((p.n * 1.0 / t.total) * ln(p.n * 1.0 / t.total)), 4)
+               AS entropy_nats
+    FROM per p JOIN tot t USING (user_id)
+    GROUP BY p.user_id, t.n_types, t.total
+    """,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix — the
+    behavioral-diversity score used for mix-balancing samplers. Scale
+    shape: raw events collapse to (user, type) counts in one mergeable
+    aggregate; the entropy is a second aggregate over that bucket
+    table, partitioned by user — both shuffles carry bucket-level rows
+    only. No window, no Python; skew-safe because per-user bucket
+    count is bounded by |event types|."""
+    ev = tables(spark, sf_dir).events
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wsum = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(wsum)
+    return (
+        per.select(
+            "user_id",
+            "n",
+            F.sum("n").over(wsum).alias("total"),
+            (p * F.log(p)).alias("plogp"),
+        )
+        .groupBy("user_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            rnd(-F.sum("plogp"), 4).alias("entropy_nats"),
+        )
+        .select(
+            "user_id",
+            "n_types",
+            F.col("total").alias("n_events"),
+            "entropy_nats",
+        )
+    )

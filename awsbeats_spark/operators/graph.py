@@ -345,3 +345,76 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(ordered, ">").alias("path"))
         .filter(F.col("path").rlike("view(>[a-z]+)*?>purchase"))
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item Jaccard over the user-event bipartite graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_type_overlap_jaccard",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_shared,
+           round(p.n_shared * 1.0
+                 / (sa.n_users + sb.n_users - p.n_shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+    """,
+)
+def graph_type_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity on the user→event_type bipartite graph:
+    Jaccard of the audience sets for every type pair, via
+    inclusion-exclusion (|A∩B| from a user-keyed self-join, |A∪B| =
+    |A|+|B|-|A∩B|). Scale shape: the co-occurrence self-join runs on
+    the DISTINCT (user, type) projection — per-user fan-out is bounded
+    by |types|² (tiny), so the shuffle carries bucket-level rows, never
+    raw events; audience sizes broadcast back onto the pair table. This
+    is the item-based-CF shape that survives 10^9 users, where a
+    user-user pairing would not."""
+    ev = tables(spark, sf_dir).events
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            rnd(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -913,3 +913,61 @@ def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(_BPE_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: how much of each doc is unseen in earlier docs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH shs AS (
+        SELECT doc_id, unnest(list_distinct({shingles_sql(WORDS_SQL)})) AS sh
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT sh, min(doc_id) AS first_doc FROM shs GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM shs s JOIN first_seen f ON s.sh = f.sh
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the corpus ingestion order:
+    the fraction of a doc's distinct 3-gram shingles whose FIRST
+    occurrence (min doc_id) is this doc — the streaming-dedup signal
+    ("how much new text does this doc add?") used to drop
+    boilerplate-heavy crawls. Scale shape: explode distinct shingles
+    once, min-aggregate per shingle (mergeable, one shuffle on the
+    shingle hash), join back on the same key — the exchange is reused
+    across both sides, and nothing ever pairs docs with docs. At
+    100 TB, shingles would be hashed to int64 before the shuffle."""
+    t = tables(spark, sf_dir)
+    shs = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words()))).alias("sh"),
+    )
+    first_seen = shs.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        shs.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+            rnd(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

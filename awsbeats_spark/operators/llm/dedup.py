@@ -657,3 +657,70 @@ def dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source dedup with source-priority survivor selection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cross_source_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                   AS src_priority,
+               md5(text) AS text_hash
+        FROM documents
+    ),
+    keep AS (
+        SELECT text_hash,
+               min(src_priority * 1000000 + doc_id) AS keep_code,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM ranked GROUP BY text_hash
+    )
+    SELECT r.doc_id, r.source, r.text_hash,
+           CAST(r.src_priority * 1000000 + r.doc_id = k.keep_code AS INT)
+               AS is_kept,
+           k.n_copies, k.n_sources
+    FROM ranked r JOIN keep k USING (text_hash)
+    """,
+)
+def dedup_cross_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with priority survivorship: when the
+    same content appears in several sources, keep the copy from the
+    highest-priority source (lowest numeric source id; doc_id breaks
+    ties) — the "prefer curated over crawled" rule every multi-source
+    training mix applies. Scale shape: survivor selection is an argmin
+    encoded as min(priority·K + doc_id) — ONE mergeable hash aggregate
+    on the content hash, joined back on the same key (exchange
+    reuse), so content bytes never shuffle and no window sorts the
+    100-TB fact."""
+    t = tables(spark, sf_dir)
+    ranked = t.documents.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([0-9]+)$", 1)
+        .cast("long")
+        .alias("src_priority"),
+        F.md5("text").alias("text_hash"),
+    )
+    code = F.col("src_priority") * 1000000 + F.col("doc_id")
+    keep = ranked.groupBy("text_hash").agg(
+        F.min(code).alias("keep_code"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        ranked.join(keep, "text_hash")
+        .select(
+            "doc_id",
+            "source",
+            "text_hash",
+            (code == F.col("keep_code")).cast("int").alias("is_kept"),
+            "n_copies",
+            "n_sources",
+        )
+    )

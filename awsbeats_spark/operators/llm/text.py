@@ -617,3 +617,59 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection heuristics
+# --------------------------------------------------------------------------
+
+_CODE_SYM_RE = r"[{}();=<>\[\]]"
+_CODE_DIGIT_RE = r"[0-9]"
+_CODE_CAMEL_RE = r"[a-z][A-Z]"
+_CODE_THRESHOLD = 0.05
+
+
+@query(
+    "text_code_detect",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n,
+               len(regexp_extract_all(text, '{_CODE_SYM_RE.replace("'", "''")}')) AS n_sym,
+               len(regexp_extract_all(text, '{_CODE_DIGIT_RE}')) AS n_digit,
+               len(regexp_extract_all(text, '{_CODE_CAMEL_RE}')) AS n_camel
+        FROM documents
+    )
+    SELECT doc_id,
+           round(n_sym * 1.0 / greatest(n, 1), 6) AS sym_ratio,
+           round(n_digit * 1.0 / greatest(n, 1), 6) AS digit_ratio,
+           round(n_camel * 1.0 / greatest(n, 1), 6) AS camel_ratio,
+           round((3.0 * n_sym + 1.0 * n_digit + 2.0 * n_camel)
+                 / greatest(n, 1), 6) AS code_score,
+           CAST((3.0 * n_sym + 1.0 * n_digit + 2.0 * n_camel)
+                 / greatest(n, 1) > {_CODE_THRESHOLD} AS INT) AS is_code
+    FROM feats
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose classifier: density of code-ish symbols
+    (braces/semicolons/operators), digits, and camelCase boundaries,
+    combined into a weighted score with a fixed threshold — the cheap
+    first-stage router that decides which quality pipeline (code vs
+    natural language) a crawled document enters. Single-pass projection
+    of JVM `regexp_count` expressions; embarrassingly parallel, no
+    shuffle, fully codegen'd."""
+    t = tables(spark, sf_dir)
+    n = F.greatest(F.length("text"), F.lit(1))
+    n_sym = F.regexp_count("text", F.lit(_CODE_SYM_RE))
+    n_digit = F.regexp_count("text", F.lit(_CODE_DIGIT_RE))
+    n_camel = F.regexp_count("text", F.lit(_CODE_CAMEL_RE))
+    score = (3.0 * n_sym + 1.0 * n_digit + 2.0 * n_camel) / n
+    return t.documents.select(
+        "doc_id",
+        rnd(n_sym / n, 6).alias("sym_ratio"),
+        rnd(n_digit / n, 6).alias("digit_ratio"),
+        rnd(n_camel / n, 6).alias("camel_ratio"),
+        rnd(score, 6).alias("code_score"),
+        (score > _CODE_THRESHOLD).cast("int").alias("is_code"),
+    )

@@ -546,3 +546,62 @@ def agg_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier fences per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(f.q1, 4) AS q1,
+           round(f.q3, 4) AS q3,
+           CAST(sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                           OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY e.event_type, f.q1, f.q3
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen: per event type, exact Q1/Q3 of
+    `value`, then count rows outside [Q1-1.5·IQR, Q3+1.5·IQR]. Scale
+    shape: pass 1 computes the quantiles as a per-type aggregate
+    (exact `percentile` here; at 100 TB swap to approx_percentile —
+    the fence logic is unchanged); pass 2 re-scans with the tiny fence
+    table BROADCAST, so the fact never shuffles — both passes are
+    map-side against the same pruned 2-column scan."""
+    ev = tables(spark, sf_dir).events
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            rnd(F.col("q1"), 4).alias("q1"),
+            rnd(F.col("q3"), 4).alias("q3"),
+            "n_outliers",
+        )
+    )

@@ -308,3 +308,45 @@ def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.countDistinct("user_id").alias("users_24h"))
     )
+
+
+# --------------------------------------------------------------------------
+# Moving median over an ordered trailing frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           round(median(l_extendedprice) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 4) AS median_5
+    FROM lineitem
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving median of extended price per supplier,
+    ordered by ship date with a unique (orderkey, linenumber)
+    tiebreaker so every engine assembles identical frames. Median is a
+    true holistic aggregate — unlike avg it cannot be run as a
+    running accumulator — so Spark evaluates `percentile` over each
+    frame; the frame is 5 rows, making the per-row cost constant. One
+    shuffle on l_suppkey, local sort, no Python."""
+    li = tables(spark, sf_dir).lineitem
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        rnd(F.expr("percentile(l_extendedprice, 0.5)").over(w), 4).alias(
+            "median_5"
+        ),
+    )
