@@ -42,7 +42,11 @@ Rotation plan (kept current each round):
   window_moving_median, dq_outlier_iqr, agg_entropy_by_group,
   text_code_detect, graph_type_overlap_jaccard, corpus_ngram_novelty,
   dedup_cross_source_priority — also after _ROUND5_FRONT in module
-  order), then re-check the round-1/2 greens on a rolling basis.
+  order), then the 6 round-3d keys (sketch_countmin_user_freq,
+  sketch_bloom_membership, ts_period_over_period,
+  events_conversion_latency, text_keyword_rake_topk,
+  embed_drift_centroid), then re-check the round-1/2 greens on a
+  rolling basis.
 """
 
 from awsbeats_spark import registry

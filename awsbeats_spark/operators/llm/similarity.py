@@ -1043,3 +1043,65 @@ def embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(w)).select(
         "vec_id", rnd("dist", 6).alias("dist_to_center"), "rn"
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding distribution drift between two cohorts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embed_drift_centroid",
+    oracle="""
+    WITH exploded AS (
+        SELECT vec_id % 2 AS cohort, i.dim AS dim,
+               embedding[i.dim + 1] AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) i
+    ),
+    means AS (
+        SELECT cohort, dim, avg(v) AS mu, CAST(count(*) AS BIGINT) AS n
+        FROM exploded GROUP BY 1, 2
+    )
+    SELECT a.dim,
+           round(a.mu, 6) AS mean_ref,
+           round(b.mu, 6) AS mean_cur,
+           round(abs(a.mu - b.mu), 6) AS abs_shift,
+           a.n AS n_ref, b.n AS n_cur
+    FROM means a JOIN means b ON a.dim = b.dim
+    WHERE a.cohort = 0 AND b.cohort = 1
+    """,
+)
+def embed_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two cohorts
+    (even/odd vec_id standing in for before/after a model or data
+    change) and compare per-dimension centroid means — the cheapest
+    early-warning signal that an embedding distribution moved. Scale
+    shape: posexplode is a per-row flatMap (64 rows out per vector);
+    the means are ONE mergeable (cohort, dim) aggregate — 128 groups
+    regardless of corpus size — and the cohort self-join runs on that
+    128-row table. At 100 TB this is a single pass with constant-size
+    state; the alternative per-dim `aggregate()` over array columns
+    avoids even the explode if shuffle volume ever mattered."""
+    emb = tables(spark, sf_dir).embeddings
+    exploded = emb.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    means = exploded.groupBy("cohort", "dim").agg(
+        F.avg("v").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    a = means.filter(F.col("cohort") == 0).select(
+        "dim", F.col("mu").alias("mu_a"), F.col("n").alias("n_ref")
+    )
+    b = means.filter(F.col("cohort") == 1).select(
+        "dim", F.col("mu").alias("mu_b"), F.col("n").alias("n_cur")
+    )
+    return a.join(b, "dim").select(
+        "dim",
+        rnd("mu_a", 6).alias("mean_ref"),
+        rnd("mu_b", 6).alias("mean_cur"),
+        rnd(F.abs(F.col("mu_a") - F.col("mu_b")), 6).alias("abs_shift"),
+        "n_ref",
+        "n_cur",
+    )

@@ -673,3 +673,95 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(score, 6).alias("code_score"),
         (score > _CODE_THRESHOLD).cast("int").alias("is_code"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE-style keyword extraction (degree/frequency over stopword phrases)
+# --------------------------------------------------------------------------
+
+_RAKE_STOP_RE = (
+    r"\b(a|an|the|and|or|of|in|on|to|is|are|was|were|for|with|as|at|by|"
+    r"it|this|that|be|from|not|but|has|have|had|its|their|they|we|you)\b"
+    r"|[^a-z0-9\s]+"
+)
+_RAKE_TOPK = 3
+
+
+@query(
+    "text_keyword_rake_topk",
+    oracle=f"""
+    WITH phrases AS (
+        SELECT doc_id, p
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                          '{_RAKE_STOP_RE}')) AS p
+            FROM documents
+        )
+    ),
+    pw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(p, '\\s+'), x -> x <> '') AS ws
+        FROM phrases
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(ws) AS word, len(ws) AS phrase_len
+        FROM pw WHERE len(ws) > 0
+    ),
+    scored AS (
+        SELECT doc_id, word,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(phrase_len) AS BIGINT) AS degree,
+               round(sum(phrase_len) * 1.0 / count(*), 6) AS rake_score
+        FROM exploded GROUP BY doc_id, word
+    )
+    SELECT doc_id, word, freq, degree, rake_score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY rake_score DESC, freq DESC, word
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= {_RAKE_TOPK}
+    """,
+)
+def text_keyword_rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-lite keyword extraction: split each document into candidate
+    phrases at stopwords/punctuation, score every word by
+    degree/frequency (degree = summed length of the phrases it appears
+    in — rewards words that anchor long content phrases), keep the
+    top-3 per document with a deterministic (score, freq, word)
+    tiebreaker. Scale shape: phrase split + word explode are per-row
+    JVM expressions; the score is one (doc, word) aggregate and the
+    top-k window partitions BY DOC (bounded partitions, WindowGroupLimit
+    prunes to k per doc before the final sort) — nothing global, no
+    Python."""
+    t = tables(spark, sf_dir)
+    phrases = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.col("text")), _RAKE_STOP_RE)
+        ).alias("p"),
+    )
+    pw = phrases.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("p"), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    exploded = pw.select(
+        "doc_id", F.explode("ws").alias("word"), F.size("ws").alias("phrase_len")
+    )
+    scored = exploded.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+        rnd(F.sum("phrase_len") / F.count(F.lit(1)), 6).alias("rake_score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("rake_score"), F.desc("freq"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RAKE_TOPK)
+        .select("doc_id", "word", "freq", "degree", "rake_score")
+    )

@@ -976,3 +976,220 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hand-rolled Count-Min sketch: frequency estimates for heavy keys
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 3
+_CM_WIDTH = 64
+
+
+def _cm_cell_sql(d: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{d}:' || CAST(user_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_CM_WIDTH}"
+    )
+
+
+@query(
+    "sketch_countmin_user_freq",
+    oracle=f"""
+    WITH cells AS (
+        SELECT d.d AS depth, CAST(count(*) AS BIGINT) AS cnt,
+               CASE d.d
+                   WHEN 0 THEN {_cm_cell_sql(0)}
+                   WHEN 1 THEN {_cm_cell_sql(1)}
+                   ELSE {_cm_cell_sql(2)}
+               END AS cell
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) d
+        GROUP BY 1, 3
+    ),
+    top_users AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY 1
+        ORDER BY count(*) DESC, user_id LIMIT 10
+    )
+    SELECT t.user_id, t.true_count,
+           CAST(min(c.cnt) AS BIGINT) AS cm_estimate
+    FROM top_users t
+    JOIN cells c
+      ON c.cell = CASE c.depth
+                      WHEN 0 THEN CAST(('0x' || substring(md5('0:' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_CM_WIDTH}
+                      WHEN 1 THEN CAST(('0x' || substring(md5('1:' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_CM_WIDTH}
+                      ELSE CAST(('0x' || substring(md5('2:' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_CM_WIDTH}
+                  END
+    GROUP BY t.user_id, t.true_count
+    """,
+)
+def sketch_countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled Count-Min sketch (depth 3 x width 64, md5 row
+    hashes): build the counter grid as ONE mergeable (depth, cell)
+    aggregate — 192 cells total regardless of input size — then report
+    min-over-rows estimates vs true counts for the top-10 users. The
+    sketch aggregate is the 100-TB path: constant-size state, map-side
+    partials, one tiny shuffle; the exact top-10 comparison side exists
+    to expose the estimation error and would be dropped (or sampled) at
+    scale. Overestimate-only by construction (est >= true)."""
+    ev = tables(spark, sf_dir).events
+    depths = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("depth"))
+
+    def cell_for(depth_col, user_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            depth_col.cast("string"),
+                            F.lit(":"),
+                            user_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        )
+
+    cells = (
+        ev.crossJoin(F.broadcast(depths))
+        .groupBy("depth", cell_for(F.col("depth"), F.col("user_id")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_users = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = top_users.crossJoin(F.broadcast(depths)).select(
+        "user_id",
+        "true_count",
+        "depth",
+        cell_for(F.col("depth"), F.col("user_id")).alias("cell"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["depth", "cell"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Hand-rolled Bloom filter membership probe
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 4
+
+
+def _bloom_pos_sql(k: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{k}:' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH bits AS (
+        SELECT DISTINCT CASE k.k
+            WHEN 0 THEN {_bloom_pos_sql(0, "c_custkey")}
+            WHEN 1 THEN {_bloom_pos_sql(1, "c_custkey")}
+            WHEN 2 THEN {_bloom_pos_sql(2, "c_custkey")}
+            ELSE {_bloom_pos_sql(3, "c_custkey")}
+        END AS pos
+        FROM customer
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    probe AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(max(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INT) AS is_member
+        FROM orders o
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        LEFT JOIN bits b
+          ON b.pos = CASE k.k
+                 WHEN 0 THEN {_bloom_pos_sql(0, "o_custkey")}
+                 WHEN 1 THEN {_bloom_pos_sql(1, "o_custkey")}
+                 WHEN 2 THEN {_bloom_pos_sql(2, "o_custkey")}
+                 ELSE {_bloom_pos_sql(3, "o_custkey")}
+             END
+        LEFT JOIN (SELECT c_custkey FROM customer
+                   WHERE c_mktsegment = 'BUILDING') c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_orderkey, o.o_custkey
+        HAVING count(b.pos) = {_BLOOM_HASHES}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(is_member) AS BIGINT) AS n_true_members,
+           CAST(count(*) - sum(is_member) AS BIGINT) AS n_false_positives
+    FROM probe
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled Bloom filter (4096 bits, 4 md5-derived hash
+    positions): the BUILDING-segment customer keys set their bit
+    positions; every order probes all 4 positions and passes only when
+    all are set. Reports pass count, true members, and false
+    positives — the probe-side pre-filter that would prune a 100-TB
+    fact BEFORE its join shuffle. Scale shape: the bit set is a
+    DISTINCT aggregate of the small dim (≤4096 rows), broadcast into
+    the probe; the fact is scanned once, never shuffled; the exact
+    membership check (for FP accounting) is a broadcast join against
+    the same small dim."""
+    t = tables(spark, sf_dir)
+    building = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    ks = spark.range(_BLOOM_HASHES).select(F.col("id").cast("int").alias("k"))
+
+    def pos_for(k_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            k_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+
+    bits = (
+        building.crossJoin(F.broadcast(ks))
+        .select(pos_for(F.col("k"), F.col("c_custkey")).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        t.orders.crossJoin(F.broadcast(ks))
+        .withColumn("pos", pos_for(F.col("k"), F.col("o_custkey")))
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") == _BLOOM_HASHES)
+    )
+    members = building.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_m")
+    )
+    flagged = probe.join(F.broadcast(members), "o_custkey", "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.coalesce("is_m", F.lit(0))).cast("long").alias("n_true_members"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce("is_m", F.lit(0))))
+        .cast("long")
+        .alias("n_false_positives"),
+    )

@@ -149,6 +149,23 @@ EXTENDED_PROBE = [
     "events_assoc_rules",
     "orders_survival_km",
     "agg_winsorized_mean",
+    # round 3c additions
+    "ts_rolling_corr",
+    "ts_cross_correlation_lag",
+    "window_moving_median",
+    "dq_outlier_iqr",
+    "agg_entropy_by_group",
+    "text_code_detect",
+    "graph_type_overlap_jaccard",
+    "corpus_ngram_novelty",
+    "dedup_cross_source_priority",
+    # round 3d additions
+    "sketch_countmin_user_freq",
+    "sketch_bloom_membership",
+    "ts_period_over_period",
+    "events_conversion_latency",
+    "text_keyword_rake_topk",
+    "embed_drift_centroid",
 ]
 
 
