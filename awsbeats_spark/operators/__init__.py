@@ -45,7 +45,9 @@ Rotation plan (kept current each round):
   order), then the 6 round-3d keys (sketch_countmin_user_freq,
   sketch_bloom_membership, ts_period_over_period,
   events_conversion_latency, text_keyword_rake_topk,
-  embed_drift_centroid), then re-check the round-1/2 greens on a
+  embed_drift_centroid), then the 4 round-3e keys
+  (corpus_span_mask_t5, agg_hhi_concentration, eval_ann_recall_ivf,
+  window_streak_longest), then re-check the round-1/2 greens on a
   rolling basis.
 """
 

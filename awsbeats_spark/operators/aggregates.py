@@ -577,3 +577,60 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman revenue concentration per nation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               sum(o.o_totalprice) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(rev), 2) AS total_revenue,
+               round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi
+        FROM cust_rev GROUP BY 1
+    )
+    SELECT n.n_name, t.n_customers, t.total_revenue, t.hhi
+    FROM nat t JOIN nation n ON t.c_nationkey = n.n_nationkey
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of revenue concentration: per nation,
+    the sum of squared customer revenue shares (1/n = perfectly spread,
+    1.0 = single-customer dependency) — the risk metric behind "how
+    concentrated is this market". Scale shape: two stacked mergeable
+    aggregates — (nation, customer) then nation, the second computed
+    from Σrev and Σrev² so no shares ever materialize per row — and a
+    25-row broadcast for names. Both shuffles carry bucket-level rows."""
+    t = tables(spark, sf_dir)
+    cust_rev = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    nat = cust_rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        rnd(F.sum("rev"), 2).alias("total_revenue"),
+        rnd(
+            F.sum(F.col("rev") * F.col("rev"))
+            / (F.sum("rev") * F.sum("rev")),
+            6,
+        ).alias("hhi"),
+    )
+    return nat.join(
+        F.broadcast(tables(spark, sf_dir).nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_name", "n_customers", "total_revenue", "hhi")

@@ -971,3 +971,102 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style deterministic span corruption (mask 2/16 of tokens)
+# --------------------------------------------------------------------------
+
+_MASK_SENTINEL = "<extra_id>"
+
+
+@query(
+    "corpus_span_mask_t5",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+    tok AS (
+        SELECT doc_id, i, ws[i] AS tok,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(i AS VARCHAR) || ':' || ws[i]), 1, 1)
+                   IN ('0', '1') AS masked
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    spans AS (
+        SELECT doc_id, i, tok, masked,
+               CASE WHEN masked AND NOT coalesce(
+                        lag(masked) OVER (PARTITION BY doc_id ORDER BY i),
+                        FALSE)
+                    THEN 1 ELSE 0 END AS span_start
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           CAST(sum(span_start) AS BIGINT) AS n_spans,
+           string_agg(CASE WHEN masked THEN '{_MASK_SENTINEL}' ELSE tok END,
+                      ' ' ORDER BY i) AS masked_text
+    FROM spans GROUP BY doc_id
+    """,
+)
+def corpus_span_mask_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption for pretraining data prep: each token is
+    masked by a deterministic content-addressed coin (md5 of
+    doc:index:token, 2/16 ≈ 12.5% rate — reproducible across runs and
+    engines, unlike rand()), adjacent masked tokens merge into spans,
+    and the masked text plus token/span counts are emitted. Scale
+    shape: tokenize + posexplode are per-row; the lag that detects span
+    starts and the ordered re-assembly both run in ONE window/aggregate
+    partitioned by doc_id (bounded partitions = document length). At
+    100 TB this is the map-heavy shape that saturates CPUs without any
+    cross-doc shuffle."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.posexplode(words()).alias("i0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    (F.col("i0") + 1).cast("string"),
+                    F.col("tok"),
+                )
+            ),
+            1,
+            1,
+        )
+        .isin("0", "1")
+        .alias("masked"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = tok.withColumn(
+        "span_start",
+        (
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w), F.lit(False))
+        ).cast("int"),
+    ).withColumn(
+        "out_tok",
+        F.when(F.col("masked"), F.lit(_MASK_SENTINEL)).otherwise(F.col("tok")),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("masked").cast("int")).cast("long").alias("n_masked"),
+            F.sum("span_start").cast("long").alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "out_tok"))
+                    ),
+                    lambda s: s["out_tok"],
+                ),
+                " ",
+            ).alias("masked_text"),
+        )
+    )

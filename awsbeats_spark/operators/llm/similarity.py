@@ -1105,3 +1105,57 @@ def embed_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ref",
         "n_cur",
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of IVF vs the exact baseline
+# --------------------------------------------------------------------------
+
+from awsbeats_spark.registry import QUERIES as _QUERIES  # noqa: E402
+
+_BF_ORACLE = _QUERIES["sim_search_topk"].oracle
+_IVF_ORACLE = _QUERIES["sim_search_ivf"].oracle
+
+
+@query(
+    "eval_ann_recall_ivf",
+    oracle=f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ivf AS ({_IVF_ORACLE})
+    SELECT bf.query_id,
+           CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(ivf.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+    FROM bf
+    LEFT JOIN ivf ON bf.query_id = ivf.query_id
+                 AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality harness: recall@k of the IVF index against the
+    exact brute-force baseline, per query — the number that decides
+    whether nprobe/centroid-count are tuned right BEFORE an index ships.
+    Composes the two registered operators (same DataFrames, same
+    oracles) and reduces their overlap with one (query, neighbor)
+    left join + per-query count. Scale shape: both inputs are top-k
+    tables (|queries|·k rows), so the evaluation join is trivially
+    broadcastable regardless of corpus size — evaluation cost is
+    decoupled from the 100-TB scan that produced the candidates."""
+    bf = _QUERIES["sim_search_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        _QUERIES["sim_search_ivf"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            rnd(
+                F.sum(F.coalesce("hit", F.lit(0))) / float(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+    )

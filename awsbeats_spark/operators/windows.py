@@ -350,3 +350,76 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_5"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_streak_longest",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS g
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, g,
+               CAST(count(*) AS BIGINT) AS streak_len,
+               min(d) AS streak_start
+        FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           max(streak_len) AS longest_streak,
+           strftime(min(streak_start) FILTER (
+               WHERE streak_len = (SELECT max(s2.streak_len)
+                                   FROM streaks s2
+                                   WHERE s2.user_id = streaks.user_id)
+           ), '%Y-%m-%d') AS longest_start
+    FROM streaks GROUP BY user_id
+    """,
+)
+def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest run of consecutive purchase days
+    per user (date minus row_number collapses each run to one group
+    key), reporting streak count, active days, the longest streak, and
+    its earliest start date. Scale shape: the raw fact collapses to
+    DISTINCT (user, day) first — bounded at 365 rows/user/year — so the
+    row_number window and both aggregates run on day-level buckets; one
+    shuffle on user_id serves the window and the final groupBy via
+    exchange reuse. The classic sessionize-by-calendar shape."""
+    ev = tables(spark, sf_dir).events
+    days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "g", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.date_format(
+            F.min_by(
+                F.col("streak_start"),
+                F.struct(-F.col("streak_len"), F.col("streak_start")),
+            ),
+            "yyyy-MM-dd",
+        ).alias("longest_start"),
+    )

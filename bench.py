@@ -166,6 +166,11 @@ EXTENDED_PROBE = [
     "events_conversion_latency",
     "text_keyword_rake_topk",
     "embed_drift_centroid",
+    # round 3e additions
+    "corpus_span_mask_t5",
+    "agg_hhi_concentration",
+    "eval_ann_recall_ivf",
+    "window_streak_longest",
 ]
 
 
