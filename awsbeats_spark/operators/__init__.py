@@ -47,8 +47,11 @@ Rotation plan (kept current each round):
   events_conversion_latency, text_keyword_rake_topk,
   embed_drift_centroid), then the 4 round-3e keys
   (corpus_span_mask_t5, agg_hhi_concentration, eval_ann_recall_ivf,
-  window_streak_longest), then re-check the round-1/2 greens on a
-  rolling basis.
+  window_streak_longest), then the 3 round-3f keys
+  (eval_pair_rouge_overlap, scalar_try_safe_math,
+  window_share_of_total), then the 3 round-3g keys
+  (events_bounce_rate, events_lifecycle_stages, events_dau_wau_mau),
+  then re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -459,3 +459,54 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("v2_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Error-safe scalar surface: try_* arithmetic and casts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_try_safe_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           CASE WHEN round(l_quantity, 0) - 25 = 0 THEN NULL
+                ELSE round(l_extendedprice / (round(l_quantity, 0) - 25), 4)
+           END AS price_per_off25,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                          THEN CAST(l_linenumber AS VARCHAR)
+                          ELSE l_returnflag END AS BIGINT) AS qty_int,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_tax / l_discount, 4) END AS tax_per_discount
+    FROM lineitem
+    """,
+)
+def scalar_try_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: `try_divide` / `try_cast` return NULL
+    where ANSI mode would raise (divide-by-zero, malformed cast) — the
+    expressions a 100-TB pipeline needs so ONE bad row degrades to NULL
+    instead of killing a 6-hour job. Single-pass projection, all
+    codegen; the oracle mirrors try-semantics with CASE/TRY_CAST."""
+    li = tables(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        rnd(
+            F.try_divide(
+                F.col("l_extendedprice"), F.round("l_quantity") - 25
+            ),
+            4,
+        ).alias("price_per_off25"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("long").alias(
+            "flag_as_int"
+        ),
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_linenumber").cast("string"))
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("long")
+        .alias("qty_int"),
+        rnd(F.try_divide(F.col("l_tax"), F.col("l_discount")), 4).alias(
+            "tax_per_discount"
+        ),
+    )

@@ -423,3 +423,69 @@ def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("longest_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: share of partition and of grand total
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH nat AS (
+        SELECT c.c_nationkey, round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    named AS (
+        SELECT n.n_regionkey, n.n_name, t.revenue
+        FROM nat t JOIN nation n ON t.c_nationkey = n.n_nationkey
+    )
+    SELECT n_regionkey, n_name, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY n_regionkey), 6)
+               AS share_of_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_of_total,
+           rank() OVER (PARTITION BY n_regionkey
+                        ORDER BY revenue DESC, n_name) AS rank_in_region
+    FROM named
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the grand total, plus in-region rank — the BI denominator
+    pattern. Scale shape: the fact collapses to |nations| (25) rows
+    FIRST; both share windows (including the partitionBy-less grand
+    total) run on that bucket table, so the usually-forbidden global
+    window is safe by construction. One exchange for the aggregate,
+    broadcast for names."""
+    t = tables(spark, sf_dir)
+    nat = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    named = nat.join(
+        F.broadcast(t.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_regionkey", "n_name", "revenue")
+    wr = Window.partitionBy("n_regionkey")
+    wall = Window.partitionBy()
+    wrank = Window.partitionBy("n_regionkey").orderBy(
+        F.desc("revenue"), F.asc("n_name")
+    )
+    return named.select(
+        "n_regionkey",
+        "n_name",
+        "revenue",
+        rnd(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        rnd(F.col("revenue") / F.sum("revenue").over(wall), 6).alias(
+            "share_of_total"
+        ),
+        F.rank().over(wrank).alias("rank_in_region"),
+    )

@@ -171,6 +171,14 @@ EXTENDED_PROBE = [
     "agg_hhi_concentration",
     "eval_ann_recall_ivf",
     "window_streak_longest",
+    # round 3f additions
+    "eval_pair_rouge_overlap",
+    "scalar_try_safe_math",
+    "window_share_of_total",
+    # round 3g additions
+    "events_bounce_rate",
+    "events_lifecycle_stages",
+    "events_dau_wau_mau",
 ]
 
 
