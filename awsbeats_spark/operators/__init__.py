@@ -51,6 +51,7 @@ Rotation plan (kept current each round):
   (eval_pair_rouge_overlap, scalar_try_safe_math,
   window_share_of_total), then the 3 round-3g keys
   (events_bounce_rate, events_lifecycle_stages, events_dau_wau_mau),
+  then the 2 round-3h keys (sql_recursive_cte, scalar_url_parse),
   then re-check the round-1/2 greens on a rolling basis.
 """
 

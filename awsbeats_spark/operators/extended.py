@@ -593,3 +593,50 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("e.user_id").alias("n_keys"),
         )
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT user_id AS start_id, user_id AS node, 0 AS depth
+        FROM (SELECT DISTINCT user_id FROM events)
+        UNION ALL
+        SELECT start_id, node // 2, depth + 1 FROM anc WHERE node > 1
+    )
+    SELECT start_id AS user_id,
+           CAST(max(depth) AS BIGINT) AS chain_len,
+           CAST(count(*) AS BIGINT) AS n_chain_nodes,
+           CAST(min(node) AS BIGINT) AS root_node
+    FROM anc GROUP BY start_id
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each user's
+    halving-chain hierarchy (parent = node div 2 — a synthetic but
+    deterministic org tree) to the root, reporting chain length and
+    node count. Exercises the iterative-union executor: each recursion
+    step is one distributed job over the frontier, so total work is
+    O(|users| · log maxid) rows — the frontier never exceeds the user
+    set, and at 100 TB the recursion depth (not the corpus size) is
+    the bounded iteration count. The engine-extension analog of
+    hierarchical/graph traversal in SQL."""
+    t = tables(spark, sf_dir)
+    t.events.select("user_id").distinct().createOrReplaceTempView(
+        "_rcte_users"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT user_id AS start_id, user_id AS node, 0 AS depth
+            FROM _rcte_users
+            UNION ALL
+            SELECT start_id, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT start_id AS user_id,
+               CAST(max(depth) AS BIGINT) AS chain_len,
+               CAST(count(*) AS BIGINT) AS n_chain_nodes,
+               CAST(min(node) AS BIGINT) AS root_node
+        FROM anc GROUP BY start_id
+        """
+    )

@@ -510,3 +510,50 @@ def scalar_try_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tax_per_discount"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# URL parsing surface (parse_url over a derived canonical URL)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM u
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: build a canonical URL per document (the
+    testdata ships none) and split it into host / path / query-param
+    with `parse_url` — the crawl-pipeline normalization step that
+    precedes URL-keyed dedup. Single-pass JVM projection; the oracle
+    mirrors parse_url with anchored regexes. At 100 TB this is a
+    map-only scan whose host column then becomes a partition/dedup
+    key."""
+    t = tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return t.documents.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -179,6 +179,9 @@ EXTENDED_PROBE = [
     "events_bounce_rate",
     "events_lifecycle_stages",
     "events_dau_wau_mau",
+    # round 3h additions
+    "sql_recursive_cte",
+    "scalar_url_parse",
 ]
 
 
