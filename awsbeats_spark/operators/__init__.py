@@ -52,7 +52,9 @@ Rotation plan (kept current each round):
   window_share_of_total), then the 3 round-3g keys
   (events_bounce_rate, events_lifecycle_stages, events_dau_wau_mau),
   then the 2 round-3h keys (sql_recursive_cte, scalar_url_parse),
-  then re-check the round-1/2 greens on a rolling basis.
+  then the 2 round-3i keys (corpus_line_dedup_ccnet,
+  dq_volume_anomaly_daily), then re-check the round-1/2 greens on a
+  rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -1070,3 +1070,68 @@ def corpus_span_mask_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("masked_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style sentence-level dedup ratio
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_line_dedup_ccnet",
+    oracle="""
+    WITH sent AS (
+        SELECT doc_id, trim(s) AS sent
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[.!?]+')) AS s
+            FROM documents
+        ) WHERE trim(s) <> ''
+    ),
+    freq AS (
+        SELECT md5(sent) AS h, CAST(count(*) AS BIGINT) AS f
+        FROM sent GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_sentences,
+           round(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_ratio
+    FROM sent s JOIN freq f ON md5(s.sent) = f.h
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_line_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sentence-level dedup signal: split each document
+    into sentences, hash-count every sentence corpus-wide, and report
+    per-doc how many of its sentences also occur elsewhere (boilerplate
+    ratio) — the pre-filter that strips nav bars and cookie banners
+    before paragraph-level quality scoring. Scale shape: ONE mergeable
+    aggregate on the sentence hash (never the sentence text at 100 TB —
+    md5 here already), joined back on the same key; per-doc rollup
+    partitions on doc_id. Identical shape to exact dedup, one level
+    below the document."""
+    t = tables(spark, sf_dir)
+    sent = (
+        t.documents.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[.!?]+")
+            ).alias("s"),
+        )
+        .select("doc_id", F.trim(F.col("s")).alias("sent"))
+        .filter(F.col("sent") != "")
+        .select("doc_id", F.md5("sent").alias("h"))
+    )
+    freq = sent.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    dup = (F.col("f") > 1).cast("int")
+    return (
+        sent.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(dup).cast("long").alias("n_dup_sentences"),
+            rnd(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )

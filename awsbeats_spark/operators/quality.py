@@ -605,3 +605,54 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Daily ingest-volume anomaly (z-score vs trailing window)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_volume_anomaly_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_rows,
+           CAST(count(*) OVER w AS BIGINT) AS n_baseline_days,
+           round(avg(n_rows) OVER w, 4) AS baseline_avg,
+           round(CASE WHEN stddev_samp(n_rows) OVER w > 0
+                      THEN (n_rows - avg(n_rows) OVER w)
+                           / stddev_samp(n_rows) OVER w
+                 END, 4) AS volume_z
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume monitor: each day's row count z-scored against the
+    trailing 7-day baseline (excluding the day itself) — the
+    data-ops alarm that catches a broken producer or a double-delivery
+    BEFORE downstream metrics drift. Scale shape: the fact collapses
+    to |days| rows in one mergeable aggregate; the baseline window runs
+    on that tiny series (global window safe by construction). NULL
+    z-score on the warm-up days / zero-variance baselines in both
+    engines."""
+    ev = tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    mu = F.avg("n_rows").over(w)
+    sd = F.stddev_samp("n_rows").over(w)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_rows",
+        F.count(F.lit(1)).over(w).alias("n_baseline_days"),
+        rnd(mu, 4).alias("baseline_avg"),
+        rnd(
+            F.when(sd > 0, (F.col("n_rows") - mu) / sd), 4
+        ).alias("volume_z"),
+    )

@@ -182,6 +182,9 @@ EXTENDED_PROBE = [
     # round 3h additions
     "sql_recursive_cte",
     "scalar_url_parse",
+    # round 3i additions
+    "corpus_line_dedup_ccnet",
+    "dq_volume_anomaly_daily",
 ]
 
 
