@@ -548,28 +548,24 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (nats) of each user's event-type mix — the
     behavioral-diversity score used for mix-balancing samplers. Scale
     shape: raw events collapse to (user, type) counts in one mergeable
-    aggregate; the entropy is a second aggregate over that bucket
-    table, partitioned by user — both shuffles carry bucket-level rows
-    only. No window, no Python; skew-safe because per-user bucket
-    count is bounded by |event types|."""
+    aggregate; per-user totals are a second aggregate over that bucket
+    table, joined back on the shared user_id key (exchange reuse) so
+    every shuffle carries bucket-level rows only. No window, no
+    Python; skew-safe because per-user bucket count is bounded by
+    |event types|."""
     ev = tables(spark, sf_dir).events
     per = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    wsum = Window.partitionBy("user_id")
-    p = F.col("n") / F.sum("n").over(wsum)
+    tot = per.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("n") / F.col("total")
     return (
-        per.select(
-            "user_id",
-            "n",
-            F.sum("n").over(wsum).alias("total"),
-            (p * F.log(p)).alias("plogp"),
-        )
-        .groupBy("user_id", "total")
-        .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            rnd(-F.sum("plogp"), 4).alias("entropy_nats"),
-        )
+        per.join(tot, "user_id")
+        .select("user_id", "total", "n_types", (p * F.log(p)).alias("plogp"))
+        .groupBy("user_id", "total", "n_types")
+        .agg(rnd(-F.sum("plogp"), 4).alias("entropy_nats"))
         .select(
             "user_id",
             "n_types",
@@ -631,6 +627,6 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
     )
     return nat.join(
-        F.broadcast(tables(spark, sf_dir).nation),
+        F.broadcast(t.nation),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("n_name", "n_customers", "total_revenue", "hhi")

@@ -669,118 +669,64 @@ def dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
         SELECT doc_id, source,
-               CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+               TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
                    AS src_priority,
                md5(text) AS text_hash
         FROM documents
     ),
-    keep AS (
+    ordered AS (
+        SELECT doc_id, source, text_hash,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY text_hash
+                        ORDER BY src_priority ASC NULLS LAST, doc_id ASC
+                    ) = 1 THEN 1 ELSE 0 END AS is_kept
+        FROM ranked
+    ),
+    stats AS (
         SELECT text_hash,
-               min(src_priority * 1000000 + doc_id) AS keep_code,
                CAST(count(*) AS BIGINT) AS n_copies,
                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         FROM ranked GROUP BY text_hash
     )
-    SELECT r.doc_id, r.source, r.text_hash,
-           CAST(r.src_priority * 1000000 + r.doc_id = k.keep_code AS INT)
-               AS is_kept,
+    SELECT o.doc_id, o.source, o.text_hash, o.is_kept,
            k.n_copies, k.n_sources
-    FROM ranked r JOIN keep k USING (text_hash)
+    FROM ordered o JOIN stats k USING (text_hash)
     """,
 )
 def dedup_cross_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source exact dedup with priority survivorship: when the
     same content appears in several sources, keep the copy from the
     highest-priority source (lowest numeric source id; doc_id breaks
-    ties) — the "prefer curated over crawled" rule every multi-source
-    training mix applies. Scale shape: survivor selection is an argmin
-    encoded as min(priority·K + doc_id) — ONE mergeable hash aggregate
-    on the content hash, joined back on the same key (exchange
-    reuse), so content bytes never shuffle and no window sorts the
-    100-TB fact."""
+    ties; sources with no numeric id sort last in BOTH engines via
+    explicit NULLS LAST) — the "prefer curated over crawled" rule every
+    multi-source training mix applies. Scale shape: survivor selection
+    is a row_number window partitioned on the content hash — partition
+    size equals the duplicate count of one text (tiny), so the sort is
+    per-group-local; group stats are ONE mergeable hash aggregate
+    joined back on the same key (exchange reuse). Content bytes never
+    shuffle — only the md5."""
     t = tables(spark, sf_dir)
     ranked = t.documents.select(
         "doc_id",
         "source",
         F.regexp_extract("source", r"([0-9]+)$", 1)
-        .cast("long")
+        .try_cast("long")
         .alias("src_priority"),
         F.md5("text").alias("text_hash"),
     )
-    code = F.col("src_priority") * 1000000 + F.col("doc_id")
-    keep = ranked.groupBy("text_hash").agg(
-        F.min(code).alias("keep_code"),
+    w = Window.partitionBy("text_hash").orderBy(
+        F.col("src_priority").asc_nulls_last(), F.col("doc_id").asc()
+    )
+    ordered = ranked.select(
+        "doc_id",
+        "source",
+        "text_hash",
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
+    )
+    stats = ranked.groupBy("text_hash").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.countDistinct("source").alias("n_sources"),
     )
-    return (
-        ranked.join(keep, "text_hash")
-        .select(
-            "doc_id",
-            "source",
-            "text_hash",
-            (code == F.col("keep_code")).cast("int").alias("is_kept"),
-            "n_copies",
-            "n_sources",
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# ROUGE-1 overlap audit of the ngram-dedup candidate pairs
-# --------------------------------------------------------------------------
-
-
-@query(
-    "eval_pair_rouge_overlap",
-    oracle=f"""
-    WITH pairs AS ({_NGRAM_ORACLE}),
-    ws AS (
-        SELECT doc_id, list_distinct({WORDS_SQL}) AS w FROM documents
-    )
-    SELECT p.doc_a, p.doc_b, p.jaccard,
-           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS n_common,
-           round(len(list_intersect(wa.w, wb.w)) * 1.0 / len(wb.w), 6)
-               AS rouge1_recall,
-           round(len(list_intersect(wa.w, wb.w)) * 1.0 / len(wa.w), 6)
-               AS rouge1_precision,
-           round(2.0 * len(list_intersect(wa.w, wb.w))
-                 / (len(wa.w) + len(wb.w)), 6) AS rouge1_f1
-    FROM pairs p
-    JOIN ws wa ON wa.doc_id = p.doc_a
-    JOIN ws wb ON wb.doc_id = p.doc_b
-    """,
-)
-def eval_pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-quality audit: ROUGE-1 (distinct-unigram) recall /
-    precision / F1 for every candidate pair the shingle-Jaccard dedup
-    surfaced — the second-opinion metric that separates true near-dups
-    from shingle-collision noise before anything is dropped. Composes
-    the registered dedup operator (same DataFrame, same oracle
-    embedded as a CTE). Scale shape: the pair table is the SMALL output
-    of the bucketed dedup join; word sets attach via two joins on
-    doc_id, and at 100 TB the pair side (not the corpus) drives cost —
-    the corpus is scanned once for word sets, shuffled on doc_id only."""
-    t = tables(spark, sf_dir)
-    pairs = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
-    ws = t.documents.select(
-        "doc_id", F.array_distinct(words()).alias("w")
-    )
-    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
-    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
-    common = F.size(F.array_intersect(F.col("w_a"), F.col("w_b")))
-    return (
-        pairs.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "jaccard",
-            common.cast("long").alias("n_common"),
-            rnd(common / F.size("w_b"), 6).alias("rouge1_recall"),
-            rnd(common / F.size("w_a"), 6).alias("rouge1_precision"),
-            rnd(
-                2.0 * common / (F.size("w_a") + F.size("w_b")), 6
-            ).alias("rouge1_f1"),
-        )
+    return ordered.join(stats, "text_hash").select(
+        "doc_id", "source", "text_hash", "is_kept", "n_copies", "n_sources"
     )

@@ -25,7 +25,7 @@ from awsbeats_spark.functions.vectorfns import (
     sign_signature_sql,
 )
 from awsbeats_spark.functions.rounding import rnd
-from awsbeats_spark.registry import query
+from awsbeats_spark.registry import QUERIES, query
 
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 are the query set
@@ -1111,10 +1111,8 @@ def embed_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN quality evaluation: recall@k of IVF vs the exact baseline
 # --------------------------------------------------------------------------
 
-from awsbeats_spark.registry import QUERIES as _QUERIES  # noqa: E402
-
-_BF_ORACLE = _QUERIES["sim_search_topk"].oracle
-_IVF_ORACLE = _QUERIES["sim_search_ivf"].oracle
+_BF_ORACLE = QUERIES["sim_search_topk"].oracle
+_IVF_ORACLE = QUERIES["sim_search_ivf"].oracle
 
 
 @query(
@@ -1141,11 +1139,11 @@ def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (|queries|·k rows), so the evaluation join is trivially
     broadcastable regardless of corpus size — evaluation cost is
     decoupled from the 100-TB scan that produced the candidates."""
-    bf = _QUERIES["sim_search_topk"].fn(spark, sf_dir).select(
+    bf = QUERIES["sim_search_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
     ivf = (
-        _QUERIES["sim_search_ivf"].fn(spark, sf_dir)
+        QUERIES["sim_search_ivf"].fn(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )

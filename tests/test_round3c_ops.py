@@ -162,16 +162,12 @@ def test_entropy_matches_scipy_formula(run, sf_dir):
 def test_code_detect_flags_symbol_heavy_text(spark):
     from awsbeats_spark.operators.llm.text import _CODE_THRESHOLD  # noqa
 
-    import re
-
     texts = [
         "def f(x): return {x: [1, 2]};",  # code-ish
         "the quiet afternoon drifted on without any urgency at all",
     ]
     pdf = pd.DataFrame({"doc_id": [1, 2], "text": texts})
     df = spark.createDataFrame(pdf)
-    df.createOrReplaceTempView("documents_tmp")
-    # reuse the operator's expression by running it against a temp copy
     import awsbeats_spark.operators.llm.text as textmod
     from pyspark.sql import functions as F
 
@@ -274,3 +270,46 @@ def test_cross_source_priority_survivor_rules(run):
     # group stats consistent
     sizes = out.groupby("text_hash").size()
     assert (out["n_copies"] == out["text_hash"].map(sizes)).all()
+
+
+def test_cross_source_priority_nonnumeric_sources_sort_last(spark):
+    # sources without trailing digits (TRY_CAST -> NULL priority) must
+    # lose to any numeric-priority copy, identically in both engines
+    import pandas as pd
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["curated", "src5", "src9"],
+            "text": ["same text", "same text", "same text"],
+            "lang": ["en"] * 3,
+            "n_chars": [9] * 3,
+        }
+    )
+    from awsbeats_spark.registry import QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        out = (
+            QUERIES["dedup_cross_source_priority"]
+            .fn(spark, d)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        odf = (
+            con.sql(QUERIES["dedup_cross_source_priority"].oracle)
+            .df()
+            .set_index("doc_id")
+        )
+    # src5 (priority 5) wins; 'curated' (NULL priority) sorts last
+    for frame in (out, odf):
+        assert frame.loc[2, "is_kept"] == 1
+        assert frame.loc[1, "is_kept"] == 0
+        assert frame.loc[3, "is_kept"] == 0
+        assert (frame["n_copies"] == 3).all()

@@ -585,12 +585,15 @@ def test_stream_static_broadcast_enrichment_join(spark, in_dir):
 def test_rocksdb_state_store_session_window(spark, tmp_path):
     """Stateful aggregation on the RocksDB state store provider — the
     off-heap store that keeps 100-TB-scale streaming state out of
-    executor heap (bounded memory, native compaction). Pins that the
-    engine's stateful plans run unchanged when the provider is swapped
-    in per-query via the checkpoint config."""
+    executor heap (bounded memory, native compaction). The provider is
+    a SESSION conf captured at query start (a per-writer option is
+    ignored), so it is set before start() and restored after; the
+    assertions check RocksDB-specific evidence — rocksdb* custom
+    metrics in the progress and the provider's .zip/.changelog
+    checkpoint artifacts instead of HDFS provider .delta files."""
     import pandas as pd
 
-    src = tmp_path / "rocks_in"
+    src = tmp_path / "sess_in"
     src.mkdir()
     pd.DataFrame(
         {
@@ -615,30 +618,46 @@ def test_rocksdb_state_store_session_window(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
     )
     name = f"rocks_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
-        .option(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        .start()
+    ckpt = tmp_path / "ckpt"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
-        rows = spark.sql(
-            f"SELECT user_id, n, total FROM {name} ORDER BY user_id, n"
-        ).collect()
-        # the provider actually in use is reported in the query progress
-        prog = q.lastProgress
-        op = prog["stateOperators"][0]
-        assert "RocksDB" in op.get("customMetrics", {}).__str__() or "rocksdb" in str(
-            prog
-        ).lower()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                f"SELECT user_id, n, total FROM {name} ORDER BY user_id, n"
+            ).collect()
+            metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # RocksDB-specific custom metrics prove the provider actually ran
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
+    # and the checkpoint holds RocksDB artifacts (.zip snapshots or
+    # .changelog files), not the HDFS provider's .delta files
+    state_files = [
+        p.name for p in (ckpt / "state").rglob("*") if p.is_file()
+    ]
+    assert any(
+        n.endswith(".zip") or n.endswith(".changelog") for n in state_files
+    ), state_files
+    assert not any(n.endswith(".delta") for n in state_files), state_files
     got = {(r["user_id"], r["n"]): r["total"] for r in rows}
     # user 7: events at 00:00/00:10 merge into one session (gap<30m),
     # 02:00 opens a second; user 9 has one session
