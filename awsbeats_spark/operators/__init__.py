@@ -53,8 +53,10 @@ Rotation plan (kept current each round):
   (events_bounce_rate, events_lifecycle_stages, events_dau_wau_mau),
   then the 2 round-3h keys (sql_recursive_cte, scalar_url_parse),
   then the 2 round-3i keys (corpus_line_dedup_ccnet,
-  dq_volume_anomaly_daily), then re-check the round-1/2 greens on a
-  rolling basis.
+  dq_volume_anomaly_daily), then the 4 round-3j keys
+  (eval_minhash_vs_exact, events_activity_heatmap,
+  events_new_vs_returning, scalar_bitmask_flags), then re-check the
+  round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -730,3 +730,69 @@ def dedup_cross_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.join(stats, "text_hash").select(
         "doc_id", "source", "text_hash", "is_kept", "n_copies", "n_sources"
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH quality: recall/precision vs the exact Jaccard pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_minhash_vs_exact",
+    oracle=f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE})),
+    mh AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hits
+        FROM exact e JOIN mh m ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM mh)
+    SELECT ne.n_exact, nm.n_minhash, hits.n_hits,
+           round(hits.n_hits * 1.0 / greatest(ne.n_exact, 1), 6) AS recall,
+           round(hits.n_hits * 1.0 / greatest(nm.n_minhash, 1), 6)
+               AS precision
+    FROM ne CROSS JOIN nm CROSS JOIN hits
+    """,
+)
+def eval_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality harness: recall and precision of the banded
+    MinHash candidate pairs against the exact shingle-Jaccard ground
+    truth at the same threshold — the number that decides whether the
+    band/row configuration (4x2 here) is tuned right BEFORE dedup runs
+    at corpus scale. Composes the two registered dedup operators (same
+    DataFrames, same oracles as CTEs) and reduces to one summary row.
+    Scale shape: both inputs are pair tables (post-blocking output,
+    not corpus-sized); the overlap join runs on pair keys. In
+    production recall is estimated on a SAMPLED shard since exact
+    ground truth at 100 TB is itself quadratic — documented here, run
+    honestly at test scale."""
+    exact = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    mh = (
+        QUERIES["dedup_minhash"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(F.broadcast(mh), ["doc_a", "doc_b"], "left")
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+    )
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    return (
+        totals.crossJoin(F.broadcast(n_mh))
+        .select(
+            "n_exact",
+            "n_minhash",
+            "n_hits",
+            rnd(
+                F.col("n_hits") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+            ).alias("recall"),
+            rnd(
+                F.col("n_hits") / F.greatest(F.col("n_minhash"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )

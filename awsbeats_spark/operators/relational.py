@@ -557,3 +557,58 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmask flag packing / decoding (bitwise function surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_bitmask_flags",
+    oracle="""
+    WITH flags AS (
+        SELECT o_orderkey,
+               (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             | (CASE WHEN o_totalprice > 150000 THEN 2 ELSE 0 END)
+             | (CASE WHEN o_orderpriority LIKE '1%' THEN 4 ELSE 0 END)
+             | (CASE WHEN year(o_orderdate) >= 1998 THEN 8 ELSE 0 END)
+                   AS mask
+        FROM orders
+    )
+    SELECT o_orderkey, CAST(mask AS BIGINT) AS mask,
+           CAST(bit_count(CAST(mask AS BIGINT)) AS INT) AS n_flags,
+           CAST(mask & 1 AS INT) AS is_filled,
+           CAST((mask >> 1) & 1 AS INT) AS is_big,
+           CAST((mask >> 2) & 1 AS INT) AS is_urgent,
+           CAST((mask >> 3) & 1 AS INT) AS is_recent,
+           CAST(xor(mask, 15) AS BIGINT) AS inverted
+    FROM flags
+    """,
+)
+def scalar_bitmask_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: pack four business flags into one
+    integer mask (OR of powers of two), then decode with shifts/AND,
+    population count, and XOR — the compact flag-column encoding that
+    replaces four boolean columns with one byte at 100 TB (narrower
+    scan, cheaper shuffle). Pure map-side projection in both engines."""
+    o = tables(spark, sf_dir).orders
+    # disjoint powers of two: arithmetic + IS bitwise OR here (Column's
+    # `|` operator is logical OR and rejects ints)
+    mask = (
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        + F.when(F.col("o_totalprice") > 150000, 2).otherwise(0)
+        + F.when(F.col("o_orderpriority").startswith("1"), 4).otherwise(0)
+        + F.when(F.year("o_orderdate") >= 1998, 8).otherwise(0)
+    ).cast("long")
+    m = F.col("mask")
+    return o.select("o_orderkey", mask.alias("mask")).select(
+        "o_orderkey",
+        "mask",
+        F.bit_count(m).alias("n_flags"),
+        (m.bitwiseAND(1)).cast("int").alias("is_filled"),
+        (F.shiftright(m, 1).bitwiseAND(1)).cast("int").alias("is_big"),
+        (F.shiftright(m, 2).bitwiseAND(1)).cast("int").alias("is_urgent"),
+        (F.shiftright(m, 3).bitwiseAND(1)).cast("int").alias("is_recent"),
+        m.bitwiseXOR(15).alias("inverted"),
+    )

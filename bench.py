@@ -185,6 +185,11 @@ EXTENDED_PROBE = [
     # round 3i additions
     "corpus_line_dedup_ccnet",
     "dq_volume_anomaly_daily",
+    # round 3j additions
+    "eval_minhash_vs_exact",
+    "events_activity_heatmap",
+    "events_new_vs_returning",
+    "scalar_bitmask_flags",
 ]
 
 
