@@ -796,3 +796,63 @@ def eval_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-1 overlap audit of the ngram-dedup candidate pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_pair_rouge_overlap",
+    oracle=f"""
+    WITH pairs AS ({_NGRAM_ORACLE}),
+    ws AS (
+        SELECT doc_id, list_distinct({WORDS_SQL}) AS w FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS n_common,
+           round(len(list_intersect(wa.w, wb.w)) * 1.0 / len(wb.w), 6)
+               AS rouge1_recall,
+           round(len(list_intersect(wa.w, wb.w)) * 1.0 / len(wa.w), 6)
+               AS rouge1_precision,
+           round(2.0 * len(list_intersect(wa.w, wb.w))
+                 / (len(wa.w) + len(wb.w)), 6) AS rouge1_f1
+    FROM pairs p
+    JOIN ws wa ON wa.doc_id = p.doc_a
+    JOIN ws wb ON wb.doc_id = p.doc_b
+    """,
+)
+def eval_pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality audit: ROUGE-1 (distinct-unigram) recall /
+    precision / F1 for every candidate pair the shingle-Jaccard dedup
+    surfaced — the second-opinion metric that separates true near-dups
+    from shingle-collision noise before anything is dropped. Composes
+    the registered dedup operator (same DataFrame, same oracle
+    embedded as a CTE). Scale shape: the pair table is the SMALL output
+    of the bucketed dedup join; word sets attach via two joins on
+    doc_id, and at 100 TB the pair side (not the corpus) drives cost —
+    the corpus is scanned once for word sets, shuffled on doc_id only."""
+    t = tables(spark, sf_dir)
+    pairs = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    ws = t.documents.select(
+        "doc_id", F.array_distinct(words()).alias("w")
+    )
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    common = F.size(F.array_intersect(F.col("w_a"), F.col("w_b")))
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            common.cast("long").alias("n_common"),
+            rnd(common / F.size("w_b"), 6).alias("rouge1_recall"),
+            rnd(common / F.size("w_a"), 6).alias("rouge1_precision"),
+            rnd(
+                2.0 * common / (F.size("w_a") + F.size("w_b")), 6
+            ).alias("rouge1_f1"),
+        )
+    )

@@ -24,6 +24,9 @@ SPECS = load_all()
 # (global aggregates return one row of zeros/nulls)
 GLOBAL_AGG = {
     "q6_forecast_revenue",
+    "events_conversion_latency",
+    "eval_minhash_vs_exact",
+    "sketch_bloom_membership",
     "graph_triangle_count",
     "text_zipf_slope",
     "dq_ks_test_two_sample",
@@ -166,6 +169,40 @@ SAMPLE = [
     "events_assoc_rules",
     "orders_survival_km",
     "agg_winsorized_mean",
+    # round-3c..3j operators
+    "ts_rolling_corr",
+    "ts_cross_correlation_lag",
+    "window_moving_median",
+    "dq_outlier_iqr",
+    "agg_entropy_by_group",
+    "text_code_detect",
+    "graph_type_overlap_jaccard",
+    "corpus_ngram_novelty",
+    "dedup_cross_source_priority",
+    "sketch_countmin_user_freq",
+    "sketch_bloom_membership",
+    "ts_period_over_period",
+    "events_conversion_latency",
+    "text_keyword_rake_topk",
+    "embed_drift_centroid",
+    "corpus_span_mask_t5",
+    "agg_hhi_concentration",
+    "eval_ann_recall_ivf",
+    "window_streak_longest",
+    "eval_pair_rouge_overlap",
+    "scalar_try_safe_math",
+    "window_share_of_total",
+    "events_bounce_rate",
+    "events_lifecycle_stages",
+    "events_dau_wau_mau",
+    "sql_recursive_cte",
+    "scalar_url_parse",
+    "corpus_line_dedup_ccnet",
+    "dq_volume_anomaly_daily",
+    "eval_minhash_vs_exact",
+    "events_activity_heatmap",
+    "events_new_vs_returning",
+    "scalar_bitmask_flags",
 ]
 
 
