@@ -55,8 +55,9 @@ Rotation plan (kept current each round):
   then the 2 round-3i keys (corpus_line_dedup_ccnet,
   dq_volume_anomaly_daily), then the 4 round-3j keys
   (eval_minhash_vs_exact, events_activity_heatmap,
-  events_new_vs_returning, scalar_bitmask_flags), then re-check the
-  round-1/2 greens on a rolling basis.
+  events_new_vs_returning, scalar_bitmask_flags), then the 2
+  round-3k keys (corpus_budget_allocate_lrm, orders_cohort_ltv_curve),
+  then re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

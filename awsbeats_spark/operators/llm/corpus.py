@@ -1135,3 +1135,90 @@ def corpus_line_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget allocation across sources (largest-remainder method)
+# --------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 100_000
+
+
+@query(
+    "corpus_budget_allocate_lrm",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len({WORDS_SQL})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(tokens) AS total FROM src),
+    quota AS (
+        SELECT s.source, s.tokens,
+               s.tokens * {_BUDGET_TOKENS}.0 / t.total AS exact_quota,
+               CAST(floor(s.tokens * {_BUDGET_TOKENS}.0 / t.total) AS BIGINT)
+                   AS floor_alloc,
+               s.tokens * {_BUDGET_TOKENS}.0 / t.total
+                   - floor(s.tokens * {_BUDGET_TOKENS}.0 / t.total)
+                   AS remainder
+        FROM src s CROSS JOIN tot t
+    ),
+    leftover AS (
+        SELECT CAST({_BUDGET_TOKENS} - sum(floor_alloc) AS BIGINT) AS k
+        FROM quota
+    )
+    SELECT q.source, q.tokens,
+           round(q.exact_quota, 4) AS exact_quota,
+           q.floor_alloc + CASE WHEN row_number() OVER (
+               ORDER BY q.remainder DESC, q.source) <= l.k
+               THEN 1 ELSE 0 END AS alloc_tokens
+    FROM quota q CROSS JOIN leftover l
+    """,
+)
+def corpus_budget_allocate_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocator: split a fixed 100k-token training budget
+    across sources proportionally to their token mass, with
+    largest-remainder rounding so the allocations are integers that sum
+    EXACTLY to the budget (floor everyone, hand the k leftover tokens
+    to the k largest fractional remainders, source name tiebreak) —
+    the arithmetic every data-mixture config ultimately needs. Scale
+    shape: one per-source token aggregate (mergeable); the quota math
+    and the ranking window run on the |sources| row table, so the
+    global window is safe by construction."""
+    t = tables(spark, sf_dir)
+    src = t.documents.groupBy("source").agg(
+        F.sum(F.size(words())).cast("long").alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").alias("total"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (F.col("tokens") * float(_BUDGET_TOKENS) / F.col("total")).alias(
+            "exact_quota"
+        ),
+    ).select(
+        "source",
+        "tokens",
+        "exact_quota",
+        F.floor("exact_quota").cast("long").alias("floor_alloc"),
+        (F.col("exact_quota") - F.floor("exact_quota")).alias("remainder"),
+    )
+    leftover = quota.agg(
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc"))
+        .cast("long")
+        .alias("k")
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    return (
+        quota.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "tokens",
+            rnd("exact_quota", 4).alias("exact_quota"),
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+            ).alias("alloc_tokens"),
+        )
+    )

@@ -190,6 +190,9 @@ EXTENDED_PROBE = [
     "events_activity_heatmap",
     "events_new_vs_returning",
     "scalar_bitmask_flags",
+    # round 3k additions
+    "corpus_budget_allocate_lrm",
+    "orders_cohort_ltv_curve",
 ]
 
 
