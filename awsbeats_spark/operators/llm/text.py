@@ -9,6 +9,8 @@ at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -764,4 +766,46 @@ def text_keyword_rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RAKE_TOPK)
         .select("doc_id", "word", "freq", "degree", "rake_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (Arrow-batched zlib UDF)
+# --------------------------------------------------------------------------
+
+
+@query("text_compression_ratio", oracle=None)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality proxy (Gopher/FineWeb-style): highly
+    compressible text is repetitive boilerplate, incompressible text is
+    often noise; the sweet spot predicts natural prose. zlib lives in
+    Python, so this is the documented Arrow-batched slow path — ONE
+    vectorized pandas UDF over the text column, no per-row Python call
+    through py4j, no shuffle; at 100 TB the decode cost parallelizes
+    embarrassingly exactly like the multimodal decoders. Deterministic
+    (zlib level 6), but no SQL engine can replicate it, so this is a
+    rows-only key (driver records a rows-only check — the semantic
+    pins live in tests/test_round3l_ops.py)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        def ratio(s: str) -> float:
+            raw = s.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(ratio)
+
+    t = tables(spark, sf_dir)
+    ratio_col = comp_ratio(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("raw_bytes"),
+        ratio_col.alias("compression_ratio"),
+        (ratio_col < 0.35).cast("int").alias("too_repetitive"),
+        (ratio_col > 0.95).cast("int").alias("too_random"),
     )

@@ -193,6 +193,9 @@ EXTENDED_PROBE = [
     # round 3k additions
     "corpus_budget_allocate_lrm",
     "orders_cohort_ltv_curve",
+    # round 3l additions
+    "events_error_budget_burn",
+    "text_compression_ratio",
 ]
 
 
