@@ -630,3 +630,72 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t.nation),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("n_name", "n_customers", "total_revenue", "hhi")
+
+
+# --------------------------------------------------------------------------
+# Higher moments from raw power sums (engine-independent skew/kurtosis)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(value) AS s1, sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s1 / n, 4) AS mean,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS pop_std,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skewness_g1,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 4)
+               AS excess_kurtosis_g2
+    FROM m
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness (g1) and excess kurtosis (g2) per event type, assembled
+    from raw power sums (Σx..Σx⁴) instead of the built-ins — Spark's
+    `skewness`/`kurtosis` and DuckDB's use different sample-correction
+    conventions, while the population moments are convention-free and
+    identical in both engines. Scale shape: the five power sums are ONE
+    mergeable map-side aggregate (the textbook distributed-moments
+    pattern); all the algebra runs on the 5-row result. Numerically the
+    raw-moment form loses digits when |mean| >> std — acceptable here
+    (values are O(100)); a production variant would center on a
+    first-pass approximate mean."""
+    ev = tables(spark, sf_dir).events
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * F.pow(mu, 3)
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * F.pow(mu, 4)
+    )
+    return m.select(
+        "event_type",
+        "n",
+        rnd(mu, 4).alias("mean"),
+        rnd(F.sqrt(m2), 4).alias("pop_std"),
+        rnd(m3 / F.pow(m2, 1.5), 4).alias("skewness_g1"),
+        rnd(m4 / F.pow(m2, 2) - 3, 4).alias("excess_kurtosis_g2"),
+    )

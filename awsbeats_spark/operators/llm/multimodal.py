@@ -16,10 +16,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.registry import query
 
 DECODE_SCHEMA = "doc_id bigint, width int, height int, n_frames int, decode_status string"
@@ -292,4 +293,69 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_id",
         "n_samples",
         rnd(F.sqrt(F.col("ss") / F.col("n_samples")), 4).alias("rms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Balanced shard assignment for media payloads (LPT-style round robin)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "multimodal_shard_balance_lpt",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, octet_length(encode(text)) AS bytes,
+               row_number() OVER (
+                   ORDER BY octet_length(encode(text)) DESC, doc_id
+               ) AS rnk
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, bytes,
+               CAST((rnk - 1) % {_N_SHARDS} AS INT) AS shard
+        FROM sized
+    ),
+    shards AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes
+        FROM assigned GROUP BY shard
+    ),
+    ideal AS (SELECT avg(total_bytes) AS mean_bytes FROM shards)
+    SELECT s.shard, s.n_items, s.total_bytes,
+           round(s.total_bytes / i.mean_bytes, 6) AS balance_ratio
+    FROM shards s CROSS JOIN ideal i
+    """,
+)
+def multimodal_shard_balance_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced media-shard builder: assign payloads to 8 training
+    shards by size-ranked round robin (the deterministic cousin of
+    longest-processing-time bin packing — sort by bytes descending,
+    deal like cards), reporting per-shard item count, byte total, and
+    balance ratio vs the ideal mean. The shard manifest every
+    multimodal loader needs so no worker drags a fat-tail batch. Scale
+    shape: the size rank is ONE global sort of (doc_id, bytes) pairs —
+    at 100 TB that is a range-partitioned sort of an 16-byte-per-row
+    projection, not of payloads; assignment and the shard rollup are
+    map-side after it."""
+    t = tables(spark, sf_dir)
+    payload_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    w = Window.orderBy(F.desc("bytes"), F.asc("doc_id"))
+    sized = t.documents.select(
+        "doc_id", payload_bytes.alias("bytes")
+    ).withColumn("shard", ((F.row_number().over(w) - 1) % _N_SHARDS).cast("int"))
+    shards = sized.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+    )
+    ideal = shards.agg(F.avg("total_bytes").alias("mean_bytes"))
+    return shards.crossJoin(F.broadcast(ideal)).select(
+        "shard",
+        "n_items",
+        "total_bytes",
+        rnd(F.col("total_bytes") / F.col("mean_bytes"), 6).alias(
+            "balance_ratio"
+        ),
     )

@@ -196,6 +196,9 @@ EXTENDED_PROBE = [
     # round 3l additions
     "events_error_budget_burn",
     "text_compression_ratio",
+    # round 3m additions
+    "multimodal_shard_balance_lpt",
+    "agg_higher_moments",
 ]
 
 
