@@ -776,9 +776,11 @@ def eval_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     joined = exact.join(F.broadcast(mh), ["doc_a", "doc_b"], "left")
+    # coalesce OUTSIDE the sum: sum over zero rows is NULL, and the
+    # oracle's count(*) yields 0 — they must agree on empty pair sets
     totals = joined.agg(
         F.count(F.lit(1)).alias("n_exact"),
-        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
     )
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     return (

@@ -164,8 +164,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (decode geometry -> scale to fit 224px). The oracle
     recomputes the geometry formula in SQL, pinning schema, batch shape
     and the rounding of the scale factor."""
-    from awsbeats_spark.functions.rounding import rnd
-
     t = tables(spark, sf_dir)
     payloads = t.documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
@@ -260,8 +258,6 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix cap bounds output at 4 rows per document regardless of
     payload size."""
     import numpy as np
-
-    from awsbeats_spark.functions.rounding import rnd
 
     t = tables(spark, sf_dir)
     src = t.documents.select(

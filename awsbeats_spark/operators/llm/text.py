@@ -798,7 +798,9 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return 1.0
             return round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
-        return texts.map(ratio)
+        # na_action='ignore': NULL text rows pass through as null
+        # instead of crashing the task on None.encode
+        return texts.map(ratio, na_action="ignore")
 
     t = tables(spark, sf_dir)
     ratio_col = comp_ratio(F.col("text"))
