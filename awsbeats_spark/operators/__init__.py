@@ -59,8 +59,9 @@ Rotation plan (kept current each round):
   round-3k keys (corpus_budget_allocate_lrm, orders_cohort_ltv_curve),
   then the 2 round-3l keys (events_error_budget_burn,
   text_compression_ratio — rows-only), then the 2 round-3m keys
-  (multimodal_shard_balance_lpt, agg_higher_moments), then re-check
-  the round-1/2 greens on a rolling basis.
+  (multimodal_shard_balance_lpt, agg_higher_moments), then the 2
+  round-3n keys (ts_burstiness_fano, dq_quarantine_rows), then
+  re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -656,3 +656,70 @@ def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(sd > 0, (F.col("n_rows") - mu) / sd), 4
         ).alias("volume_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Row-level quarantine with violated-rule reasons
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_quarantine_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           array_to_string(list_filter([
+               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+               CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 'bad_status' END,
+               CASE WHEN o_orderdate > TIMESTAMP '2001-12-31'
+                    THEN 'future_date' END,
+               CASE WHEN o_totalprice > 450000 THEN 'price_outlier' END
+           ], x -> x IS NOT NULL), ',') AS violations,
+           CAST(len(list_filter([
+               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+               CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 'bad_status' END,
+               CASE WHEN o_orderdate > TIMESTAMP '2001-12-31'
+                    THEN 'future_date' END,
+               CASE WHEN o_totalprice > 450000 THEN 'price_outlier' END
+           ], x -> x IS NOT NULL)) AS INT) AS n_violations
+    FROM orders
+    WHERE o_totalprice <= 0
+       OR o_orderstatus NOT IN ('F', 'O', 'P')
+       OR o_orderdate > TIMESTAMP '2001-12-31'
+       OR o_totalprice > 450000
+    """,
+)
+def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine: rows failing ANY declarative rule are
+    emitted with the comma-joined list of violated rule names — the
+    dead-letter side of a write path where clean rows continue and
+    quarantined rows land in a review table with their reasons. Scale
+    shape: one map-side projection evaluating every rule once per row
+    (the rule array is built from the same CASE expressions the filter
+    uses, so Catalyst subexpression-eliminates them); no shuffle, and
+    at 100 TB the quarantine output is the small side by design."""
+    o = tables(spark, sf_dir).orders
+    rules = F.array(
+        F.when(F.col("o_totalprice") <= 0, "nonpositive_price"),
+        F.when(
+            ~F.col("o_orderstatus").isin("F", "O", "P"), "bad_status"
+        ),
+        F.when(
+            F.col("o_orderdate") > F.lit("2001-12-31").cast("timestamp"),
+            "future_date",
+        ),
+        F.when(F.col("o_totalprice") > 450000, "price_outlier"),
+    )
+    fired = F.filter(rules, lambda x: x.isNotNull())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            rnd("o_totalprice", 2).alias("o_totalprice"),
+            F.array_join(fired, ",").alias("violations"),
+            F.size(fired).alias("n_violations"),
+        )
+        .filter(F.col("n_violations") > 0)
+    )

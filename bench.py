@@ -199,6 +199,9 @@ EXTENDED_PROBE = [
     # round 3m additions
     "multimodal_shard_balance_lpt",
     "agg_higher_moments",
+    # round 3n additions
+    "ts_burstiness_fano",
+    "dq_quarantine_rows",
 ]
 
 
