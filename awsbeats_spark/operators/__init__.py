@@ -60,7 +60,8 @@ Rotation plan (kept current each round):
   then the 2 round-3l keys (events_error_budget_burn,
   text_compression_ratio — rows-only), then the 2 round-3m keys
   (multimodal_shard_balance_lpt, agg_higher_moments), then the 2
-  round-3n keys (ts_burstiness_fano, dq_quarantine_rows), then
+  round-3n keys (ts_burstiness_fano, dq_quarantine_rows), then the 2
+  round-3o keys (corpus_sft_pair_synth, events_lorenz_deciles), then
   re-check the round-1/2 greens on a rolling basis.
 """
 

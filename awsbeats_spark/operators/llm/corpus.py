@@ -1222,3 +1222,61 @@ def corpus_budget_allocate_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SFT pair synthesis: word-prefix prompt, remainder as completion
+# --------------------------------------------------------------------------
+
+_SFT_PROMPT_WORDS = 8
+_SFT_MIN_COMPLETION_WORDS = 16
+
+
+@query(
+    "corpus_sft_pair_synth",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {WORDS_SQL} AS ws FROM documents)
+    SELECT doc_id, source,
+           array_to_string(ws[1:{_SFT_PROMPT_WORDS}], ' ') AS prompt,
+           array_to_string(ws[{_SFT_PROMPT_WORDS + 1}:len(ws)], ' ')
+               AS completion,
+           CAST({_SFT_PROMPT_WORDS} AS BIGINT) AS prompt_words,
+           CAST(len(ws) - {_SFT_PROMPT_WORDS} AS BIGINT) AS completion_words
+    FROM w
+    WHERE len(ws) >= {_SFT_PROMPT_WORDS + _SFT_MIN_COMPLETION_WORDS}
+    """,
+)
+def corpus_sft_pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised SFT pair synthesis: the first 8 words become the
+    prompt and the remainder the completion (prefix-completion
+    pretraining pairs), dropping documents too short to yield a
+    trainable completion — the cheapest way to mint
+    instruction-shaped data from raw text. Single-pass tokenize +
+    slice projection, no shuffle; at 100 TB this is a map-only scan
+    whose output feeds corpus_token_pack."""
+    t = tables(spark, sf_dir)
+    ws = words()
+    return (
+        t.documents.select("doc_id", "source", ws.alias("ws"))
+        .filter(
+            F.size("ws") >= _SFT_PROMPT_WORDS + _SFT_MIN_COMPLETION_WORDS
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(
+                F.slice("ws", 1, _SFT_PROMPT_WORDS), " "
+            ).alias("prompt"),
+            F.array_join(
+                F.expr(
+                    f"slice(ws, {_SFT_PROMPT_WORDS + 1}, "
+                    f"size(ws) - {_SFT_PROMPT_WORDS})"
+                ),
+                " ",
+            ).alias("completion"),
+            F.lit(_SFT_PROMPT_WORDS).cast("long").alias("prompt_words"),
+            (F.size("ws") - _SFT_PROMPT_WORDS)
+            .cast("long")
+            .alias("completion_words"),
+        )
+    )

@@ -202,6 +202,9 @@ EXTENDED_PROBE = [
     # round 3n additions
     "ts_burstiness_fano",
     "dq_quarantine_rows",
+    # round 3o additions
+    "corpus_sft_pair_synth",
+    "events_lorenz_deciles",
 ]
 
 
