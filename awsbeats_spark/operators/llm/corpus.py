@@ -1268,9 +1268,10 @@ def corpus_sft_pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice("ws", 1, _SFT_PROMPT_WORDS), " "
             ).alias("prompt"),
             F.array_join(
-                F.expr(
-                    f"slice(ws, {_SFT_PROMPT_WORDS + 1}, "
-                    f"size(ws) - {_SFT_PROMPT_WORDS})"
+                F.slice(
+                    "ws",
+                    _SFT_PROMPT_WORDS + 1,
+                    F.size("ws") - _SFT_PROMPT_WORDS,
                 ),
                 " ",
             ).alias("completion"),

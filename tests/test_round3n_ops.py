@@ -56,3 +56,40 @@ def test_quarantine_rules_complete_and_sound(run, sf_dir):
     row = orders.loc[orders.o_orderkey == r["o_orderkey"]].iloc[0]
     if "price_outlier" in r["violations"]:
         assert row["o_totalprice"] > 450000
+
+
+def test_quarantine_multi_violation_reasons(spark):
+    # synthetic rows firing multiple rules pin the comma-join ordering
+    # and n_violations for n > 1 (the real testdata only fires one rule)
+    import os
+    import tempfile
+
+    from awsbeats_spark.registry import QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10, 11, 12],
+            "o_orderstatus": ["X", "F", "O"],
+            "o_totalprice": [-5.0, 500000.0, 1000.0],
+            "o_orderdate": pd.to_datetime(
+                ["2002-06-01", "2000-01-01", "2001-01-01"]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "orders.parquet"))
+        out = (
+            QUERIES["dq_quarantine_rows"].fn(spark, d)
+            .toPandas()
+            .set_index("o_orderkey")
+        )
+    # row 1 fires three rules in declaration order
+    assert out.loc[1, "violations"] == "nonpositive_price,bad_status,future_date"
+    assert out.loc[1, "n_violations"] == 3
+    # row 2 fires exactly one
+    assert out.loc[2, "violations"] == "price_outlier"
+    assert out.loc[2, "n_violations"] == 1
+    # row 3 is clean and quarantined nowhere
+    assert 3 not in out.index
