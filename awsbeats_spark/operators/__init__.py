@@ -62,7 +62,9 @@ Rotation plan (kept current each round):
   (multimodal_shard_balance_lpt, agg_higher_moments), then the 2
   round-3n keys (ts_burstiness_fano, dq_quarantine_rows), then the 2
   round-3o keys (corpus_sft_pair_synth, events_lorenz_deciles), then
-  re-check the round-1/2 greens on a rolling basis.
+  the 2 round-3p keys (corpus_vocab_growth_heaps,
+  text_source_js_divergence), then re-check the round-1/2 greens on a
+  rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -1281,3 +1281,77 @@ def corpus_sft_pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("completion_words"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth at document-count checkpoints
+# --------------------------------------------------------------------------
+
+_HEAPS_CHECKPOINTS = [50, 100, 200, 300, 400, 500, 1000, 2000, 5000]
+
+
+@query(
+    "corpus_vocab_growth_heaps",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT w, min(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id, unnest(list_distinct({WORDS_SQL})) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    toks AS (
+        SELECT doc_id, len({WORDS_SQL}) AS n_toks FROM documents
+    ),
+    cps AS (
+        SELECT unnest({_HEAPS_CHECKPOINTS}) AS cp
+    )
+    SELECT c.cp AS n_docs,
+           CAST((SELECT count(*) FROM firsts f WHERE f.first_doc < c.cp)
+                AS BIGINT) AS vocab,
+           CAST((SELECT coalesce(sum(n_toks), 0) FROM toks t
+                 WHERE t.doc_id < c.cp) AS BIGINT) AS n_tokens
+    FROM cps c
+    WHERE c.cp <= (SELECT count(*) FROM documents)
+    """,
+)
+def corpus_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-word vocabulary size and
+    token count after the first N documents (doc_id order), at fixed
+    checkpoints — the curve whose log-log slope (beta ≈ 0.5) predicts
+    how vocabulary scales to the full crawl. Key trick: a running
+    distinct count distributes as `min(doc_id) per word` + one count
+    per checkpoint — the cumulative-distinct window that would not —
+    so the corpus is exploded ONCE, aggregated on the word hash, and
+    the checkpoint counts run on |vocab| rows with a broadcast
+    checkpoint spine. Token prefix sums come from one per-doc
+    projection the same way."""
+    t = tables(spark, sf_dir)
+    n_docs_total = t.documents.count()
+    cps = [c for c in _HEAPS_CHECKPOINTS if c <= n_docs_total]
+    cp_df = spark.createDataFrame(
+        [(c,) for c in cps], "n_docs long"
+    )
+    firsts = (
+        t.documents.select(
+            "doc_id", F.explode(F.array_distinct(words())).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab = (
+        F.broadcast(cp_df)
+        .join(firsts, F.col("first_doc") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    toks = t.documents.select("doc_id", F.size(words()).alias("n_toks"))
+    tok_counts = (
+        F.broadcast(cp_df)
+        .join(toks, F.col("doc_id") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"))
+    )
+    return vocab.join(tok_counts, "n_docs").select(
+        "n_docs", "vocab", "n_tokens"
+    )

@@ -811,3 +811,82 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ratio_col < 0.35).cast("int").alias("too_repetitive"),
         (ratio_col > 0.95).cast("int").alias("too_random"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source Jensen-Shannon divergence from the corpus word distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_source_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    src AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, sum(n) AS st FROM src GROUP BY 1),
+    corp AS (SELECT w, sum(n) AS cn FROM src GROUP BY 1),
+    corp_tot AS (SELECT sum(cn) AS ct FROM corp),
+    terms AS (
+        SELECT s.source,
+               s.n * 1.0 / t.st AS p,
+               c.cn * 1.0 / ct.ct AS q
+        FROM src s
+        JOIN src_tot t USING (source)
+        JOIN corp c USING (w)
+        CROSS JOIN corp_tot ct
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           round(sum(0.5 * p * ln(2.0 * p / (p + q))
+                     + 0.5 * q * ln(2.0 * q / (p + q)))
+                 + 0.5 * (1.0 - sum(q)) * ln(2.0), 6) AS js_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift for text: Jensen-Shannon divergence (nats)
+    between each source's unigram distribution and the corpus-wide
+    one — the source-mix health check that flags a crawler gone off
+    the rails. Since every source word also exists in the corpus
+    distribution, only the q-mass of words ABSENT from the source
+    needs the closed-form correction 0.5·(1-Σq)·ln2 (for those words
+    p=0, so their JS term is 0.5·q·ln2) — no outer join against the
+    full vocabulary required. Scale shape: one (source, word)
+    aggregate, corpus marginals derived from it (exchange reuse on
+    the word key), broadcast totals; everything is bucket-level after
+    the single tokenize pass."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(words()).alias("w"))
+    src = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    src_tot = src.groupBy("source").agg(F.sum("n").alias("st"))
+    corp = src.groupBy("w").agg(F.sum("n").alias("cn"))
+    corp_tot = corp.agg(F.sum("cn").alias("ct"))
+    terms = (
+        src.join(src_tot, "source")
+        .join(corp, "w")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "source",
+            (F.col("n") / F.col("st")).alias("p"),
+            (F.col("cn") / F.col("ct")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        rnd(
+            F.sum(
+                0.5 * p * F.log(2.0 * p / (p + q))
+                + 0.5 * q * F.log(2.0 * q / (p + q))
+            )
+            # absent-word correction: ln(2) as a literal so Spark and
+            # DuckDB use the identical constant
+            + 0.5 * (1.0 - F.sum(q)) * F.lit(0.6931471805599453),
+            6,
+        ).alias("js_divergence"),
+    )

@@ -205,6 +205,9 @@ EXTENDED_PROBE = [
     # round 3o additions
     "corpus_sft_pair_synth",
     "events_lorenz_deciles",
+    # round 3p additions
+    "corpus_vocab_growth_heaps",
+    "text_source_js_divergence",
 ]
 
 
