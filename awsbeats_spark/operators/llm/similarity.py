@@ -1157,3 +1157,95 @@ def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster purity: label mix inside each IVF cell
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embed_cluster_purity",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings
+        WHERE vec_id % {CENTROID_MOD} = 0 AND vec_id < {CENTROID_ID_CAP}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.label, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS arn
+        FROM embeddings e CROSS JOIN centroids c
+        QUALIFY arn = 1
+    ),
+    lab AS (
+        SELECT cent_id, label, CAST(count(*) AS BIGINT) AS n
+        FROM assign GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT cent_id, sum(n) AS total,
+               max(n) AS top_n,
+               sum(n * n) AS sq
+        FROM lab GROUP BY 1
+    )
+    SELECT cent_id,
+           CAST(total AS BIGINT) AS n_members,
+           CAST(top_n AS BIGINT) AS n_majority,
+           round(top_n * 1.0 / total, 6) AS purity,
+           round(1.0 - sq * 1.0 / (total * total), 6) AS simpson_diversity
+    FROM cell
+    """,
+)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per IVF cell, the majority-label share
+    (purity) and Simpson diversity (1 - Σp²) of member labels — the
+    quick check that an ANN partitioning respects semantic structure
+    before it ships as a routing index. Reuses the registered IVF
+    assignment shape (broadcast centroids, map-side argmax); the label
+    mix is one (cell, label) aggregate and the purity algebra runs on
+    |cells|·|labels| rows. At 100 TB only the single assignment scan
+    touches the corpus."""
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == 0)
+        & (F.col("vec_id") < CENTROID_ID_CAP)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    ).select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+    vecs = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("ev")
+    ).select("vec_id", "label", "ev", norm(F.col("ev")).alias("ne"))
+    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "cent_id", score.alias("c_ac"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("c_ac"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.any_value("label").alias("label"),
+        )
+    )
+    lab = assign.groupBy("cent_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cell = lab.groupBy("cent_id").agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("top_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    return cell.select(
+        "cent_id",
+        F.col("total").cast("long").alias("n_members"),
+        F.col("top_n").cast("long").alias("n_majority"),
+        rnd(F.col("top_n") / F.col("total"), 6).alias("purity"),
+        rnd(
+            1.0 - F.col("sq") / (F.col("total") * F.col("total")), 6
+        ).alias("simpson_diversity"),
+    )

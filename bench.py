@@ -208,6 +208,9 @@ EXTENDED_PROBE = [
     # round 3p additions
     "corpus_vocab_growth_heaps",
     "text_source_js_divergence",
+    # round 3q additions
+    "events_diff_in_diff",
+    "embed_cluster_purity",
 ]
 
 
