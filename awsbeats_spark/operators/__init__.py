@@ -64,8 +64,9 @@ Rotation plan (kept current each round):
   round-3o keys (corpus_sft_pair_synth, events_lorenz_deciles), then
   the 2 round-3p keys (corpus_vocab_growth_heaps,
   text_source_js_divergence), then the 2 round-3q keys
-  (events_diff_in_diff, embed_cluster_purity), then re-check the
-  round-1/2 greens on a rolling basis.
+  (events_diff_in_diff, embed_cluster_purity), then the 2 round-3r
+  keys (orders_interpurchase_gaps, corpus_bigram_entropy_rate), then
+  re-check the round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

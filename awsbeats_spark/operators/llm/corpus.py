@@ -1355,3 +1355,75 @@ def corpus_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.join(tok_counts, "n_docs").select(
         "n_docs", "vocab", "n_tokens"
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram entropy rate H(w2 | w1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_bigram_entropy_rate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+    bi AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    ),
+    pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w1, sum(n) AS n1 FROM pair GROUP BY 1),
+    tot AS (SELECT sum(n) AS nt FROM pair)
+    SELECT CAST(tot.nt AS BIGINT) AS n_bigrams,
+           CAST((SELECT count(*) FROM pair) AS BIGINT) AS n_distinct_bigrams,
+           round(-sum((p.n * 1.0 / tot.nt) * ln(p.n * 1.0 / u.n1)), 4)
+               AS entropy_rate_nats,
+           round(-sum((p.n * 1.0 / tot.nt) * ln(p.n * 1.0 / tot.nt)), 4)
+               AS joint_entropy_nats
+    FROM pair p JOIN uni u USING (w1) CROSS JOIN tot
+    GROUP BY tot.nt
+    """,
+)
+def corpus_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level conditional bigram entropy H(w2|w1) in nats (the
+    entropy rate of a first-order word model) plus the joint bigram
+    entropy — the information-theoretic temperature of a corpus:
+    crawled spam scores far lower than natural prose, and the delta
+    to unigram entropy measures how much structure a 1-gram model
+    already captures. Scale shape: one bigram explode + (w1, w2)
+    aggregate; the w1 marginal derives from the pair table (exchange
+    reuse on w1); the entropy reduction is a single scalar aggregate.
+    At 100 TB the bigrams would be hashed to int64 pre-shuffle."""
+    t = tables(spark, sf_dir)
+    ws = t.documents.select("doc_id", words().alias("ws"))
+    bi = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").filter(F.col("w1").isNotNull())
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = pair.groupBy("w1").agg(F.sum("n").alias("n1"))
+    tot = pair.agg(F.sum("n").alias("nt"))
+    n_distinct = pair.agg(F.count(F.lit(1)).alias("nd"))
+    joined = pair.join(uni, "w1").crossJoin(F.broadcast(tot))
+    p_joint = F.col("n") / F.col("nt")
+    return (
+        joined.groupBy("nt")
+        .agg(
+            rnd(
+                -F.sum(p_joint * F.log(F.col("n") / F.col("n1"))), 4
+            ).alias("entropy_rate_nats"),
+            rnd(
+                -F.sum(p_joint * F.log(p_joint)), 4
+            ).alias("joint_entropy_nats"),
+        )
+        .crossJoin(F.broadcast(n_distinct))
+        .select(
+            F.col("nt").cast("long").alias("n_bigrams"),
+            F.col("nd").cast("long").alias("n_distinct_bigrams"),
+            "entropy_rate_nats",
+            "joint_entropy_nats",
+        )
+    )

@@ -211,6 +211,9 @@ EXTENDED_PROBE = [
     # round 3q additions
     "events_diff_in_diff",
     "embed_cluster_purity",
+    # round 3r additions
+    "orders_interpurchase_gaps",
+    "corpus_bigram_entropy_rate",
 ]
 
 
