@@ -66,7 +66,9 @@ Rotation plan (kept current each round):
   text_source_js_divergence), then the 2 round-3q keys
   (events_diff_in_diff, embed_cluster_purity), then the 2 round-3r
   keys (orders_interpurchase_gaps, corpus_bigram_entropy_rate), then
-  re-check the round-1/2 greens on a rolling basis.
+  the 2 round-3s keys (q_customer_migration_matrix,
+  ts_seasonal_naive_error), then re-check the round-1/2 greens on a
+  rolling basis.
 """
 
 from awsbeats_spark import registry

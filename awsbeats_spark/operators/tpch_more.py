@@ -18,7 +18,7 @@ shuffled payload at the aggregate's cardinality, not the fact table's.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
@@ -671,4 +671,90 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
         .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Customer spending-tier migration matrix (H1 -> H2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_customer_migration_matrix",
+    oracle="""
+    WITH bounds AS (
+        SELECT make_timestamp((epoch_us(min(o_orderdate))
+                               + epoch_us(max(o_orderdate))) // 2) AS t_mid
+        FROM orders
+    ),
+    halves AS (
+        SELECT o.o_custkey,
+               CASE WHEN o.o_orderdate < b.t_mid THEN 1 ELSE 2 END AS half,
+               sum(o.o_totalprice) AS spend
+        FROM orders o CROSS JOIN bounds b
+        GROUP BY 1, 2
+    ),
+    tiers AS (
+        SELECT o_custkey, half,
+               ntile(4) OVER (PARTITION BY half
+                              ORDER BY spend DESC, o_custkey) AS tier
+        FROM halves
+    )
+    SELECT h1.tier AS tier_h1, h2.tier AS tier_h2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM tiers h1
+    JOIN tiers h2 ON h1.o_custkey = h2.o_custkey
+                 AND h1.half = 1 AND h2.half = 2
+    GROUP BY 1, 2
+    """,
+)
+def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tier migration: spend quartile in the first half of the
+    observation window vs the second (ntile per half, spend-desc with
+    custkey tiebreak), crossed into the 4x4 movement matrix that
+    quantifies upgrades and churn-slides. Scale shape: per-(customer,
+    half) spend is one mergeable aggregate; each half's quartiling is
+    a user-grain ranked window (range-partitioned sort at 100 TB, the
+    corpus_global_shuffle cost class); the migration join runs
+    customer-keyed and the output is 16 cells."""
+    o = tables(spark, sf_dir).orders
+    # o_orderdate is TIMESTAMP_NTZ; UTC session makes the TZ round-trip
+    # lossless, and epoch-micros midpoint math matches the oracle exactly
+    bounds = o.agg(
+        F.timestamp_micros(
+            (
+                (
+                    F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                    + F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+                )
+                / 2
+            ).cast("long")
+        )
+        .cast("timestamp_ntz")
+        .alias("t_mid")
+    )
+    halves = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "o_custkey",
+            F.when(F.col("o_orderdate") < F.col("t_mid"), 1)
+            .otherwise(2)
+            .alias("half"),
+        )
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.desc("spend"), F.asc("o_custkey")
+    )
+    tiers = halves.select(
+        "o_custkey", "half", F.ntile(4).over(w).alias("tier")
+    )
+    h1 = tiers.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("tier").alias("tier_h1")
+    )
+    h2 = tiers.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("tier").alias("tier_h2")
+    )
+    return h1.join(h2, "o_custkey").groupBy("tier_h1", "tier_h2").agg(
+        F.count(F.lit(1)).alias("n_customers")
     )

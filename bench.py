@@ -214,6 +214,9 @@ EXTENDED_PROBE = [
     # round 3r additions
     "orders_interpurchase_gaps",
     "corpus_bigram_entropy_rate",
+    # round 3s additions
+    "q_customer_migration_matrix",
+    "ts_seasonal_naive_error",
 ]
 
 
