@@ -67,8 +67,9 @@ Rotation plan (kept current each round):
   (events_diff_in_diff, embed_cluster_purity), then the 2 round-3r
   keys (orders_interpurchase_gaps, corpus_bigram_entropy_rate), then
   the 2 round-3s keys (q_customer_migration_matrix,
-  ts_seasonal_naive_error), then re-check the round-1/2 greens on a
-  rolling basis.
+  ts_seasonal_naive_error), then the 2 round-3t keys
+  (text_word_burstiness, corpus_mix_kl_to_target), then re-check the
+  round-1/2 greens on a rolling basis.
 """
 
 from awsbeats_spark import registry

@@ -1427,3 +1427,53 @@ def corpus_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "joint_entropy_nats",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Source-mix KL divergence against the target mixture spec
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_mix_kl_to_target",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(sum(len({WORDS_SQL})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(tokens) AS nt, count(*) AS k FROM src)
+    SELECT s.source, s.tokens,
+           round(s.tokens * 1.0 / t.nt, 6) AS actual_share,
+           round(1.0 / t.k, 6) AS target_share,
+           round((s.tokens * 1.0 / t.nt) / (1.0 / t.k), 4) AS weight_ratio,
+           round((s.tokens * 1.0 / t.nt)
+                 * ln((s.tokens * 1.0 / t.nt) / (1.0 / t.k)), 6)
+               AS kl_term
+    FROM src s CROSS JOIN tot t
+    """,
+)
+def corpus_mix_kl_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-spec compliance: each source's actual token share vs the
+    target mixture (uniform here — swap in any spec table), the
+    over/under-sampling ratio a rebalancer must apply, and the
+    per-source KL term whose sum is the total divergence from spec —
+    the number a data-mixture dashboard alarms on. Scale shape: one
+    per-source token aggregate plus a one-row broadcast total; pure
+    algebra on |sources| rows after the single corpus pass."""
+    t = tables(spark, sf_dir)
+    src = t.documents.groupBy("source").agg(
+        F.sum(F.size(words())).cast("long").alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").alias("nt"), F.count(F.lit(1)).alias("k")
+    )
+    share = F.col("tokens") / F.col("nt")
+    target = 1.0 / F.col("k")
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        rnd(share, 6).alias("actual_share"),
+        rnd(target, 6).alias("target_share"),
+        rnd(share / target, 4).alias("weight_ratio"),
+        rnd(share * F.log(share / target), 6).alias("kl_term"),
+    )

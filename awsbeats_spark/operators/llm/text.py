@@ -890,3 +890,56 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_divergence"),
     )
+
+
+# --------------------------------------------------------------------------
+# Word burstiness (Church-Gale cf/df) for the top collection terms
+# --------------------------------------------------------------------------
+
+_BURST_TOPN = 50
+
+
+@query(
+    "text_word_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    stats AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS cf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY w
+    )
+    SELECT w AS word, cf, df,
+           round(cf * 1.0 / df, 6) AS burstiness
+    FROM stats
+    ORDER BY cf DESC, w
+    LIMIT {_BURST_TOPN}
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale word burstiness for the top-50 collection terms:
+    collection frequency over document frequency — 1.0 means a word
+    appears once wherever it appears (function-word behavior), high
+    values mean it clumps into few documents (topical/bursty terms,
+    and in crawl data, spam markers). Scale shape: ONE (word)
+    aggregate computing cf and df together from a single tokenize
+    pass; the top-k is TakeOrdered on |vocab| rows. At 100 TB the
+    word would be hashed for the shuffle and re-joined for display."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(words()).alias("w"))
+    stats = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.orderBy(F.desc("cf"), F.asc("w"))
+        .limit(_BURST_TOPN)
+        .select(
+            F.col("w").alias("word"),
+            "cf",
+            "df",
+            rnd(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+        )
+    )

@@ -217,6 +217,9 @@ EXTENDED_PROBE = [
     # round 3s additions
     "q_customer_migration_matrix",
     "ts_seasonal_naive_error",
+    # round 3t additions
+    "text_word_burstiness",
+    "corpus_mix_kl_to_target",
 ]
 
 
