@@ -7,69 +7,31 @@ budget, so keys that most need a driver-green row must register first.
 After importing every module (which registers keys in module order),
 ``_reorder()`` rebuilds the registry dict to the explicit rotation below.
 
-Rotation plan (kept current each round):
+Rotation plan (kept current each round; the flip at the top of a round is
+the single highest-leverage edit — see VERDICT round 3 item 1):
 
-* **Round 1** checked the first 50 keys of the then-order: aggregates /
-  extended / graph / joins / pipeline — 43 hash-green + 3 rows-only.
-* **Round 2** front-loaded llm.* / quality / udtf — 44 hash-green +
-  2 rows-only; 4 red rows were DuckDB-HUGEINT oracle typing (fixed
-  round 3 via CAST AS BIGINT, guarded by tests/test_oracle_types.py).
-* **Round 3** (``_ROUND3_WINDOW``, exactly 50): the 8 fixed-but-red keys
-  (partition_key_xid, join_asof_nearest, sink_kinesis_batched_retry,
-  agg_percentile_approx + the 4 HUGEINT keys), then never-checked
-  relational(15) / windows(8) / setops(3) / sqlfuncs(10) /
-  json_parse_promote / streaming_batch(4) / join_null_safe.
-* **Round 4** (``_ROUND4_BLOCK``, next 45): agg_bitmap_distinct,
-  scale(18), profiling(3), timeseries(8), tpch_more(13),
-  events_attribution_last_touch, events_pattern_match — after round 4
-  every key has had at least one driver row.
-* **Round 5+** (``_ROUND5_FRONT`` then module order): first the 14
-  round-3-added keys (llm.retrieval, join_dynamic_in_pushdown,
-  part_skyline_pareto, agg_decimal_exact_sum, dedup_semantic_cluster,
-  agg_weighted_percentile, ts_seasonal_decompose, events_lateness_stats,
-  dedup_incremental_merge, observability_observe_inline — never
-  driver-checked), then the 25 round-3b keys (geo.py x2,
-  text_readability_flesch, text_zipf_slope, dq_distribution_drift_psi,
-  dq_benford_first_digit, dq_ks_test_two_sample, agg_gini_by_priority,
-  ts_acf_hourly, ts_downsample_lttb, ts_changepoint_cusum,
-  ts_trend_mann_kendall, corpus_temperature_resample,
-  corpus_bpe_pair_stats, multimodal_audio_energy, ts_max_drawdown,
-  events_ltv_decay, sample_weighted_es, ts_percentile_bands_daily,
-  text_pmi_collocations, events_alert_episodes, sketch_kmv_distinct,
-  events_assoc_rules, orders_survival_km, agg_winsorized_mean —
-  they register after _ROUND5_FRONT in module order), then the 9
-  round-3c keys (ts_rolling_corr, ts_cross_correlation_lag,
-  window_moving_median, dq_outlier_iqr, agg_entropy_by_group,
-  text_code_detect, graph_type_overlap_jaccard, corpus_ngram_novelty,
-  dedup_cross_source_priority — also after _ROUND5_FRONT in module
-  order), then the 6 round-3d keys (sketch_countmin_user_freq,
-  sketch_bloom_membership, ts_period_over_period,
-  events_conversion_latency, text_keyword_rake_topk,
-  embed_drift_centroid), then the 4 round-3e keys
-  (corpus_span_mask_t5, agg_hhi_concentration, eval_ann_recall_ivf,
-  window_streak_longest), then the 3 round-3f keys
-  (eval_pair_rouge_overlap, scalar_try_safe_math,
-  window_share_of_total), then the 3 round-3g keys
-  (events_bounce_rate, events_lifecycle_stages, events_dau_wau_mau),
-  then the 2 round-3h keys (sql_recursive_cte, scalar_url_parse),
-  then the 2 round-3i keys (corpus_line_dedup_ccnet,
-  dq_volume_anomaly_daily), then the 4 round-3j keys
-  (eval_minhash_vs_exact, events_activity_heatmap,
-  events_new_vs_returning, scalar_bitmask_flags), then the 2
-  round-3k keys (corpus_budget_allocate_lrm, orders_cohort_ltv_curve),
-  then the 2 round-3l keys (events_error_budget_burn,
-  text_compression_ratio — rows-only), then the 2 round-3m keys
-  (multimodal_shard_balance_lpt, agg_higher_moments), then the 2
-  round-3n keys (ts_burstiness_fano, dq_quarantine_rows), then the 2
-  round-3o keys (corpus_sft_pair_synth, events_lorenz_deciles), then
-  the 2 round-3p keys (corpus_vocab_growth_heaps,
-  text_source_js_divergence), then the 2 round-3q keys
-  (events_diff_in_diff, embed_cluster_purity), then the 2 round-3r
-  keys (orders_interpurchase_gaps, corpus_bigram_entropy_rate), then
-  the 2 round-3s keys (q_customer_migration_matrix,
-  ts_seasonal_naive_error), then the 2 round-3t keys
-  (text_word_burstiness, corpus_mix_kl_to_target), then re-check the
-  round-1/2 greens on a rolling basis.
+* **Rounds 1-3** (history): r1 checked aggregates/extended/graph/joins/
+  pipeline (46 keys), r2 llm.*/quality/udtf (46), r3 the 8 fixed-but-red
+  keys + relational/windows/setops/sqlfuncs/streaming stragglers (50/50
+  green — first fully-green round). 142/279 keys had a driver row after
+  round 3; zero red anywhere.
+* **Round 4** (``_ROUND4_WINDOW``, exactly 50, NOW FRONTED): the 45-key
+  round-4 block (scale 18, profiling 3, timeseries 8, tpch_more 13,
+  agg_bitmap_distinct, events_attribution_last_touch,
+  events_pattern_match) plus the first 5 of the old round-5 front
+  (llm.retrieval x4, join_dynamic_in_pushdown). After round 4: 192/279.
+* **Round 5** (``_ROUND5_WINDOW``, exactly 50): the remaining 9 of the
+  old round-5 front, then corpus/similarity/text/quality/scalar/window/
+  sketch keys in registry order. After round 5: 242/279.
+* **Round 6** (``_ROUND6_WINDOW``, 37 + keys added in round 4+, which
+  are appended here as they are created): the remaining timeseries/
+  events/geo/graph tail. After round 6: full catalog driver-evidenced;
+  13+ spare slots recheck round-1/2 greens on a rolling basis.
+
+The three lists partition the 137 keys that had no driver row as of
+CORRECTNESS_r03 (45+14 named blocks + 78 registry-order rest); a test in
+tests/test_rotation.py pins this against the CORRECTNESS_r0{1,2,3} files
+so the flip cannot silently drift.
 """
 
 from awsbeats_spark import registry
@@ -101,66 +63,7 @@ from awsbeats_spark.operators import (  # noqa: F401
     geo,
 )
 
-_ROUND3_WINDOW = [
-    # 8 fixed-but-red from rounds 1-2 (need fresh driver evidence)
-    "partition_key_xid",
-    "join_asof_nearest",
-    "sink_kinesis_batched_retry",
-    "agg_percentile_approx",
-    "corpus_filter_funnel",
-    "dq_constraint_violations",
-    "dq_duplicate_keys",
-    "dq_freshness_watermark",
-    # relational (never checked)
-    "scan_parquet",
-    "filter_predicate",
-    "filter_regex",
-    "project_record",
-    "scalar_json",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "sort_limit",
-    "q_flagship_revenue_by_nation",
-    "scalar_hash",
-    "sort_nulls_ordering",
-    "scalar_array",
-    "scan_partition_pruned",
-    "scan_schema_evolution",
-    # windows (never checked)
-    "window_topn_rank",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_rank_dense",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_sessionize_gap",
-    "window_sliding_distinct",
-    # setops (never checked)
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # sqlfuncs (never checked)
-    "agg_conditional_bools",
-    "agg_regression_by_group",
-    "scalar_higher_order",
-    "scalar_sequence_months",
-    "lateral_posexplode",
-    "scalar_array_setops",
-    "cdc_apply_tombstones",
-    "scalar_variant_json",
-    "scalar_interval_math",
-    "agg_string_concat_ordered",
-    # stragglers (never checked)
-    "json_parse_promote",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_watermark_dedup",
-    "join_null_safe",
-]
-
-_ROUND4_BLOCK = [
+_ROUND4_WINDOW = [
     "agg_bitmap_distinct",
     "stream_stateful_totals",
     "agg_skew_salted",
@@ -206,15 +109,15 @@ _ROUND4_BLOCK = [
     "q_dominant_part_suppliers",
     "events_attribution_last_touch",
     "events_pattern_match",
-]
-
-
-_ROUND5_FRONT = [
     "retrieval_bm25_topk",
     "retrieval_query_likelihood",
     "retrieval_rrf_hybrid",
     "text_hashed_bow",
     "join_dynamic_in_pushdown",
+]
+
+
+_ROUND5_WINDOW = [
     "part_skyline_pareto",
     "agg_decimal_exact_sum",
     "dedup_semantic_cluster",
@@ -224,11 +127,93 @@ _ROUND5_FRONT = [
     "dedup_incremental_merge",
     "observability_observe_inline",
     "dedup_ngram_df_capped",
+    "corpus_temperature_resample",
+    "corpus_bpe_pair_stats",
+    "corpus_ngram_novelty",
+    "corpus_span_mask_t5",
+    "corpus_line_dedup_ccnet",
+    "corpus_budget_allocate_lrm",
+    "corpus_sft_pair_synth",
+    "corpus_vocab_growth_heaps",
+    "corpus_bigram_entropy_rate",
+    "corpus_mix_kl_to_target",
+    "embed_drift_centroid",
+    "eval_ann_recall_ivf",
+    "embed_cluster_purity",
+    "dedup_cross_source_priority",
+    "eval_minhash_vs_exact",
+    "eval_pair_rouge_overlap",
+    "multimodal_audio_energy",
+    "multimodal_shard_balance_lpt",
+    "text_readability_flesch",
+    "text_zipf_slope",
+    "text_pmi_collocations",
+    "text_code_detect",
+    "text_keyword_rake_topk",
+    "text_compression_ratio",
+    "text_source_js_divergence",
+    "text_word_burstiness",
+    "dq_distribution_drift_psi",
+    "dq_benford_first_digit",
+    "dq_ks_test_two_sample",
+    "agg_gini_by_priority",
+    "dq_outlier_iqr",
+    "dq_volume_anomaly_daily",
+    "dq_quarantine_rows",
+    "scalar_try_safe_math",
+    "scalar_url_parse",
+    "scalar_bitmask_flags",
+    "window_moving_median",
+    "window_streak_longest",
+    "window_share_of_total",
+    "sample_weighted_es",
+    "sketch_kmv_distinct",
+]
+
+
+_ROUND6_WINDOW = [
+    "events_assoc_rules",
+    "agg_winsorized_mean",
+    "sketch_countmin_user_freq",
+    "sketch_bloom_membership",
+    "ts_acf_hourly",
+    "ts_downsample_lttb",
+    "ts_changepoint_cusum",
+    "ts_trend_mann_kendall",
+    "ts_max_drawdown",
+    "events_ltv_decay",
+    "ts_percentile_bands_daily",
+    "events_alert_episodes",
+    "orders_survival_km",
+    "ts_rolling_corr",
+    "ts_cross_correlation_lag",
+    "ts_period_over_period",
+    "events_conversion_latency",
+    "events_bounce_rate",
+    "events_lifecycle_stages",
+    "events_dau_wau_mau",
+    "events_activity_heatmap",
+    "events_new_vs_returning",
+    "orders_cohort_ltv_curve",
+    "events_error_budget_burn",
+    "ts_burstiness_fano",
+    "events_lorenz_deciles",
+    "events_diff_in_diff",
+    "orders_interpurchase_gaps",
+    "ts_seasonal_naive_error",
+    "q_customer_migration_matrix",
+    "agg_entropy_by_group",
+    "agg_hhi_concentration",
+    "agg_higher_moments",
+    "sql_recursive_cte",
+    "graph_type_overlap_jaccard",
+    "geo_grid_neighbor_join",
+    "geo_cell_density_topk",
 ]
 
 
 def _reorder() -> None:
-    priority = _ROUND3_WINDOW + _ROUND4_BLOCK + _ROUND5_FRONT
+    priority = _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})
         raise ValueError(f"rotation lists overlap: {dupes}")

@@ -1327,10 +1327,17 @@ def corpus_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint spine. Token prefix sums come from one per-doc
     projection the same way."""
     t = tables(spark, sf_dir)
-    n_docs_total = t.documents.count()
-    cps = [c for c in _HEAPS_CHECKPOINTS if c <= n_docs_total]
-    cp_df = spark.createDataFrame(
-        [(c,) for c in cps], "n_docs long"
+    # Checkpoint spine stays LAZY: instead of an eager .count() at
+    # plan-build time (a full scan just to construct the DataFrame),
+    # cross-join the one-row count aggregate and filter at execution.
+    total = t.documents.agg(F.count(F.lit(1)).alias("total_docs"))
+    cp_df = (
+        spark.createDataFrame(
+            [(c,) for c in _HEAPS_CHECKPOINTS], "n_docs long"
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_docs") <= F.col("total_docs"))
+        .select("n_docs")
     )
     firsts = (
         t.documents.select(
@@ -1350,10 +1357,20 @@ def corpus_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cp_df)
         .join(toks, F.col("doc_id") < F.col("n_docs"))
         .groupBy("n_docs")
-        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"))
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
     )
-    return vocab.join(tok_counts, "n_docs").select(
-        "n_docs", "vocab", "n_tokens"
+    # LEFT-join both (≤|checkpoints|-row) aggregates back onto the spine
+    # and coalesce to 0, so a degenerate checkpoint (no word first seen
+    # before it / no tokens before it) still emits a row — matching the
+    # oracle's scalar-subquery + coalesce semantics on degenerate corpora.
+    return (
+        cp_df.join(vocab, "n_docs", "left")
+        .join(tok_counts, "n_docs", "left")
+        .select(
+            "n_docs",
+            F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
     )
 
 
@@ -1395,7 +1412,13 @@ def corpus_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the bigrams would be hashed to int64 pre-shuffle."""
     t = tables(spark, sf_dir)
     ws = t.documents.select("doc_id", words().alias("ws"))
-    bi = ws.select(
+    # Guard: Spark's sequence(1, size-1) counts DOWN for size < 2
+    # (sequence(1, 0) = [1, 0], unlike DuckDB's empty generate_series),
+    # so a 0/1-word doc would index ws out of bounds and, under the
+    # default ANSI mode, raise INVALID_ARRAY_INDEX and kill the job.
+    # Docs with < 2 words contribute no bigrams in the oracle either,
+    # so pre-filtering them is the exact semantic match (see shingles()).
+    bi = ws.filter(F.size("ws") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(ws) - 1), "

@@ -4,27 +4,54 @@ keys that need fresh driver evidence (see operators/__init__.py)."""
 
 from __future__ import annotations
 
-from awsbeats_spark.operators import _ROUND3_WINDOW, _ROUND4_BLOCK
+import json
+import pathlib
+
+from awsbeats_spark.operators import (
+    _ROUND4_WINDOW,
+    _ROUND5_WINDOW,
+    _ROUND6_WINDOW,
+)
 from awsbeats_spark.registry import load_all
 
+REPO = pathlib.Path(__file__).resolve().parents[1]
 
-def test_round3_window_registers_first():
-    assert len(_ROUND3_WINDOW) == 50
+
+def test_round4_window_registers_first():
+    assert len(_ROUND4_WINDOW) == 50
     keys = list(load_all())
-    assert keys[: len(_ROUND3_WINDOW)] == _ROUND3_WINDOW
+    assert keys[: len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
 
 
-def test_round4_block_follows():
+def test_round5_then_round6_follow():
     keys = list(load_all())
-    start = len(_ROUND3_WINDOW)
-    assert keys[start : start + len(_ROUND4_BLOCK)] == _ROUND4_BLOCK
+    s = len(_ROUND4_WINDOW)
+    assert keys[s : s + len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
+    s += len(_ROUND5_WINDOW)
+    assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
 
 
 def test_rotation_names_unique_and_registered():
     keys = set(load_all())
-    rotation = _ROUND3_WINDOW + _ROUND4_BLOCK
+    rotation = _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
+
+
+def test_windows_partition_never_driver_checked_keys():
+    """The r4/r5/r6 windows must cover exactly the keys with no driver row
+    in CORRECTNESS_r0{1,2,3} plus any key added after round 3 — so no key
+    can silently fall out of the evidence plan."""
+    checked = set()
+    for r in ("01", "02", "03"):
+        path = REPO / f"CORRECTNESS_r{r}.json"
+        checked |= set(json.loads(path.read_text()))
+    never = [k for k in load_all() if k not in checked]
+    rotation = _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW
+    assert set(rotation) == set(never), (
+        f"missing from rotation: {sorted(set(never) - set(rotation))}; "
+        f"already-checked in rotation: {sorted(set(rotation) - set(never))}"
+    )
 
 
 def test_bench_lists_are_registered():
@@ -33,7 +60,6 @@ def test_bench_lists_are_registered():
     or dump_plans crashes mid-run (regression: eval_pair_rouge_overlap
     was dropped by a file-tail rewrite while still probed)."""
     import bench
-    from awsbeats_spark.registry import load_all
 
     specs = load_all()
     missing = [
@@ -45,12 +71,8 @@ def test_bench_lists_are_registered():
 def test_survey_2d_keys_are_registered():
     """Every operator key named in SURVEY.md §2.D module tables must be
     registered (the judge walks this inventory line by line)."""
-    import re
-
-    from awsbeats_spark.registry import load_all
-
     specs = load_all()
-    text = open("/root/repo/SURVEY.md").read()
+    text = (REPO / "SURVEY.md").read_text()
     sec = text.split("### 2.D")[1].split("Streaming-only surfaces")[0]
     missing = set()
     for line in sec.splitlines():
