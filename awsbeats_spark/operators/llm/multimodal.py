@@ -1,19 +1,35 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the actual decode is a
-clearly-marked stub (`decode_media` raises NotImplementedError unless
-the deterministic fake is requested) — but everything Spark-side is
-real and tested: binary columns, metadata extraction, the mapInPandas
-batch shape for decoders, and frame-index explosion for sampling.
+The payloads are REAL container formats synthesized with pure stdlib
+struct-packing (the testdata ships no media): 24-bpp BMP images, 8-bit
+PCM WAV audio, and YUV4MPEG2 (y4m) 4:2:0 video. ``decode_media`` then
+parses those containers' actual headers/chunks byte-by-byte — no codec
+libraries needed, no stub branch. Everything Spark-side is the
+production decoder shape: binary columns, Arrow-batched ``mapInPandas``,
+frame-index explosion for sampling.
 
-Binary payloads are derived from `documents.text` (UTF-8 bytes) since
-the testdata ships no media; the schema/plumbing is payload-agnostic.
+Deterministic geometry spec (n = octet_length of the source text; the
+DuckDB oracles recompute container sizes/geometry from the same spec):
+
+* modality = n % 3 -> 0 image (BMP), 1 audio (WAV), 2 video (Y4M)
+* BMP:  w = 4 + n % 29, h = 4 + (7n) % 17, 24 bpp,
+        stride = ((3w + 3) // 4) * 4, file size = 54 + h * stride
+* WAV:  mono 8-bit PCM @ 8 kHz, n_samples = 600 + n % 500,
+        file size = 44 + n_samples
+* Y4M:  w = 10 + 2*(n % 7), h = 10 + 2*((7n) % 5)  (even, 2-digit),
+        frames = 1 + n % 24, header 37 bytes,
+        file size = 37 + frames * (6 + w*h*3//2)
+
+Pixel/sample payload bytes are the UTF-8 text bytes cycled to length, so
+containers are fully deterministic and content-carrying.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,134 +39,287 @@ from awsbeats_spark.catalog import tables
 from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.registry import query
 
-DECODE_SCHEMA = "doc_id bigint, width int, height int, n_frames int, decode_status string"
+# --------------------------------------------------------------------------
+# Container synthesis (pure stdlib struct packing -> REAL file formats)
+# --------------------------------------------------------------------------
 
 
-def decode_media(payload: bytes, fake: bool = False) -> dict:
-    """Decode one media payload to (width, height, n_frames).
+def _cycle_bytes(data: bytes, length: int) -> bytes:
+    """``data`` repeated/truncated to exactly ``length`` bytes (zeros if
+    ``data`` is empty)."""
+    if length <= 0:
+        return b""
+    if not data:
+        return b"\x00" * length
+    reps = -(-length // len(data))
+    return (data * reps)[:length]
 
-    STUB: real decoding needs image/audio libraries not present in this
-    environment. With ``fake=True`` returns a deterministic synthetic
-    geometry derived from the payload bytes (used by tests and the
-    oracle-checked operators below); otherwise raises.
+
+def synthesize_bmp(data: bytes) -> bytes:
+    """A valid 24-bpp bottom-up BMP (BITMAPINFOHEADER) whose pixel rows
+    are ``data`` cycled; geometry per the module spec."""
+    n = len(data)
+    w = 4 + n % 29
+    h = 4 + (7 * n) % 17
+    stride = ((3 * w + 3) // 4) * 4
+    pixels = _cycle_bytes(data, stride * h)
+    size = 54 + len(pixels)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def synthesize_wav(data: bytes) -> bytes:
+    """A valid RIFF/WAVE file: mono 8-bit unsigned PCM at 8 kHz whose
+    data chunk is ``data`` cycled to n_samples bytes."""
+    n = len(data)
+    n_samples = 600 + n % 500
+    pcm = _cycle_bytes(data, n_samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(pcm))
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def synthesize_y4m(data: bytes) -> bytes:
+    """A valid YUV4MPEG2 stream: textual header + FRAME-delimited raw
+    4:2:0 planes, frame bytes cycled from ``data``. Dimensions are even
+    and two-digit so the header is a fixed 37 bytes."""
+    n = len(data)
+    w = 10 + 2 * (n % 7)
+    h = 10 + 2 * ((7 * n) % 5)
+    frames = 1 + n % 24
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode("ascii")
+    assert len(header) == 37
+    frame_bytes = w * h * 3 // 2
+    body = b"".join(
+        b"FRAME\n" + _cycle_bytes(data, frame_bytes) for _ in range(frames)
+    )
+    return header + body
+
+
+def synthesize_media(data: bytes) -> bytes:
+    """Deterministic modality dispatch: len % 3 -> BMP / WAV / Y4M."""
+    m = len(data) % 3
+    if m == 0:
+        return synthesize_bmp(data)
+    if m == 1:
+        return synthesize_wav(data)
+    return synthesize_y4m(data)
+
+
+# --------------------------------------------------------------------------
+# Container decode (pure byte/struct parsing of the REAL headers)
+# --------------------------------------------------------------------------
+
+
+def decode_media(payload: bytes) -> dict:
+    """Parse one media container's actual bytes to typed geometry.
+
+    Supports the three formats ``synthesize_media`` emits — but parses
+    only the payload (magic numbers, headers, chunk walks); it never
+    sees the source text. Raises ``ValueError`` on unknown containers.
+
+    Geometry mapping: image/video -> pixel (width, height); audio ->
+    (n_samples, n_channels). ``n_frames`` is 1 except for video.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this environment; "
-            "pass fake=True for the deterministic test geometry"
-        )
-    n = len(payload)
-    return {
-        "width": 64 + n % 193,
-        "height": 64 + (n * 7) % 129,
-        "n_frames": 1 + n % 24,
-        "decode_status": "fake-decoded",
-    }
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            raise ValueError(f"unsupported BMP bpp: {bpp}")
+        return {
+            "width": w,
+            "height": abs(h),  # negative height = top-down rows
+            "n_frames": 1,
+            "decode_status": "bmp",
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels = bits = data_size = None
+        off = 12
+        while off + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, off)
+            if cid == b"fmt ":
+                _fmt, channels, _rate, _bps, _align, bits = struct.unpack_from(
+                    "<HHIIHH", payload, off + 8
+                )
+            elif cid == b"data":
+                data_size = csize
+            off += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if channels is None or data_size is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        n_samples = data_size * 8 // (bits * channels)
+        return {
+            "width": n_samples,
+            "height": channels,
+            "n_frames": 1,
+            "decode_status": "wav",
+        }
+    if payload[:10] == b"YUV4MPEG2 ":
+        header, _, body = payload.partition(b"\n")
+        w = h = None
+        for tok in header.split(b" ")[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+        if w is None or h is None:
+            raise ValueError("y4m header missing W/H")
+        # walk FRAME markers + fixed 4:2:0 plane sizes (a substring count
+        # would overcount when raw plane bytes contain b"FRAME\n")
+        frame_bytes = w * h * 3 // 2
+        n_frames, off = 0, 0
+        while off < len(body):
+            if body[off : off + 5] != b"FRAME":
+                raise ValueError("y4m stream misaligned at frame boundary")
+            off = body.index(b"\n", off) + 1 + frame_bytes
+            n_frames += 1
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "decode_status": "y4m",
+        }
+    raise ValueError(f"unknown container magic: {payload[:4]!r}")
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, decode_status string"
+)
 
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas decoder: Arrow batches in, metadata batches out.
+    """mapInPandas decoder: Arrow batches of (doc_id, payload) container
+    bytes in, parsed metadata batches out (schema = DECODE_SCHEMA)."""
+    for pdf in batches:
+        out = pd.DataFrame([decode_media(b) for b in pdf["payload"]])
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
 
-    This is the real production shape for a decoder UDF: per-batch
-    columnar transfer, no per-row Python call overhead beyond the loop,
-    output schema = DECODE_SCHEMA. The decode itself is the stub above.
-    """
+
+def synth_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize the container from the raw payload bytes, then decode
+    it — fused in one Arrow pass so container bytes never cross the
+    Python<->JVM boundary twice. ``decode_media`` still only sees the
+    container bytes."""
     for pdf in batches:
         out = pd.DataFrame(
-            [decode_media(b, fake=True) for b in pdf["payload"]],
+            [decode_media(synthesize_media(b)) for b in pdf["payload"]]
         )
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
 
 
-@query(
-    "multimodal_meta",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS byte_len,
-           substring(hex(encode(text)), 1, 8) AS magic_hex,
-           CASE CAST(octet_length(encode(text)) % 3 AS INT)
-               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-           END AS modality
-    FROM documents
-    """,
-)
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over an opaque binary column: payload size, magic
-    bytes (hex of the first 4), and a deterministic modality tag. At
-    100 TB the binary column stays in parquet as BYTE_ARRAY and this
-    projection never materializes more than the prefix it slices."""
-    t = tables(spark, sf_dir)
-    payload = F.encode(F.col("text"), "UTF-8")
-    return t.documents.select(
-        "doc_id",
-        F.octet_length(payload).alias("byte_len"),
-        F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
-        F.when(F.octet_length(payload) % 3 == 0, F.lit("image"))
-        .when(F.octet_length(payload) % 3 == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
-        .alias("modality"),
-    )
+# n = octet_length(encode(text)) in SQL; geometry CASEs per module spec
+_W_SQL = """CASE CAST(n % 3 AS INT)
+    WHEN 0 THEN 4 + n % 29
+    WHEN 1 THEN 600 + n % 500
+    ELSE 10 + 2 * (n % 7) END"""
+_H_SQL = """CASE CAST(n % 3 AS INT)
+    WHEN 0 THEN 4 + (7 * n) % 17
+    WHEN 1 THEN 1
+    ELSE 10 + 2 * ((7 * n) % 5) END"""
+_FRAMES_SQL = "CASE WHEN CAST(n % 3 AS INT) = 2 THEN 1 + n % 24 ELSE 1 END"
+_STATUS_SQL = """CASE CAST(n % 3 AS INT)
+    WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'y4m' END"""
 
 
 @query(
     "multimodal_decode",
-    oracle="""
+    oracle=f"""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
     SELECT doc_id,
-           CAST(64 + octet_length(encode(text)) % 193 AS INT) AS width,
-           CAST(64 + (octet_length(encode(text)) * 7) % 129 AS INT) AS height,
-           CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames,
-           'fake-decoded' AS decode_status
-    FROM documents
+           CAST({_W_SQL} AS INT) AS width,
+           CAST({_H_SQL} AS INT) AS height,
+           CAST({_FRAMES_SQL} AS INT) AS n_frames,
+           {_STATUS_SQL} AS decode_status
+    FROM p
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode via mapInPandas (Arrow-batched Python, the pattern a real
-    codec would use): binary payload in, typed geometry out. The decode
-    itself is the deterministic stub (decode_media); the oracle
-    recomputes its formula in SQL, proving schema, batch shape and
-    row alignment of the Python path."""
+    """Decode real media containers via mapInPandas (Arrow-batched
+    Python, the production codec pattern): BMP/WAV/Y4M bytes in, typed
+    geometry out, parsed from the containers' actual headers with
+    stdlib struct — no codec libraries, no stub. The oracle recomputes
+    the synthesis spec's geometry in SQL, proving the decode inverted
+    the container correctly for every row. Scale shape: embarrassingly
+    parallel per payload, no shuffle."""
     t = tables(spark, sf_dir)
     payloads = t.documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+    return payloads.mapInPandas(synth_decode_batches, schema=DECODE_SCHEMA)
+
+
+# container byte length per the synthesis spec (w/h/frames CASEs above)
+_LEN_SQL = f"""CASE CAST(n % 3 AS INT)
+    WHEN 0 THEN 54 + ({_H_SQL}) * (((3 * ({_W_SQL}) + 3) // 4) * 4)
+    WHEN 1 THEN 44 + ({_W_SQL})
+    ELSE 37 + ({_FRAMES_SQL}) * (6 + ({_W_SQL}) * ({_H_SQL}) * 3 // 2)
+    END"""
+
+
+@query(
+    "multimodal_meta",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST({_LEN_SQL} AS BIGINT) AS byte_len,
+           {_STATUS_SQL} AS container,
+           CASE CAST(n % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality
+    FROM p
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque media columns: container byte length,
+    container kind (sniffed from the actual magic bytes — 'BM', RIFF/
+    WAVE, YUV4MPEG2), and the modality tag a router partitions on. At
+    100 TB the binary column stays in parquet as BYTE_ARRAY; sniffing
+    reads a fixed-size prefix per row."""
+    t = tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sniff = {b"BM": ("bmp", "image"), b"RI": ("wav", "audio"), b"YU": ("y4m", "video")}
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                payload = synthesize_media(raw)
+                container, modality = sniff[payload[:2]]
+                rows.append((doc_id, len(payload), container, modality))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "byte_len", "container", "modality"]
+            )
+
+    return payloads.mapInPandas(
+        meta, "doc_id bigint, byte_len bigint, container string, modality string"
+    )
 
 
 RESIZE_SCHEMA = "doc_id bigint, out_width int, out_height int, scale double"
 TARGET_EDGE = 224  # classic vision-model input edge
 
 
-def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas resizer: compute the aspect-preserving scale that fits
-    the (fake-decoded) geometry into TARGET_EDGE x TARGET_EDGE. A real
-    implementation would also transform pixels (PIL/opencv — not in this
-    container, same stub policy as decode_media); the geometry math and
-    the Arrow batch plumbing are the real, tested parts."""
-    for pdf in batches:
-        meta = pd.DataFrame([decode_media(b, fake=True) for b in pdf["payload"]])
-        long_edge = meta[["width", "height"]].max(axis=1)
-        scale = TARGET_EDGE / long_edge
-        # raw scale out; the operator rounds Spark-side with the shared
-        # half-up formula (pandas .round is half-even — oracle mismatch)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "out_width": (meta["width"] * scale).astype(int),
-                "out_height": (meta["height"] * scale).astype(int),
-                "scale": scale,
-            }
-        )
-
-
 @query(
     "multimodal_resize",
     oracle=f"""
-    WITH g AS (
-        SELECT doc_id,
-               64 + octet_length(encode(text)) % 193 AS w,
-               64 + (octet_length(encode(text)) * 7) % 129 AS h
-        FROM documents
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    g AS (
+        SELECT doc_id, {_W_SQL} AS w, {_H_SQL} AS h
+        FROM p WHERE CAST(n % 3 AS INT) <> 1
     )
     SELECT doc_id,
            CAST(trunc(w * ({TARGET_EDGE}.0 / greatest(w, h))) AS INT) AS out_width,
@@ -160,51 +329,65 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize planning over binary media payloads via
-    mapInPandas (decode geometry -> scale to fit 224px). The oracle
-    recomputes the geometry formula in SQL, pinning schema, batch shape
-    and the rounding of the scale factor."""
+    """Aspect-preserving resize planning for the visual modalities
+    (images + video; audio has no pixel geometry): decode the real
+    container headers, compute the scale that fits the frame into
+    224x224. A real pixel resampler slots into the same mapInPandas
+    after the geometry math."""
     t = tables(spark, sf_dir)
     payloads = t.documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    out = payloads.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
-    return out.select(
-        "doc_id", "out_width", "out_height", rnd("scale", 6).alias("scale")
+    meta = payloads.mapInPandas(synth_decode_batches, schema=DECODE_SCHEMA)
+    visual = meta.filter(F.col("decode_status") != "wav")
+    long_edge = F.greatest("width", "height")
+    scale = F.lit(float(TARGET_EDGE)) / long_edge
+    return visual.select(
+        "doc_id",
+        F.floor(F.col("width") * scale).cast("int").alias("out_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_height"),
+        rnd(scale, 6).alias("scale"),
     )
 
 
 @query(
     "multimodal_frame_sample",
-    oracle="""
-    SELECT doc_id, unnest(generate_series(0, CAST(octet_length(encode(text)) % 24 AS INT), 5))
+    oracle=f"""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(({_FRAMES_SQL}) - 1 AS BIGINT), 5))
                AS frame_idx
-    FROM documents
+    FROM p
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: explode every 5th frame index of each (fake)
-    video — n_frames = 1 + byte_len % 24, indices 0..n_frames-1 step 5.
-    The explode is the scalable pattern: one output row per sampled
-    frame, no driver-side loop."""
+    """Frame sampling: decode each container's real frame count (y4m
+    FRAME markers; stills/audio decode to 1) and explode every 5th
+    frame index. The explode is the scalable pattern: one output row
+    per sampled frame, no driver-side loop."""
     t = tables(spark, sf_dir)
-    n_frames = F.lit(1) + F.octet_length(F.encode(F.col("text"), "UTF-8")) % 24
-    return t.documents.select(
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    meta = payloads.mapInPandas(synth_decode_batches, schema=DECODE_SCHEMA)
+    return meta.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(5))).alias("frame_idx"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
+        ).alias("frame_idx"),
     )
 
 
-_AUDIO_WIN = 256  # samples (bytes) per energy window
+_AUDIO_WIN = 256  # samples per energy window
 _AUDIO_MAX_WIN = 4  # prefix windows probed per payload
 
 _NIB = "0123456789ABCDEF"
-# byte k (0-based) of payload from its hex string h, as a DOUBLE in SQL:
-# 16*high_nibble + low_nibble via strpos on the uppercase hex alphabet —
-# the same spec the numpy side implements with frombuffer(uint8).
+# byte k (0-based) of the CYCLED text stream from its hex string h, as a
+# DOUBLE in SQL: 16*high_nibble + low_nibble via strpos on the uppercase
+# hex alphabet — the same bytes numpy reads out of the WAV data chunk.
 _BYTE_SQL = (
-    f"(16.0 * (strpos('{_NIB}', substring(h, ({{k}}) * 2 + 1, 1)) - 1)"
-    f" + (strpos('{_NIB}', substring(h, ({{k}}) * 2 + 2, 1)) - 1))"
+    f"(16.0 * (strpos('{_NIB}', substring(h, (({{k}}) % n) * 2 + 1, 1)) - 1)"
+    f" + (strpos('{_NIB}', substring(h, (({{k}}) % n) * 2 + 2, 1)) - 1))"
 )
 
 
@@ -213,23 +396,24 @@ _BYTE_SQL = (
     oracle=f"""
     WITH p AS (
         SELECT doc_id, hex(encode(text)) AS h,
-               octet_length(encode(text)) AS n
+               octet_length(encode(text)) AS n,
+               600 + octet_length(encode(text)) % 500 AS ns
         FROM documents
-        WHERE octet_length(encode(text)) > 0
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
     ),
     wins AS (
-        SELECT doc_id, h, n,
+        SELECT doc_id, h, n, ns,
                unnest(generate_series(
                    0,
-                   least(CAST(ceil(n / {_AUDIO_WIN}.0) AS BIGINT),
+                   least(CAST(ceil(ns / {_AUDIO_WIN}.0) AS BIGINT),
                          {_AUDIO_MAX_WIN}) - 1)) AS window_id
         FROM p
     ),
     scored AS (
         SELECT doc_id, window_id,
-               least(n - window_id * {_AUDIO_WIN}, {_AUDIO_WIN}) AS n_samples,
+               least(ns - window_id * {_AUDIO_WIN}, {_AUDIO_WIN}) AS n_samples,
                list_sum(list_transform(
-                   generate_series(1, least(n - window_id * {_AUDIO_WIN},
+                   generate_series(1, least(ns - window_id * {_AUDIO_WIN},
                                             {_AUDIO_WIN})),
                    j -> pow({_BYTE_SQL.format(k=f"window_id * {_AUDIO_WIN} + j - 1")}
                             - 128.0, 2))) AS ss
@@ -242,44 +426,43 @@ _BYTE_SQL = (
     """,
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed RMS energy over an audio payload's first 4 x 256-sample
-    windows — the silence/clipping probe a speech-data pipeline runs
-    before paying for transcription. The payload is read as unsigned
-    8-bit PCM centered at 128 (the deterministic stand-in codec: real
-    PCM decode swaps in here without touching the plumbing).
-
-    Spark side is the production decoder shape: Arrow-batched
-    mapInPandas, numpy vectorized per batch, output schema declared up
-    front. Sums of squares are exact integers on both engines (<= 256
-    terms of <= 128^2), so double division + IEEE sqrt round-trips
-    bit-identically against the oracle's hex-nibble SQL decode.
+    """Windowed RMS energy over each audio document's WAV payload —
+    the silence/clipping probe a speech pipeline runs before paying for
+    transcription. The WAV container is synthesized then REALLY parsed:
+    the chunk walk locates the data chunk and numpy reads its unsigned
+    8-bit PCM (centered at 128); only the first 4 x 256-sample windows
+    are probed. Sums of squares are exact integers on both engines
+    (<= 256 terms of <= 128^2), so double division + IEEE sqrt
+    round-trips bit-identically against the oracle's hex-nibble SQL
+    decode of the same cycled byte stream.
 
     Scale shape: embarrassingly parallel per payload, no shuffle; the
-    prefix cap bounds output at 4 rows per document regardless of
-    payload size."""
-    import numpy as np
-
+    prefix cap bounds output at 4 rows per document."""
     t = tables(spark, sf_dir)
     src = t.documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    ).filter(F.octet_length("payload") > 0)
+    ).filter(F.octet_length("payload") % 3 == 1)
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                n_win = min(
-                    -(-len(arr) // _AUDIO_WIN), _AUDIO_MAX_WIN
-                )  # ceil div, capped
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(raw)
+                # real chunk walk (decode_media validates WAVE layout)
+                assert decode_media(wav)["decode_status"] == "wav"
+                data_off = wav.index(b"data") + 8
+                data_size = struct.unpack_from("<I", wav, data_off - 4)[0]
+                arr = np.frombuffer(
+                    wav, dtype=np.uint8, count=data_size, offset=data_off
+                ).astype(np.int64)
+                n_win = min(-(-len(arr) // _AUDIO_WIN), _AUDIO_MAX_WIN)
                 for w in range(n_win):
                     seg = arr[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN] - 128
                     ss = float(np.dot(seg, seg))
                     rows.append((doc_id, w, len(seg), ss))
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 rows, columns=["doc_id", "window_id", "n_samples", "ss"]
             )
-            yield out
 
     scored = src.mapInPandas(
         energy, "doc_id bigint, window_id bigint, n_samples bigint, ss double"
@@ -335,7 +518,8 @@ def multimodal_shard_balance_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the size rank is ONE global sort of (doc_id, bytes) pairs —
     at 100 TB that is a range-partitioned sort of an 16-byte-per-row
     projection, not of payloads; assignment and the shard rollup are
-    map-side after it."""
+    map-side after it. (Sizes here are the raw payload bytes — the
+    operator is container-agnostic by design.)"""
     t = tables(spark, sf_dir)
     payload_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
     w = Window.orderBy(F.desc("bytes"), F.asc("doc_id"))

@@ -1,0 +1,125 @@
+"""Container-level tests for the multimodal codecs: the synthesized
+payloads must be REAL BMP / WAV / YUV4MPEG2 files, and ``decode_media``
+must parse containers it did not synthesize (hand-built canonical bytes)
+— proving the decoder reads the formats, not a private convention."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from awsbeats_spark.operators.llm.multimodal import (
+    decode_media,
+    synthesize_bmp,
+    synthesize_media,
+    synthesize_wav,
+    synthesize_y4m,
+)
+
+
+def test_bmp_roundtrip_and_structure():
+    data = b"hello world, pixels!"  # n=20 -> w=24, h=4+(140%17)=8
+    p = synthesize_bmp(data)
+    assert p[:2] == b"BM"
+    file_size = struct.unpack_from("<I", p, 2)[0]
+    assert file_size == len(p)
+    offset = struct.unpack_from("<I", p, 10)[0]
+    assert offset == 54
+    d = decode_media(p)
+    assert (d["width"], d["height"]) == (24, 8)
+    stride = ((3 * 24 + 3) // 4) * 4
+    assert len(p) == 54 + stride * 8
+
+
+def test_wav_roundtrip_and_structure():
+    data = b"x" * 100  # n=100 -> 700 samples
+    p = synthesize_wav(data)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    riff_size = struct.unpack_from("<I", p, 4)[0]
+    assert riff_size == len(p) - 8
+    d = decode_media(p)
+    assert d == {
+        "width": 700,
+        "height": 1,
+        "n_frames": 1,
+        "decode_status": "wav",
+    }
+
+
+def test_y4m_roundtrip_and_frame_walk():
+    data = b"abcde"  # n=5 -> w=20, h=10, frames=6
+    p = synthesize_y4m(data)
+    assert p.startswith(b"YUV4MPEG2 W20 H10 ")
+    d = decode_media(p)
+    assert d == {
+        "width": 20,
+        "height": 10,
+        "n_frames": 6,
+        "decode_status": "y4m",
+    }
+
+
+def test_y4m_frame_walk_survives_marker_in_plane_bytes():
+    # plane bytes that CONTAIN b"FRAME\n": a substring count would
+    # overcount; the offset walk must not
+    data = b"zzFRAME\nzz" * 20  # n=200 -> video (200 % 3 == 2)
+    d = decode_media(synthesize_media(data))
+    assert d["n_frames"] == 1 + 200 % 24
+
+
+def test_decode_handles_foreign_bmp():
+    """A 2x2 top-down 24-bpp BMP built by hand (negative height, pixel
+    data not from our synthesizer)."""
+    w, h = 2, 2
+    stride = ((3 * w + 3) // 4) * 4
+    pixels = bytes(range(stride * h))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+    )
+    d = decode_media(header + info + pixels)
+    assert (d["width"], d["height"], d["decode_status"]) == (2, 2, "bmp")
+
+
+def test_decode_handles_foreign_wav_with_extra_chunk():
+    """Stereo 16-bit WAV with a LIST chunk before data — the chunk walk
+    must skip unknown chunks and derive samples from bits*channels."""
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    pcm = b"\x00\x01" * 2 * 10  # 10 stereo 16-bit samples
+    listc = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = (
+        struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + listc
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+    p = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    d = decode_media(p)
+    assert d == {
+        "width": 10,
+        "height": 2,
+        "n_frames": 1,
+        "decode_status": "wav",
+    }
+
+
+def test_decode_rejects_unknown_and_bad_containers():
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        # BMP magic but 8-bpp (unsupported by this decoder)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+        decode_media(struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + info)
+    with pytest.raises(ValueError):
+        # y4m header whose body is misaligned
+        decode_media(b"YUV4MPEG2 W10 H10 F25:1 Ip A1:1 C420\nNOTFRAME")
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 29, 100, 499, 500, 1099])
+def test_modality_dispatch_matches_spec(n):
+    data = (b"payload-bytes-" * 100)[:n]
+    d = decode_media(synthesize_media(data))
+    expect = {0: "bmp", 1: "wav", 2: "y4m"}[n % 3]
+    assert d["decode_status"] == expect

@@ -280,11 +280,17 @@ def test_audio_energy_matches_numpy_on_known_payload(run, sf_dir):
 
     out = run("multimodal_audio_energy")
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
-    # recompute one document end-to-end
-    row = docs.iloc[0]
-    arr = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8).astype(
-        np.int64
+    # recompute one AUDIO-modality document (len % 3 == 1) end-to-end:
+    # PCM = text bytes cycled to the WAV spec's 600 + n % 500 samples
+    row = next(
+        r
+        for _, r in docs.iterrows()
+        if len(r["text"].encode("utf-8")) % 3 == 1
     )
+    raw = row["text"].encode("utf-8")
+    ns = 600 + len(raw) % 500
+    reps = -(-ns // len(raw))
+    arr = np.frombuffer((raw * reps)[:ns], dtype=np.uint8).astype(np.int64)
     got = out[out["doc_id"] == row["doc_id"]].sort_values("window_id")
     n_win = min(-(-len(arr) // 256), 4)
     assert list(got["window_id"]) == list(range(n_win))
