@@ -209,6 +209,8 @@ _ROUND6_WINDOW = [
     "graph_type_overlap_jaccard",
     "geo_grid_neighbor_join",
     "geo_cell_density_topk",
+    # keys added in round 4 (never driver-checked; appended per the plan)
+    "dedup_ngram_topk_bounded",
 ]
 
 

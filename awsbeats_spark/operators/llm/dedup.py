@@ -858,3 +858,106 @@ def eval_pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge1_f1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-output n-gram Jaccard: DF cap + per-doc top-k partners
+# --------------------------------------------------------------------------
+
+PAIR_TOPK = 3  # max partners emitted per anchor doc
+
+
+_NGRAM_TOPK_ORACLE = f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s0
+        FROM documents
+    ),
+    exploded0 AS (SELECT doc_id, unnest(s0) AS sh FROM shs),
+    df AS (
+        SELECT sh FROM exploded0 GROUP BY sh HAVING count(*) <= {DF_CAP}
+    ),
+    exploded AS (
+        SELECT e.doc_id, e.sh FROM exploded0 e JOIN df USING (sh)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               shared * 1.0 / (ca.n + cb.n - shared) AS jac
+        FROM pairs
+        JOIN counts ca ON doc_a = ca.doc_id
+        JOIN counts cb ON doc_b = cb.doc_id
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_THRESHOLD}
+    ),
+    ranked AS (
+        SELECT doc_a, doc_b, jac,
+               row_number() OVER (
+                   PARTITION BY doc_a ORDER BY jac DESC, doc_b
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {PAIR_TOPK}
+"""
+
+
+@query("dedup_ngram_topk_bounded", oracle=_NGRAM_TOPK_ORACLE)
+def dedup_ngram_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB configuration of n-gram Jaccard dedup: bounded INPUT
+    and bounded OUTPUT. Input explosion is tamed by the DF cap (a
+    shingle in > DF_CAP docs is boilerplate and contributes O(df^2)
+    candidate pairs — dropped pre-join, like dedup_ngram_df_capped).
+    Output explosion — the all-pairs contract that makes the uncapped
+    operators superlinear when a TRUE duplicate cluster of size m emits
+    m(m-1)/2 rows (EXTRAPOLATION.md note 1) — is bounded here to the
+    top PAIR_TOPK highest-Jaccard partners per anchor doc, so output is
+    O(k * docs) no matter how degenerate the corpus. The rank window
+    partitions by anchor doc (hash-partitioned, no global sort) with a
+    deterministic tiebreak (jaccard DESC, doc_b ASC). A reviewer
+    consuming pairs ranked rk=1 first sees each doc's strongest
+    near-dup; dedup_connected_components remains the representation of
+    choice when full clusters are needed without pair explosion."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded0 = sets.select("doc_id", F.explode("shs").alias("sh"))
+    df_ok = (
+        exploded0.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("sh")
+    )
+    exploded = exploded0.join(df_ok, "sh")
+    counts = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    scored = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jac"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_a").orderBy(F.desc("jac"), F.asc("doc_b"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= PAIR_TOPK)
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd("jac", 6).alias("jaccard"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -109,3 +109,54 @@ def test_vocab_growth_plan_is_lazy(spark, degenerate_docs_dir):
         "plan build launched more than the parquet schema-listing job"
     )
     assert df.columns == ["n_docs", "vocab", "n_tokens"]
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_topk_bounded: bounded output on an adversarial corpus
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_cluster_dir(tmp_path_factory):
+    """40 near-identical docs (one word differs) + 10 unrelated docs:
+    the uncapped all-pairs contract emits ~40*39/2 = 780 rows; the
+    bounded operator must stay at <= PAIR_TOPK per anchor doc."""
+    dst = tmp_path_factory.mktemp("sf_dupcluster")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts catalog meteor fragments beside the river delta "
+        "counting pebbles and naming each one after a forgotten storm"
+    )
+    rows = []
+    for i in range(40):
+        text = base + f" variant token{i}"
+        rows.append((i, text, "en", "web", len(text)))
+    for i in range(40, 50):
+        text = " ".join(f"unique{i}w{j}" for j in range(30))
+        rows.append((i, text, "en", "web", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(dst / "documents.parquet"), index=False)
+    return str(dst)
+
+
+def test_topk_bounded_output_on_dup_cluster(spark, dup_cluster_dir):
+    from awsbeats_spark.operators.llm.dedup import PAIR_TOPK
+
+    uncapped = (
+        SPECS["dedup_ngram_jaccard"].fn(spark, dup_cluster_dir).toPandas()
+    )
+    bounded = (
+        SPECS["dedup_ngram_topk_bounded"].fn(spark, dup_cluster_dir).toPandas()
+    )
+    # the cluster really explodes the all-pairs contract...
+    assert len(uncapped) >= 40 * 39 / 2
+    # ...and the bounded operator caps it at PAIR_TOPK per anchor
+    assert bounded.groupby("doc_a").size().max() <= PAIR_TOPK
+    assert len(bounded) <= PAIR_TOPK * bounded["doc_a"].nunique()
+    assert len(bounded) < len(uncapped) / 5
+    # ranks are 1..k, descending jaccard within each anchor
+    for _, g in bounded.groupby("doc_a"):
+        g = g.sort_values("rk")
+        assert list(g["rk"]) == list(range(1, len(g) + 1))
+        assert (g["jaccard"].diff().dropna() <= 1e-12).all()
