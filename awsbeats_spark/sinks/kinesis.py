@@ -56,6 +56,9 @@ class SinkConfig:
     timeout_s: float = 90.0
     backoff_init_s: float = 1.0
     backoff_max_s: float = 60.0
+    # Custom AWS endpoint (standard SDK option): localstack/moto-style
+    # integration targets or VPC interface endpoints. None = AWS default.
+    endpoint_url: str | None = None
 
     def validate(self) -> None:
         # streams/config.go:41-59 + firehose/config.go:37-51, one rule each
@@ -104,8 +107,10 @@ class BulkPutClient(Protocol):
 
 
 def make_boto3_client(cfg: SinkConfig) -> BulkPutClient:
-    """Production client (requires boto3 + AWS credentials; not present
-    in this environment — tests inject stubs)."""
+    """Production client: real boto3 against AWS, a localstack/moto
+    endpoint, or the wire-level loopback server in
+    tests/test_sink_e2e_wire.py (cfg.endpoint_url). Unit tests inject
+    plain stubs instead and never construct this."""
     try:
         import boto3  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover
@@ -129,7 +134,12 @@ def make_boto3_client(cfg: SinkConfig) -> BulkPutClient:
         boto_cfg = None
 
     if cfg.mode == "streams":
-        kin = boto3.client("kinesis", region_name=cfg.region, config=boto_cfg)
+        kin = boto3.client(
+            "kinesis",
+            region_name=cfg.region,
+            endpoint_url=cfg.endpoint_url,
+            config=boto_cfg,
+        )
 
         class _Streams:
             def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]:
@@ -143,7 +153,12 @@ def make_boto3_client(cfg: SinkConfig) -> BulkPutClient:
 
         return _Streams()
 
-    fh = boto3.client("firehose", region_name=cfg.region, config=boto_cfg)
+    fh = boto3.client(
+        "firehose",
+        region_name=cfg.region,
+        endpoint_url=cfg.endpoint_url,
+        config=boto_cfg,
+    )
 
     class _Firehose:
         def put_records(self, records: list[dict[str, Any]]) -> dict[str, Any]:
