@@ -211,6 +211,9 @@ _ROUND6_WINDOW = [
     "geo_cell_density_topk",
     # keys added in round 4 (never driver-checked; appended per the plan)
     "dedup_ngram_topk_bounded",
+    "sim_search_hamming_packed",
+    "agg_partial_merge_shards",
+    "ts_theil_sen_slope",
 ]
 
 

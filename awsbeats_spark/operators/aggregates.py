@@ -699,3 +699,75 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(m3 / F.pow(m2, 1.5), 4).alias("skewness_g1"),
         rnd(m4 / F.pow(m2, 2) - 3, 4).alias("excess_kurtosis_g2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partial-aggregate shard merge (algebraic reaggregation)
+# --------------------------------------------------------------------------
+
+_N_MERGE_SHARDS = 8
+
+
+@query(
+    "agg_partial_merge_shards",
+    oracle=f"""
+    WITH partials AS (
+        SELECT l_returnflag,
+               CAST(l_orderkey % {_N_MERGE_SHARDS} AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+               sum(l_quantity * l_quantity) AS ss,
+               min(l_quantity) AS mn,
+               max(l_quantity) AS mx
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(s) AS BIGINT) AS sum_qty,
+           min(mn) AS min_qty,
+           max(mx) AS max_qty,
+           round(sum(s) * 1.0 / sum(n), 6) AS mean_qty,
+           round(sqrt(sum(ss) / sum(n)
+                      - (sum(s) * 1.0 / sum(n)) * (sum(s) * 1.0 / sum(n))), 6)
+               AS pop_std_qty
+    FROM partials GROUP BY 1
+    """,
+)
+def agg_partial_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level algebraic aggregation: per-shard PARTIAL states (count,
+    sum, sum-of-squares, min, max) merged into exact global stats
+    without revisiting raw rows — the pattern behind every incremental
+    rollup at 100 TB (daily partials merged into monthly, per-executor
+    states merged by combiners, cube cells merged upward). count/sum/
+    sumsq/min/max are algebraic: merge = sum/sum/sum/min/max, and mean
+    and population std derive from the merged moments exactly, so the
+    result is bit-equal to a direct one-pass aggregation while only the
+    tiny (groups x shards) state table crosses the second shuffle.
+    Scale note: stage 1 is map-side-combinable on (flag, shard); stage 2
+    aggregates {_N_MERGE_SHARDS} rows per flag — microscopic. Quantity
+    sums use exact integer/decimal arithmetic pre-division (the HUGEINT
+    lesson from round 2: CAST to BIGINT before summing in the oracle)."""
+    t = tables(spark, sf_dir)
+    partials = t.lineitem.groupBy(
+        "l_returnflag",
+        (F.col("l_orderkey") % _N_MERGE_SHARDS).cast("int").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    mean = F.sum("s") / F.sum("n")
+    return partials.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("sum_qty"),
+        F.min("mn").alias("min_qty"),
+        F.max("mx").alias("max_qty"),
+        rnd(mean, 6).alias("mean_qty"),
+        rnd(F.sqrt(F.sum("ss") / F.sum("n") - mean * mean), 6).alias(
+            "pop_std_qty"
+        ),
+    )

@@ -220,6 +220,11 @@ EXTENDED_PROBE = [
     # round 3t additions
     "text_word_burstiness",
     "corpus_mix_kl_to_target",
+    # round 4 additions
+    "dedup_ngram_topk_bounded",
+    "sim_search_hamming_packed",
+    "agg_partial_merge_shards",
+    "ts_theil_sen_slope",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Semantic checks for the round-4 operators (bit-packed Hamming ANN,
+partial-aggregate shard merge, Theil–Sen robust trend) — independent
+recomputation in numpy/pandas, not just oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from awsbeats_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return SPECS[name].fn(spark, sf_dir).toPandas()
+
+    return _run
+
+
+def test_hamming_packed_matches_numpy_bitwise(run, sf_dir):
+    out = run("sim_search_hamming_packed")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].values) >= 0  # (n, 64) sign bits
+    ids = emb["vec_id"].values
+    for qid in out["query_id"].unique():
+        qbits = mat[ids == qid][0]
+        ham = (mat != qbits).sum(axis=1)
+        order = sorted(
+            [(h, i) for h, i in zip(ham, ids) if i != qid]
+        )[:10]
+        got = out[out["query_id"] == qid].sort_values("rn")
+        assert list(got["neighbor_id"]) == [i for _, i in order]
+        assert list(got["hamming"]) == [h for h, _ in order]
+    # output bound: exactly top-10 per query
+    assert (out.groupby("query_id").size() == 10).all()
+
+
+def test_hamming_correlates_with_cosine(run):
+    """Sanity on the quantization itself: each query's top-10 Hamming
+    neighbors should have meaningfully lower mean Hamming distance than
+    the ~32 expected for random independent sign vectors."""
+    out = run("sim_search_hamming_packed")
+    assert out["hamming"].mean() < 30
+
+
+def test_partial_merge_equals_direct_aggregation(run, sf_dir):
+    out = run("agg_partial_merge_shards").set_index("l_returnflag")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        q = g["l_quantity"].astype(float)
+        row = out.loc[flag]
+        assert row["n"] == len(g)
+        assert row["sum_qty"] == int(q.sum())
+        assert row["min_qty"] == q.min()
+        assert row["max_qty"] == q.max()
+        assert row["mean_qty"] == pytest.approx(q.mean(), abs=1.01e-6)
+        assert row["pop_std_qty"] == pytest.approx(
+            q.std(ddof=0), abs=1e-4
+        )
+        # every shard contributed a partial state
+        shards = (g["l_orderkey"] % 8).nunique()
+        assert row["n_shards"] == shards
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(run, spark, sf_dir):
+    out = run("ts_theil_sen_slope").iloc[0]
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.timeseries import _series_xy
+
+    daily = (
+        _series_xy(tables(spark, sf_dir).events, "day")
+        .toPandas()
+        .sort_values("x")
+    )
+    x, y = daily["x"].values.astype(float), daily["y"].values
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    slope = float(np.median(slopes))
+    intercept = float(np.median(y - slope * x))
+    assert out["n_days"] == len(x)
+    assert out["n_pairs"] == len(slopes)
+    assert out["slope_per_day"] == pytest.approx(slope, abs=1.01e-6)
+    assert out["intercept"] == pytest.approx(intercept, abs=1.01e-4)
+
+
+def test_theil_sen_robust_to_outliers(spark, tmp_path_factory):
+    """The estimator's defining property: a few wild outliers must not
+    move the slope (OLS would swing). Synthetic events: value = 2*day
+    + noise-free, with 3 massive spikes."""
+    dst = tmp_path_factory.mktemp("sf_theil")
+    ts = pd.date_range("2024-01-01", periods=30, freq="D")
+    rows = []
+    for i, t in enumerate(ts):
+        v = 2.0 * i + 10
+        if i in (5, 12, 20):
+            v = 5000.0  # outlier days
+        rows.append((i, t, i % 3, "click", v, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(str(dst / "events.parquet"), index=False)
+    out = SPECS["ts_theil_sen_slope"].fn(spark, str(dst)).toPandas().iloc[0]
+    # 27 of 30 days sit exactly on slope 2/day; Theil-Sen must find it
+    assert out["slope_per_day"] == pytest.approx(2.0, abs=1e-6)
