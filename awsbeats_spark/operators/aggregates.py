@@ -771,3 +771,75 @@ def agg_partial_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pop_std_qty"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile shard-merge error probe (why medians are NOT algebraic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_quantile_merge_shards",
+    oracle=f"""
+    WITH partials AS (
+        SELECT l_returnflag,
+               CAST(l_orderkey % {_N_MERGE_SHARDS} AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n,
+               quantile_cont(l_quantity, 0.5) AS med
+        FROM lineitem GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT l_returnflag,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum(n * med) / sum(n) AS est_median
+        FROM partials GROUP BY 1
+    ),
+    exact AS (
+        SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median
+        FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, m.n,
+           round(m.est_median, 6) AS est_median,
+           round(e.exact_median, 6) AS exact_median,
+           round(abs(m.est_median - e.exact_median), 6) AS abs_err,
+           round(abs(m.est_median - e.exact_median)
+                 / e.exact_median, 6) AS rel_err
+    FROM merged m JOIN exact e USING (l_returnflag)
+    """,
+)
+def agg_quantile_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dishonest cousin of agg_partial_merge_shards, measured
+    honestly: medians are NOT algebraic, so merging per-shard medians
+    (count-weighted average — the naive rollup someone always ships)
+    is an ESTIMATE, and this operator reports its error against the
+    exact global median side by side. The lesson a 100 TB platform
+    encodes in code review: for mergeable quantiles use a sketch with
+    a merge operator (t-digest/KLL — agg_percentile_approx is the
+    engine's sketch path); if you see partial medians being averaged,
+    this operator is the regression test that quantifies the damage.
+    Scale shape: both branches are one pass each; the exact branch's
+    full-sort-per-group is itself the thing sketches exist to avoid."""
+    t = tables(spark, sf_dir)
+    partials = t.lineitem.groupBy(
+        "l_returnflag",
+        (F.col("l_orderkey") % _N_MERGE_SHARDS).cast("int").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("med"),
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        (F.sum(F.col("n") * F.col("med")) / F.sum("n")).alias("est_median"),
+    )
+    exact = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("exact_median")
+    )
+    err = F.abs(F.col("est_median") - F.col("exact_median"))
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        rnd("est_median", 6).alias("est_median"),
+        rnd("exact_median", 6).alias("exact_median"),
+        rnd(err, 6).alias("abs_err"),
+        rnd(err / F.col("exact_median"), 6).alias("rel_err"),
+    )

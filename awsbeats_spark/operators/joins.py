@@ -578,3 +578,98 @@ def join_dynamic_in_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(dim), fact.l_partkey == dim.p_partkey, "left_semi"
         )
     return fact.filter(F.col("l_partkey").isin(keys))
+
+
+# --------------------------------------------------------------------------
+# Correlated key-hash join sampling (join cardinality/sum estimation)
+# --------------------------------------------------------------------------
+
+_SAMPLE_NIBBLES = ("0", "1", "2", "3")  # md5 first nibble -> p = 4/16
+
+
+@query(
+    "join_keyhash_sample_estimate",
+    oracle="""
+    WITH exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_rows,
+               sum(l_extendedprice * (1 - l_discount)) AS exact_revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    sampled AS (
+        SELECT CAST(count(*) AS BIGINT) AS s_rows,
+               coalesce(sum(l_extendedprice * (1 - l_discount)), 0)
+                   AS s_revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3')
+    )
+    SELECT e.exact_rows,
+           CAST(round(s.s_rows * 4.0, 0) AS BIGINT) AS est_rows,
+           round(e.exact_revenue, 2) AS exact_revenue,
+           round(s.s_revenue * 4.0, 2) AS est_revenue,
+           round(abs(s.s_rows * 4.0 - e.exact_rows)
+                 / e.exact_rows, 4) AS rows_rel_err,
+           round(abs(s.s_revenue * 4.0 - e.exact_revenue)
+                 / e.exact_revenue, 4) AS revenue_rel_err
+    FROM exact e CROSS JOIN sampled s
+    """,
+)
+def join_keyhash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join estimation by CORRELATED key-hash sampling, with its error
+    measured against the exact join. Sampling each side independently
+    (Bernoulli on rows) breaks joins — a p-sample of each side keeps
+    only p^2 of the matching pairs and, worse, a biased subset of the
+    key distribution. The correct scheme samples the JOIN KEY DOMAIN:
+    keep a key iff md5(key) falls in a fixed nibble range (p = 1/4
+    here), apply the SAME predicate to both sides, and every surviving
+    key keeps ALL its rows on both sides — the join inside the sample
+    is exact, and totals scale back by 1/p (unbiased for sums over
+    keys). This is how a 100 TB planner probes join cardinality / AQE
+    validates statistics without running the join: the sample predicate
+    pushes into both parquet scans (key is a scan column), the sampled
+    join is ~p of the full join's shuffle, and the estimate's relative
+    error is reported, not assumed. Hash sampling (not key % 4) keeps
+    the sample content-addressed and free of key-assignment patterns;
+    md5 makes the two engines (and every rerun) agree bit-for-bit."""
+    t = tables(spark, sf_dir)
+    keep = F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 1
+    ).isin(*_SAMPLE_NIBBLES)
+    orders = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    li = t.lineitem.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    exact = joined.agg(
+        F.count(F.lit(1)).alias("exact_rows"),
+        F.sum("rev").alias("exact_revenue"),
+    )
+    sampled = (
+        orders.filter(keep)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("s_rows"),
+            F.coalesce(F.sum("rev"), F.lit(0.0)).alias("s_revenue"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(sampled)).select(
+        "exact_rows",
+        F.round(F.col("s_rows") * 4.0, 0).cast("long").alias("est_rows"),
+        rnd("exact_revenue", 2).alias("exact_revenue"),
+        rnd(F.col("s_revenue") * 4.0, 2).alias("est_revenue"),
+        rnd(
+            F.abs(F.col("s_rows") * 4.0 - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            4,
+        ).alias("rows_rel_err"),
+        rnd(
+            F.abs(F.col("s_revenue") * 4.0 - F.col("exact_revenue"))
+            / F.col("exact_revenue"),
+            4,
+        ).alias("revenue_rel_err"),
+    )

@@ -225,6 +225,9 @@ EXTENDED_PROBE = [
     "sim_search_hamming_packed",
     "agg_partial_merge_shards",
     "ts_theil_sen_slope",
+    "agg_quantile_merge_shards",
+    "ts_dow_anova",
+    "join_keyhash_sample_estimate",
 ]
 
 

@@ -109,3 +109,57 @@ def test_theil_sen_robust_to_outliers(spark, tmp_path_factory):
     out = SPECS["ts_theil_sen_slope"].fn(spark, str(dst)).toPandas().iloc[0]
     # 27 of 30 days sit exactly on slope 2/day; Theil-Sen must find it
     assert out["slope_per_day"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_quantile_merge_reports_honest_error(run, sf_dir):
+    out = run("agg_quantile_merge_shards").set_index("l_returnflag")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        row = out.loc[flag]
+        exact = g["l_quantity"].astype(float).median()
+        assert row["exact_median"] == pytest.approx(exact, abs=1.01e-6)
+        # the estimate is the count-weighted mean of shard medians
+        sh = g.assign(shard=g["l_orderkey"] % 8).groupby("shard")["l_quantity"]
+        est = (sh.median() * sh.size()).sum() / len(g)
+        assert row["est_median"] == pytest.approx(est, abs=1.01e-6)
+        assert row["abs_err"] == pytest.approx(
+            abs(est - exact), abs=1.01e-6
+        )
+
+
+def test_dow_anova_matches_scipy_style_recompute(run, spark, sf_dir):
+    out = run("ts_dow_anova").iloc[0]
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.timeseries import _series_xy
+
+    daily = _series_xy(tables(spark, sf_dir).events, "day").toPandas()
+    daily["dow"] = daily["x"] % 7
+    mu = daily["y"].mean()
+    groups = daily.groupby("dow")["y"]
+    ssb = (groups.size() * (groups.mean() - mu) ** 2).sum()
+    sst = ((daily["y"] - mu) ** 2).sum()
+    k, n = groups.ngroups, len(daily)
+    f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert out["n_days"] == n and out["k_groups"] == k
+    assert out["f_stat"] == pytest.approx(f, rel=1e-4)
+    assert out["eta_squared"] == pytest.approx(ssb / sst, abs=1.01e-6)
+    assert 0 <= out["eta_squared"] <= 1
+
+
+def test_keyhash_sample_estimate_is_exact_within_sample(run, sf_dir):
+    out = run("join_keyhash_sample_estimate").iloc[0]
+    import hashlib
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = orders[orders["o_orderpriority"] == "1-URGENT"]
+    j = urgent.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    rev = (j["l_extendedprice"] * (1 - j["l_discount"])).sum()
+    assert out["exact_rows"] == len(j)
+    assert out["exact_revenue"] == pytest.approx(rev, abs=0.011)
+    keep = j["o_orderkey"].map(
+        lambda k: hashlib.md5(str(k).encode()).hexdigest()[0] in "0123"
+    )
+    assert out["est_rows"] == round(keep.sum() * 4)
+    # unbiasedness sanity: estimate within 35% at this tiny SF
+    assert out["rows_rel_err"] < 0.35 and out["revenue_rel_err"] < 0.35
