@@ -411,3 +411,88 @@ def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bucket"))
     )
     return counts.withColumn("rn", rn).filter(F.col("rn") <= 8)
+
+
+# --------------------------------------------------------------------------
+# Ranking agreement: top-k overlap + Spearman rho between BM25 and QL
+# --------------------------------------------------------------------------
+
+
+def _overlap_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH bm AS ({QUERIES['retrieval_bm25_topk'].oracle}),
+    ql AS ({QUERIES['retrieval_query_likelihood'].oracle}),
+    inter AS (
+        SELECT b.query_id, b.doc_id, b.rn AS rna, q.rn AS rnb
+        FROM bm b JOIN ql q USING (query_id, doc_id)
+    ),
+    rr AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY rna) AS ra,
+               row_number() OVER (PARTITION BY query_id ORDER BY rnb) AS rb
+        FROM inter
+    ),
+    per AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+               sum((ra - rb) * (ra - rb)) AS d2
+        FROM rr GROUP BY 1
+    )
+    SELECT query_id, CAST({RETR_TOP_K} AS BIGINT) AS k, n_overlap,
+           round(n_overlap / {RETR_TOP_K}.0, 6) AS overlap_frac,
+           CASE WHEN n_overlap > 1 THEN
+               round(1 - 6.0 * d2 / (n_overlap
+                     * (n_overlap * n_overlap - 1)), 6)
+           END AS spearman_rho
+    FROM per
+    """
+
+
+@query("retrieval_overlap_at_k", oracle=_overlap_oracle())
+def retrieval_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-agreement evaluation between the two registered sparse
+    retrievers: per query, the top-k set overlap between BM25 and
+    Dirichlet query-likelihood plus Spearman's rho over the shared
+    docs (re-ranked within the intersection so both rank vectors are
+    permutations of 1..n and the classic 1 - 6*sum(d^2)/(n(n^2-1))
+    formula applies exactly). This is the retrieval-stack regression
+    probe: a scorer change that leaves overlap/rho unchanged is a
+    refactor, one that moves them is a semantic change — and at 100 TB
+    you compare rankings on the k-row-per-query result tables, never by
+    re-scoring the corpus twice more. Composes the REGISTERED operators
+    (same DataFrames, same oracles embedded as CTEs), so this eval can
+    never drift from the rankers it audits. rho is NULL for n < 2
+    (undefined) on both engines."""
+    from awsbeats_spark.registry import QUERIES
+
+    bm = QUERIES["retrieval_bm25_topk"].fn(spark, sf_dir)
+    ql = QUERIES["retrieval_query_likelihood"].fn(spark, sf_dir)
+    inter = bm.select("query_id", "doc_id", F.col("rn").alias("rna")).join(
+        ql.select("query_id", "doc_id", F.col("rn").alias("rnb")),
+        ["query_id", "doc_id"],
+    )
+    rr = inter.select(
+        "query_id",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy("rna"))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy("rnb"))
+        .alias("rb"),
+    )
+    d = F.col("ra") - F.col("rb")
+    per = rr.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(d * d).alias("d2"),
+    )
+    n = F.col("n_overlap")
+    return per.select(
+        "query_id",
+        F.lit(RETR_TOP_K).cast("long").alias("k"),
+        n.alias("n_overlap"),
+        rnd(n / float(RETR_TOP_K), 6).alias("overlap_frac"),
+        F.when(
+            n > 1, rnd(1 - 6.0 * F.col("d2") / (n * (n * n - 1)), 6)
+        ).alias("spearman_rho"),
+    )

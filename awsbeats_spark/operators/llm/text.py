@@ -943,3 +943,69 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("cf") / F.col("df"), 6).alias("burstiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-class precision/recall
+# --------------------------------------------------------------------------
+
+
+def _langid_eval_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH pred AS ({QUERIES['text_lang_id'].oracle}),
+    cells AS (
+        SELECT labeled_lang AS gold, predicted_lang AS predicted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    gold_tot AS (SELECT gold, sum(n) AS ng FROM cells GROUP BY 1),
+    pred_tot AS (SELECT predicted, sum(n) AS np FROM cells GROUP BY 1)
+    SELECT c.gold, c.predicted, c.n,
+           round(c.n * 1.0 / g.ng, 6) AS recall_share,
+           round(c.n * 1.0 / p.np, 6) AS precision_share
+    FROM cells c
+    JOIN gold_tot g USING (gold)
+    JOIN pred_tot p USING (predicted)
+    """
+
+
+@query("eval_langid_confusion", oracle=_langid_eval_oracle())
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: the confusion
+    matrix of the text_lang_id heuristic against the corpus's gold
+    `lang` labels, each (gold, predicted) cell carrying its share of
+    the gold class (row-normalized = recall contribution) and of the
+    predicted class (column-normalized = precision contribution). The
+    diagonal's recall_share IS per-class recall; the diagonal's
+    precision_share IS per-class precision — the quality gate an
+    LLM-data pipeline puts on its language router before mixing
+    corpora. Composes the REGISTERED lang-id operator (same DataFrame,
+    same oracle embedded as a CTE), so the eval can never drift from
+    the thing it evaluates. Scale shape: one classify pass, one
+    (gold, predicted) aggregate — at most |langs|^2 cells regardless
+    of corpus size; the share joins run on that tiny cell table."""
+    from awsbeats_spark.registry import QUERIES
+
+    pred = QUERIES["text_lang_id"].fn(spark, sf_dir)
+    cells = (
+        pred.groupBy(
+            F.col("labeled_lang").alias("gold"),
+            F.col("predicted_lang").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gold_tot = cells.groupBy("gold").agg(F.sum("n").alias("ng"))
+    pred_tot = cells.groupBy("predicted").agg(F.sum("n").alias("np"))
+    return (
+        cells.join(gold_tot, "gold")
+        .join(pred_tot, "predicted")
+        .select(
+            "gold",
+            "predicted",
+            "n",
+            rnd(F.col("n") / F.col("ng"), 6).alias("recall_share"),
+            rnd(F.col("n") / F.col("np"), 6).alias("precision_share"),
+        )
+    )

@@ -1193,3 +1193,69 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_positives"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: the layout that deletes the join shuffle
+# --------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_noshuffle",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both join sides are (re)written as
+    managed tables bucketed 8 ways on the join key, then joined and
+    aggregated THROUGH the catalog — the layout hash-places matching
+    rows in matching files, so the join and the bucket-key groupBy run
+    with ZERO shuffle of either fact table (the physical-plan property
+    is pinned by tests/test_bucketed_join.py and the bucketed-plan test
+    for this key). At 100 TB this is the storage decision that turns an
+    every-query 100 TB network shuffle into a one-time layout cost paid
+    at ingest — exactly how warehouse fact tables co-locate with their
+    largest dimension. The oracle is the plain join: bucketing must
+    never change results, only movement. Table names carry an sf tag so
+    concurrent scale factors don't clobber each other; mode=overwrite
+    keeps repeated runs (bench loops) idempotent."""
+    import hashlib
+
+    from awsbeats_spark.sinks.bucketed import read_table, write_bucketed
+
+    t = tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"b4_orders_{tag}", f"b4_lineitem_{tag}"
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_orderstatus"),
+        ot,
+        "o_orderkey",
+        buckets=_BUCKETS,
+    )
+    write_bucketed(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        ),
+        lt,
+        "o_orderkey",
+        buckets=_BUCKETS,
+    )
+    o, li = read_table(spark, ot), read_table(spark, lt)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum(rev), 2).alias("revenue"),
+        )
+    )

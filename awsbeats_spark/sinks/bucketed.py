@@ -16,6 +16,9 @@ session's warehouse.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -31,6 +34,19 @@ def write_bucketed(
     sorted) by `key`. Sorting within buckets additionally enables
     merge-join without a per-task sort and better run-length/dictionary
     compression on the key column."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A managed table's LOCATION outlives the (in-memory/derby)
+        # catalog entry across sessions; a fresh session then fails with
+        # LOCATION_ALREADY_EXISTS because "overwrite" can't see a table
+        # it never registered. Drop the entry AND the orphaned location.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(warehouse, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

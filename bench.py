@@ -228,6 +228,9 @@ EXTENDED_PROBE = [
     "agg_quantile_merge_shards",
     "ts_dow_anova",
     "join_keyhash_sample_estimate",
+    "join_bucketed_noshuffle",
+    "eval_langid_confusion",
+    "retrieval_overlap_at_k",
 ]
 
 

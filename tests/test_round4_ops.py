@@ -163,3 +163,70 @@ def test_keyhash_sample_estimate_is_exact_within_sample(run, sf_dir):
     assert out["est_rows"] == round(keep.sum() * 4)
     # unbiasedness sanity: estimate within 35% at this tiny SF
     assert out["rows_rel_err"] < 0.35 and out["revenue_rel_err"] < 0.35
+
+
+def test_bucketed_noshuffle_plan_and_result(run, spark, sf_dir):
+    from awsbeats_spark.plans.inspect import formatted_plan
+
+    df = SPECS["join_bucketed_noshuffle"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the layout must delete the join-key shuffle on BOTH fact sides
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan
+    out = df.toPandas().set_index("o_orderstatus")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    for status, g in j.groupby("o_orderstatus"):
+        assert out.loc[status, "n_items"] == len(g)
+        rev = (g["l_extendedprice"] * (1 - g["l_discount"])).sum()
+        assert out.loc[status, "revenue"] == pytest.approx(rev, abs=0.011)
+
+
+def test_langid_confusion_recomputes_from_classifier(run):
+    conf = run("eval_langid_confusion")
+    pred = run("text_lang_id")
+    cells = (
+        pred.groupby(["labeled_lang", "predicted_lang"])
+        .size()
+        .reset_index(name="n")
+    )
+    assert len(conf) == len(cells)
+    merged = conf.merge(
+        cells,
+        left_on=["gold", "predicted"],
+        right_on=["labeled_lang", "predicted_lang"],
+    )
+    assert (merged["n_x"] == merged["n_y"]).all()
+    # shares: each gold row's recall_share sums to 1; same per predicted
+    assert conf.groupby("gold")["recall_share"].sum().apply(
+        lambda s: abs(s - 1) < 1e-4
+    ).all()
+    assert conf.groupby("predicted")["precision_share"].sum().apply(
+        lambda s: abs(s - 1) < 1e-4
+    ).all()
+    # total count conservation
+    assert conf["n"].sum() == len(pred)
+
+
+def test_retrieval_overlap_matches_formula(run):
+    out = run("retrieval_overlap_at_k").set_index("query_id")
+    bm = run("retrieval_bm25_topk")
+    ql = run("retrieval_query_likelihood")
+    for qid in out.index:
+        b = bm[bm["query_id"] == qid][["doc_id", "rn"]]
+        q = ql[ql["query_id"] == qid][["doc_id", "rn"]]
+        inter = b.merge(q, on="doc_id", suffixes=("_a", "_b"))
+        n = len(inter)
+        assert out.loc[qid, "n_overlap"] == n
+        assert out.loc[qid, "overlap_frac"] == pytest.approx(
+            n / 15, abs=1.01e-6
+        )
+        if n > 1:
+            ra = inter["rn_a"].rank(method="first")
+            rb = inter["rn_b"].rank(method="first")
+            rho = 1 - 6 * ((ra - rb) ** 2).sum() / (n * (n * n - 1))
+            assert out.loc[qid, "spearman_rho"] == pytest.approx(
+                rho, abs=1.01e-6
+            )
+            assert -1 <= out.loc[qid, "spearman_rho"] <= 1
