@@ -220,6 +220,9 @@ _ROUND6_WINDOW = [
     "join_bucketed_noshuffle",
     "eval_langid_confusion",
     "retrieval_overlap_at_k",
+    "sim_search_cascade_rerank",
+    "corpus_dedup_impact_report",
+    "ts_forecast_linear_holdout",
 ]
 
 

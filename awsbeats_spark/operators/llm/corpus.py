@@ -1500,3 +1500,69 @@ def corpus_mix_kl_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(share / target, 4).alias("weight_ratio"),
         rnd(share * F.log(share / target), 6).alias("kl_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup impact report: what exact dedup would remove, per source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dedup_impact_report",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, md5(text) AS h, len({WORDS_SQL}) AS toks,
+               octet_length(encode(text)) AS bytes,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS copy_rank
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(count(*) FILTER (WHERE copy_rank > 1) AS BIGINT)
+               AS docs_removed,
+           CAST(sum(toks) AS BIGINT) AS tokens_in,
+           CAST(coalesce(sum(toks) FILTER (WHERE copy_rank > 1), 0)
+               AS BIGINT) AS tokens_removed,
+           CAST(coalesce(sum(bytes) FILTER (WHERE copy_rank > 1), 0)
+               AS BIGINT) AS bytes_removed,
+           round(count(*) FILTER (WHERE copy_rank > 1) * 1.0
+                 / count(*), 6) AS doc_dup_rate
+    FROM ranked GROUP BY source
+    """,
+)
+def corpus_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report every dedup run ships before anything is deleted:
+    per source, how many docs/tokens/bytes exact content dedup would
+    remove (survivor = smallest doc_id per content hash, matching
+    dedup_exact's canonical rule) and the duplication rate — the
+    numbers that decide whether a source's crawl is worth re-fetching
+    and that audit a vendor's 'deduplicated' claim. Scale shape: one
+    hash + rank over the content-hash partition (shuffle on md5, never
+    on text), then a per-source aggregate; at 100 TB this is exactly
+    dedup_exact's plan plus a rollup, and the report is |sources| rows."""
+    t = tables(spark, sf_dir)
+    rk = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")
+    )
+    ranked = t.documents.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(words()).alias("toks"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("bytes"),
+    ).withColumn("copy_rank", rk)
+    dup = F.col("copy_rank") > 1
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.count_if(dup).alias("docs_removed"),
+        F.sum("toks").alias("tokens_in"),
+        F.coalesce(F.sum(F.when(dup, F.col("toks"))), F.lit(0)).alias(
+            "tokens_removed"
+        ),
+        F.coalesce(F.sum(F.when(dup, F.col("bytes"))), F.lit(0)).alias(
+            "bytes_removed"
+        ),
+        rnd(F.count_if(dup) / F.count(F.lit(1)), 6).alias("doc_dup_rate"),
+    )

@@ -1343,3 +1343,150 @@ def sim_search_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _HAM_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Cascade ANN: coarse Hamming prefilter -> exact cosine rerank + recall
+# --------------------------------------------------------------------------
+
+_CASCADE_SHORTLIST = 50  # Hamming candidates kept per query before rerank
+
+
+def _cascade_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH coarse_all AS ({QUERIES['sim_search_hamming_packed'].oracle
+        .replace('rn <= 10', f'rn <= {_CASCADE_SHORTLIST}')
+        .replace('WHERE rn <= 10', f'WHERE rn <= {_CASCADE_SHORTLIST}')}),
+    rerank AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({cosine_sql('q.embedding', 'c.embedding')}, 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.embedding')} DESC,
+                            s.neighbor_id
+               ) AS rn
+        FROM coarse_all s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+    ),
+    cascade AS (SELECT * FROM rerank WHERE rn <= {TOP_K}),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rn
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT c.query_id,
+               CAST(count(e.neighbor_id) AS BIGINT) AS n_hits
+        FROM cascade c
+        LEFT JOIN exact e USING (query_id, neighbor_id)
+        GROUP BY c.query_id
+    )
+    SELECT c.query_id, c.neighbor_id, c.cosine,
+           CAST(c.rn AS BIGINT) AS rn,
+           round(h.n_hits / {TOP_K}.0, 6) AS recall_at_k
+    FROM cascade c JOIN hits h USING (query_id)
+    """
+
+
+@query("sim_search_cascade_rerank", oracle=_cascade_oracle())
+def sim_search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cascade ANN — the production retrieval shape: stage 1
+    scans the corpus in 8-byte bit-packed Hamming space and keeps a
+    {_CASCADE_SHORTLIST}-candidate shortlist per query (bandwidth-bound,
+    no float math); stage 2 re-scores ONLY the shortlist with exact
+    cosine and keeps the top {TOP_K}, and each row carries the
+    measured recall@k of the cascade against exact brute-force cosine
+    — the number that justifies the cascade's existence (IVF gets the
+    same treatment in eval_ann_recall_ivf). At 100 TB the economics:
+    the full-precision vectors are fetched for shortlist x queries
+    rows only (a semi-join against the vector store), while the scan
+    touches 32x less memory than float vectors; recall is tunable by
+    shortlist size alone. Composes the registered Hamming operator —
+    its oracle is embedded with the shortlist depth swapped in."""
+    from awsbeats_spark.registry import QUERIES
+
+    # stage 1: coarse Hamming shortlist, built directly (the registered
+    # op caps at 10; the cascade needs {_CASCADE_SHORTLIST}): same pack
+    # + broadcast join, deeper group limit.
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    bits = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    pack = lambda arr, start: F.aggregate(  # noqa: E731
+        F.slice(arr, start, 32),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    packed = emb.select(
+        "vec_id", pack(bits, 1).alias("w0"), pack(bits, 33).alias("w1")
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = packed.select(F.col("vec_id").alias("neighbor_id"), "w0", "w1")
+    ham = F.bit_count(F.expr("q0 ^ w0")) + F.bit_count(F.expr("q1 ^ w1"))
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.cast("long").alias("hamming"))
+        .withColumn("srn", F.row_number().over(wh))
+        .filter(F.col("srn") <= _CASCADE_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact cosine on shortlist rows only
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    ).select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("nc"))
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    cascade = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    exact = QUERIES["sim_search_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        cascade.join(
+            exact.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return (
+        cascade.join(hits, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd("cos_raw", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+            rnd(F.col("n_hits") / float(TOP_K), 6).alias("recall_at_k"),
+        )
+    )

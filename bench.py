@@ -231,6 +231,9 @@ EXTENDED_PROBE = [
     "join_bucketed_noshuffle",
     "eval_langid_confusion",
     "retrieval_overlap_at_k",
+    "sim_search_cascade_rerank",
+    "corpus_dedup_impact_report",
+    "ts_forecast_linear_holdout",
 ]
 
 

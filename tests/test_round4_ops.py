@@ -230,3 +230,56 @@ def test_retrieval_overlap_matches_formula(run):
                 rho, abs=1.01e-6
             )
             assert -1 <= out.loc[qid, "spearman_rho"] <= 1
+
+
+def test_cascade_rerank_recall_and_order(run):
+    out = run("sim_search_cascade_rerank")
+    exact = run("sim_search_topk")
+    # per query: recall_at_k equals the measured overlap with exact
+    for qid in out["query_id"].unique():
+        c = out[out["query_id"] == qid]
+        e = exact[exact["query_id"] == qid]
+        overlap = len(set(c["neighbor_id"]) & set(e["neighbor_id"]))
+        assert c["recall_at_k"].iloc[0] == pytest.approx(
+            overlap / 10, abs=1.01e-6
+        )
+        # cosine ordering within the cascade output
+        assert (c.sort_values("rn")["cosine"].diff().dropna() <= 1e-9).all()
+    # 64-bit sign quantization on 64-dim vectors should stay accurate
+    assert out["recall_at_k"].mean() >= 0.5
+
+
+def test_dedup_impact_conserves_totals(run, sf_dir):
+    out = run("corpus_dedup_impact_report")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert out["docs_in"].sum() == len(docs)
+    # removed docs = total - distinct contents (survivors keep 1 per hash)
+    n_dupes = len(docs) - docs["text"].nunique()
+    assert out["docs_removed"].sum() == n_dupes
+    assert (out["docs_removed"] <= out["docs_in"]).all()
+    assert ((out["doc_dup_rate"] >= 0) & (out["doc_dup_rate"] <= 1)).all()
+
+
+def test_forecast_holdout_matches_numpy_ols(run, spark, sf_dir):
+    out = run("ts_forecast_linear_holdout").iloc[0]
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.timeseries import _series_xy
+
+    daily = (
+        _series_xy(tables(spark, sf_dir).events, "day")
+        .toPandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    n = len(daily)
+    n_train = int(np.floor(n * 0.8))
+    train, test = daily.iloc[:n_train], daily.iloc[n_train:]
+    slope, icept = np.polyfit(train["x"], train["y"], 1)
+    yhat = slope * test["x"] + icept
+    rmse = float(np.sqrt(((test["y"] - yhat) ** 2).mean()))
+    naive = train["y"].iloc[-1]
+    rmse_nv = float(np.sqrt(((test["y"] - naive) ** 2).mean()))
+    assert out["n_train"] == n_train and out["n_test"] == n - n_train
+    assert out["slope_per_day"] == pytest.approx(slope, rel=1e-4)
+    assert out["rmse_ols"] == pytest.approx(rmse, rel=1e-3)
+    assert out["rmse_naive"] == pytest.approx(rmse_nv, rel=1e-3)
