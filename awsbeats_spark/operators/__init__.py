@@ -223,6 +223,8 @@ _ROUND6_WINDOW = [
     "sim_search_cascade_rerank",
     "corpus_dedup_impact_report",
     "ts_forecast_linear_holdout",
+    "multimodal_decode_quarantine",
+    "ts_anomaly_seasonal_zscore",
 ]
 
 

@@ -131,6 +131,11 @@ def decode_media(payload: bytes) -> dict:
     (n_samples, n_channels). ``n_frames`` is 1 except for video.
     """
     if payload[:2] == b"BM" and len(payload) >= 54:
+        declared = struct.unpack_from("<I", payload, 2)[0]
+        if len(payload) < declared:
+            raise ValueError(
+                f"truncated BMP: {len(payload)} of {declared} bytes"
+            )
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         if bpp != 24:
@@ -151,6 +156,11 @@ def decode_media(payload: bytes) -> dict:
                     "<HHIIHH", payload, off + 8
                 )
             elif cid == b"data":
+                if off + 8 + csize > len(payload):
+                    raise ValueError(
+                        f"truncated WAV data chunk: {len(payload) - off - 8}"
+                        f" of {csize} bytes"
+                    )
                 data_size = csize
             off += 8 + csize + (csize & 1)  # chunks are word-aligned
         if channels is None or data_size is None:
@@ -180,6 +190,8 @@ def decode_media(payload: bytes) -> dict:
             if body[off : off + 5] != b"FRAME":
                 raise ValueError("y4m stream misaligned at frame boundary")
             off = body.index(b"\n", off) + 1 + frame_bytes
+            if off > len(body):
+                raise ValueError("y4m truncated mid-frame")
             n_frames += 1
         return {
             "width": w,
@@ -539,3 +551,71 @@ def multimodal_shard_balance_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Decode with quarantine: corrupt containers must not kill the job
+# --------------------------------------------------------------------------
+
+_CORRUPT_MOD = 17  # payloads with n % 17 == 0 are truncated mid-header
+
+
+@query(
+    "multimodal_decode_quarantine",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CASE WHEN CAST(n % {_CORRUPT_MOD} AS INT) = 0 THEN NULL
+                ELSE CAST({_W_SQL} AS INT) END AS width,
+           CASE WHEN CAST(n % {_CORRUPT_MOD} AS INT) = 0 THEN NULL
+                ELSE CAST({_H_SQL} AS INT) END AS height,
+           CASE WHEN CAST(n % {_CORRUPT_MOD} AS INT) = 0 THEN NULL
+                ELSE CAST({_FRAMES_SQL} AS INT) END AS n_frames,
+           CASE WHEN CAST(n % {_CORRUPT_MOD} AS INT) = 0 THEN 'quarantined'
+                ELSE {_STATUS_SQL} END AS decode_status
+    FROM p
+    """,
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode with a quarantine lane: a deterministic subset of payloads
+    (n %% {_CORRUPT_MOD} == 0) is TRUNCATED mid-container before decode
+    — real corruption, not a flag — and the decoder catches the parse
+    failure per row, emitting decode_status='quarantined' with null
+    geometry instead of killing the task. This is the error contract a
+    100 TB media pipeline must have: one rotted object out of billions
+    cannot fail the job (the reference's sink drops-and-counts encode
+    failures the same way — mapEvents' drop-not-retry policy,
+    streams/client.go:109-125). Rows stay in the output so the
+    quarantine rate is measurable downstream; the happy path is
+    bit-identical to multimodal_decode. Scale shape: unchanged —
+    embarrassingly parallel mapInPandas, no shuffle."""
+    t = tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def decode_or_quarantine(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                payload = synthesize_media(raw)
+                if len(raw) % _CORRUPT_MOD == 0:
+                    payload = payload[: max(len(payload) // 3, 3)]
+                try:
+                    d = decode_media(payload)
+                    rows.append(
+                        (doc_id, d["width"], d["height"], d["n_frames"],
+                         d["decode_status"])
+                    )
+                except (ValueError, struct.error, IndexError):
+                    rows.append((doc_id, None, None, None, "quarantined"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "decode_status"
+                ],
+            )
+
+    return payloads.mapInPandas(decode_or_quarantine, schema=DECODE_SCHEMA)

@@ -283,3 +283,59 @@ def test_forecast_holdout_matches_numpy_ols(run, spark, sf_dir):
     assert out["slope_per_day"] == pytest.approx(slope, rel=1e-4)
     assert out["rmse_ols"] == pytest.approx(rmse, rel=1e-3)
     assert out["rmse_naive"] == pytest.approx(rmse_nv, rel=1e-3)
+
+
+def test_quarantine_catches_real_truncation(run, sf_dir):
+    out = run("multimodal_decode_quarantine")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n_corrupt = (
+        docs["text"].str.encode("utf-8").str.len() % 17 == 0
+    ).sum()
+    q = out[out["decode_status"] == "quarantined"]
+    assert len(q) == n_corrupt
+    assert q["width"].isna().all() and q["n_frames"].isna().all()
+    # the happy path is identical to plain decode
+    ok = out[out["decode_status"] != "quarantined"]
+    dec = run("multimodal_decode").set_index("doc_id")
+    merged = ok.set_index("doc_id").join(dec, rsuffix="_d")
+    assert (merged["width"] == merged["width_d"]).all()
+    assert (merged["decode_status"] == merged["decode_status_d"]).all()
+
+
+def test_decoder_rejects_truncated_containers():
+    from awsbeats_spark.operators.llm.multimodal import (
+        decode_media,
+        synthesize_bmp,
+        synthesize_wav,
+        synthesize_y4m,
+    )
+
+    for synth in (synthesize_bmp, synthesize_wav, synthesize_y4m):
+        whole = synth(b"some payload bytes here")
+        assert decode_media(whole)  # intact parses
+        with pytest.raises(ValueError):
+            decode_media(whole[: len(whole) * 2 // 3])
+
+
+def test_seasonal_zscore_matches_pandas(run, spark, sf_dir):
+    out = run("ts_anomaly_seasonal_zscore")
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.timeseries import _series_xy
+
+    hourly = _series_xy(tables(spark, sf_dir).events, "hour").toPandas()
+    hourly["how"] = hourly["x"] % 168
+    g = hourly.groupby("how")["y"]
+    prof = pd.DataFrame(
+        {"mu": g.mean(), "sigma": g.std(ddof=0)}
+    ).reset_index()
+    m = hourly.merge(prof, on="how")
+    m = m[m["sigma"] > 0]
+    m["z"] = (m["y"] - m["mu"]) / m["sigma"]
+    expect = m[m["z"].abs() > 1.6]
+    assert len(out) == len(expect)
+    got = out.sort_values("x").reset_index(drop=True)
+    want = expect.sort_values("x").reset_index(drop=True)
+    assert (got["x"] == want["x"]).all()
+    assert np.allclose(got["zscore"], want["z"].round(4), atol=1.01e-4)
+    # every flagged hour is an extreme within its own slot
+    assert (got["zscore"].abs() > 1.6).all()
