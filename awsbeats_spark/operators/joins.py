@@ -664,12 +664,14 @@ def join_keyhash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("s_revenue") * 4.0, 2).alias("est_revenue"),
         rnd(
             F.abs(F.col("s_rows") * 4.0 - F.col("exact_rows"))
-            / F.col("exact_rows"),
+            # guard: exact_rows = 0 on an empty/filtered-out input is an
+            # ANSI divide-by-zero, not a NULL — emit NULL rel err instead
+            / F.when(F.col("exact_rows") > 0, F.col("exact_rows")),
             4,
         ).alias("rows_rel_err"),
         rnd(
             F.abs(F.col("s_revenue") * 4.0 - F.col("exact_revenue"))
-            / F.col("exact_revenue"),
+            / F.when(F.col("exact_revenue") != 0, F.col("exact_revenue")),
             4,
         ).alias("revenue_rel_err"),
     )

@@ -152,6 +152,8 @@ def decode_media(payload: bytes) -> dict:
         while off + 8 <= len(payload):
             cid, csize = struct.unpack_from("<4sI", payload, off)
             if cid == b"fmt ":
+                if csize < 16 or off + 8 + csize > len(payload):
+                    raise ValueError("truncated/short WAV fmt chunk")
                 _fmt, channels, _rate, _bps, _align, bits = struct.unpack_from(
                     "<HHIIHH", payload, off + 8
                 )

@@ -31,6 +31,8 @@ GLOBAL_AGG = {
     "text_zipf_slope",
     "dq_ks_test_two_sample",
     "ts_trend_mann_kendall",
+    "ts_theil_sen_slope",
+    "join_keyhash_sample_estimate",
 }
 
 # operators with a fixed output shape regardless of input rows
@@ -203,6 +205,22 @@ SAMPLE = [
     "events_activity_heatmap",
     "events_new_vs_returning",
     "scalar_bitmask_flags",
+    # round-4 operators
+    "dedup_ngram_topk_bounded",
+    "sim_search_hamming_packed",
+    "agg_partial_merge_shards",
+    "ts_theil_sen_slope",
+    "agg_quantile_merge_shards",
+    "ts_dow_anova",
+    "join_keyhash_sample_estimate",
+    "join_bucketed_noshuffle",
+    "eval_langid_confusion",
+    "retrieval_overlap_at_k",
+    "sim_search_cascade_rerank",
+    "corpus_dedup_impact_report",
+    "ts_forecast_linear_holdout",
+    "multimodal_decode_quarantine",
+    "ts_anomaly_seasonal_zscore",
 ]
 
 

@@ -123,3 +123,66 @@ def test_modality_dispatch_matches_spec(n):
     d = decode_media(synthesize_media(data))
     expect = {0: "bmp", 1: "wav", 2: "y4m"}[n % 3]
     assert d["decode_status"] == expect
+
+
+# -------------------------------------------------------------------------
+# Property-based: synth -> decode round-trips for arbitrary payload bytes
+# -------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @given(st.binary(min_size=0, max_size=4000))
+    @settings(max_examples=200, deadline=None)
+    def test_property_synth_decode_roundtrip(data):
+        n = len(data)
+        d = decode_media(synthesize_media(data))
+        m = n % 3
+        if m == 0:
+            assert d == {
+                "width": 4 + n % 29,
+                "height": 4 + (7 * n) % 17,
+                "n_frames": 1,
+                "decode_status": "bmp",
+            }
+        elif m == 1:
+            assert d == {
+                "width": 600 + n % 500,
+                "height": 1,
+                "n_frames": 1,
+                "decode_status": "wav",
+            }
+        else:
+            assert d == {
+                "width": 10 + 2 * (n % 7),
+                "height": 10 + 2 * ((7 * n) % 5),
+                "n_frames": 1 + n % 24,
+                "decode_status": "y4m",
+            }
+
+    @given(st.binary(min_size=1, max_size=2000), st.floats(0.05, 0.95))
+    @settings(max_examples=200, deadline=None)
+    def test_property_truncation_never_misdecodes(data, frac):
+        """Any strict prefix of a container either raises ValueError or
+        (if it still forms a VALID shorter container, possible for y4m
+        prefixes cut exactly at a frame boundary) decodes with the same
+        geometry and no more frames than the original."""
+        whole = synthesize_media(data)
+        cut = max(1, int(len(whole) * frac))
+        if cut >= len(whole):
+            return
+        try:
+            d = decode_media(whole[:cut])
+        except ValueError:
+            return
+        full = decode_media(whole)
+        assert d["decode_status"] == full["decode_status"]
+        assert d["width"] == full["width"] and d["height"] == full["height"]
+        assert d["n_frames"] <= full["n_frames"]

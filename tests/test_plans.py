@@ -752,3 +752,81 @@ def test_survival_windows_on_duration_aggregate(q):
 
 def test_winsorized_broadcasts_bounds(q):
     assert has_broadcast_join(q("agg_winsorized_mean"))
+
+
+# -------------------------------------------------------------------------
+# round-4 operators
+# -------------------------------------------------------------------------
+
+
+def test_hamming_packed_broadcasts_queries_with_group_limit(q):
+    """The corpus must NEVER shuffle: queries broadcast into a nested-
+    loop join, and the top-k rank must push a WindowGroupLimit below
+    the exchange (partial limit per map task)."""
+    df = q("sim_search_hamming_packed")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert plan_counts(df)["exchanges"] <= 2
+
+
+def test_cascade_rerank_no_corpus_shuffle_in_stage1(q):
+    """Stage 1 (Hamming shortlist) must broadcast the query side; the
+    exact-cosine stage joins vectors only for shortlist rows."""
+    df = q("sim_search_cascade_rerank")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_partial_merge_is_two_level_hash_agg(q):
+    """Both stages must be hash aggregates (no sort-based fallback) and
+    stage 1 must have a partial (map-side) aggregation."""
+    df = q("agg_partial_merge_shards")
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert "SortAggregate" not in plan
+
+
+def test_theil_sen_pair_join_is_broadcast(q):
+    """The O(days^2) pair join must broadcast the tiny daily aggregate,
+    never shuffle raw events into a merge join."""
+    df = q("ts_theil_sen_slope")
+    counts = plan_counts(df)
+    assert counts["sort_merge_joins"] == 0 and counts["shuffled_hash_joins"] == 0
+
+
+def test_dow_anova_single_scan_reduced_series(q):
+    df = q("ts_dow_anova")
+    plan = executed_plan(df)
+    # events scanned once per branch at most; totals broadcast
+    assert plan_counts(df)["sort_merge_joins"] == 0
+    assert "BroadcastExchange" in plan
+
+
+def test_keyhash_sample_pushes_priority_filter(q):
+    df = q("join_keyhash_sample_estimate")
+    assert has_pushed_filters(df, "o_orderpriority")
+
+
+def test_quarantine_decode_is_shuffle_free(q):
+    df = q("multimodal_decode_quarantine")
+    plan = executed_plan(df)
+    assert plan_counts(df)["exchanges"] == 0
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_seasonal_zscore_broadcasts_profile(q):
+    df = q("ts_anomaly_seasonal_zscore")
+    assert has_broadcast_join(df)
+    assert plan_counts(df)["sort_merge_joins"] == 0
+
+
+def test_dedup_impact_single_scan_no_text_shuffle(q):
+    """The rank partitions on the md5 hash — the text column must be
+    projected away before the exchange (shuffle bytes = hash, not
+    documents)."""
+    df = q("corpus_dedup_impact_report")
+    plan = executed_plan(df)
+    ex = plan.split("Exchange hashpartitioning")[1] if "Exchange hashpartitioning" in plan else ""
+    assert "text#" not in ex.split("+-")[0]
