@@ -225,6 +225,9 @@ _ROUND6_WINDOW = [
     "ts_forecast_linear_holdout",
     "multimodal_decode_quarantine",
     "ts_anomaly_seasonal_zscore",
+    "join_asof_tolerance",
+    "q_nation_trade_balance",
+    "codec_csv_quoted_roundtrip",
 ]
 
 

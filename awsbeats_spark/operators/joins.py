@@ -675,3 +675,85 @@ def join_keyhash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("revenue_rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with staleness tolerance (reject too-old matches)
+# --------------------------------------------------------------------------
+
+_ASOF_TOLERANCE_S = 3600  # max staleness: 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts)
+                     <= {_ASOF_TOLERANCE_S}::BIGINT * 1000000
+                THEN c.event_id END AS last_click_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts)
+                     <= {_ASOF_TOLERANCE_S}::BIGINT * 1000000
+                THEN CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000
+                          AS BIGINT)
+           END AS staleness_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound — the form every market-data /
+    attribution pipeline actually runs: the most recent click at-or-
+    before each purchase COUNTS ONLY IF it is at most 1 hour old;
+    older matches are nulled (not dropped — the purchase row survives
+    with an explicit no-attribution marker, which is the honest
+    left-join contract). Same union-and-carry plan as join_asof (ONE
+    shuffle on user_id, no pairwise expansion); the tolerance is a
+    post-carry null-out, so it adds zero movement. At 100 TB the
+    tolerance ALSO enables state pruning in the streaming twin: a
+    carried click older than the bound can be dropped from state."""
+    t = tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # microsecond arithmetic on BOTH engines: whole-second truncation
+    # (unix_timestamp vs DuckDB's fractional epoch()) flips boundary rows
+    stale_us = F.unix_micros("ts") - F.unix_micros(
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    # freshness must test the MATERIALIZED staleness column: reusing the
+    # stale_us expression after filter(kind == 1) would re-evaluate its
+    # window over the purchase-only frame (no clicks -> always null)
+    fresh = F.col("staleness_us") <= _ASOF_TOLERANCE_S * 1_000_000
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("staleness_us", stale_us)
+        .filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(fresh, F.col("last_click_id")).alias("last_click_id"),
+            F.when(
+                fresh, F.floor(F.col("staleness_us") / 1_000_000).cast("long")
+            ).alias("staleness_s"),
+        )
+    )

@@ -1259,3 +1259,61 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum(rev), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CSV interchange with hostile content (quotes, delimiters, newlines)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "codec_csv_quoted_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def codec_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange under hostile content: free text containing
+    commas, double quotes, and embedded newlines is written quoted-and-
+    escaped and read back with multiLine parsing — the identity oracle
+    proves the round trip is byte-lossless. This is the edge matrix
+    codec_csv_roundtrip (flat numeric events) doesn't touch and the one
+    that silently corrupts data lakes: an unquoted writer splits rows
+    at embedded newlines and the reader sees phantom records. The
+    escape character is set to the RFC 4180 doubled-quote convention so
+    third-party readers (DuckDB, pandas, Excel) agree. Scale note:
+    multiLine CSV is NOT splittable (a reader can't start mid-file
+    inside a quoted field) — each file parses whole, so write many
+    moderate files (executor-parallel here) rather than one giant one;
+    columnar formats remain the real answer at 100 TB, which is why
+    this op exists as the interchange path, not the storage path."""
+    from awsbeats_spark.functions.workdirs import work_dir
+
+    t = tables(spark, sf_dir)
+    out = work_dir("codec_csv_quoted", sf_dir)
+    cols = ["doc_id", "text"]
+    (
+        t.documents.select(*cols)
+        .write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(out)
+    )
+    back = (
+        spark.read.options(
+            header=True, multiLine=True, quote='"', escape='"'
+        )
+        .schema("doc_id long, text string")
+        .csv(out)
+    )
+    # empty string round-trips as null in CSV (no quoted-empty marker
+    # survives quoteAll+escape reliably across readers) — normalize
+    return back.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+    )

@@ -758,3 +758,96 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h1.join(h2, "o_custkey").groupBy("tier_h1", "tier_h2").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# Nation trade balance: one dimension, two join roles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_nation_trade_balance",
+    oracle="""
+    WITH flows AS (
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+    ),
+    exports AS (
+        SELECT supp_nation AS nation, sum(rev) AS exports
+        FROM flows GROUP BY 1
+    ),
+    imports AS (
+        SELECT cust_nation AS nation, sum(rev) AS imports
+        FROM flows GROUP BY 1
+    )
+    SELECT coalesce(e.nation, i.nation) AS nation,
+           round(coalesce(e.exports, 0), 2) AS exports,
+           round(coalesce(i.imports, 0), 2) AS imports,
+           round(coalesce(e.exports, 0) - coalesce(i.imports, 0), 2)
+               AS trade_balance
+    FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
+    """,
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade balance per nation: revenue where the nation
+    SUPPLIES a foreign customer (exports) minus revenue where its
+    customers buy from foreign suppliers (imports). The interesting
+    plan property is the DUAL-ROLE dimension: `nation` joins the same
+    fact flow twice through two different foreign-key paths (supplier
+    side and customer side) — both as broadcasts, aliased so Catalyst
+    treats them as independent relations (TPC-H Q7 does per-pair
+    volume; this is the per-nation net rollup of the same flow tree).
+    Scale shape: the two big-big joins (lineitem-orders) are the
+    theoretical minimum; dims broadcast; the export/import rollups
+    reuse one flows subtree, and the final full-outer join runs on
+    |nations| rows."""
+    t = tables(spark, sf_dir)
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    flows = (
+        t.lineitem.join(
+            F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    exports = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("rev").alias("exports")
+    )
+    imports = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("rev").alias("imports")
+    )
+    return (
+        exports.join(imports, "nation", "full_outer")
+        .select(
+            "nation",
+            rnd(F.coalesce("exports", F.lit(0.0)), 2).alias("exports"),
+            rnd(F.coalesce("imports", F.lit(0.0)), 2).alias("imports"),
+            rnd(
+                F.coalesce("exports", F.lit(0.0))
+                - F.coalesce("imports", F.lit(0.0)),
+                2,
+            ).alias("trade_balance"),
+        )
+    )

@@ -339,3 +339,57 @@ def test_seasonal_zscore_matches_pandas(run, spark, sf_dir):
     assert np.allclose(got["zscore"], want["z"].round(4), atol=1.01e-4)
     # every flagged hour is an extreme within its own slot
     assert (got["zscore"].abs() > 1.6).all()
+
+
+def test_asof_tolerance_nulls_stale_matches(run):
+    tol = run("join_asof_tolerance").set_index("purchase_id")
+    plain = run("join_asof").set_index("purchase_id")
+    assert set(tol.index) == set(plain.index)  # left-join keeps all rows
+    # every kept match exists in the unbounded asof and is fresh
+    kept = tol[tol["last_click_id"].notna()]
+    assert (kept["staleness_s"] <= 3600).all()
+    assert (
+        kept["last_click_id"] == plain.loc[kept.index, "last_click_id"]
+    ).all()
+    # every nulled row is either unmatched in plain asof or stale there
+    nulled = tol[tol["last_click_id"].isna()]
+    assert len(nulled) > 0  # the tolerance actually bites on this data
+    plain_matched_nulled = plain.loc[nulled.index, "last_click_id"].notna()
+    assert plain_matched_nulled.any()  # some are nulled BY the tolerance
+
+
+def test_trade_balance_is_zero_sum(run, sf_dir):
+    out = run("q_nation_trade_balance")
+    # every export is someone's import: global balance ~ 0 (exact modulo
+    # the per-nation cent rounding)
+    assert abs(out["trade_balance"].sum()) < 0.01 * len(out)
+    assert np.allclose(
+        out["trade_balance"], (out["exports"] - out["imports"]).round(2),
+        atol=0.011,
+    )
+
+
+def test_csv_quoted_roundtrip_survives_hostile_text(spark, tmp_path_factory):
+    """Text with embedded commas, quotes, AND newlines must round-trip
+    byte-exactly through the quoted CSV path."""
+    dst = tmp_path_factory.mktemp("sf_hostile")
+    rows = [
+        (0, 'plain text', "en", "web", 10),
+        (1, 'has, commas, everywhere', "en", "web", 23),
+        (2, 'she said "quote me" twice ""', "en", "web", 28),
+        (3, 'line one\nline two\r\nline three', "en", "web", 29),
+        (4, ',"\n mixed ,," hostile \n"', "en", "web", 24),
+        (5, '', "en", "web", 0),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(dst / "documents.parquet"), index=False)
+    out = (
+        SPECS["codec_csv_quoted_roundtrip"]
+        .fn(spark, str(dst))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for doc_id, text, *_ in rows:
+        assert out.loc[doc_id, "text"] == text, f"doc {doc_id} corrupted"
