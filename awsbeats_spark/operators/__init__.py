@@ -228,6 +228,9 @@ _ROUND6_WINDOW = [
     "join_asof_tolerance",
     "q_nation_trade_balance",
     "codec_csv_quoted_roundtrip",
+    "events_peak_concurrency",
+    "agg_histogram_equi_depth",
+    "window_outlier_hampel",
 ]
 
 

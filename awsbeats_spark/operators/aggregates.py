@@ -843,3 +843,54 @@ def agg_quantile_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(err, 6).alias("abs_err"),
         rnd(err / F.col("exact_median"), 6).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (quantile buckets, the optimizer's statistic)
+# --------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "agg_histogram_equi_depth",
+    oracle=f"""
+    WITH tiles AS (
+        SELECT o_totalprice,
+               ntile({_EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice)
+                   AS bucket
+        FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 4) AS mean_in_bucket
+    FROM tiles GROUP BY bucket
+    """,
+)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: {_EQUIDEPTH_BUCKETS}
+    buckets with (near-)equal row counts and data-driven boundaries —
+    the statistic query optimizers keep (selectivity estimates stay
+    accurate in skewed regions where agg_bucketed_histogram's fixed-
+    width bins hold 90% of rows in two bins). ntile is the exact
+    formulation; both engines share its remainder rule (first
+    n mod k tiles get the extra row). Scale note: exact ntile is one
+    global sort — at 100 TB the production variant computes the
+    {_EQUIDEPTH_BUCKETS - 1} boundary quantiles with the sketch path
+    (agg_percentile_approx) and bins with a broadcast range lookup;
+    this operator is the exact contract those sketches approximate."""
+    t = tables(spark, sf_dir)
+    tiles = t.orders.select(
+        "o_totalprice",
+        F.ntile(_EQUIDEPTH_BUCKETS)
+        .over(Window.orderBy("o_totalprice"))
+        .alias("bucket"),
+    )
+    return tiles.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.min("o_totalprice"), 2).alias("lo"),
+        rnd(F.max("o_totalprice"), 2).alias("hi"),
+        rnd(F.avg("o_totalprice"), 4).alias("mean_in_bucket"),
+    )

@@ -489,3 +489,100 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(wrank).alias("rank_in_region"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hampel filter: rolling-median +/- k*MAD outlier flags per user stream
+# --------------------------------------------------------------------------
+
+_HAMPEL_K = 3.0
+_HAMPEL_SCALE = 1.4826  # MAD -> sigma for Gaussian data
+
+
+@query(
+    "window_outlier_hampel",
+    oracle=f"""
+    WITH based AS (
+        SELECT user_id, event_id, ts, value,
+               median(value) OVER w AS med
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    ),
+    framed AS (
+        SELECT user_id, event_id, ts, value, med,
+               median(abs(value - med)) OVER w2 AS mad
+        FROM based
+        WINDOW w2 AS (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round(med, 4) AS rolling_median,
+           round({_HAMPEL_SCALE} * mad, 4) AS sigma_est
+    FROM framed
+    WHERE abs(value - med) > {_HAMPEL_K} * {_HAMPEL_SCALE} * mad
+      AND mad > 0
+    """,
+)
+def window_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over each user's event-value stream: a point is an
+    outlier when it sits more than {_HAMPEL_K} scaled-MAD from the
+    trailing 7-point rolling median. Two-pass variant: pass 1 computes
+    each point's trailing median; pass 2 takes the rolling median of
+    |value - own trailing median| as the dispersion estimate (the
+    textbook single-anchor MAD would nest a window inside a window —
+    inexpressible in either engine's window algebra and quadratic to
+    emulate; the two-pass residual-MAD is the standard streaming
+    formulation and is what this operator pins on BOTH engines). The
+    streaming-friendly robust
+    detector (a single spike cannot drag the median baseline the way
+    it drags ts_ewma's mean, and unlike the global ts_anomaly_mad the
+    baseline adapts to each user's local level). The nested holistic
+    window (median of |value - rolling median| over the SAME frame) is
+    the expensive-looking part, but the frame is 7 rows so per-row
+    cost is constant; one shuffle on user_id, locally sorted, no
+    Python. Zero-MAD frames (constant values) are excluded, not
+    divided by — the ANSI lesson."""
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        med.alias("med"),
+    ).withColumn(
+        "mad",
+        F.expr("percentile(abs(value - med), 0.5)").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-6, Window.currentRow)
+        ),
+    )
+    return (
+        framed.filter(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("value") - F.col("med"))
+                > _HAMPEL_K * _HAMPEL_SCALE * F.col("mad")
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            rnd("value", 4).alias("value"),
+            rnd("med", 4).alias("rolling_median"),
+            rnd(F.lit(_HAMPEL_SCALE) * F.col("mad"), 4).alias("sigma_est"),
+        )
+    )

@@ -239,6 +239,9 @@ EXTENDED_PROBE = [
     "join_asof_tolerance",
     "q_nation_trade_balance",
     "codec_csv_quoted_roundtrip",
+    "events_peak_concurrency",
+    "agg_histogram_equi_depth",
+    "window_outlier_hampel",
 ]
 
 

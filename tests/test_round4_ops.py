@@ -393,3 +393,56 @@ def test_csv_quoted_roundtrip_survives_hostile_text(spark, tmp_path_factory):
     )
     for doc_id, text, *_ in rows:
         assert out.loc[doc_id, "text"] == text, f"doc {doc_id} corrupted"
+
+
+def test_peak_concurrency_matches_pandas_sweep(run, sf_dir):
+    out = run("events_peak_concurrency").set_index("day")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pts = pd.concat(
+        [
+            pd.DataFrame({"t": ev["ts"], "d": 1}),
+            pd.DataFrame({"t": ev["ts"] + pd.Timedelta(seconds=1800), "d": -1}),
+        ]
+    ).sort_values(["t", "d"])
+    pts["live"] = pts["d"].cumsum()
+    pts["day"] = pts["t"].dt.strftime("%Y-%m-%d")
+    want = pts.groupby("day")["live"].max()
+    assert len(out) == len(want)
+    for day, peak in want.items():
+        assert out.loc[day, "peak_concurrency"] == peak
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(run, sf_dir):
+    out = run("agg_histogram_equi_depth").sort_values("bucket")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    n = len(orders)
+    assert out["n_rows"].sum() == n
+    # ntile balance: sizes differ by at most 1
+    assert out["n_rows"].max() - out["n_rows"].min() <= 1
+    # boundaries are monotone: bucket i's hi <= bucket i+1's lo
+    assert (out["hi"].values[:-1] <= out["lo"].values[1:] + 1e-9).all()
+    assert out["lo"].iloc[0] == round(orders["o_totalprice"].min(), 2)
+    assert out["hi"].iloc[-1] == round(orders["o_totalprice"].max(), 2)
+
+
+def test_hampel_flags_injected_spike(spark, tmp_path_factory):
+    """A constant series with one spike: the Hampel filter must flag the
+    spike and nothing else (the global-MAD detector would too, but a
+    LEVEL SHIFT plus spike fools it — also covered)."""
+    dst = tmp_path_factory.mktemp("sf_hampel")
+    ts = pd.date_range("2024-01-01", periods=60, freq="h")
+    vals = [10.0 + (i % 3) * 0.1 for i in range(60)]  # wiggle, mad > 0
+    vals[30] = 500.0  # the spike
+    rows = [
+        (i, t, 1, "click", v, "{}")
+        for i, (t, v) in enumerate(zip(ts, vals))
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(str(dst / "events.parquet"), index=False)
+    out = SPECS["window_outlier_hampel"].fn(spark, str(dst)).toPandas()
+    assert 30 in set(out["event_id"])
+    # only the spike and (possibly) its shadow rows while it sits in
+    # trailing frames — never more than the frame width
+    assert len(out) <= 7
