@@ -231,6 +231,8 @@ _ROUND6_WINDOW = [
     "events_peak_concurrency",
     "agg_histogram_equi_depth",
     "window_outlier_hampel",
+    "dedup_containment_asymmetric",
+    "graph_bipartite_projection",
 ]
 
 

@@ -418,3 +418,77 @@ def graph_type_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bipartite projection: supplier-supplier co-supply weights, top-k bounded
+# --------------------------------------------------------------------------
+
+_PROJ_TOPK = 5
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               CAST(count(*) AS BIGINT) AS shared_parts
+        FROM edges a JOIN edges b
+          ON a.part = b.part AND a.supp <> b.supp
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY supp_a
+                   ORDER BY shared_parts DESC, supp_b) AS rk
+        FROM pairs
+    )
+    SELECT supp_a, supp_b, shared_parts, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_PROJ_TOPK}
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the supplier-part bipartite graph:
+    supplier pairs weighted by co-supplied part count, bounded to each
+    supplier's top {_PROJ_TOPK} strongest neighbors — the construction
+    behind co-purchase, co-authorship, and co-engagement graphs. Scale
+    shape: the projection is the textbook explosion risk (a part with
+    d suppliers emits d² pairs), and the two levers this operator
+    applies are the ones that survive 100 TB: (1) DISTINCT the
+    bipartite edges first (multiplicity doesn't change co-occurrence
+    membership and shrinks the join input), (2) bound the OUTPUT per
+    node with a rank window (like dedup_ngram_topk_bounded). The
+    third lever — drop hub parts above a degree cap, exactly
+    dedup_ngram_df_capped's move — is documented as the knob to turn
+    when part-degree skew appears; the equi-join on part remains a
+    plain hash join throughout."""
+    li = tables(spark, sf_dir).lineitem
+    edges = li.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    b = edges.select(F.col("supp").alias("supp_b"), "part")
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("supp_a") != F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("supp_a").orderBy(
+            F.desc("shared_parts"), F.asc("supp_b")
+        )
+    )
+    return (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") <= _PROJ_TOPK)
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("shared_parts").cast("long").alias("shared_parts"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

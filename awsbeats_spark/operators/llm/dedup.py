@@ -961,3 +961,79 @@ def dedup_ngram_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment: quote/subset detection (A mostly inside B)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    counts AS (SELECT doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM exploded a JOIN exploded b
+          ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+           round(shared * 1.0 / ca.n, 6) AS containment_a_in_b,
+           round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE shared * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_containment_asymmetric", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment dedup: C(A in B) = |A ∩ B| / |A| — the
+    measure Jaccard structurally cannot provide. A 50-word quote lifted
+    into a 5000-word article has near-zero Jaccard (the union is huge)
+    but containment ~1.0 in the quote->article direction; symmetric
+    near-dup detectors are blind to exactly the subset/quotation/
+    boilerplate-inclusion cases that matter for training-data leakage
+    and attribution. Pairs are ORDERED (both directions scored — the
+    candidate join uses <> not <), and a pair surfaces when the
+    smaller side is >= {CONTAINMENT_THRESHOLD} contained. Scale shape:
+    identical to dedup_ngram_jaccard's bucketed equi-join (shared
+    shingle -> hash join, no cross product); the direction only
+    changes the denominator. Jaccard rides along so the two scores'
+    divergence (high containment, low Jaccard) is directly visible."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.filter(F.col("n") > 0).select(
+        "doc_id", "n", F.explode("shs").alias("sh")
+    ).hint("shuffle_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    containment = F.col("shared") / F.col("na")
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return pairs.filter(containment >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.col("shared").cast("long").alias("shared"),
+        rnd(containment, 6).alias("containment_a_in_b"),
+        rnd(jac, 6).alias("jaccard"),
+    )

@@ -242,6 +242,8 @@ EXTENDED_PROBE = [
     "events_peak_concurrency",
     "agg_histogram_equi_depth",
     "window_outlier_hampel",
+    "dedup_containment_asymmetric",
+    "graph_bipartite_projection",
 ]
 
 

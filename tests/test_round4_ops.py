@@ -446,3 +446,50 @@ def test_hampel_flags_injected_spike(spark, tmp_path_factory):
     # only the spike and (possibly) its shadow rows while it sits in
     # trailing frames — never more than the frame width
     assert len(out) <= 7
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path_factory):
+    """A short quote fully inside a long article: containment ~1 in the
+    quote->article direction while Jaccard is small — the case the
+    symmetric detectors are blind to."""
+    dst = tmp_path_factory.mktemp("sf_containment")
+    quote = "the marble statue wept quietly beneath the broken archway"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(80))
+    rows = [
+        (0, quote, "en", "web", len(quote)),
+        (1, filler + " " + quote + " " + filler, "en", "web", 999),
+        (2, "totally unrelated content about turnips and rain", "en", "web", 48),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(dst / "documents.parquet"), index=False)
+    out = (
+        SPECS["dedup_containment_asymmetric"].fn(spark, str(dst)).toPandas()
+    )
+    fwd = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]
+    assert len(fwd) == 1
+    assert fwd["containment_a_in_b"].iloc[0] >= 0.9
+    assert fwd["jaccard"].iloc[0] < 0.2  # Jaccard would have missed it
+    # reverse direction (article in quote) must NOT clear the threshold
+    assert len(out[(out["doc_a"] == 1) & (out["doc_b"] == 0)]) == 0
+
+
+def test_bipartite_projection_bounded_and_correct(run, sf_dir):
+    out = run("graph_bipartite_projection")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    m = edges.merge(edges, on="l_partkey")
+    m = m[m["l_suppkey_x"] != m["l_suppkey_y"]]
+    pairs = (
+        m.groupby(["l_suppkey_x", "l_suppkey_y"]).size().reset_index(name="n")
+    )
+    # bounded output: top-5 per supp_a
+    assert out.groupby("supp_a").size().max() <= 5
+    # spot-check the strongest neighbor of a few suppliers
+    for supp in out["supp_a"].unique()[:5]:
+        got = out[out["supp_a"] == supp].sort_values("rk")
+        want = pairs[pairs["l_suppkey_x"] == supp].sort_values(
+            ["n", "l_suppkey_y"], ascending=[False, True]
+        )
+        assert got["shared_parts"].iloc[0] == want["n"].iloc[0]
+        assert got["supp_b"].iloc[0] == want["l_suppkey_y"].iloc[0]
