@@ -23,15 +23,19 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 5** (``_ROUND5_WINDOW``, exactly 50): the remaining 9 of the
   old round-5 front, then corpus/similarity/text/quality/scalar/window/
   sketch keys in registry order. After round 5: 242/279.
-* **Round 6** (``_ROUND6_WINDOW``, 37 + keys added in round 4+, which
-  are appended here as they are created): the remaining timeseries/
-  events/geo/graph tail. After round 6: full catalog driver-evidenced;
-  13+ spare slots recheck round-1/2 greens on a rolling basis.
+* **Round 6** (``_ROUND6_WINDOW``, exactly 50): the remaining
+  timeseries/events/geo/graph tail plus the first 13 operators added
+  in round 4. After round 6: 292/302.
+* **Round 7** (``_ROUND7_WINDOW``, 10 + anything added in round 5+):
+  the round-4 additions that overflow round 6's budget. After round
+  7: full catalog driver-evidenced; the ~40 spare slots recheck
+  round-1/2 greens on a rolling basis.
 
-The three lists partition the 137 keys that had no driver row as of
-CORRECTNESS_r03 (45+14 named blocks + 78 registry-order rest); a test in
-tests/test_rotation.py pins this against the CORRECTNESS_r0{1,2,3} files
-so the flip cannot silently drift.
+The four lists partition the keys that had no driver row as of
+CORRECTNESS_r03 plus every key added since (23 in round 4); a test in
+tests/test_rotation.py pins this against the CORRECTNESS_r0{1,2,3}
+files so the flip cannot silently drift. New keys are ALWAYS appended
+to the last window.
 """
 
 from awsbeats_spark import registry
@@ -209,7 +213,6 @@ _ROUND6_WINDOW = [
     "graph_type_overlap_jaccard",
     "geo_grid_neighbor_join",
     "geo_cell_density_topk",
-    # keys added in round 4 (never driver-checked; appended per the plan)
     "dedup_ngram_topk_bounded",
     "sim_search_hamming_packed",
     "agg_partial_merge_shards",
@@ -223,6 +226,12 @@ _ROUND6_WINDOW = [
     "sim_search_cascade_rerank",
     "corpus_dedup_impact_report",
     "ts_forecast_linear_holdout",
+]
+
+
+_ROUND7_WINDOW = [
+    # round-4 additions that overflow the ~50-key round-6 budget;
+    # round 7's remaining ~40 slots recheck round-1/2 greens
     "multimodal_decode_quarantine",
     "ts_anomaly_seasonal_zscore",
     "join_asof_tolerance",
@@ -237,7 +246,9 @@ _ROUND6_WINDOW = [
 
 
 def _reorder() -> None:
-    priority = _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW
+    priority = (
+        _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW
+    )
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})
         raise ValueError(f"rotation lists overlap: {dupes}")

@@ -11,6 +11,7 @@ from awsbeats_spark.operators import (
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
     _ROUND6_WINDOW,
+    _ROUND7_WINDOW,
 )
 from awsbeats_spark.registry import load_all
 
@@ -23,17 +24,22 @@ def test_round4_window_registers_first():
     assert keys[: len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
 
 
-def test_round5_then_round6_follow():
+def test_round5_then_round6_then_round7_follow():
     keys = list(load_all())
     s = len(_ROUND4_WINDOW)
     assert keys[s : s + len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
     s += len(_ROUND5_WINDOW)
+    assert len(_ROUND6_WINDOW) == 50
     assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
+    s += len(_ROUND6_WINDOW)
+    assert keys[s : s + len(_ROUND7_WINDOW)] == _ROUND7_WINDOW
 
 
 def test_rotation_names_unique_and_registered():
     keys = set(load_all())
-    rotation = _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW
+    rotation = (
+        _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW
+    )
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
 
@@ -47,7 +53,9 @@ def test_windows_partition_never_driver_checked_keys():
         path = REPO / f"CORRECTNESS_r{r}.json"
         checked |= set(json.loads(path.read_text()))
     never = [k for k in load_all() if k not in checked]
-    rotation = _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW
+    rotation = (
+        _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW
+    )
     assert set(rotation) == set(never), (
         f"missing from rotation: {sorted(set(never) - set(rotation))}; "
         f"already-checked in rotation: {sorted(set(rotation) - set(never))}"
