@@ -870,7 +870,7 @@ _EQUIDEPTH_BUCKETS = 10
     """,
 )
 def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram of order totals: {_EQUIDEPTH_BUCKETS}
+    """Equi-DEPTH histogram of order totals: 10
     buckets with (near-)equal row counts and data-driven boundaries —
     the statistic query optimizers keep (selectivity estimates stay
     accurate in skewed regions where agg_bucketed_histogram's fixed-
@@ -878,7 +878,7 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation; both engines share its remainder rule (first
     n mod k tiles get the extra row). Scale note: exact ntile is one
     global sort — at 100 TB the production variant computes the
-    {_EQUIDEPTH_BUCKETS - 1} boundary quantiles with the sketch path
+    9 boundary quantiles with the sketch path
     (agg_percentile_approx) and bins with a broadcast range lookup;
     this operator is the exact contract those sketches approximate."""
     t = tables(spark, sf_dir)

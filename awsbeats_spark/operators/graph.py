@@ -453,7 +453,7 @@ _PROJ_TOPK = 5
 def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-mode projection of the supplier-part bipartite graph:
     supplier pairs weighted by co-supplied part count, bounded to each
-    supplier's top {_PROJ_TOPK} strongest neighbors — the construction
+    supplier's top 5 strongest neighbors — the construction
     behind co-purchase, co-authorship, and co-engagement graphs. Scale
     shape: the projection is the textbook explosion risk (a part with
     d suppliers emits d² pairs), and the two levers this operator

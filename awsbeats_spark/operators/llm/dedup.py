@@ -1003,7 +1003,7 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-inclusion cases that matter for training-data leakage
     and attribution. Pairs are ORDERED (both directions scored — the
     candidate join uses <> not <), and a pair surfaces when the
-    smaller side is >= {CONTAINMENT_THRESHOLD} contained. Scale shape:
+    smaller side is >= 0.5 contained. Scale shape:
     identical to dedup_ngram_jaccard's bucketed equi-join (shared
     shingle -> hash join, no cross product); the direction only
     changes the denominator. Jaccard rides along so the two scores'

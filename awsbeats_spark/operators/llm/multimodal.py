@@ -580,7 +580,7 @@ _CORRUPT_MOD = 17  # payloads with n % 17 == 0 are truncated mid-header
 )
 def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode with a quarantine lane: a deterministic subset of payloads
-    (n %% {_CORRUPT_MOD} == 0) is TRUNCATED mid-container before decode
+    (n % 17 == 0) is TRUNCATED mid-container before decode
     — real corruption, not a flag — and the decoder catches the parse
     failure per row, emitting decode_status='quarantined' with null
     geometry instead of killing the task. This is the error contract a

@@ -1402,9 +1402,9 @@ def _cascade_oracle() -> str:
 def sim_search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage cascade ANN — the production retrieval shape: stage 1
     scans the corpus in 8-byte bit-packed Hamming space and keeps a
-    {_CASCADE_SHORTLIST}-candidate shortlist per query (bandwidth-bound,
+    50-candidate shortlist per query (bandwidth-bound,
     no float math); stage 2 re-scores ONLY the shortlist with exact
-    cosine and keeps the top {TOP_K}, and each row carries the
+    cosine and keeps the top 10, and each row carries the
     measured recall@k of the cascade against exact brute-force cosine
     — the number that justifies the cascade's existence (IVF gets the
     same treatment in eval_ann_recall_ivf). At 100 TB the economics:
@@ -1416,7 +1416,7 @@ def sim_search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from awsbeats_spark.registry import QUERIES
 
     # stage 1: coarse Hamming shortlist, built directly (the registered
-    # op caps at 10; the cascade needs {_CASCADE_SHORTLIST}): same pack
+    # op caps at 10; the cascade needs 50): same pack
     # + broadcast join, deeper group limit.
     t = tables(spark, sf_dir)
     emb = t.embeddings

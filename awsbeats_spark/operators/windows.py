@@ -532,7 +532,7 @@ _HAMPEL_SCALE = 1.4826  # MAD -> sigma for Gaussian data
 )
 def window_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel filter over each user's event-value stream: a point is an
-    outlier when it sits more than {_HAMPEL_K} scaled-MAD from the
+    outlier when it sits more than 3 scaled-MAD from the
     trailing 7-point rolling median. Two-pass variant: pass 1 computes
     each point's trailing median; pass 2 takes the rolling median of
     |value - own trailing median| as the dispersion estimate (the
