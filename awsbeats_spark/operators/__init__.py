@@ -242,6 +242,8 @@ _ROUND7_WINDOW = [
     "window_outlier_hampel",
     "dedup_containment_asymmetric",
     "graph_bipartite_projection",
+    "dq_join_key_skew_profile",
+    "dq_sequence_gap_audit",
 ]
 
 

@@ -723,3 +723,134 @@ def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_violations") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew profile: the histogram a shuffle planner consults
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_join_key_skew_profile",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS group_size
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(group_size) AS BIGINT) AS n_rows,
+           round(avg(group_size), 4) AS mean_size,
+           CAST(quantile_disc(group_size, 0.5) AS BIGINT) AS p50_size,
+           CAST(quantile_disc(group_size, 0.9) AS BIGINT) AS p90_size,
+           CAST(quantile_disc(group_size, 0.99) AS BIGINT) AS p99_size,
+           CAST(max(group_size) AS BIGINT) AS max_size,
+           round(max(group_size) / avg(group_size), 4) AS skew_factor
+    FROM sizes
+    """,
+)
+def dq_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-cardinality profile of a join/grouping key (l_orderkey): key
+    count, row count, mean/p50/p90/p99/max group size, and the skew
+    factor (max/mean) — the number that decides BETWEEN the engine's
+    own skew mitigations (skew_factor near 1: plain hash join;
+    heavy tail: AQE skew split; a few pathological keys: salting as in
+    join_skew_salted; one mega-key: isolate-and-broadcast). Profiling
+    the key BEFORE the join costs one cheap aggregate over the key
+    column alone (pruned scan) and prevents the 100 TB failure mode
+    where one reducer receives a whole hot key. Discrete (not
+    interpolated) quantiles — group sizes are integers and both
+    engines' disc-quantile picks an actual observed size."""
+    t = tables(spark, sf_dir)
+    sizes = t.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    disc = lambda p: F.expr(  # noqa: E731
+        f"percentile_approx(group_size, {p}, 2147483647)"
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("group_size").alias("n_rows"),
+        rnd(F.avg("group_size"), 4).alias("mean_size"),
+        disc(0.5).cast("long").alias("p50_size"),
+        disc(0.9).cast("long").alias("p90_size"),
+        disc(0.99).cast("long").alias("p99_size"),
+        F.max("group_size").alias("max_size"),
+        rnd(F.max("group_size") / F.avg("group_size"), 4).alias(
+            "skew_factor"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Surrogate-key gap audit: missing id ranges in a dense sequence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_sequence_gap_audit",
+    oracle="""
+    WITH received AS (
+        SELECT event_id FROM events
+        WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3')
+    ),
+    seq AS (
+        SELECT event_id,
+               lead(event_id) OVER (ORDER BY event_id) AS next_id
+        FROM received
+    ),
+    gaps AS (
+        SELECT event_id AS gap_after,
+               CAST(event_id + 1 AS BIGINT) AS missing_from,
+               CAST(next_id - 1 AS BIGINT) AS missing_to,
+               CAST(next_id - event_id - 1 AS BIGINT) AS n_missing
+        FROM seq
+        WHERE next_id - event_id > 1
+    )
+    SELECT gap_after, missing_from, missing_to, n_missing
+    FROM gaps
+    ORDER BY n_missing DESC, missing_from
+    LIMIT 100
+    """,
+)
+def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap audit over a surrogate key sequence: each output row is one
+    missing RANGE. The audited stream here is a deterministic
+    md5-sampled view of events (~25% of ids — this testdata's id
+    domains are all dense, so the sampled view is the harness that
+    gives the audit real gaps to find and compact at every SF; in
+    production the input is the as-received log and a non-empty result
+    IS the alarm): each row is one missing RANGE
+    [missing_from, missing_to] with its size — the compact
+    representation (never one row per missing id, which explodes when
+    a whole partition of upstream data is lost) — bounded to the 100
+    largest gaps.
+    Gaps in an append-log's sequence are the cheapest tripwire for
+    silent data loss between systems: a dropped Kinesis shard or a
+    failed micro-batch shows up here before any business metric moves
+    (the reference's at-least-once contract means gaps, not dups, are
+    the alarming direction). Scale shape: lead() over a global
+    id ordering — at 100 TB the id is range-partitioned (sort within
+    partition + one boundary row exchanged per partition pair), the
+    same two-phase trick as any global-order window; gap OUTPUT is
+    bounded by the number of loss events, not data size (and capped at
+    the top 100 by size here — a TakeOrdered, no global sort of gaps)."""
+    ev = tables(spark, sf_dir).events
+    received = ev.select("event_id").filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    nxt = F.lead("event_id").over(Window.orderBy("event_id"))
+    seq = received.withColumn("next_id", nxt)
+    gaps = seq.filter(F.col("next_id") - F.col("event_id") > 1).select(
+        F.col("event_id").alias("gap_after"),
+        (F.col("event_id") + 1).cast("long").alias("missing_from"),
+        (F.col("next_id") - 1).cast("long").alias("missing_to"),
+        (F.col("next_id") - F.col("event_id") - 1).cast("long").alias(
+            "n_missing"
+        ),
+    )
+    return gaps.orderBy(F.desc("n_missing"), F.asc("missing_from")).limit(
+        100
+    )

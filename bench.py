@@ -244,6 +244,8 @@ EXTENDED_PROBE = [
     "window_outlier_hampel",
     "dedup_containment_asymmetric",
     "graph_bipartite_projection",
+    "dq_join_key_skew_profile",
+    "dq_sequence_gap_audit",
 ]
 
 

@@ -493,3 +493,53 @@ def test_bipartite_projection_bounded_and_correct(run, sf_dir):
         )
         assert got["shared_parts"].iloc[0] == want["n"].iloc[0]
         assert got["supp_b"].iloc[0] == want["l_suppkey_y"].iloc[0]
+
+
+def test_skew_profile_matches_pandas(run, sf_dir):
+    out = run("dq_join_key_skew_profile").iloc[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    sizes = li.groupby("l_orderkey").size()
+    assert out["n_keys"] == len(sizes)
+    assert out["n_rows"] == len(li)
+    assert out["max_size"] == sizes.max()
+    assert out["mean_size"] == pytest.approx(sizes.mean(), abs=1.01e-4)
+    assert out["p50_size"] == sizes.quantile(0.5, interpolation="lower")
+    assert out["skew_factor"] == pytest.approx(
+        sizes.max() / sizes.mean(), abs=1.01e-4
+    )
+
+
+def test_gap_audit_ranges_are_exactly_the_missing_ids(run, sf_dir):
+    import hashlib
+
+    out = run("dq_sequence_gap_audit")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    received = sorted(
+        i
+        for i in ev["event_id"]
+        if hashlib.md5(str(i).encode()).hexdigest()[0] in "0123"
+    )
+    rs = pd.Series(received)
+    gaps = pd.DataFrame(
+        {
+            "gap_after": rs[:-1].values,
+            "nxt": rs[1:].values,
+        }
+    )
+    gaps = gaps[gaps["nxt"] - gaps["gap_after"] > 1]
+    gaps["n_missing"] = gaps["nxt"] - gaps["gap_after"] - 1
+    top = gaps.sort_values(
+        ["n_missing", "gap_after"], ascending=[False, True]
+    ).head(100)
+    assert len(out) == min(100, len(gaps))
+    got = out.sort_values(["n_missing", "missing_from"], ascending=[False, True])
+    assert list(got["gap_after"]) == list(top["gap_after"])
+    assert list(got["n_missing"]) == list(top["n_missing"])
+    # every reported range is truly absent from the received stream
+    rset = set(received)
+    sample = got.head(5)
+    for _, r in sample.iterrows():
+        assert all(
+            i not in rset
+            for i in range(int(r["missing_from"]), int(r["missing_to"]) + 1)
+        )
