@@ -15,27 +15,30 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   keys + relational/windows/setops/sqlfuncs/streaming stragglers (50/50
   green — first fully-green round). 142/279 keys had a driver row after
   round 3; zero red anywhere.
-* **Round 4** (``_ROUND4_WINDOW``, exactly 50, NOW FRONTED): the 45-key
-  round-4 block (scale 18, profiling 3, timeseries 8, tpch_more 13,
-  agg_bitmap_distinct, events_attribution_last_touch,
-  events_pattern_match) plus the first 5 of the old round-5 front
-  (llm.retrieval x4, join_dynamic_in_pushdown). After round 4: 192/279.
-* **Round 5** (``_ROUND5_WINDOW``, exactly 50): the remaining 9 of the
-  old round-5 front, then corpus/similarity/text/quality/scalar/window/
-  sketch keys in registry order. After round 5: 242/279.
+* **Round 4** (``_ROUND4_WINDOW``, exactly 50, all driver-green in
+  CORRECTNESS_r04): the 45-key round-4 block (scale 18, profiling 3,
+  timeseries 8, tpch_more 13, agg_bitmap_distinct,
+  events_attribution_last_touch, events_pattern_match) plus the first
+  5 of the old round-5 front (llm.retrieval x4,
+  join_dynamic_in_pushdown). After round 4: 192/304.
+* **Round 5** (``_ROUND5_WINDOW``, exactly 50, NOW FRONTED): the
+  remaining 9 of the old round-5 front, then corpus/similarity/text/
+  quality/scalar/window/sketch keys in registry order. After round
+  5: 242/304.
 * **Round 6** (``_ROUND6_WINDOW``, exactly 50): the remaining
   timeseries/events/geo/graph tail plus the first 13 operators added
-  in round 4. After round 6: 292/302.
-* **Round 7** (``_ROUND7_WINDOW``, 10 + anything added in round 5+):
+  in round 4. After round 6: 292/304.
+* **Round 7** (``_ROUND7_WINDOW``, 12 + anything added in round 5+):
   the round-4 additions that overflow round 6's budget. After round
   7: full catalog driver-evidenced; the ~40 spare slots recheck
   round-1/2 greens on a rolling basis.
 
 The four lists partition the keys that had no driver row as of
-CORRECTNESS_r03 plus every key added since (23 in round 4); a test in
+CORRECTNESS_r03 plus every key added since (25 in round 4); a test in
 tests/test_rotation.py pins this against the CORRECTNESS_r0{1,2,3}
 files so the flip cannot silently drift. New keys are ALWAYS appended
-to the last window.
+to the last window. Post-flip registration order is r5, r6, r7, r4 —
+never-driver-checked keys queue ahead of the already-green r4 block.
 """
 
 from awsbeats_spark import registry
@@ -249,7 +252,7 @@ _ROUND7_WINDOW = [
 
 def _reorder() -> None:
     priority = (
-        _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW
+        _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW + _ROUND4_WINDOW
     )
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})

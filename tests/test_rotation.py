@@ -18,21 +18,22 @@ from awsbeats_spark.registry import load_all
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def test_round4_window_registers_first():
-    assert len(_ROUND4_WINDOW) == 50
+def test_round5_window_registers_first():
+    assert len(_ROUND5_WINDOW) == 50
     keys = list(load_all())
-    assert keys[: len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
+    assert keys[: len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
 
 
-def test_round5_then_round6_then_round7_follow():
+def test_round6_then_round7_then_round4_follow():
     keys = list(load_all())
-    s = len(_ROUND4_WINDOW)
-    assert keys[s : s + len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
-    s += len(_ROUND5_WINDOW)
+    s = len(_ROUND5_WINDOW)
     assert len(_ROUND6_WINDOW) == 50
     assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
     s += len(_ROUND6_WINDOW)
     assert keys[s : s + len(_ROUND7_WINDOW)] == _ROUND7_WINDOW
+    s += len(_ROUND7_WINDOW)
+    assert len(_ROUND4_WINDOW) == 50
+    assert keys[s : s + len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
 
 
 def test_rotation_names_unique_and_registered():
