@@ -167,6 +167,10 @@ def decode_media(payload: bytes) -> dict:
             off += 8 + csize + (csize & 1)  # chunks are word-aligned
         if channels is None or data_size is None:
             raise ValueError("WAV missing fmt/data chunk")
+        if not bits or not channels or bits < 0 or channels < 0:
+            # data chunk before fmt leaves bits None; a malformed fmt can
+            # declare 0 — both must quarantine, not TypeError/ZeroDivide
+            raise ValueError(f"invalid WAV fmt: bits={bits} ch={channels}")
         n_samples = data_size * 8 // (bits * channels)
         return {
             "width": n_samples,

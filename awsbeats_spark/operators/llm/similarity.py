@@ -1355,10 +1355,17 @@ _CASCADE_SHORTLIST = 50  # Hamming candidates kept per query before rerank
 def _cascade_oracle() -> str:
     from awsbeats_spark.registry import QUERIES
 
+    coarse = QUERIES["sim_search_hamming_packed"].oracle
+    widened = coarse.replace(
+        f"rn <= {_HAM_TOP_K}", f"rn <= {_CASCADE_SHORTLIST}"
+    )
+    if widened == coarse:  # oracle drifted away from the rn-cap pattern
+        raise AssertionError(
+            "hamming oracle no longer embeds 'rn <= _HAM_TOP_K'; "
+            "cascade shortlist widening would silently no-op"
+        )
     return f"""
-    WITH coarse_all AS ({QUERIES['sim_search_hamming_packed'].oracle
-        .replace('rn <= 10', f'rn <= {_CASCADE_SHORTLIST}')
-        .replace('WHERE rn <= 10', f'WHERE rn <= {_CASCADE_SHORTLIST}')}),
+    WITH coarse_all AS ({widened}),
     rerank AS (
         SELECT s.query_id, s.neighbor_id,
                round({cosine_sql('q.embedding', 'c.embedding')}, 6) AS cosine,

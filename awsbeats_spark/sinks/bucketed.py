@@ -39,18 +39,52 @@ def write_bucketed(
         # A managed table's LOCATION outlives the (in-memory/derby)
         # catalog entry across sessions; a fresh session then fails with
         # LOCATION_ALREADY_EXISTS because "overwrite" can't see a table
-        # it never registered. Drop the entry AND the orphaned location.
+        # it never registered. Drop the entry AND the orphaned location —
+        # but resolve the location from the catalog when the entry exists
+        # (a convention-derived path is wrong for qualified db.tbl names),
+        # and for a truly orphaned directory only delete what this writer
+        # could have produced (unqualified name, parquet/bucket files).
+        loc = None
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            loc = next(
+                (r[1] for r in rows if r[0] == "Location"), None
+            )
+        except Exception:
+            pass  # table not registered in this session's catalog
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(warehouse, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+        if loc is not None:
+            loc = loc.removeprefix("file:")
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+        elif "." not in table:
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            cand = os.path.join(warehouse, table.lower())
+            if os.path.isdir(cand) and _looks_like_table_dir(cand):
+                shutil.rmtree(cand)
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def _looks_like_table_dir(path: str) -> bool:
+    """True only if every regular file under `path` is something a Spark
+    parquet table writer emits — the guard that keeps overwrite-cleanup
+    from deleting an unrelated same-named directory in the warehouse."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not (
+                f.endswith(".parquet")
+                or f.endswith(".parquet.crc")
+                or f.startswith("_SUCCESS")
+                or f.startswith("._SUCCESS")
+                or f.startswith(".part-")
+            ):
+                return False
+    return True
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

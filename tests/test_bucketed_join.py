@@ -51,3 +51,43 @@ def test_bucketed_join_matches_unbucketed(bucketed_pair, spark, sf_dir):
         t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
     ).count()
     assert got == want
+
+
+def test_overwrite_cleanup_spares_unrelated_directory(spark, sf_dir):
+    """Overwrite must not rmtree a same-named warehouse directory that
+    this writer never produced (ADVICE r4: naming-convention deletion)."""
+    import os
+
+    t = tables(spark, sf_dir)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    decoy = os.path.join(warehouse, "b_decoy")
+    os.makedirs(decoy, exist_ok=True)
+    marker = os.path.join(decoy, "precious.txt")
+    with open(marker, "w") as f:
+        f.write("not a table")
+    try:
+        spark.sql("DROP TABLE IF EXISTS b_decoy")
+        with pytest.raises(Exception):
+            # saveAsTable should fail on the occupied location; the
+            # cleanup must NOT have deleted the non-table directory
+            write_bucketed(t.nation, "b_decoy", "n_nationkey", buckets=2)
+        assert os.path.exists(marker)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_decoy")
+        import shutil
+
+        shutil.rmtree(decoy, ignore_errors=True)
+
+
+def test_overwrite_resolves_location_from_catalog(spark, sf_dir):
+    """When the table IS registered, overwrite resolves its real location
+    via DESCRIBE EXTENDED and clears it — round-tripping twice works."""
+    t = tables(spark, sf_dir)
+    try:
+        write_bucketed(t.region, "b_region_rt", "r_regionkey", buckets=2)
+        write_bucketed(t.region, "b_region_rt", "r_regionkey", buckets=2)
+        assert read_table(spark, "b_region_rt").count() == t.region.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_region_rt")
