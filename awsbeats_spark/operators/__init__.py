@@ -247,6 +247,8 @@ _ROUND7_WINDOW = [
     "graph_bipartite_projection",
     "dq_join_key_skew_profile",
     "dq_sequence_gap_audit",
+    # round-5 additions (new keys always append to the LAST window)
+    "eval_containment_cap_impact",
 ]
 
 

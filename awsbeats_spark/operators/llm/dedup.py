@@ -990,24 +990,44 @@ CONTAINMENT_THRESHOLD = 0.5
 
 _CONTAINMENT_ORACLE = f"""
     WITH shs AS (
-        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s0
         FROM documents
     ),
-    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
-    counts AS (SELECT doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
+    exploded0 AS (SELECT doc_id, unnest(s0) AS sh FROM shs),
+    df AS (
+        SELECT sh FROM exploded0 GROUP BY sh HAVING count(*) <= {DF_CAP}
+    ),
+    exploded AS (
+        SELECT e.doc_id, e.sh FROM exploded0 e JOIN df USING (sh)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         FROM exploded a JOIN exploded b
           ON a.sh = b.sh AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, shared,
+               shared * 1.0 / ca.n AS cont,
+               shared * 1.0 / (ca.n + cb.n - shared) AS jac
+        FROM pairs
+        JOIN counts ca ON doc_a = ca.doc_id
+        JOIN counts cb ON doc_b = cb.doc_id
+        WHERE shared * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+    ),
+    ranked AS (
+        SELECT doc_a, doc_b, shared, cont, jac,
+               row_number() OVER (
+                   PARTITION BY doc_a ORDER BY cont DESC, doc_b
+               ) AS rk
+        FROM scored
     )
     SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
-           round(shared * 1.0 / ca.n, 6) AS containment_a_in_b,
-           round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard
-    FROM pairs
-    JOIN counts ca ON doc_a = ca.doc_id
-    JOIN counts cb ON doc_b = cb.doc_id
-    WHERE shared * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+           round(cont, 6) AS containment_a_in_b,
+           round(jac, 6) AS jaccard,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {PAIR_TOPK}
 """
 
 
@@ -1021,15 +1041,25 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-inclusion cases that matter for training-data leakage
     and attribution. Pairs are ORDERED (both directions scored — the
     candidate join uses <> not <), and a pair surfaces when the
-    smaller side is >= 0.5 contained. Scale shape:
-    identical to dedup_ngram_jaccard's bucketed equi-join (shared
-    shingle -> hash join, no cross product); the direction only
-    changes the denominator. Jaccard rides along so the two scores'
-    divergence (high containment, low Jaccard) is directly visible."""
-    sets = _doc_shingle_sets(spark, sf_dir)
-    exploded = sets.filter(F.col("n") > 0).select(
-        "doc_id", "n", F.explode("shs").alias("sh")
-    ).hint("shuffle_hash")
+    smaller side is >= 0.5 contained in the partner.
+
+    100-TB configuration (round-5 rebuild; VERDICT r4 flagged the
+    original uncapped/unbounded form α=1.25 — the catalog's one
+    superlinear op): BOTH explosion axes are now bounded, the same two
+    moves proven on the ngram family. Input: the DF-capped shingle
+    universe (``_df_capped_exploded`` — a boilerplate shingle in
+    > DF_CAP docs contributes O(df²) directed candidates and is dropped
+    pre-join; containment denominators are the POST-cap set sizes so
+    the semantics stay internally consistent and oracle-exact). Output:
+    top PAIR_TOPK partners per anchor by containment (row_number over a
+    doc_a-hash-partitioned window, deterministic tiebreak cont DESC,
+    doc_b ASC) — O(k · docs) rows no matter how degenerate the corpus.
+    ``eval_containment_cap_impact`` measures what the cap discards
+    against the uncapped exact pair set, keeping the approximation
+    honest. Docs whose entire shingle set is boilerplate drop out of
+    the capped universe (no rows as anchor) — the CCNet-style contract
+    shared with dedup_ngram_df_capped."""
+    exploded = _df_capped_exploded(spark, sf_dir)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -1048,10 +1078,141 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     containment = F.col("shared") / F.col("na")
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return pairs.filter(containment >= CONTAINMENT_THRESHOLD).select(
+    scored = pairs.filter(containment >= CONTAINMENT_THRESHOLD).select(
         "doc_a",
         "doc_b",
-        F.col("shared").cast("long").alias("shared"),
-        rnd(containment, 6).alias("containment_a_in_b"),
-        rnd(jac, 6).alias("jaccard"),
+        "shared",
+        containment.alias("cont"),
+        jac.alias("jac"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_a").orderBy(F.desc("cont"), F.asc("doc_b"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= PAIR_TOPK)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            rnd("cont", 6).alias("containment_a_in_b"),
+            rnd("jac", 6).alias("jaccard"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cap-impact eval: what did the containment DF-cap + top-k discard?
+# --------------------------------------------------------------------------
+
+
+def _containment_cap_impact_oracle() -> str:
+    # Embed the REGISTERED capped oracle as a CTE so the eval can never
+    # drift from the operator it measures (the eval_langid_confusion
+    # pattern), and recompute the uncapped exact directed pair set
+    # (the op's pre-round-5 semantics) as the reference.
+    capped = QUERIES["dedup_containment_asymmetric"].oracle
+    return f"""
+    WITH capped AS ({capped}),
+    shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    counts AS (SELECT doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
+    u_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM exploded a JOIN exploded b
+          ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    uncapped AS (
+        SELECT doc_a, doc_b
+        FROM u_pairs JOIN counts ca ON doc_a = ca.doc_id
+        WHERE shared * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+    ),
+    agg AS (
+        SELECT
+            (SELECT count(*) FROM uncapped) AS n_uncapped,
+            (SELECT count(*) FROM capped) AS n_capped,
+            (SELECT count(*) FROM capped c
+             JOIN uncapped u USING (doc_a, doc_b)) AS n_overlap
+    )
+    SELECT CAST(n_uncapped AS BIGINT) AS n_uncapped,
+           CAST(n_capped AS BIGINT) AS n_capped,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(CASE WHEN n_uncapped = 0 THEN 1.0
+                      ELSE n_overlap * 1.0 / n_uncapped END, 6)
+               AS pair_recall
+    FROM agg
+    """
+
+
+@query(
+    "eval_containment_cap_impact",
+    oracle=_containment_cap_impact_oracle(),
+)
+def eval_containment_cap_impact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured honesty for the round-5 containment cap: the capped +
+    top-k operator (as registered — its own code path, not a copy) vs
+    the exact uncapped directed pair set, reported as one summary row
+    (n_uncapped, n_capped, n_overlap, pair_recall). The uncapped
+    reference is a deliberate small-SF diagnostic — at cluster scale
+    you run the capped op and sample-audit with this eval on a slice,
+    exactly like eval_minhash_vs_exact. pair_recall reads as "of all
+    truly >= 0.5-contained directed pairs, what fraction does the
+    bounded operator still surface" — the number that justifies the
+    cap (boilerplate-driven candidates are discarded; genuine
+    containment survives via low-df shingles)."""
+    capped = dedup_containment_asymmetric(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.filter(F.col("n") > 0).select(
+        "doc_id", "n", F.explode("shs").alias("sh")
+    ).hint("shuffle_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    uncapped = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(
+            F.col("shared") / F.col("na") >= CONTAINMENT_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    # One plan, no driver-side counts: full-outer join the two pair sets
+    # on their keys and fold membership flags in a single aggregate.
+    tagged = capped.withColumn("in_c", F.lit(1)).join(
+        uncapped.withColumn("in_u", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    in_c = F.coalesce(F.col("in_c"), F.lit(0))
+    in_u = F.coalesce(F.col("in_u"), F.lit(0))
+    agg = tagged.agg(
+        F.sum(in_u).cast("bigint").alias("n_uncapped"),
+        F.sum(in_c).cast("bigint").alias("n_capped"),
+        F.sum(in_c * in_u).cast("bigint").alias("n_overlap"),
+    )
+    recall = F.when(F.col("n_uncapped") == 0, F.lit(1.0)).otherwise(
+        F.col("n_overlap") / F.col("n_uncapped")
+    )
+    return agg.select(
+        "n_uncapped",
+        "n_capped",
+        "n_overlap",
+        rnd(recall, 6).alias("pair_recall"),
     )

@@ -246,6 +246,8 @@ EXTENDED_PROBE = [
     "graph_bipartite_projection",
     "dq_join_key_skew_profile",
     "dq_sequence_gap_audit",
+    # round 5 additions
+    "eval_containment_cap_impact",
 ]
 
 
