@@ -894,3 +894,146 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("o_totalprice"), 2).alias("hi"),
         rnd(F.avg("o_totalprice"), 4).alias("mean_in_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch honesty evals (round 5): hash-checkable quality twins for the
+# rows-only approximate aggregates (VERDICT r4 item 3 / item 7 pattern)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_approx_distinct_error",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def eval_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable honesty twin of agg_approx_distinct (rows-only —
+    DuckDB's HLL differs from Spark's, so the estimate itself can never
+    hash-match). The EXACT distinct count can, and the sketch's quality
+    reduces to a boolean: ``within_bound`` = |approx - exact| / exact
+    <= 5*rsd (rsd=0.01; HLL++ error is approximately Gaussian, so 5
+    sigma never fires on a healthy sketch while any real regression —
+    wrong column, broken merge, precision loss — flips it and turns the
+    driver row red). Exact side runs only at eval scale; the production
+    path stays the sketch.
+
+    Plan note: exact and approx are SEPARATE aggregates joined on the
+    tiny group key, not one mixed agg — combining countDistinct with
+    non-distinct aggregates forces Spark's distinct-rewrite Expand
+    (every row replicated per aggregate class), which probed 60x slower
+    at 10x scale (275 s -> 4.5 s; alpha 1.58 -> 0.50 after the
+    split)."""
+    t = tables(spark, sf_dir)
+    exact = (
+        t.lineitem.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    approx = t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    joined = exact.join(approx, "l_returnflag")
+    rel_err = F.abs(F.col("approx") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
+    return joined.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (rel_err <= 0.05).alias("within_bound"),
+    )
+
+
+@query(
+    "eval_freq_items_vs_exact",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           TRUE AS found_in_sketch
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) * 1.0 / (SELECT count(*) FROM events) > 0.05
+    """,
+)
+def eval_freq_items_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable honesty twin of agg_freq_items_approx: the
+    Misra-Gries contract is a SUPERSET guarantee — every value whose
+    true frequency exceeds the support threshold MUST appear in the
+    sketch output (false positives allowed, false negatives never).
+    This eval materializes exactly that contract: exact frequent items
+    (freq > support * n, computed by both engines) each carry
+    ``found_in_sketch`` = membership in the sketch's array; the oracle
+    asserts TRUE. A dropped heavy hitter — the one failure mode that
+    matters when this sketch picks salting factors for a 100-TB skew
+    join — turns the driver row red."""
+    t = tables(spark, sf_dir)
+    tot = t.events.agg(F.count(F.lit(1)).alias("tot"))
+    exact = (
+        t.events.groupBy(F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .join(F.broadcast(tot))
+        .filter(F.col("exact_count") > 0.05 * F.col("tot"))
+        .select("item", "exact_count")
+    )
+    fi = t.events.select("event_type").stat.freqItems(
+        ["event_type"], support=0.05
+    )
+    return exact.join(F.broadcast(fi)).select(
+        "item",
+        "exact_count",
+        F.array_contains(F.col("event_type_freqItems"), F.col("item")).alias(
+            "found_in_sketch"
+        ),
+    )
+
+
+@query(
+    "eval_hll_union_vs_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def eval_hll_union_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable honesty twin of agg_hll_sketch_union: rebuilds the
+    same per-day DataSketches HLL sketches, unions them per event_type,
+    and checks the merged estimate against the exact distinct-user
+    count — the property the sketch-union pattern must preserve at
+    100 TB (merge must not lose registers). ``within_bound`` = relative
+    error <= 0.06 (lgk=12 -> ~1.6% standard error; ~4 sigma).
+    The exact reference runs only at eval scale; production rolls up
+    sketches without re-touching raw rows."""
+    t = tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    joined = merged.join(exact, "event_type")
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return joined.select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (rel_err <= 0.06).alias("within_bound"),
+    )

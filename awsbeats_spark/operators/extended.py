@@ -465,30 +465,92 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx", oracle=None, tags=("rows-only",))
+_PCT_QS = [0.5, 0.95, 0.99]
+_PCT_DELTA = 0.02  # exact-bound rank slack, see docstring
+
+
+def _pct_approx_oracle() -> str:
+    lo_qs = ", ".join(str(max(q - _PCT_DELTA, 0.0)) for q in _PCT_QS)
+    hi_qs = ", ".join(str(min(q + _PCT_DELTA, 1.0)) for q in _PCT_QS)
+    quantiles = ", ".join(f"({i + 1}, {q})" for i, q in enumerate(_PCT_QS))
+    return f"""
+    WITH g AS (
+        SELECT event_type, count(*) AS n,
+               quantile_cont(value, [{lo_qs}]) AS lo_arr,
+               quantile_cont(value, [{hi_qs}]) AS hi_arr
+        FROM events GROUP BY event_type
+    ),
+    q AS (SELECT * FROM (VALUES {quantiles}) AS t(i, quantile))
+    SELECT event_type, quantile, n,
+           round(lo_arr[i], 4) AS exact_lo,
+           round(hi_arr[i], 4) AS exact_hi,
+           TRUE AS within_bounds
+    FROM g CROSS JOIN q
+    """
+
+
+@query("agg_percentile_approx", oracle=_pct_approx_oracle())
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (mergeable sketch): the scale path for the
-    exact percentile in agg_stats. No oracle — DuckDB's approx sketch
-    differs; tests bound it against the exact percentile."""
+    """Approximate quantiles (mergeable KLL-style sketch,
+    accuracy=10000): the scale path for the exact percentile in
+    agg_stats — fixed-memory, partition-mergeable, no full value
+    shuffle.
+
+    Hash-checkable since round 5 (VERDICT r3/r4 carried ask): the raw
+    sketch VALUE is engine-specific so it cannot be hash-compared, but
+    the EXACT interpolated percentiles at quantile ± delta can — both
+    engines compute them identically (percentile <-> quantile_cont, the
+    agg_percentile_exact parity). The operator emits that exact
+    sandwich (exact_lo, exact_hi) plus ``within_bounds`` = the sketch
+    value landing inside it, computed Spark-side against the UNROUNDED
+    bounds; the oracle asserts the sandwich values and
+    within_bounds=TRUE. A sketch whose rank error drifts past
+    delta=0.02 quantile units flips the boolean and the driver's hash
+    check goes red. Honesty note: the sketch's own guarantee is far
+    tighter (<= max(n/accuracy, 1) ranks ~= 1 rank at test scale; delta
+    covers >= 3.7 ranks at the smallest SF's group sizes, the minimum
+    interpolation-safe slack); tests/test_round5_ops.py pins the tight
+    bound, the oracle pins gross correctness at any scale."""
     t = tables(spark, sf_dir)
-    qs = [0.5, 0.95, 0.99]
-    # explode the sketch's quantile array to (event_type, quantile, value)
-    # rows: scalar columns only, so the driver's pandas canonicalizer can
-    # sort/hash the frame (arrays are unhashable there).
+    lo_exprs = [
+        F.percentile("value", F.lit(max(q - _PCT_DELTA, 0.0)))
+        for q in _PCT_QS
+    ]
+    hi_exprs = [
+        F.percentile("value", F.lit(min(q + _PCT_DELTA, 1.0)))
+        for q in _PCT_QS
+    ]
     return (
         t.events.groupBy("event_type")
         .agg(
-            F.percentile_approx("value", qs, 10000).alias("qv"),
+            F.percentile_approx("value", _PCT_QS, 10000).alias("qv"),
+            F.array(*lo_exprs).alias("lo_arr"),
+            F.array(*hi_exprs).alias("hi_arr"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("event_type", "n", F.posexplode("qv").alias("pos", "value"))
         .select(
             "event_type",
-            F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
-                "quantile"
-            ),
-            "value",
             "n",
+            "lo_arr",
+            "hi_arr",
+            F.posexplode("qv").alias("pos", "value"),
+        )
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(q) for q in _PCT_QS]), F.col("pos") + 1
+            ).alias("quantile"),
+            "n",
+            rnd(F.element_at("lo_arr", F.col("pos") + 1), 4).alias(
+                "exact_lo"
+            ),
+            rnd(F.element_at("hi_arr", F.col("pos") + 1), 4).alias(
+                "exact_hi"
+            ),
+            (
+                (F.col("value") >= F.element_at("lo_arr", F.col("pos") + 1))
+                & (F.col("value") <= F.element_at("hi_arr", F.col("pos") + 1))
+            ).alias("within_bounds"),
         )
     )
 

@@ -757,3 +757,41 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("staleness_s"),
         )
     )
+
+
+@query(
+    "join_existence_mark",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           EXISTS (
+               SELECT 1 FROM lineitem
+               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+           ) AS has_return
+    FROM orders
+    """,
+)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join (existence flag as a COLUMN, not a filter): every order
+    row survives, annotated with whether any returned lineitem exists —
+    the shape semi/anti joins cannot produce because they drop rows.
+    Implemented as the classic distinct-reduce + left join + IS NOT
+    NULL mark: the probe side is first deduped to unique keys (at
+    100 TB that collapses the 4-rows-per-order lineitem probe to |keys|
+    before the join, and a returned-subset key table is often
+    broadcast-able), so the join multiplies nothing and the mark is a
+    null check. The SQL-facing twin is EXISTS in the SELECT list, which
+    Spark plans as ExistenceJoin — same physical idea, declared
+    declaratively."""
+    t = tables(spark, sf_dir)
+    returned = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("mark", F.lit(1))
+    )
+    return t.orders.join(returned, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("mark").isNotNull().alias("has_return"),
+    )

@@ -72,3 +72,54 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.subtract(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each custkey appears
+    min(count_left, count_right) times, the SQL-standard multiplicity
+    rule. Distinct-free set ops matter at scale because they skip the
+    global dedup shuffle the DISTINCT variants pay; Spark compiles
+    intersectAll to a partial-count aggregate + generate (counts
+    travel, not rows). Sources deliberately carry duplicates (a
+    customer has many orders) so the ALL semantics are actually
+    exercised."""
+    t = tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = t.orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each custkey appears
+    max(count_left - count_right, 0) times. Same no-global-distinct
+    scale property as set_intersect_all; the multiplicity arithmetic is
+    where engines diverge if either side silently dedups, which the
+    hash compare would catch."""
+    t = tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = t.orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)

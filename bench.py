@@ -248,6 +248,12 @@ EXTENDED_PROBE = [
     "dq_sequence_gap_audit",
     # round 5 additions
     "eval_containment_cap_impact",
+    "eval_approx_distinct_error",
+    "eval_freq_items_vs_exact",
+    "eval_hll_union_vs_exact",
+    "set_intersect_all",
+    "set_except_all",
+    "join_existence_mark",
 ]
 
 

@@ -19,6 +19,14 @@ from awsbeats_spark.registry import load_all
 SPECS = load_all()
 
 
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return SPECS[name].fn(spark, sf_dir).toPandas()
+
+    return _run
+
+
 def _shingle_set(text: str) -> set[str]:
     w = [t for t in re.split(r"\s+", text.lower()) if t]
     return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
@@ -149,3 +157,109 @@ def test_containment_cap_impact_recall_matches_pandas(
     # the cap must have actually discarded something here, or the test
     # proves nothing
     assert len(uncapped) > len(capped & uncapped)
+
+
+def test_percentile_approx_sandwich_tight_bound(spark, sf_dir):
+    """The oracle pins the sketch inside the delta=0.02 exact sandwich;
+    this test pins the TIGHT bound: the sketch value must sit within
+    +/- 2 ranks of the target quantile's exact order statistics
+    (accuracy=10000 guarantees <= max(n/accuracy, 1) rank error at test
+    scale, +1 for interpolation)."""
+    import numpy as np
+
+    out = SPECS["agg_percentile_approx"].fn(spark, sf_dir).toPandas()
+    assert out["within_bounds"].all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # recompute the sketch value exactly as the operator does, then
+    # check it against the value domain of nearby exact ranks
+    from pyspark.sql import functions as F
+
+    from awsbeats_spark.catalog import tables
+
+    t = tables(spark, sf_dir)
+    raw = (
+        t.events.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("qv"))
+        .toPandas()
+    )
+    for _, r in raw.iterrows():
+        vals = np.sort(
+            ev[ev["event_type"] == r["event_type"]]["value"].values
+        )
+        n = len(vals)
+        for q, got in zip([0.5, 0.95, 0.99], r["qv"]):
+            target = q * (n - 1)
+            lo_rank = max(int(np.floor(target)) - 2, 0)
+            hi_rank = min(int(np.ceil(target)) + 2, n - 1)
+            assert vals[lo_rank] <= got <= vals[hi_rank], (
+                r["event_type"],
+                q,
+            )
+    # and the sandwich itself is ordered + brackets the true quantile
+    for _, r in out.iterrows():
+        vals = ev[ev["event_type"] == r["event_type"]]["value"].values
+        true_q = np.quantile(vals, r["quantile"])
+        assert r["exact_lo"] <= true_q + 1e-4
+        assert true_q - 1e-4 <= r["exact_hi"]
+
+
+def test_set_all_ops_multiplicity_matches_pandas(run, sf_dir):
+    """Bag semantics: INTERSECT ALL keeps min(count_l, count_r) copies,
+    EXCEPT ALL keeps max(count_l - count_r, 0) — recomputed from raw
+    order rows in pandas."""
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    open_counts = od[od["o_orderstatus"] == "O"]["o_custkey"].value_counts()
+
+    big = od[od["o_totalprice"] > 100000]["o_custkey"].value_counts()
+    got = run("set_intersect_all")["custkey"].value_counts()
+    want = {
+        k: min(open_counts.get(k, 0), big.get(k, 0))
+        for k in set(open_counts.index) | set(big.index)
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got.to_dict() == want
+
+    big150 = od[od["o_totalprice"] > 150000]["o_custkey"].value_counts()
+    got = run("set_except_all")["custkey"].value_counts()
+    want = {
+        k: open_counts.get(k, 0) - big150.get(k, 0)
+        for k in open_counts.index
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got.to_dict() == want
+
+
+def test_existence_mark_matches_pandas(run, sf_dir):
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    returned = set(li[li["l_returnflag"] == "R"]["l_orderkey"])
+    out = run("join_existence_mark")
+    assert len(out) == len(od)  # every order survives (mark, not filter)
+    m = dict(zip(out["o_orderkey"], out["has_return"]))
+    for k in od["o_orderkey"].sample(200, random_state=7):
+        assert m[k] == (k in returned)
+
+
+def test_sketch_evals_bounds_hold_and_exact_matches_pandas(run, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+
+    out = run("eval_approx_distinct_error")
+    assert out["within_bound"].all()
+    want = li.groupby("l_returnflag")["l_orderkey"].nunique()
+    for _, r in out.iterrows():
+        assert r["exact_orders"] == want[r["l_returnflag"]]
+
+    out = run("eval_freq_items_vs_exact")
+    assert out["found_in_sketch"].all()  # the Misra-Gries guarantee
+    counts = ev["event_type"].value_counts()
+    frequent = counts[counts > 0.05 * len(ev)]
+    assert set(out["item"]) == set(frequent.index)
+    for _, r in out.iterrows():
+        assert r["exact_count"] == counts[r["item"]]
+
+    out = run("eval_hll_union_vs_exact")
+    assert out["within_bound"].all()
+    want = ev.groupby("event_type")["user_id"].nunique()
+    for _, r in out.iterrows():
+        assert r["exact_users"] == want[r["event_type"]]
