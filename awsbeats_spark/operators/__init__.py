@@ -255,6 +255,11 @@ _ROUND7_WINDOW = [
     "set_intersect_all",
     "set_except_all",
     "join_existence_mark",
+    "agg_percentile_disc_rank",
+    "events_audience_overlap_daily",
+    "graph_degree_distribution",
+    "multimodal_image_ahash",
+    "eval_ahash_decode_parity",
 ]
 
 

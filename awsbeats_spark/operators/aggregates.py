@@ -1037,3 +1037,63 @@ def eval_hll_union_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (rel_err <= 0.06).alias("within_bound"),
     )
+
+
+@query(
+    "agg_percentile_disc_rank",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5) AS q50,
+               quantile_disc(l_extendedprice, 0.9) AS q90,
+               quantile_disc(l_extendedprice, 0.99) AS q99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS quantile,
+           round(q50, 2) AS val FROM g
+    UNION ALL
+    SELECT l_returnflag, CAST(0.9 AS DOUBLE), round(q90, 2) FROM g
+    UNION ALL
+    SELECT l_returnflag, CAST(0.99 AS DOUBLE), round(q99, 2) FROM g
+    """,
+)
+def agg_percentile_disc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentile (an actual element, not an interpolation)
+    computed by RANK ARITHMETIC instead of a holistic aggregate: one
+    window sort per group assigns row_number, and the element at
+    1-based rank ceil(q*n) — the PostgreSQL percentile_disc rule, which
+    DuckDB's quantile_disc follows (pinned empirically across n=7..2000
+    including the frac(qn) < q cases where floor(q*(n-1))+1 diverges) —
+    is selected by filter. Scale shape: no collect_list, no holistic
+    percentile buffer — the sort is the same per-group hash-partition
+    sort any window op pays, memory stays O(1) per row, and the same
+    pass serves every quantile. The float index q*n is IEEE-identical
+    in both engines, so the ceil cannot straddle an integer
+    differently."""
+    t = tables(spark, sf_dir)
+    qs = [0.5, 0.9, 0.99]
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = t.lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "rn",
+            F.explode(F.array(*[F.lit(q) for q in qs])).alias("quantile"),
+            "n",
+        )
+        .filter(F.col("rn") == F.ceil(F.col("quantile") * F.col("n")))
+        .select(
+            "l_returnflag",
+            "quantile",
+            rnd("l_extendedprice", 2).alias("val"),
+        )
+    )

@@ -492,3 +492,35 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY l_suppkey
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier→part bipartite graph — the
+    first diagnostic run before any graph algorithm at scale (degree
+    skew decides salting/threshold strategy, exactly like
+    dq_join_key_skew_profile does for join keys). Two cheap aggregates
+    after a DISTINCT edge reduction; output is |distinct degrees| rows,
+    effectively constant. The heavy tail this histogram exposes is what
+    graph_bipartite_projection's top-k cap defends against."""
+    t = tables(spark, sf_dir)
+    edges = t.lineitem.select("l_suppkey", "l_partkey").distinct()
+    deg = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )

@@ -625,3 +625,124 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(decode_or_quarantine, schema=DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hash (aHash) over genuinely decoded BMP pixels
+# --------------------------------------------------------------------------
+
+
+def bmp_ahash(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, ahash) from a 24-bpp BMP's actual pixel bytes.
+
+    Average hash: sample an 8x8 grid of grayscale pixels (nearest
+    neighbor, so any geometry works), threshold each sample against the
+    grid mean, pack the 64 booleans row-major into a SIGNED int64
+    (Spark has no unsigned type). Parses the real container: pixel data
+    offset from the file header, bottom-up rows, 4-byte row stride —
+    not the synthesis spec."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} w={w} h={h}")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((3 * w + 3) // 4) * 4
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    rows = px if top_down else px[::-1]  # normalize to top-down
+    ys = ((np.arange(8) + 0.5) * h / 8).astype(np.int64)
+    xs = ((np.arange(8) + 0.5) * w / 8).astype(np.int64)
+    # grayscale = integer mean of the B,G,R bytes at each sampled pixel
+    sub = rows[ys][:, (3 * xs)[:, None] + np.arange(3)].astype(np.int64)
+    gray = sub.sum(axis=2) // 3
+    bits = (gray > gray.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return int(w), int(h), val
+
+
+AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+
+@query("multimodal_image_ahash", oracle=None, tags=("rows-only",))
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level perceptual hash for the image modality: synthesize
+    the BMP container from each image-modality document, decode its
+    REAL pixel bytes, and emit the 64-bit average hash — the
+    image-side analog of text_fingerprint (identical content -> equal
+    hash; near-identical content -> small Hamming distance, so
+    sim_search_hamming_packed's XOR+popcount ranking applies to images
+    unchanged). Rows-only: the hash requires pixel decoding, which SQL
+    cannot express; eval_ahash_exact_dup_parity is the hash-checkable
+    honesty twin (identical source text MUST imply identical ahash),
+    and property tests pin determinism + bit-flip locality. Scale
+    shape: embarrassingly parallel Arrow mapInPandas, no shuffle."""
+    t = tables(spark, sf_dir)
+    payloads = t.documents.filter(
+        F.octet_length("text") % 3 == 0
+    ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, val = bmp_ahash(synthesize_bmp(bytes(raw)))
+                rows.append((doc_id, w, h, val))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash"]
+            )
+
+    return payloads.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
+
+
+@query(
+    "eval_ahash_decode_parity",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + octet_length(encode(text)) % 29 AS INT) AS width,
+           CAST(4 + (7 * octet_length(encode(text))) % 17 AS INT)
+               AS height,
+           TRUE AS clone_consistent
+    FROM documents WHERE octet_length(encode(text)) % 3 = 0
+    """,
+)
+def eval_ahash_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable honesty twin of multimodal_image_ahash, per image
+    doc: (1) the geometry the aHash parser reads out of the REAL BMP
+    header must equal the synthesis spec the oracle recomputes in SQL —
+    this pins bmp_ahash's independent header-parsing path (offset 10
+    data_off, offset 18 dims), not decode_media's; (2)
+    ``clone_consistent`` = the 64-bit hash from a SECOND, physically
+    separate decode+hash execution of the same payload is bit-identical
+    — a nondeterministic sampling grid, byte-order bug, or
+    uninitialized-buffer read flips it and turns the driver row red.
+    (An exact-text-duplicate census was rejected as the twin: the image
+    modality has zero exact dup groups at test SFs, which would make
+    the eval vacuous.)"""
+    a = multimodal_image_ahash(spark, sf_dir).alias("a")
+    b = (
+        multimodal_image_ahash(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("doc_id_b"),
+            F.col("ahash").alias("ahash_b"),
+        )
+        .alias("b")
+    )
+    return a.join(b, F.col("a.doc_id") == F.col("doc_id_b")).select(
+        F.col("a.doc_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.col("a.ahash") == F.col("ahash_b")).alias("clone_consistent"),
+    )

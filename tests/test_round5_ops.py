@@ -263,3 +263,102 @@ def test_sketch_evals_bounds_hold_and_exact_matches_pandas(run, sf_dir):
     want = ev.groupby("event_type")["user_id"].nunique()
     for _, r in out.iterrows():
         assert r["exact_users"] == want[r["event_type"]]
+
+
+def test_percentile_disc_rank_matches_numpy_rule(run, sf_dir):
+    """DuckDB/PostgreSQL percentile_disc rule: element at 1-based rank
+    ceil(q*n) of the sorted multiset."""
+    import math
+
+    import numpy as np
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    out = run("agg_percentile_disc_rank")
+    for flag, grp in li.groupby("l_returnflag"):
+        vals = np.sort(grp["l_extendedprice"].values)
+        n = len(vals)
+        for q in (0.5, 0.9, 0.99):
+            want = round(float(vals[math.ceil(q * n) - 1]), 2)
+            got = out[
+                (out["l_returnflag"] == flag) & (out["quantile"] == q)
+            ]["val"].iloc[0]
+            assert got == pytest.approx(want, abs=1.01e-2), (flag, q)
+            # discrete percentile must be an actual element
+            assert (np.round(vals, 2) == got).any()
+
+
+def test_audience_overlap_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    days = ev.assign(d=ev["ts"].dt.date).groupby("d")["user_id"].agg(set)
+    out = run("events_audience_overlap_daily")
+    assert len(out) > 0
+    for _, r in out.head(10).iterrows():
+        import datetime
+
+        d = datetime.date.fromisoformat(r["day"])
+        nd = datetime.date.fromisoformat(r["next_day"])
+        assert (nd - d).days == 1
+        a, b = days[d], days[nd]
+        assert r["n_users"] == len(a) and r["n_users_next"] == len(b)
+        assert r["n_common"] == len(a & b)
+        assert r["jaccard"] == pytest.approx(
+            len(a & b) / len(a | b), abs=1.01e-6
+        )
+
+
+def test_degree_distribution_matches_pandas(run, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    deg = (
+        li[["l_suppkey", "l_partkey"]]
+        .drop_duplicates()
+        .groupby("l_suppkey")
+        .size()
+    )
+    want = deg.value_counts().to_dict()
+    out = run("graph_degree_distribution")
+    assert dict(zip(out["degree"], out["n_suppliers"])) == want
+
+
+def test_bmp_ahash_known_pattern_and_determinism():
+    """A hand-built 16x16 BMP, left half black / right half white: each
+    sampled row must read 00001111 (left-to-right), giving a known
+    64-bit pattern; hashing twice is bit-identical; the synthesized-BMP
+    path agrees with geometry spec."""
+    import struct as st
+
+    from awsbeats_spark.operators.llm.multimodal import (
+        bmp_ahash,
+        synthesize_bmp,
+    )
+
+    w = h = 16
+    stride = ((3 * w + 3) // 4) * 4
+    rows = []
+    for _ in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = 0 if x < 8 else 255
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)  # bottom-up, but pattern is y-invariant
+    header = st.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = st.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    gw, gh, val = bmp_ahash(header + info + pixels)
+    assert (gw, gh) == (16, 16)
+    row_bits = 0b00001111
+    want = 0
+    for _ in range(8):
+        want = (want << 8) | row_bits
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert val == want
+    # determinism + spec-geometry on the synthesized path
+    data = "some image-modality document text".encode()
+    p = synthesize_bmp(data)
+    assert bmp_ahash(p) == bmp_ahash(p)
+    n = len(data)
+    assert bmp_ahash(p)[0] == 4 + n % 29
+    assert bmp_ahash(p)[1] == 4 + (7 * n) % 17
