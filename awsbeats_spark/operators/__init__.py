@@ -260,6 +260,11 @@ _ROUND7_WINDOW = [
     "graph_degree_distribution",
     "multimodal_image_ahash",
     "eval_ahash_decode_parity",
+    "events_ab_welch_ttest",
+    "dq_key_candidate_scan",
+    "orders_abc_classification",
+    "embed_dim_variance_topk",
+    "multimodal_video_luma_stats",
 ]
 
 

@@ -746,3 +746,102 @@ def eval_ahash_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         (F.col("a.ahash") == F.col("ahash_b")).alias("clone_consistent"),
     )
+
+
+# --------------------------------------------------------------------------
+# Video exposure QA: frame-0 luma mean/contrast from the real Y plane
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_video_luma_stats",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               10 + 2 * (octet_length(encode(text)) % 7) AS wd,
+               10 + 2 * ((7 * octet_length(encode(text))) % 5) AS ht,
+               1 + octet_length(encode(text)) % 24 AS n_frames
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 2
+    ),
+    sums AS (
+        SELECT doc_id, wd, ht, n_frames,
+               list_sum(list_transform(
+                   generate_series(1, wd * ht),
+                   j -> {_BYTE_SQL.format(k="j - 1")})) AS s,
+               list_sum(list_transform(
+                   generate_series(1, wd * ht),
+                   j -> pow({_BYTE_SQL.format(k="j - 1")}, 2))) AS ss
+        FROM p
+    )
+    SELECT doc_id, CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           round(s / (wd * ht), 4) AS mean_luma,
+           round(sqrt(ss / (wd * ht) - pow(s / (wd * ht), 2)), 4)
+               AS luma_contrast
+    FROM sums
+    """,
+)
+def multimodal_video_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure/contrast QA over each video document's first frame: the
+    Y (luma) plane's mean and population std, read from the REAL
+    YUV4MPEG2 stream — header parsed for geometry, first FRAME marker
+    walked, width*height luma bytes decoded. A vision pipeline runs
+    exactly this gate to drop black/blown-out/flat clips before paying
+    for frame embedding; contrast ~0 is the classic dead-camera signal.
+
+    Parity: luma sums and sums-of-squares are exact integers (<= 396
+    bytes of <= 255), so mean and sqrt-of-moments contrast are
+    bit-identical to the oracle's hex-nibble recomputation of the same
+    cycled byte stream. Scale shape: embarrassingly parallel
+    mapInPandas per payload, no shuffle, one output row per video; only
+    the first frame is decoded (all the gate needs), so cost is
+    O(width*height) per clip regardless of duration."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 2)
+
+    def luma(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                y4m = synthesize_y4m(raw)
+                meta = decode_media(y4m)  # real header parse + frame walk
+                wd, ht = meta["width"], meta["height"]
+                plane = np.frombuffer(
+                    y4m, dtype=np.uint8, count=wd * ht, offset=37 + 6
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        wd,
+                        ht,
+                        meta["n_frames"],
+                        float(plane.sum()),
+                        float(np.dot(plane, plane)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames", "s", "ss"],
+            )
+
+    sums = src.mapInPandas(
+        luma,
+        "doc_id bigint, width int, height int, n_frames bigint,"
+        " s double, ss double",
+    )
+    area = (F.col("width") * F.col("height")).cast("double")
+    mean = F.col("s") / area
+    return sums.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        rnd(mean, 4).alias("mean_luma"),
+        rnd(F.sqrt(F.col("ss") / area - mean * mean), 4).alias(
+            "luma_contrast"
+        ),
+    )

@@ -1497,3 +1497,68 @@ def sim_search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n_hits") / float(TOP_K), 6).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space QA: per-dimension variance ranking (dead/dominant dims)
+# --------------------------------------------------------------------------
+
+_DIMVAR_TOP_K = 8
+
+
+@query(
+    "embed_dim_variance_topk",
+    oracle=f"""
+    WITH per_dim AS (
+        SELECT d AS dim,
+               avg(embedding[d]::DOUBLE) AS mean_val,
+               var_pop(embedding[d]::DOUBLE) AS var_val
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+        GROUP BY d
+    ),
+    ranked AS (
+        SELECT dim, mean_val, var_val,
+               row_number() OVER (ORDER BY var_val DESC, dim) AS rk
+        FROM per_dim
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(rk AS INT) AS var_rank,
+           round(mean_val, 6) AS mean_val, round(var_val, 6) AS var_val
+    FROM ranked WHERE rk <= {_DIMVAR_TOP_K}
+    """,
+)
+def embed_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: per-dimension mean and population variance,
+    keeping the top-k highest-variance dimensions. The two failure
+    modes this catches before an index build: dead dimensions (variance
+    ~0 — a truncated projection or a stuck encoder head) and dominant
+    dimensions (one coordinate carrying most of the energy, which
+    wrecks cosine separability and IVF cell balance).
+
+    Scale shape: posexplode fans each vector into (dim, value) rows —
+    64x the row count but tiny rows — then ONE hash aggregation with
+    map-side partial moment sums; the rank runs over exactly 64
+    aggregate rows. No vector leaves its partition before being reduced
+    to per-dim partials. At 100 TB this is the cheapest full-corpus
+    statistic there is; the same plan serves any per-dim moment."""
+    e = tables(spark, sf_dir).embeddings
+    per_dim = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .select((F.col("pos") + 1).alias("dim"), F.col("val").cast("double"))
+        .groupBy("dim")
+        .agg(
+            F.avg("val").alias("mean_val"),
+            F.var_pop("val").alias("var_val"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("var_val"), F.asc("dim")))
+    return (
+        per_dim.select("dim", "mean_val", "var_val", rk.alias("var_rank"))
+        .filter(F.col("var_rank") <= _DIMVAR_TOP_K)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("var_rank").cast("int").alias("var_rank"),
+            rnd("mean_val", 6).alias("mean_val"),
+            rnd("var_val", 6).alias("var_val"),
+        )
+    )

@@ -854,3 +854,159 @@ def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.orderBy(F.desc("n_missing"), F.asc("missing_from")).limit(
         100
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: Welch's t-test per metric segment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_welch_ttest",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CAST(user_id % 2 AS INT) AS variant
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) FILTER (variant = 0) AS n_a,
+               count(*) FILTER (variant = 1) AS n_b,
+               avg(value) FILTER (variant = 0) AS m_a,
+               avg(value) FILTER (variant = 1) AS m_b,
+               var_samp(value) FILTER (variant = 0) AS v_a,
+               var_samp(value) FILTER (variant = 1) AS v_b
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a - m_b, 4) AS mean_diff,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1)
+                    + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+    FROM g
+    WHERE n_a >= 2 AND n_b >= 2
+    """,
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t statistic per
+    event_type, variant assigned by the deterministic user_id parity
+    (the stand-in for a real assignment column). Welch (not pooled
+    Student) because production variants routinely have unequal
+    variance AND unequal size — the pooled test's false-positive rate
+    drifts exactly when traffic splits drift. Emits the
+    Welch–Satterthwaite degrees of freedom alongside t so the consumer
+    can threshold properly instead of pretending n is large.
+
+    Scale shape: ONE aggregation pass — conditional count/avg/var_samp
+    per variant fold map-side into six partial counters per group; no
+    self-join, no second scan, output is one row per event_type. The
+    guard n>=2 per arm keeps var_samp defined (and DIVIDE_BY_ZERO out,
+    per the ANSI pitfall with zero-variance frames)."""
+    ev = tables(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    variant = (F.col("user_id") % 2).cast("int")
+    tagged = ev.select("event_type", "value", variant.alias("variant"))
+    a = F.col("variant") == 0
+    b = F.col("variant") == 1
+    g = tagged.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("m_a"),
+        F.avg(F.when(b, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(a, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(b, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    df_num = F.pow(se2, 2)
+    df_den = F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1) + F.pow(
+        F.col("v_b") / F.col("n_b"), 2
+    ) / (F.col("n_b") - 1)
+    return g.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        rnd(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        rnd((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
+        rnd(df_num / df_den, 2).alias("welch_df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Primary-key candidate scan: per-column uniqueness profile in one pass
+# --------------------------------------------------------------------------
+
+_KEY_SCAN_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "dq_key_candidate_scan",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           (SELECT n_rows FROM n) AS n_rows,
+           count({c}) AS n_non_null,
+           count(DISTINCT {c}) AS n_distinct,
+           round(count(DISTINCT {c})
+                 / CAST((SELECT n_rows FROM n) AS DOUBLE), 6)
+               AS distinct_ratio,
+           count(DISTINCT {c}) = (SELECT n_rows FROM n)
+               AND count({c}) = (SELECT n_rows FROM n) AS is_key_candidate
+    FROM orders
+    """
+        for c in _KEY_SCAN_COLS
+    ),
+)
+def dq_key_candidate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key candidate scan: exact distinct count, non-null count
+    and uniqueness ratio for every column of orders, flagging columns
+    that could serve as a key (all-distinct AND no nulls). The ingest
+    gate that catches a fanned-out join or a truncated id column before
+    downstream MERGEs silently multiply rows.
+
+    Scale shape: Spark computes ALL columns in ONE aggregation pass —
+    count_distinct per column folds map-side (no per-column rescan, no
+    melt-then-shuffle of the full table; the melted form would shuffle
+    n_rows x n_cols rows, this shuffles one partial-state row per
+    partition). The single wide row is then unpivoted driver-free via
+    an in-plan union of 6 one-row projections. At 100 TB swap
+    count_distinct for approx_count_distinct per the profiling twins
+    (profile_columns / profile_columns_approx)."""
+    o = tables(spark, sf_dir).orders
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _KEY_SCAN_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    parts = []
+    for c in _KEY_SCAN_COLS:
+        nd, nn = F.col(f"nd_{c}"), F.col(f"nn_{c}")
+        parts.append(
+            wide.select(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                nn.cast("long").alias("n_non_null"),
+                nd.cast("long").alias("n_distinct"),
+                rnd(nd / F.col("n_rows").cast("double"), 6).alias(
+                    "distinct_ratio"
+                ),
+                ((nd == F.col("n_rows")) & (nn == F.col("n_rows"))).alias(
+                    "is_key_candidate"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -851,3 +851,84 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trade_balance"),
         )
     )
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(rev) OVER () AS total_rev
+        FROM per_part
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_rev <= 0.80 * total_rev THEN 'A'
+                    WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev, total_rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 2) AS class_revenue,
+           round(sum(rev) / max(total_rev), 4) AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = parts inside the top 80% of cumulative revenue, B = next
+    15%, C = the long tail. The classic ops question — how few SKUs
+    carry most of the money — answered as three summary rows.
+
+    Determinism across engines: per-part revenue is rounded to cents
+    BEFORE the running sum (cent values are exact in doubles, so the
+    cumulative is order-independent), the cumulative frame is pinned by
+    (rev DESC, partkey), and the 0.80/0.95 boundaries multiply the same
+    exact total on both sides.
+
+    Scale shape: the fact scan aggregates to one row per part first
+    (map-side partial sums), so the window sort runs over |parts| rows
+    — at 100 TB that is millions, not billions, and a single-reducer
+    global running sum over millions of pre-aggregated rows is the
+    correct trade for exact class boundaries (the keyed alternative:
+    range-partition by rev with one boundary exchange, same two-phase
+    trick as any global-order window)."""
+    li = tables(spark, sf_dir).lineitem
+    per_part = li.groupBy("l_partkey").agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("rev")
+    )
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.sum("rev").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_rev"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_rev") <= 0.80 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "total_rev",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        rnd(F.sum("rev"), 2).alias("class_revenue"),
+        rnd(F.sum("rev") / F.max("total_rev"), 4).alias("revenue_share"),
+    )
