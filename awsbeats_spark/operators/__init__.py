@@ -265,6 +265,10 @@ _ROUND7_WINDOW = [
     "orders_abc_classification",
     "embed_dim_variance_topk",
     "multimodal_video_luma_stats",
+    "events_ratio_metric_delta_ci",
+    "dq_functional_dependency_check",
+    "retrieval_ndcg_graded",
+    "codec_csv_corrupt_permissive",
 ]
 
 

@@ -496,3 +496,118 @@ def retrieval_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             n > 1, rnd(1 - 6.0 * F.col("d2") / (n * (n * n - 1)), 6)
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# Graded relevance quality of the BM25 ranking: nDCG@k
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH bm_full AS ({QUERIES['retrieval_bm25_topk'].oracle}),
+    bm AS (SELECT * FROM bm_full WHERE rn <= {_NDCG_K}),
+    rel AS (
+        SELECT qt.query_id, d.doc_id, count(*) AS rel
+        FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents) d
+        JOIN {_query_terms_sql()} ON list_contains(d.ws, qt.term)
+        GROUP BY qt.query_id, d.doc_id
+    ),
+    dcg AS (
+        SELECT bm.query_id,
+               CAST(count(*) AS BIGINT) AS n_ranked,
+               sum((pow(2.0, coalesce(rel.rel, 0)) - 1.0)
+                   / log2(bm.rn + 1.0)) AS dcg
+        FROM bm LEFT JOIN rel
+          ON rel.query_id = bm.query_id AND rel.doc_id = bm.doc_id
+        GROUP BY bm.query_id
+    ),
+    ideal AS (
+        SELECT query_id, rel,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rel DESC, doc_id
+               ) AS irn
+        FROM rel
+    ),
+    idcg AS (
+        SELECT query_id,
+               sum((pow(2.0, rel) - 1.0) / log2(irn + 1.0)) AS idcg
+        FROM ideal WHERE irn <= {_NDCG_K}
+        GROUP BY query_id
+    )
+    SELECT dcg.query_id, dcg.n_ranked,
+           round(dcg.dcg, 6) AS dcg,
+           round(idcg.idcg, 6) AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg JOIN idcg ON idcg.query_id = dcg.query_id
+    """
+
+
+@query("retrieval_ndcg_graded", oracle=_ndcg_oracle())
+def retrieval_ndcg_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ranking quality of the registered BM25 operator:
+    nDCG@10 with GRADED relevance = how many distinct query terms the
+    document actually contains (0-3). The honesty eval for lexical
+    retrieval — BM25 should place multi-term-covering docs above
+    single-term ones, and nDCG is the standard graded metric for that
+    claim; a value near 1 means the idf/tf trade-off is ordering term
+    coverage correctly on this corpus, a low value means the ranking is
+    being dominated by length normalization or a skewed idf.
+
+    Oracle composition: the BM25 CTE IS the registered operator's own
+    oracle SQL (the eval can never drift from what it evaluates); the
+    ideal ranking orders by exact integer relevance, so IDCG is
+    deterministic even under relevance ties (equal grades contribute
+    equal gain at any order). Scale shape: relevance is one semi-join
+    of the broadcast 9-term list against the token arrays (no
+    vocabulary explode), then DCG/IDCG aggregate |queries| x k rows."""
+    from awsbeats_spark.registry import QUERIES
+
+    bm = (
+        QUERIES["retrieval_bm25_topk"]
+        .fn(spark, sf_dir)
+        .filter(F.col("rn") <= _NDCG_K)
+    )
+    docs = tables(spark, sf_dir).documents.select(
+        "doc_id", words().alias("ws")
+    )
+    qt = F.broadcast(_query_terms_df(spark))
+    rel = (
+        docs.join(qt, F.array_contains(F.col("ws"), F.col("term")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    gain = F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0))) - 1.0
+    dcg = (
+        bm.join(rel, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.sum(gain / F.log2(F.col("rn") + 1.0)).alias("dcg"),
+        )
+    )
+    irn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    )
+    idcg = (
+        rel.select("query_id", "rel", irn.alias("irn"))
+        .filter(F.col("irn") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("irn") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "n_ranked",
+        rnd("dcg", 6).alias("dcg"),
+        rnd("idcg", 6).alias("idcg"),
+        rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

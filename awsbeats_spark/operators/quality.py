@@ -1010,3 +1010,154 @@ def dq_key_candidate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Ratio-metric CI via the delta method over per-user aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_ratio_metric_delta_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               sum(value) AS x, CAST(count(*) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, user_id
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n_users,
+               sum(x) / sum(y) AS ratio,
+               avg(y) AS my,
+               var_samp(x) AS vx, var_samp(y) AS vy,
+               covar_samp(x, y) AS cxy
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+           round(ratio, 6) AS ratio,
+           round(sqrt((vx + ratio * ratio * vy - 2 * ratio * cxy)
+                      / n_users) / my, 6) AS se,
+           round(ratio - 1.96 * sqrt((vx + ratio * ratio * vy
+                      - 2 * ratio * cxy) / n_users) / my, 6) AS ci_lo,
+           round(ratio + 1.96 * sqrt((vx + ratio * ratio * vy
+                      - 2 * ratio * cxy) / n_users) / my, 6) AS ci_hi
+    FROM g WHERE n_users >= 2
+    """,
+)
+def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric confidence interval by the delta method, clustered
+    at the user: the per-event mean value (sum value / n events) is a
+    RATIO of two user-level sums, and users — not events — are the
+    independent unit, so the naive per-event SE is wrong whenever one
+    user contributes many events. This is the standard experimentation-
+    platform correction (linearization of X/Y around the means):
+    Var(R) ~ (var_x + R^2 var_y - 2 R cov_xy) / (n * mean_y^2).
+
+    Scale shape: two chained aggregations — events fold to one (x, y)
+    row per (event_type, user) map-side, then five moment partials per
+    event_type; nothing is collected, output is one row per event_type.
+    The covariance term is exactly why this can't be two independent
+    Welch arms: x and y are correlated within a user."""
+    ev = tables(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("x") / F.sum("y")).alias("ratio"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r = F.col("ratio")
+    se = (
+        F.sqrt(
+            (F.col("vx") + r * r * F.col("vy") - 2 * r * F.col("cxy"))
+            / F.col("n_users")
+        )
+        / F.col("my")
+    )
+    return g.filter(F.col("n_users") >= 2).select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        rnd(r, 6).alias("ratio"),
+        rnd(se, 6).alias("se"),
+        rnd(r - 1.96 * se, 6).alias("ci_lo"),
+        rnd(r + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency check: does column A determine column B?
+# --------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_extendedprice"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+@query(
+    "dq_functional_dependency_check",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name, '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_distinct_dep,
+           count(*) FILTER (nd > 1) = 0 AS fd_holds
+    FROM (
+        SELECT {det}, count(DISTINCT {dep}) AS nd
+        FROM {tbl} GROUP BY {det}
+    )
+    """
+        for tbl, det, dep in _FD_CANDIDATES
+    ),
+)
+def dq_functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for each candidate pair
+    (determinant -> dependent), count determinant groups whose
+    dependent is NOT single-valued. FD violations are how schema drift
+    actually presents — a column everyone assumed was per-key constant
+    (status per order, priority per customer) quietly forks, and every
+    downstream `max(dep) GROUP BY det` silently picks sides. The scan
+    both confirms true keys (o_orderkey -> o_custkey holds) and
+    quantifies how badly folk-FDs fail (max_distinct_dep is the fork
+    width).
+
+    Scale shape: one column-pruned aggregation per candidate pair
+    (count_distinct folds map-side), unioned at four summary rows; no
+    pair rescans more than its two columns. Candidate pairs are config,
+    not discovery — mining all O(cols^2) pairs is a different (sampled)
+    operator."""
+    t = tables(spark, sf_dir)
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        nd = (
+            getattr(t, tbl)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        parts.append(
+            nd.agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                viol.cast("long").alias("n_violating"),
+                F.max("nd").cast("long").alias("max_distinct_dep"),
+                (viol == 0).alias("fd_holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1317,3 +1317,64 @@ def codec_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars"
         ),
     )
+
+
+@query(
+    "codec_csv_corrupt_permissive",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (event_id % 7 <> 3) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (event_id % 7 = 3) AS BIGINT) AS n_corrupt,
+           round(sum(value) FILTER (event_id % 7 <> 3), 2) AS sum_value_good
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def codec_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on CSV ingest: a replica of events is
+    serialized with a deterministic fraction of rows damaged (the value
+    field replaced by a non-numeric token for event_id % 7 == 3), then
+    read back under PERMISSIVE mode with columnNameOfCorruptRecord —
+    damaged rows parse to null value and surface the raw line in the
+    corrupt column instead of killing the job (FAILFAST) or silently
+    vanishing (DROPMALFORMED). The operator reports, per event_type,
+    how many rows survived, how many were quarantined, and the sum over
+    the survivors — the reconciliation numbers an ingest gate publishes
+    before promoting a load. The oracle recomputes all three from the
+    clean source, so the parse-and-quarantine path is hash-checked
+    end-to-end (doubles round-trip CSV exactly via shortest-repr).
+
+    Scale shape: header-less single-line CSV stays splittable, the
+    write/read is executor-parallel, and the readback aggregates
+    map-side to one row per event_type."""
+    from awsbeats_spark.functions.workdirs import work_dir
+
+    t = tables(spark, sf_dir)
+    out = work_dir("codec_csv_corrupt", sf_dir)
+    damaged = t.events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 3, F.lit("__NOT_A_NUMBER__"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("value"),
+    )
+    damaged.write.mode("overwrite").options(header=False).csv(out)
+    back = (
+        spark.read.options(header=False, mode="PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(
+            "event_id long, event_type string, value double,"
+            " _corrupt string"
+        )
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1))
+        .cast("long")
+        .alias("n_corrupt"),
+        rnd(F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 2)
+        .alias("sum_value_good"),
+    )

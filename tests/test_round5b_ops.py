@@ -125,3 +125,98 @@ def test_video_luma_stats_matches_byte_recompute(run, sf_dir):
         assert r["luma_contrast"] == pytest.approx(
             plane.std(), abs=1.01e-4
         )
+
+
+def test_ratio_metric_delta_ci_matches_numpy(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    out = run("events_ratio_metric_delta_ci").set_index("event_type")
+    assert len(out) > 0
+    for et, grp in ev.groupby("event_type"):
+        per = grp.groupby("user_id")["value"].agg(["sum", "count"])
+        x, y = per["sum"].values, per["count"].values.astype(float)
+        n = len(per)
+        if n < 2:
+            assert et not in out.index
+            continue
+        r = x.sum() / y.sum()
+        vx, vy = x.var(ddof=1), y.var(ddof=1)
+        cxy = np.cov(x, y, ddof=1)[0, 1]
+        se = math.sqrt((vx + r * r * vy - 2 * r * cxy) / n) / y.mean()
+        row = out.loc[et]
+        assert row["n_users"] == n
+        assert row["ratio"] == pytest.approx(r, abs=1.01e-6)
+        assert row["se"] == pytest.approx(se, abs=1.01e-6)
+        assert row["ci_lo"] == pytest.approx(r - 1.96 * se, abs=2.01e-6)
+        assert row["ci_hi"] == pytest.approx(r + 1.96 * se, abs=2.01e-6)
+        # the clustered SE must not be the naive per-event SE
+        assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
+
+
+def test_functional_dependency_check_matches_pandas(run, sf_dir):
+    out = run("dq_functional_dependency_check").set_index(
+        ["table_name", "determinant", "dependent"]
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    frames = {"lineitem": li, "orders": o}
+    assert len(out) == 4
+    for (tbl, det, dep), r in out.iterrows():
+        nd = frames[tbl].groupby(det)[dep].nunique()
+        assert r["n_groups"] == len(nd)
+        assert r["n_violating"] == (nd > 1).sum()
+        assert r["max_distinct_dep"] == nd.max()
+        assert r["fd_holds"] == bool((nd <= 1).all())
+    # the true key FD must hold; the folk-FDs must be violated
+    assert bool(out.loc[("orders", "o_orderkey", "o_custkey"), "fd_holds"])
+    assert not bool(
+        out.loc[("lineitem", "l_orderkey", "l_suppkey"), "fd_holds"]
+    )
+
+
+def test_ndcg_graded_matches_pandas(run, sf_dir):
+    import re as _re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from awsbeats_spark.operators.llm.retrieval import (
+        _NDCG_K,
+        QUERY_TERMS,
+    )
+
+    bm = run("retrieval_bm25_topk")
+    out = run("retrieval_ndcg_graded").set_index("query_id")
+    words = docs.set_index("doc_id")["text"].map(
+        lambda t: set(w for w in _re.split(r"\s+", t.lower()) if w)
+    )
+    for qid, terms in QUERY_TERMS.items():
+        rel = words.map(lambda ws: sum(t in ws for t in terms))
+        top = bm[(bm["query_id"] == qid) & (bm["rn"] <= _NDCG_K)]
+        dcg = sum(
+            (2.0 ** rel[d] - 1) / math.log2(r + 1)
+            for d, r in zip(top["doc_id"], top["rn"])
+        )
+        ideal = rel[rel > 0].sort_values(ascending=False).head(_NDCG_K)
+        idcg = sum(
+            (2.0**g - 1) / math.log2(i + 2) for i, g in enumerate(ideal)
+        )
+        r = out.loc[qid]
+        assert r["dcg"] == pytest.approx(dcg, abs=1.01e-6)
+        assert r["idcg"] == pytest.approx(idcg, abs=1.01e-6)
+        assert r["ndcg"] == pytest.approx(dcg / idcg, abs=1.01e-6)
+        assert 0 < r["ndcg"] <= 1.0
+
+
+def test_csv_corrupt_permissive_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    out = run("codec_csv_corrupt_permissive").set_index("event_type")
+    bad = ev["event_id"] % 7 == 3
+    for et, grp in ev.groupby("event_type"):
+        gbad = bad.loc[grp.index]
+        r = out.loc[et]
+        assert r["n_good"] == (~gbad).sum()
+        assert r["n_corrupt"] == gbad.sum()
+        assert r["sum_value_good"] == pytest.approx(
+            grp.loc[~gbad, "value"].sum(), abs=1.01e-2
+        )
+    # quarantine must never be empty at this corruption rate
+    assert (out["n_corrupt"] > 0).all()
