@@ -795,3 +795,69 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("mark").isNotNull().alias("has_return"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id  AS purchase_id,
+           p.user_id   AS user_id,
+           e.event_id  AS next_error_id,
+           round(e.value, 2) AS next_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the direction join_asof (backward),
+    join_asof_nearest, and join_asof_tolerance don't cover: for each
+    purchase, the user's NEXT error event at-or-after the purchase
+    time (post-transaction failure attribution). Same union-and-carry
+    plan as the backward op, mirrored: one shuffle on user_id, a
+    first-forward window frame (current row to unbounded FOLLOWING)
+    carrying the earliest later error back onto each purchase; at equal
+    timestamps the purchase sorts before the error (kind ordering) so
+    the <= bound is honored. DuckDB's native forward ASOF JOIN is the
+    oracle. No pairwise expansion at any scale — cost is the per-user
+    sort any window op pays."""
+    t = tables(spark, sf_dir)
+    ev = t.events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("error_id"),
+        F.lit(None).cast("double").alias("error_value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("value").alias("error_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        purchases.unionByName(errors)
+        .withColumn(
+            "next_error_id", F.first("error_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_error_value",
+            F.first("error_value", ignorenulls=True).over(w),
+        )
+        .filter(F.col("kind") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            "next_error_id",
+            rnd("next_error_value", 2).alias("next_error_value"),
+        )
+    )

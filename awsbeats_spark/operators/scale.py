@@ -1378,3 +1378,101 @@ def codec_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 2)
         .alias("sum_value_good"),
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS fv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+        SELECT e.user_id, min(e.ts) AS fc
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > epoch_us(fv.fv)
+          AND epoch_us(e.ts) <= epoch_us(fv.fv) + 3600000000::BIGINT
+        GROUP BY e.user_id
+    ),
+    fp AS (
+        SELECT e.user_id, min(e.ts) AS fp
+        FROM events e JOIN fc ON fc.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > epoch_us(fc.fc)
+          AND epoch_us(e.ts) <= epoch_us(fc.fc) + 86400000000::BIGINT
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM fc) AS n_clicked_1h,
+           (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_purchased_24h,
+           round((SELECT count(*) FROM fc)
+                 / nullif(CAST((SELECT count(*) FROM fv) AS DOUBLE), 0), 6)
+               AS click_rate,
+           round((SELECT count(*) FROM fp)
+                 / nullif(CAST((SELECT count(*) FROM fc) AS DOUBLE), 0), 6)
+               AS purchase_rate
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel: view -> click within 1 hour -> purchase
+    within 24 hours of that click, each step anchored at the user's
+    FIRST qualifying event. The unconstrained funnel (events_funnel)
+    answers "did they ever"; product analytics almost always asks "did
+    they within the window" — without the constraint, a purchase three
+    weeks after an unrelated click inflates conversion. Boundaries
+    compare microsecond epochs (unix_micros / epoch_us) so sub-second
+    timestamps cannot straddle a second-truncation differently across
+    engines.
+
+    Scale shape: three chained user-keyed aggregations, each one
+    shuffle on user_id with map-side min partials; step N's survivor
+    set (shrinking) joins back to the event log, never to itself. No
+    window over the full log, no per-user event collection."""
+    ev = tables(spark, sf_dir).events
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (us("ts") > us("fv"))
+            & (us("ts") <= us("fv") + F.lit(3_600_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (us("ts") > us("fc"))
+            & (us("ts") <= us("fc") + F.lit(86_400_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    counts = (
+        fv.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
+    )
+    return counts.select(
+        F.col("n_viewed").cast("long").alias("n_viewed"),
+        F.col("n_clicked_1h").cast("long").alias("n_clicked_1h"),
+        F.col("n_purchased_24h").cast("long").alias("n_purchased_24h"),
+        rnd(
+            F.col("n_clicked_1h")
+            / F.nullif(F.col("n_viewed").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("click_rate"),
+        rnd(
+            F.col("n_purchased_24h")
+            / F.nullif(F.col("n_clicked_1h").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("purchase_rate"),
+    )

@@ -932,3 +932,87 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("rev"), 2).alias("class_revenue"),
         rnd(F.sum("rev") / F.max("total_rev"), 4).alias("revenue_share"),
     )
+
+
+@query(
+    "q_part_yoy_growth_topk",
+    oracle="""
+    WITH py AS (
+        SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem GROUP BY l_partkey, year(l_shipdate)
+    ),
+    j AS (
+        SELECT a.l_partkey, a.yr, a.rev, b.rev AS prev_rev
+        FROM py a JOIN py b
+          ON b.l_partkey = a.l_partkey AND b.yr = a.yr - 1
+        WHERE b.rev >= 100.0
+    ),
+    r AS (
+        SELECT l_partkey, yr, rev, prev_rev,
+               round(100.0 * (rev - prev_rev) / prev_rev, 4) AS growth_pct,
+               row_number() OVER (
+                   ORDER BY (rev - prev_rev) / prev_rev DESC, l_partkey, yr
+               ) AS rk
+        FROM j
+    )
+    SELECT l_partkey, yr, rev, prev_rev, growth_pct,
+           CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 15
+    """,
+)
+def q_part_yoy_growth_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fastest-growing parts: per-part revenue by ship year,
+    year-over-year growth against the CONSECUTIVE previous year only
+    (self-join on yr-1, not lag() — lag would silently compare across
+    gap years when a part skips a year), floored at prev_rev >= 100 so
+    near-zero denominators can't launder noise into the top ranks;
+    top 15 by growth. Determinism: per-(part, year) revenue is rounded
+    to cents before the ratio, so the ranking key is a quotient of
+    exact values and both engines order identically.
+
+    Scale shape: the fact table folds to |parts| x |years| rows first;
+    the growth self-join runs at that reduced cardinality on the same
+    (l_partkey) key — with the pre-aggregate hash-partitioned by part,
+    AQE plans it shuffle-free; the final top-15 is a TakeOrdered, not
+    a global sort."""
+    li = tables(spark, sf_dir).lineitem
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(
+        rnd(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("rev")
+    )
+    prev = py.select(
+        F.col("l_partkey").alias("pk"),
+        (F.col("yr") + 1).alias("nyr"),
+        F.col("rev").alias("prev_rev"),
+    ).filter(F.col("prev_rev") >= 100.0)
+    j = py.join(
+        prev,
+        (F.col("l_partkey") == F.col("pk")) & (F.col("yr") == F.col("nyr")),
+    )
+    ratio = (F.col("rev") - F.col("prev_rev")) / F.col("prev_rev")
+    rk = F.row_number().over(
+        Window.orderBy(ratio.desc(), F.asc("l_partkey"), F.asc("yr"))
+    )
+    return (
+        j.select(
+            "l_partkey",
+            "yr",
+            "rev",
+            "prev_rev",
+            rnd(100.0 * ratio, 4).alias("growth_pct"),
+            rk.alias("rk"),
+        )
+        .filter(F.col("rk") <= 15)
+        .select(
+            "l_partkey",
+            "yr",
+            "rev",
+            "prev_rev",
+            "growth_pct",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

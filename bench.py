@@ -268,6 +268,10 @@ EXTENDED_PROBE = [
     "dq_functional_dependency_check",
     "retrieval_ndcg_graded",
     "codec_csv_corrupt_permissive",
+    "events_funnel_windowed",
+    "q_part_yoy_growth_topk",
+    "ts_runs_test_randomness",
+    "join_asof_forward",
 ]
 
 

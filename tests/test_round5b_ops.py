@@ -220,3 +220,94 @@ def test_csv_corrupt_permissive_matches_pandas(run, sf_dir):
         )
     # quarantine must never be empty at this corruption rate
     assert (out["n_corrupt"] > 0).all()
+
+
+def test_funnel_windowed_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    out = run("events_funnel_windowed").iloc[0]
+    fv = ev[ev["event_type"] == "view"].groupby("user_id")["ts"].min()
+    cl = ev[ev["event_type"] == "click"].merge(
+        fv.rename("fv"), left_on="user_id", right_index=True
+    )
+    cl = cl[
+        (cl["ts"] > cl["fv"])
+        & (cl["ts"] <= cl["fv"] + pd.Timedelta(hours=1))
+    ]
+    fc = cl.groupby("user_id")["ts"].min()
+    pu = ev[ev["event_type"] == "purchase"].merge(
+        fc.rename("fc"), left_on="user_id", right_index=True
+    )
+    pu = pu[
+        (pu["ts"] > pu["fc"])
+        & (pu["ts"] <= pu["fc"] + pd.Timedelta(hours=24))
+    ]
+    fp = pu.groupby("user_id")["ts"].min()
+    assert out["n_viewed"] == len(fv)
+    assert out["n_clicked_1h"] == len(fc)
+    assert out["n_purchased_24h"] == len(fp)
+    # windowed funnel is strictly narrower than the unconstrained one
+    assert len(fp) <= len(fc) <= len(fv)
+    assert out["click_rate"] == pytest.approx(len(fc) / len(fv), abs=1.01e-6)
+
+
+def test_part_yoy_growth_matches_pandas(run, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]))
+        .groupby([li["l_partkey"], li["l_shipdate"].dt.year])
+        .sum()
+        .map(lambda x: math.floor(x * 100 + 0.5) / 100)
+    )
+    pairs = []
+    for (pk, yr), r in rev.items():
+        prev = rev.get((pk, yr - 1))
+        if prev is not None and prev >= 100.0:
+            pairs.append((pk, yr, r, prev, (r - prev) / prev))
+    pairs.sort(key=lambda t: (-t[4], t[0], t[1]))
+    out = run("q_part_yoy_growth_topk").sort_values("rk")
+    assert len(out) == 15
+    for row, (pk, yr, r, prev, g) in zip(out.itertuples(), pairs[:15]):
+        assert (row.l_partkey, row.yr) == (pk, yr)
+        assert row.growth_pct == pytest.approx(100 * g, abs=1.01e-4)
+
+
+def test_runs_test_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    out = run("ts_runs_test_randomness").set_index("event_type")
+    for et, grp in ev.groupby("event_type"):
+        grp = grp.sort_values(["ts", "event_id"])
+        hi = (grp["value"] > grp["value"].mean()).values
+        n1, n2 = int(hi.sum()), int((~hi).sum())
+        runs = 1 + int((hi[1:] != hi[:-1]).sum())
+        r = out.loc[et]
+        assert r["n_runs"] == runs
+        assert (r["n_above"], r["n_below"]) == (n1, n2)
+        e = 1 + 2 * n1 * n2 / (n1 + n2)
+        v = (
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        assert r["expected_runs"] == pytest.approx(e, abs=1.01e-4)
+        assert r["z_score"] == pytest.approx(
+            (runs - e) / math.sqrt(v), abs=1.01e-4
+        )
+
+
+def test_asof_forward_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    out = run("join_asof_forward")
+    pur = ev[ev["event_type"] == "purchase"]
+    err = ev[ev["event_type"] == "error"]
+    assert len(out) == len(pur)
+    sample = out.sort_values("purchase_id").head(40)
+    pts = pur.set_index("event_id")["ts"]
+    for row in sample.itertuples():
+        cand = err[
+            (err["user_id"] == row.user_id)
+            & (err["ts"] >= pts[row.purchase_id])
+        ].sort_values(["ts", "event_id"])
+        if cand.empty:
+            assert pd.isna(row.next_error_id)
+        else:
+            assert row.next_error_id == cand.iloc[0]["event_id"]
