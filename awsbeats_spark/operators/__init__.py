@@ -273,6 +273,10 @@ _ROUND7_WINDOW = [
     "q_part_yoy_growth_topk",
     "ts_runs_test_randomness",
     "join_asof_forward",
+    "sketch_kmv_set_ops",
+    "events_hour_uniformity_chi2",
+    "text_source_vocab_overlap",
+    "join_not_in_vs_not_exists",
 ]
 
 

@@ -861,3 +861,71 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("next_error_value", 2).alias("next_error_value"),
         )
     )
+
+
+@query(
+    "join_not_in_vs_not_exists",
+    oracle="""
+    WITH sub AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+               AS n_not_exists,
+           (SELECT CAST(count(*) AS BIGINT) FROM sub WHERE k IS NULL)
+               AS n_null_keys,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM sub))
+           <> (SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM sub
+                                 WHERE sub.k = c.c_custkey))
+               AS semantics_differ
+    """,
+)
+def join_not_in_vs_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — executed, not explained: the
+    subquery key (custkey, nulled where orderstatus='P') contains
+    NULLs, so three-valued logic makes `NOT IN` vacuously empty while
+    `NOT EXISTS` returns the true anti-join count. Both run for real:
+    NOT IN exercises Spark's null-aware anti join (the plan that
+    broadcasts the key set and checks the null flag — a genuinely
+    different physical operator from the left-anti hash join NOT
+    EXISTS compiles to), and the row reports both counts plus the null
+    count so the trap is measured, not asserted. This is the audit a
+    migration runs before porting Hive/warehouse SQL with NOT IN onto
+    any engine.
+
+    Scale shape: two anti-join-shaped subqueries against the same
+    key projection; the null-aware variant requires the key set
+    build-side (Spark broadcasts it — fine: it is one column of a
+    dimension-sized subquery); counts fold to one row."""
+    t = tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("nivne_orders")
+    t.customer.createOrReplaceTempView("nivne_customer")
+    return spark.sql(
+        """
+        WITH sub AS (
+            SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_custkey END AS k
+            FROM nivne_orders
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM nivne_customer
+                WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+               (SELECT CAST(count(*) AS BIGINT) FROM nivne_customer c
+                WHERE NOT EXISTS (SELECT 1 FROM sub
+                                  WHERE sub.k = c.c_custkey))
+                   AS n_not_exists,
+               (SELECT CAST(count(*) AS BIGINT) FROM sub WHERE k IS NULL)
+                   AS n_null_keys,
+               (SELECT count(*) FROM nivne_customer
+                WHERE c_custkey NOT IN (SELECT k FROM sub))
+               <> (SELECT count(*) FROM nivne_customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM sub
+                                     WHERE sub.k = c.c_custkey))
+                   AS semantics_differ
+        """
+    )

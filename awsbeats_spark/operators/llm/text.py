@@ -1009,3 +1009,85 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n") / F.col("np"), 6).alias("precision_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary overlap: word-set Jaccard between source pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_source_vocab_overlap",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest({WORDS_SQL}) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS nv FROM vocab GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(sa.nv AS BIGINT) AS vocab_a,
+           CAST(sb.nv AS BIGINT) AS vocab_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           round(p.n_common
+                 / CAST(sa.nv + sb.nv - p.n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every pair of corpus sources: how
+    much lexical ground two ingest streams share. The mix-design
+    companion to text_source_js_divergence (which weighs FREQUENCIES)
+    — set overlap answers the coarser question first: are these
+    sources even writing about the same things? Near-1 pairs are
+    redundancy candidates for the mixer; near-0 pairs are where a
+    tokenizer trained on one source will shatter the other.
+
+    Scale shape: the corpus explodes once to DISTINCT (source, word)
+    rows — vocabulary-sized, not token-sized — and the pair join runs
+    on the word key at vocabulary cardinality with source<source
+    halving; counts fold map-side. |sources| is small, |vocab| is the
+    scale axis, and nothing ever joins token-level rows."""
+    docs = tables(spark, sf_dir).documents
+    vocab = (
+        docs.select("source", F.explode(words()).alias("w")).distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.select(F.col("source").alias("source_a"), "w")
+    b = vocab.select(F.col("source").alias("source_b"), "w")
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("nv").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("nv").alias("vocab_b")
+    )
+    j = pairs.join(sa, "source_a").join(sb, "source_b")
+    return j.select(
+        "source_a",
+        "source_b",
+        F.col("vocab_a").cast("long").alias("vocab_a"),
+        F.col("vocab_b").cast("long").alias("vocab_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        rnd(
+            F.col("n_common")
+            / (
+                F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+            ).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

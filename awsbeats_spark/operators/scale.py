@@ -1476,3 +1476,107 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_rate"),
     )
+
+
+@query(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH flags AS (
+        SELECT user_id,
+               bool_or(event_type = 'click') AS in_a,
+               bool_or(event_type = 'view') AS in_b
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY user_id
+    ),
+    hashed AS (
+        SELECT (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT + 0.5) / {_U32} AS u,
+               in_a, in_b
+        FROM flags
+    ),
+    ranked AS (
+        SELECT u, in_a, in_b, row_number() OVER (ORDER BY u) AS rk
+        FROM hashed
+    ),
+    agg AS (
+        SELECT count(*) AS n_union,
+               count(*) FILTER (in_a AND in_b) AS n_intersect,
+               max(CASE WHEN rk = {_KMV_K} THEN u END) AS uk,
+               count(*) FILTER (rk <= {_KMV_K} AND in_a AND in_b) AS k_both
+        FROM ranked
+    )
+    SELECT CAST(n_union AS BIGINT) AS exact_union,
+           CAST(n_intersect AS BIGINT) AS exact_intersect,
+           round(CASE WHEN n_union >= {_KMV_K}
+                      THEN ({_KMV_K} - 1) / uk
+                      ELSE CAST(n_union AS DOUBLE) END, 2) AS est_union,
+           round(CASE WHEN n_union >= {_KMV_K}
+                      THEN (k_both / {_KMV_K}.0) * (({_KMV_K} - 1) / uk)
+                      ELSE CAST(n_intersect AS DOUBLE) END, 2)
+               AS est_intersect,
+           round(CASE WHEN n_union >= {_KMV_K}
+                      THEN k_both / {_KMV_K}.0
+                      ELSE n_intersect / CAST(n_union AS DOUBLE) END, 6)
+               AS jaccard_est,
+           round(n_intersect / CAST(n_union AS DOUBLE), 6) AS jaccard_exact
+    FROM agg
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the reason to pick KMV over HLL: the
+    k smallest hashes of A ∪ B are computable from the two sketches
+    alone, and the fraction of that union sketch belonging to both sets
+    estimates Jaccard, so |A ∩ B| ≈ ρ·|A ∪ B| without ever comparing
+    memberships at scale. Audiences here are click-users vs view-users;
+    exact union/intersection ride along so the estimate is auditable
+    (the honesty-eval discipline), and the content-addressed md5
+    uniform makes the whole construction deterministic — the estimate
+    itself is hash-checked, not just bounded.
+
+    Scale shape: one (user)-keyed aggregate with two bool_or partials,
+    then a single global min-k window over DISTINCT-user rows (at
+    100 TB: replace with a partial min-k aggregate — min-k of a union
+    is the min-k of min-k's, so executors merge k-row states)."""
+    t = tables(spark, sf_dir)
+    flags = (
+        t.events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.bool_or(F.col("event_type") == "click").alias("in_a"),
+            F.bool_or(F.col("event_type") == "view").alias("in_b"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / _U32
+    ranked = flags.select(
+        u.alias("u"), "in_a", "in_b"
+    ).withColumn("rk", F.row_number().over(Window.orderBy("u")))
+    both = F.col("in_a") & F.col("in_b")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when(both, 1)).alias("n_intersect"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("u"))).alias("uk"),
+        F.count(F.when((F.col("rk") <= _KMV_K) & both, 1)).alias("k_both"),
+    )
+    n_u, n_i = F.col("n_union"), F.col("n_intersect")
+    est_u = (_KMV_K - 1) / F.col("uk")
+    rho = F.col("k_both") / float(_KMV_K)
+    big = n_u >= _KMV_K
+    return agg.select(
+        n_u.cast("long").alias("exact_union"),
+        n_i.cast("long").alias("exact_intersect"),
+        rnd(F.when(big, est_u).otherwise(n_u.cast("double")), 2).alias(
+            "est_union"
+        ),
+        rnd(
+            F.when(big, rho * est_u).otherwise(n_i.cast("double")), 2
+        ).alias("est_intersect"),
+        rnd(
+            F.when(big, rho).otherwise(n_i / n_u.cast("double")), 6
+        ).alias("jaccard_est"),
+        rnd(n_i / n_u.cast("double"), 6).alias("jaccard_exact"),
+    )

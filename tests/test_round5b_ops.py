@@ -311,3 +311,96 @@ def test_asof_forward_matches_pandas(run, sf_dir):
             assert pd.isna(row.next_error_id)
         else:
             assert row.next_error_id == cand.iloc[0]["event_id"]
+
+
+def test_kmv_set_ops_matches_hashlib(run, sf_dir):
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    a = set(ev.loc[ev["event_type"] == "click", "user_id"])
+    b = set(ev.loc[ev["event_type"] == "view", "user_id"])
+    union, inter = a | b, a & b
+    u = {
+        uid: (int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) + 0.5)
+        / 2**32
+        for uid in union
+    }
+    k = 8
+    smallest = sorted(union, key=lambda x: u[x])[:k]
+    uk = u[smallest[-1]]
+    est_u = (k - 1) / uk if len(union) >= k else float(len(union))
+    rho = (
+        sum(1 for x in smallest if x in inter) / k
+        if len(union) >= k
+        else len(inter) / len(union)
+    )
+    out = run("sketch_kmv_set_ops").iloc[0]
+    assert out["exact_union"] == len(union)
+    assert out["exact_intersect"] == len(inter)
+    assert out["est_union"] == pytest.approx(est_u, abs=1.01e-2)
+    assert out["est_intersect"] == pytest.approx(
+        rho * est_u if len(union) >= k else float(len(inter)), abs=1.01e-2
+    )
+    assert out["jaccard_exact"] == pytest.approx(
+        len(inter) / len(union), abs=1.01e-6
+    )
+
+
+def test_hour_chi2_matches_numpy(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    out = run("events_hour_uniformity_chi2").set_index("event_type")
+    for et, grp in ev.groupby("event_type"):
+        hrs = (
+            grp["ts"].astype("datetime64[us]").astype("int64")
+            // 10**6
+            // 3600
+            % 24
+        ).value_counts()
+        total = len(grp)
+        e = total / 24.0
+        chi2 = sum((n - e) ** 2 / e for n in hrs) + (24 - len(hrs)) * e
+        r = out.loc[et]
+        assert r["n_hours_seen"] == len(hrs)
+        assert r["n_events"] == total
+        assert r["chi2"] == pytest.approx(chi2, abs=1.01e-4)
+        assert r["dof"] == 23
+
+
+def test_source_vocab_overlap_matches_pandas(run, sf_dir):
+    import re as _re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vocab = {}
+    for src, grp in docs.groupby("source"):
+        vocab[src] = set(
+            w
+            for t in grp["text"]
+            for w in _re.split(r"\s+", t.lower())
+            if w
+        )
+    out = run("text_source_vocab_overlap")
+    srcs = sorted(vocab)
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for row in out.head(25).itertuples():
+        va, vb = vocab[row.source_a], vocab[row.source_b]
+        assert row.source_a < row.source_b
+        assert (row.vocab_a, row.vocab_b) == (len(va), len(vb))
+        assert row.n_common == len(va & vb)
+        assert row.jaccard == pytest.approx(
+            len(va & vb) / len(va | vb), abs=1.01e-6
+        )
+
+
+def test_not_in_vs_not_exists_trap_fires(run, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    keys = o.loc[o["o_orderstatus"] != "P", "o_custkey"]
+    n_nulls = (o["o_orderstatus"] == "P").sum()
+    expected_anti = (~c["c_custkey"].isin(set(keys))).sum()
+    out = run("join_not_in_vs_not_exists").iloc[0]
+    assert out["n_null_keys"] == n_nulls
+    assert out["n_not_exists"] == expected_anti
+    # with nulls present, NOT IN is vacuously empty — the trap
+    assert n_nulls > 0
+    assert out["n_not_in"] == 0
+    assert bool(out["semantics_differ"]) == (expected_anti != 0)
