@@ -28,17 +28,19 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 6** (``_ROUND6_WINDOW``, exactly 50): the remaining
   timeseries/events/geo/graph tail plus the first 13 operators added
   in round 4. After round 6: 292/304.
-* **Round 7** (``_ROUND7_WINDOW``, 12 + anything added in round 5+):
-  the round-4 additions that overflow round 6's budget. After round
-  7: full catalog driver-evidenced; the ~40 spare slots recheck
-  round-1/2 greens on a rolling basis.
+* **Round 7** (``_ROUND7_WINDOW``, 12 round-4 overflow + the 29 keys
+  added in round 5 = 41): the round-4 additions that overflow round
+  6's budget plus everything new this round. After round 7: full
+  catalog (333) driver-evidenced; spare slots recheck round-1/2
+  greens on a rolling basis.
 
 The four lists partition the keys that had no driver row as of
-CORRECTNESS_r03 plus every key added since (25 in round 4); a test in
-tests/test_rotation.py pins this against the CORRECTNESS_r0{1,2,3}
-files so the flip cannot silently drift. New keys are ALWAYS appended
-to the last window. Post-flip registration order is r5, r6, r7, r4 —
-never-driver-checked keys queue ahead of the already-green r4 block.
+CORRECTNESS_r03 plus every key added since (25 in round 4, 29 in
+round 5); a test in tests/test_rotation.py pins this against the
+CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
+keys are ALWAYS appended to the last window. Post-flip registration
+order is r5, r6, r7, r4 — never-driver-checked keys queue ahead of
+the already-green r4 block.
 """
 
 from awsbeats_spark import registry
@@ -277,6 +279,9 @@ _ROUND7_WINDOW = [
     "events_hour_uniformity_chi2",
     "text_source_vocab_overlap",
     "join_not_in_vs_not_exists",
+    "dq_order_total_reconciliation",
+    "ts_ljung_box_q",
+    "orders_ship_latency_quantiles",
 ]
 
 

@@ -1161,3 +1161,85 @@ def dq_functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Cross-table money reconciliation: order header vs line-level recompute
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderstatus,
+               round(o.o_totalprice, 2) AS header_total,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         * (1 + l.l_tax)), 2) AS line_total
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (abs(header_total - line_total) > 0.01)
+               AS BIGINT) AS n_mismatched,
+           round(avg(abs(header_total - line_total)), 2)
+               AS avg_abs_delta,
+           round(max(abs(header_total - line_total)), 2)
+               AS max_abs_delta,
+           round(count(*) FILTER (abs(header_total - line_total) <= 0.01)
+                 / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+    FROM per_order GROUP BY o_orderstatus
+    """,
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail money reconciliation: each order's stored
+    o_totalprice against the line-level recompute
+    sum(extprice·(1-disc)·(1+tax)), summarized per order status. The
+    single most common warehouse integrity gate — a header total that
+    drifts from its details means a partial load, a double-applied
+    discount, or an out-of-order CDC merge; the per-status split
+    localizes WHICH lifecycle stage corrupts. On this synthetic
+    testdata the headers are independent of the lines, so the gate
+    (correctly) reports ~0 pass rate — the operator's value is that it
+    measures rather than assumes. Both sides are cents-rounded before
+    the comparison so the tolerance is exact.
+
+    Scale shape: one join on the natural key followed by map-side
+    foldable per-order sums, then a per-status summary — the join is
+    the same co-partitioned orderkey join every TPC-H query pays, and
+    at 100 TB both tables bucket on orderkey to make it shuffle-free."""
+    t = tables(spark, sf_dir)
+    per_order = (
+        t.lineitem.join(
+            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+        )
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(
+            rnd(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("line_total")
+        )
+        .select(
+            "o_orderstatus",
+            rnd("o_totalprice", 2).alias("header_total"),
+            "line_total",
+        )
+    )
+    delta = F.abs(F.col("header_total") - F.col("line_total"))
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(delta > 0.01, 1)).cast("long").alias("n_mismatched"),
+        rnd(F.avg(delta), 2).alias("avg_abs_delta"),
+        rnd(F.max(delta), 2).alias("max_abs_delta"),
+        rnd(
+            F.count(F.when(delta <= 0.01, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pass_rate"),
+    )

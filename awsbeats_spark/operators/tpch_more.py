@@ -1016,3 +1016,87 @@ def q_part_yoy_growth_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query(
+    "orders_ship_latency_quantiles",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               CAST(epoch_us(l.l_shipdate) // 86400000000
+                    - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, days,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY days, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lat
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+               THEN days END) AS p50_days,
+           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+               THEN days END) AS p90_days,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+               THEN days END) AS p99_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def orders_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA readout: discrete p50/p90/p99 of
+    (ship day − order day) per order priority — the fulfillment metric
+    behind "do URGENT orders actually ship faster?". Day boundaries
+    come from integer epoch-day arithmetic (epoch_us // 86400e6), not
+    calendar extraction, per the cross-engine timestamp discipline;
+    quantiles use the percentile_disc rank rule (element at
+    ceil(q·n)), so every reported number is a latency that actually
+    occurred.
+
+    Scale shape: one orderkey join (bucketable shuffle-free at 100 TB),
+    then ONE per-priority window sort serving all three quantiles via
+    rank arithmetic — no holistic percentile buffer, memory O(1) per
+    row (same plan discipline as agg_percentile_disc_rank)."""
+    t = tables(spark, sf_dir)
+    # l_shipdate/o_orderdate are TIMESTAMP_NTZ; the catalog pins the
+    # session TZ to UTC, so the cast to TIMESTAMP is instant-preserving
+    day = lambda c: (  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    lat = t.lineitem.join(
+        t.orders, t.orders.o_orderkey == t.lineitem.l_orderkey
+    ).select(
+        "o_orderpriority",
+        (day("l_shipdate") - day("o_orderdate")).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(q):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("days"),
+            )
+        )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        pick(0.5).alias("p50_days"),
+        pick(0.9).alias("p90_days"),
+        pick(0.99).alias("p99_days"),
+    )

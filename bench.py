@@ -276,6 +276,9 @@ EXTENDED_PROBE = [
     "events_hour_uniformity_chi2",
     "text_source_vocab_overlap",
     "join_not_in_vs_not_exists",
+    "dq_order_total_reconciliation",
+    "ts_ljung_box_q",
+    "orders_ship_latency_quantiles",
 ]
 
 

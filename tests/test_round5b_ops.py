@@ -404,3 +404,62 @@ def test_not_in_vs_not_exists_trap_fires(run, sf_dir):
     assert n_nulls > 0
     assert out["n_not_in"] == 0
     assert bool(out["semantics_differ"]) == (expected_anti != 0)
+
+
+def test_order_reconciliation_matches_pandas(run, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    r2 = lambda s: (s * 100 + 0.5).apply(math.floor) / 100  # noqa: E731
+    line = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]) * (1 + li["l_tax"]))
+        .groupby(li["l_orderkey"])
+        .sum()
+    )
+    # inner join: orders with no lineitem rows are not reconciled
+    m = o.set_index("o_orderkey").loc[o["o_orderkey"].isin(line.index)]
+    delta = (r2(m["o_totalprice"]) - r2(line.reindex(m.index))).abs()
+    out = run("dq_order_total_reconciliation").set_index("o_orderstatus")
+    for st, grp in m.groupby("o_orderstatus"):
+        d = delta.loc[grp.index].dropna()
+        r = out.loc[st]
+        assert r["n_orders"] == len(d)
+        assert r["n_mismatched"] == (d > 0.01).sum()
+        assert r["avg_abs_delta"] == pytest.approx(d.mean(), abs=1.01e-2)
+    # this testdata's headers are independent of lines: the gate must fire
+    assert (out["pass_rate"] < 0.05).all()
+
+
+def test_ljung_box_matches_acf_recompute(run, sf_dir):
+    acf = run("ts_acf_hourly")
+    out = run("ts_ljung_box_q").iloc[0]
+    n = int(acf.loc[acf["lag"] == 1, "n_pairs"].iloc[0]) + 1
+    q = n * (n + 2) * sum(
+        row.acf**2 / (n - row.lag) for row in acf.itertuples()
+    )
+    assert out["n_points"] == n
+    assert out["max_lag"] == len(acf) == out["dof"]
+    assert out["q_stat"] == pytest.approx(q, abs=1.01e-4)
+
+
+def test_ship_latency_quantiles_match_numpy(run, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(
+        o[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    ep = lambda s: s.astype("datetime64[us]").astype("int64") // (  # noqa: E731
+        86_400 * 10**6
+    )
+    j["days"] = ep(j["l_shipdate"]) - ep(j["o_orderdate"])
+    out = run("orders_ship_latency_quantiles").set_index("o_orderpriority")
+    for pr, grp in j.groupby("o_orderpriority"):
+        vals = np.sort(grp["days"].values)
+        r = out.loc[pr]
+        assert r["n_lines"] == len(vals)
+        for q, col in ((0.5, "p50_days"), (0.9, "p90_days"), (0.99, "p99_days")):
+            assert r[col] == vals[math.ceil(q * len(vals)) - 1]
+    # latencies must be non-negative and monotone across quantiles
+    assert (out["p50_days"] <= out["p90_days"]).all()
+    assert (out["p90_days"] <= out["p99_days"]).all()
