@@ -524,3 +524,56 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers")
     )
+
+
+@query(
+    "graph_assortativity_degree",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    ds AS (SELECT supp, count(*) AS deg_s FROM edges GROUP BY supp),
+    dp AS (SELECT part, count(*) AS deg_p FROM edges GROUP BY part),
+    j AS (
+        SELECT e.supp, e.part, ds.deg_s, dp.deg_p
+        FROM edges e
+        JOIN ds ON ds.supp = e.supp
+        JOIN dp ON dp.part = e.part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(avg(deg_s), 4) AS avg_supp_degree,
+           round(avg(deg_p), 4) AS avg_part_degree,
+           round(corr(deg_s, deg_p), 4) AS assortativity
+    FROM j
+    """,
+)
+def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree assortativity of the supplier-part graph: the
+    Pearson correlation, over EDGES, between the supplier's degree and
+    the part's degree. Positive = hub suppliers concentrate on hub
+    parts (a fragile core-periphery supply network: one hub failure
+    cascades); negative = hubs spread across the tail (resilient,
+    disassortative — the shape most real procurement graphs have).
+    The one-number structural summary that tells you whether the
+    bipartite projection (graph_bipartite_projection) will explode:
+    assortative graphs produce dense projections.
+
+    Scale shape: distinct edges, two degree aggregates keyed by each
+    endpoint, joined back to edges on their own keys (both joins are
+    co-partitioned aggregate-to-edge, broadcastable when one side's
+    key domain is dimension-sized), and a single corr fold. No pair
+    enumeration anywhere — this diagnoses the projection's cost
+    without paying it."""
+    li = tables(spark, sf_dir).lineitem
+    edges = li.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    ds = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg_s"))
+    dp = edges.groupBy("part").agg(F.count(F.lit(1)).alias("deg_p"))
+    j = edges.join(ds, "supp").join(dp, "part")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        rnd(F.avg("deg_s"), 4).alias("avg_supp_degree"),
+        rnd(F.avg("deg_p"), 4).alias("avg_part_degree"),
+        rnd(F.corr("deg_s", "deg_p"), 4).alias("assortativity"),
+    )

@@ -845,3 +845,95 @@ def multimodal_video_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "luma_contrast"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Image sharpness QA: mean horizontal gradient of the green channel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_edge_density",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS wd,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht,
+               ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4) * 4
+                   AS stride
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+          AND octet_length(encode(text)) > 0
+    ),
+    sums AS (
+        SELECT doc_id, wd, ht,
+               list_sum(list_transform(
+                   generate_series(0, ht - 1),
+                   r -> list_sum(list_transform(
+                       generate_series(0, wd - 2),
+                       c -> abs({_BYTE_SQL.format(k="r * stride + 3 * c + 4")}
+                              - {_BYTE_SQL.format(k="r * stride + 3 * c + 1")})
+                   ))
+               )) AS grad_sum
+        FROM p
+    )
+    SELECT doc_id, CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+           round(grad_sum / (ht * (wd - 1)), 4) AS edge_density
+    FROM sums
+    """,
+)
+def multimodal_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image sharpness QA: mean absolute horizontal gradient of the
+    green channel over the REAL decoded BMP pixel grid — the classic
+    cheap blur/flat detector a vision pipeline runs before paying for
+    embedding (a defocused or synthetic-flat image has near-zero
+    gradient energy; ahash alone can't see that). The BMP is actually
+    parsed: header offsets locate the pixel array, the row stride
+    (4-byte aligned, exactly what the oracle recomputes) frames each
+    row, and the green byte lane is differenced column-to-column.
+    Empty payloads are excluded in both engines (a zero-length source
+    has no pixel stream to grade — the quarantine lane owns it).
+
+    Parity: gradient sums are exact integers (≤ 255 per term), so the
+    density division is bit-identical to the oracle's hex-nibble
+    recompute. Scale shape: Arrow mapInPandas per payload, no shuffle,
+    one row per image, O(w·h) per image."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 0) & (F.octet_length("payload") > 0)
+    )
+
+    def grad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(raw)
+                meta = decode_media(bmp)  # real header parse
+                w, h = meta["width"], meta["height"]
+                stride = ((3 * w + 3) // 4) * 4
+                px = np.frombuffer(
+                    bmp, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                green = px[:, 1 : 3 * w : 3].astype(np.int64)
+                gsum = int(np.abs(np.diff(green, axis=1)).sum())
+                rows.append((doc_id, w, h, float(gsum)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "grad_sum"]
+            )
+
+    sums = src.mapInPandas(
+        grad, "doc_id bigint, width int, height int, grad_sum double"
+    )
+    return sums.select(
+        "doc_id",
+        "width",
+        "height",
+        rnd(
+            F.col("grad_sum")
+            / (F.col("height") * (F.col("width") - 1)).cast("double"),
+            4,
+        ).alias("edge_density"),
+    )

@@ -1243,3 +1243,68 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("pass_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch gate for the A/B assignment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH units AS (
+        SELECT DISTINCT event_type, user_id,
+               CAST(user_id % 2 AS INT) AS variant
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (variant = 0) AS DOUBLE) AS n_a,
+               CAST(count(*) FILTER (variant = 1) AS DOUBLE) AS n_b
+        FROM units GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_users_a,
+           CAST(n_b AS BIGINT) AS n_users_b,
+           round(pow(n_a - n_b, 2) / (n_a + n_b), 4) AS chi2,
+           pow(n_a - n_b, 2) / (n_a + n_b) > 3.841 AS srm_suspected
+    FROM g WHERE n_a + n_b > 0
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate — the FIRST check any experiment
+    readout must pass, before the Welch/delta-method stats mean
+    anything: under a 50/50 assignment the exposed-UNIT counts per arm
+    follow chi-square with 1 dof, and chi2 = (n_a - n_b)²/(n_a + n_b)
+    above 3.841 (p < 0.05) means the assignment itself is broken
+    (bot filtering one arm, redirect loss, logging drop) and every
+    downstream metric is untrustworthy. Units are distinct users per
+    event_type, not events — event-count SRM false-alarms on any
+    heavy-user imbalance.
+
+    Scale shape: one distinct aggregate at (type, user) cardinality,
+    then two conditional counts per group; folds map-side like every
+    gate in this module."""
+    ev = tables(spark, sf_dir).events
+    units = ev.select(
+        "event_type", "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).distinct()
+    g = units.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1))
+        .cast("double")
+        .alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1))
+        .cast("double")
+        .alias("n_b"),
+    )
+    chi2 = F.pow(F.col("n_a") - F.col("n_b"), 2) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return g.filter(F.col("n_a") + F.col("n_b") > 0).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_users_a"),
+        F.col("n_b").cast("long").alias("n_users_b"),
+        rnd(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_suspected"),
+    )

@@ -279,6 +279,9 @@ EXTENDED_PROBE = [
     "dq_order_total_reconciliation",
     "ts_ljung_box_q",
     "orders_ship_latency_quantiles",
+    "events_ab_srm_check",
+    "graph_assortativity_degree",
+    "multimodal_image_edge_density",
 ]
 
 

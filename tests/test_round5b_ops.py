@@ -463,3 +463,54 @@ def test_ship_latency_quantiles_match_numpy(run, sf_dir):
     # latencies must be non-negative and monotone across quantiles
     assert (out["p50_days"] <= out["p90_days"]).all()
     assert (out["p90_days"] <= out["p99_days"]).all()
+
+
+def test_srm_check_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    out = run("events_ab_srm_check").set_index("event_type")
+    for et, grp in ev.groupby("event_type"):
+        users = grp["user_id"].unique()
+        na = int((users % 2 == 0).sum())
+        nb = int((users % 2 == 1).sum())
+        r = out.loc[et]
+        assert (r["n_users_a"], r["n_users_b"]) == (na, nb)
+        chi2 = (na - nb) ** 2 / (na + nb)
+        assert r["chi2"] == pytest.approx(chi2, abs=1.01e-4)
+        assert bool(r["srm_suspected"]) == (chi2 > 3.841)
+
+
+def test_assortativity_matches_numpy(run, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    ds = edges.groupby("l_suppkey").size()
+    dp = edges.groupby("l_partkey").size()
+    x = edges["l_suppkey"].map(ds).values.astype(float)
+    y = edges["l_partkey"].map(dp).values.astype(float)
+    out = run("graph_assortativity_degree").iloc[0]
+    assert out["n_edges"] == len(edges)
+    assert out["avg_supp_degree"] == pytest.approx(x.mean(), abs=1.01e-4)
+    assert out["avg_part_degree"] == pytest.approx(y.mean(), abs=1.01e-4)
+    assert out["assortativity"] == pytest.approx(
+        np.corrcoef(x, y)[0, 1], abs=1.01e-4
+    )
+    assert -1.0 <= out["assortativity"] <= 1.0
+
+
+def test_edge_density_matches_byte_recompute(run, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = run("multimodal_image_edge_density").set_index("doc_id")
+    enc = docs["text"].str.encode("utf-8").str.len()
+    imgs = docs[(enc % 3 == 0) & (enc > 0)]
+    assert len(out) == len(imgs)
+    for _, row in imgs.head(15).iterrows():
+        data = row["text"].encode("utf-8")
+        n = len(data)
+        w, h = 4 + n % 29, 4 + (7 * n) % 17
+        stride = ((3 * w + 3) // 4) * 4
+        cyc = (data * (-(-(stride * h) // n)))[: stride * h]
+        px = np.frombuffer(cyc, dtype=np.uint8).reshape(h, stride)
+        green = px[:, 1 : 3 * w : 3].astype(np.int64)
+        want = np.abs(np.diff(green, axis=1)).sum() / (h * (w - 1))
+        r = out.loc[row["doc_id"]]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["edge_density"] == pytest.approx(want, abs=1.01e-4)
