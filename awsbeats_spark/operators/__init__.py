@@ -285,6 +285,8 @@ _ROUND7_WINDOW = [
     "events_ab_srm_check",
     "graph_assortativity_degree",
     "multimodal_image_edge_density",
+    "q_revenue_concentration_topn_share",
+    "multimodal_audio_silence_gate",
 ]
 
 

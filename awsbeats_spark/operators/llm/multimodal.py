@@ -937,3 +937,96 @@ def multimodal_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("edge_density"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio silence/clipping gate over the real PCM stream
+# --------------------------------------------------------------------------
+
+_SIL_EPS = 8  # |sample - 128| <= eps counts as silence (8-bit unsigned PCM)
+
+
+@query(
+    "multimodal_audio_silence_gate",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               600 + octet_length(encode(text)) % 500 AS ns
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
+          AND octet_length(encode(text)) > 0
+    ),
+    scored AS (
+        SELECT doc_id, ns,
+               list_sum(list_transform(
+                   generate_series(1, ns),
+                   j -> CASE WHEN abs({_BYTE_SQL.format(k="j - 1")} - 128.0)
+                                  <= {_SIL_EPS} THEN 1 ELSE 0 END)) AS n_sil,
+               list_sum(list_transform(
+                   generate_series(1, ns),
+                   j -> CASE WHEN {_BYTE_SQL.format(k="j - 1")} = 0.0
+                               OR {_BYTE_SQL.format(k="j - 1")} = 255.0
+                             THEN 1 ELSE 0 END)) AS n_clip
+        FROM p
+    )
+    SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+           round(n_sil / CAST(ns AS DOUBLE), 6) AS silence_ratio,
+           round(n_clip / CAST(ns AS DOUBLE), 6) AS clip_ratio,
+           n_sil / CAST(ns AS DOUBLE) <= 0.98
+               AND n_clip / CAST(ns AS DOUBLE) <= 0.10 AS gate_pass
+    FROM scored
+    """,
+)
+def multimodal_audio_silence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/clipping admission gate over each audio document's FULL
+    PCM stream (multimodal_audio_energy probes windowed RMS; this is
+    the pass/fail decision): the fraction of samples within ±8 of the
+    8-bit midpoint (silence) and at the rails 0/255 (clipping), with
+    the gate verdict a speech pipeline uses to drop dead-mic and
+    overdriven captures before transcription. The WAV container is
+    really parsed — chunk walk to the data chunk, numpy over the
+    unsigned PCM — and counts are exact integers, so both ratios and
+    the boolean verdict are bit-identical to the oracle's hex-nibble
+    recompute. Empty payloads are excluded on both sides (no stream to
+    grade — the quarantine lane owns them).
+
+    Scale shape: Arrow mapInPandas per payload, no shuffle, one output
+    row per clip, O(n_samples) per clip."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 1) & (F.octet_length("payload") > 0)
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(raw)
+                data_off = wav.index(b"data") + 8
+                data_size = struct.unpack_from("<I", wav, data_off - 4)[0]
+                arr = np.frombuffer(
+                    wav, dtype=np.uint8, count=data_size, offset=data_off
+                ).astype(np.int64)
+                n_sil = int((np.abs(arr - 128) <= _SIL_EPS).sum())
+                n_clip = int(((arr == 0) | (arr == 255)).sum())
+                rows.append((doc_id, len(arr), float(n_sil), float(n_clip)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "n_sil", "n_clip"]
+            )
+
+    scored = src.mapInPandas(
+        gate, "doc_id bigint, n_samples bigint, n_sil double, n_clip double"
+    )
+    ns = F.col("n_samples").cast("double")
+    sil = F.col("n_sil") / ns
+    clip = F.col("n_clip") / ns
+    return scored.select(
+        "doc_id",
+        "n_samples",
+        rnd(sil, 6).alias("silence_ratio"),
+        rnd(clip, 6).alias("clip_ratio"),
+        ((sil <= 0.98) & (clip <= 0.10)).alias("gate_pass"),
+    )

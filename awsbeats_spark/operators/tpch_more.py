@@ -1100,3 +1100,68 @@ def orders_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         pick(0.9).alias("p90_days"),
         pick(0.99).alias("p99_days"),
     )
+
+
+@query(
+    "q_revenue_concentration_topn_share",
+    oracle="""
+    WITH per_cust AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY yr, o_custkey
+    ),
+    ranked AS (
+        SELECT yr, rev,
+               row_number() OVER (
+                   PARTITION BY yr ORDER BY rev DESC, o_custkey) AS rk,
+               sum(rev) OVER (PARTITION BY yr) AS total
+        FROM per_cust
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(max(total), 2) AS total_revenue,
+           round(sum(CASE WHEN rk <= 10 THEN rev ELSE 0 END)
+                 / max(total), 6) AS top10_share,
+           round(sum(CASE WHEN rk <= 100 THEN rev ELSE 0 END)
+                 / max(total), 6) AS top100_share
+    FROM ranked GROUP BY yr
+    """,
+)
+def q_revenue_concentration_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration TREND: the share of each year's
+    revenue carried by its top-10 and top-100 customers. The
+    key-account risk metric — rising top-10 share means the business
+    (or, in data terms, the join key distribution) is concentrating,
+    which is simultaneously an account-management alarm and a skew
+    forecast for every customer-keyed shuffle downstream. Complements
+    the static global views (agg_hhi_concentration, events_lorenz_
+    deciles) with the per-year trajectory.
+
+    Determinism: per-(year, customer) revenue is cents-rounded before
+    ranking and the running totals, rank ties break on custkey.
+    Scale shape: orders fold to |years| x |customers| first; one
+    per-year window sort at that reduced cardinality serves rank and
+    total in a single pass; output is one row per year."""
+    o = tables(spark, sf_dir).orders
+    per_cust = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+    ).agg(rnd(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    wt = Window.partitionBy("yr")
+    ranked = per_cust.select(
+        "yr",
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev").over(wt).alias("total"),
+    )
+    share = lambda k: rnd(  # noqa: E731
+        F.sum(F.when(F.col("rk") <= k, F.col("rev")).otherwise(0.0))
+        / F.max("total"),
+        6,
+    )
+    return ranked.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        rnd(F.max("total"), 2).alias("total_revenue"),
+        share(10).alias("top10_share"),
+        share(100).alias("top100_share"),
+    )

@@ -514,3 +514,52 @@ def test_edge_density_matches_byte_recompute(run, sf_dir):
         r = out.loc[row["doc_id"]]
         assert (r["width"], r["height"]) == (w, h)
         assert r["edge_density"] == pytest.approx(want, abs=1.01e-4)
+
+
+def test_revenue_concentration_matches_pandas(run, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    r2 = lambda s: (s * 100 + 0.5).apply(math.floor) / 100  # noqa: E731
+    per = (
+        o.groupby([o["o_orderdate"].dt.year.rename("yr"), "o_custkey"])[
+            "o_totalprice"
+        ]
+        .sum()
+        .pipe(r2)
+    )
+    out = run("q_revenue_concentration_topn_share").set_index("yr")
+    for yr, grp in per.groupby(level=0):
+        vals = grp.sort_values(ascending=False).values
+        total = vals.sum()
+        r = out.loc[yr]
+        assert r["n_customers"] == len(vals)
+        assert r["top10_share"] == pytest.approx(
+            vals[:10].sum() / total, abs=1.01e-6
+        )
+        assert r["top100_share"] == pytest.approx(
+            vals[:100].sum() / total, abs=1.01e-6
+        )
+        # shares are monotone and bounded
+        assert 0 < r["top10_share"] <= r["top100_share"] <= 1.0
+
+
+def test_audio_silence_gate_matches_byte_recompute(run, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = run("multimodal_audio_silence_gate").set_index("doc_id")
+    enc = docs["text"].str.encode("utf-8").str.len()
+    auds = docs[(enc % 3 == 1) & (enc > 0)]
+    assert len(out) == len(auds)
+    for _, row in auds.head(15).iterrows():
+        data = row["text"].encode("utf-8")
+        ns = 600 + len(data) % 500
+        pcm = np.frombuffer(
+            (data * (-(-ns // len(data))))[:ns], dtype=np.uint8
+        ).astype(np.int64)
+        n_sil = int((np.abs(pcm - 128) <= 8).sum())
+        n_clip = int(((pcm == 0) | (pcm == 255)).sum())
+        r = out.loc[row["doc_id"]]
+        assert r["n_samples"] == ns
+        assert r["silence_ratio"] == pytest.approx(n_sil / ns, abs=1.01e-6)
+        assert r["clip_ratio"] == pytest.approx(n_clip / ns, abs=1.01e-6)
+        assert bool(r["gate_pass"]) == (
+            n_sil / ns <= 0.98 and n_clip / ns <= 0.10
+        )
