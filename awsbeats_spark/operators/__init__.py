@@ -287,6 +287,8 @@ _ROUND7_WINDOW = [
     "multimodal_image_edge_density",
     "q_revenue_concentration_topn_share",
     "multimodal_audio_silence_gate",
+    "events_attribution_first_touch",
+    "events_transition_entropy_rate",
 ]
 
 

@@ -577,3 +577,115 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("deg_p"), 4).alias("avg_part_degree"),
         rnd(F.corr("deg_s", "deg_p"), 4).alias("assortativity"),
     )
+
+
+@query(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, '(none)') AS touch_type,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, '(none)')
+    """,
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution — the acquisition-side mirror of
+    events_attribution_last_touch: each purchase is credited to the
+    EARLIEST prior non-purchase event type in the user's timeline
+    (which channel brought them in, vs which one closed). Running both
+    models over the same log and diffing the credit tables is the
+    standard way to bound how much the attribution choice itself moves
+    budget. Same plan as the last-touch op: one window pass per user
+    timeline (first_value ignore-nulls over the preceding frame), one
+    shuffle on user_id, then a tiny groupBy over |event_types| rows;
+    the (ts, event_id) tiebreaker pins same-timestamp determinism."""
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("touch"), F.lit("(none)")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            rnd(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+def _trans_entropy_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH trans AS ({QUERIES['events_markov_transitions'].oracle}),
+    tot AS (SELECT sum(n_trans) AS n_total FROM trans)
+    SELECT CAST(tot.n_total AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           round(-sum((trans.n_trans / tot.n_total) * ln(trans.prob)), 6)
+               AS entropy_rate_nats,
+           round(-sum((trans.n_trans / tot.n_total)
+                      * ln(trans.n_trans / tot.n_total)), 6)
+               AS joint_entropy_nats
+    FROM trans CROSS JOIN tot
+    GROUP BY tot.n_total
+    """
+
+
+@query("events_transition_entropy_rate", oracle=_trans_entropy_oracle())
+def events_transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user-behavior Markov chain: the average
+    per-step conditional surprise -Σ p(s,t)·ln p(t|s), weighted by the
+    empirical joint transition frequency, alongside the joint entropy
+    of the (src, dst) pair distribution. Entropy rate near the joint
+    entropy minus source entropy means the chain is near-memoryless
+    (knowing the previous action barely helps); a much lower rate
+    means strong behavioral structure — the one-number justification
+    for sequence-aware models (events_markov_transitions is the full
+    matrix this summarizes).
+
+    Oracle composition: the transition CTE IS the registered Markov
+    operator's own oracle — it consumes that op's ROUNDED conditional
+    probabilities, so this summary can never drift from the matrix it
+    compresses. Scale shape: arithmetic over |event_types|² aggregate
+    rows; the heavy lifting (one per-user window pass) is already paid
+    by the transition aggregation."""
+    from awsbeats_spark.registry import QUERIES
+
+    trans = QUERIES["events_markov_transitions"].fn(spark, sf_dir)
+    tot = trans.agg(F.sum("n_trans").alias("n_total"))
+    j = trans.crossJoin(F.broadcast(tot))
+    p_joint = F.col("n_trans") / F.col("n_total")
+    return j.groupBy("n_total").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        rnd(-F.sum(p_joint * F.log(F.col("prob"))), 6).alias(
+            "entropy_rate_nats"
+        ),
+        rnd(-F.sum(p_joint * F.log(p_joint)), 6).alias(
+            "joint_entropy_nats"
+        ),
+    ).select(
+        F.col("n_total").cast("long").alias("n_transitions"),
+        "n_edges",
+        "entropy_rate_nats",
+        "joint_entropy_nats",
+    )

@@ -563,3 +563,49 @@ def test_audio_silence_gate_matches_byte_recompute(run, sf_dir):
         assert bool(r["gate_pass"]) == (
             n_sil / ns <= 0.98 and n_clip / ns <= 0.10
         )
+
+
+def test_first_touch_attribution_matches_pandas(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    credit = {}
+    for _, grp in ev.groupby("user_id"):
+        first_np = None
+        for row in grp.itertuples():
+            if row.event_type == "purchase":
+                key = first_np or "(none)"
+                n, v = credit.get(key, (0, 0.0))
+                credit[key] = (n + 1, v + row.value)
+            elif first_np is None:
+                first_np = row.event_type
+    out = run("events_attribution_first_touch").set_index("touch_type")
+    assert set(out.index) == set(credit)
+    for k, (n, v) in credit.items():
+        assert out.loc[k, "n_purchases"] == n
+        assert out.loc[k, "attributed_value"] == pytest.approx(
+            v, abs=1.01e-2
+        )
+    # first- and last-touch must credit the same purchase total
+    last = run("events_attribution_last_touch")
+    assert last["n_purchases"].sum() == out["n_purchases"].sum()
+
+
+def test_transition_entropy_rate_matches_recompute(run, sf_dir):
+    trans = run("events_markov_transitions")
+    out = run("events_transition_entropy_rate").iloc[0]
+    n_total = trans["n_trans"].sum()
+    rate = -sum(
+        (r.n_trans / n_total) * math.log(r.prob)
+        for r in trans.itertuples()
+    )
+    joint = -sum(
+        (r.n_trans / n_total) * math.log(r.n_trans / n_total)
+        for r in trans.itertuples()
+    )
+    assert out["n_transitions"] == n_total
+    assert out["n_edges"] == len(trans)
+    assert out["entropy_rate_nats"] == pytest.approx(rate, abs=1.01e-6)
+    assert out["joint_entropy_nats"] == pytest.approx(joint, abs=1.01e-6)
+    # conditioning can only reduce entropy: rate <= joint entropy
+    assert out["entropy_rate_nats"] <= out["joint_entropy_nats"]
