@@ -289,6 +289,11 @@ _ROUND7_WINDOW = [
     "multimodal_audio_silence_gate",
     "events_attribution_first_touch",
     "events_transition_entropy_rate",
+    "events_ab_cuped",
+    "ts_lagged_regression",
+    "window_gap_islands",
+    "embed_random_projection_jl",
+    "multimodal_audio_zero_crossing",
 ]
 
 

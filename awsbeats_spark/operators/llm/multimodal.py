@@ -1030,3 +1030,88 @@ def multimodal_audio_silence_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         rnd(clip, 6).alias("clip_ratio"),
         ((sil <= 0.98) & (clip <= 0.10)).alias("gate_pass"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio zero-crossing rate: cheap noise-vs-tone probe over the full stream
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_audio_zero_crossing",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               600 + octet_length(encode(text)) % 500 AS ns
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
+    ),
+    z AS (
+        SELECT doc_id, ns,
+               list_sum(list_transform(
+                   generate_series(1, ns - 1),
+                   j -> CASE WHEN ({_BYTE_SQL.format(k="j - 1")} >= 128)
+                             <> ({_BYTE_SQL.format(k="j")} >= 128)
+                        THEN 1 ELSE 0 END)) AS zc
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(zc AS BIGINT) AS zcr_count,
+           round(zc / (ns - 1.0), 6) AS zcr_rate
+    FROM z
+    """,
+)
+def multimodal_audio_zero_crossing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-crossing rate over each audio document's FULL PCM stream:
+    the fraction of adjacent sample pairs that cross the unsigned-8-bit
+    midline (128). ZCR is the classic O(n) voiced/unvoiced + noise
+    discriminator — high ZCR flags hiss/static, near-zero ZCR flags DC
+    or dead silence — and a speech pipeline runs it right next to the
+    RMS gate (multimodal_audio_energy / multimodal_audio_silence_gate)
+    because the two together separate silence, tone, speech, and noise
+    with no model call. The WAV container is synthesized then REALLY
+    parsed (chunk walk via decode_media, numpy over the data chunk).
+
+    Parity: crossing counts are exact integers, so count and the one
+    division round-trip bit-identically against the oracle's hex-nibble
+    recomputation of the same cycled byte stream. Scale shape:
+    embarrassingly parallel mapInPandas per payload, O(n_samples) per
+    clip, no shuffle, one output row per audio document."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 1)
+
+    def zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(raw)
+                assert decode_media(wav)["decode_status"] == "wav"
+                data_off = wav.index(b"data") + 8
+                data_size = struct.unpack_from("<I", wav, data_off - 4)[0]
+                arr = np.frombuffer(
+                    wav, dtype=np.uint8, count=data_size, offset=data_off
+                )
+                hi = arr >= 128
+                zc = int(np.count_nonzero(hi[:-1] != hi[1:]))
+                rows.append((doc_id, len(arr), zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "zcr_count"]
+            )
+
+    counted = src.mapInPandas(
+        zcr, "doc_id bigint, n_samples bigint, zcr_count bigint"
+    )
+    return counted.select(
+        "doc_id",
+        "n_samples",
+        "zcr_count",
+        rnd(
+            F.col("zcr_count") / (F.col("n_samples") - F.lit(1.0)), 6
+        ).alias("zcr_rate"),
+    )

@@ -1562,3 +1562,117 @@ def embed_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("var_val", 6).alias("var_val"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection with content-addressed Gaussians
+# --------------------------------------------------------------------------
+
+_JL_DIM = 64  # source dimensionality (embeddings table contract)
+_JL_K = 4  # target dimensionality of the demo projection
+
+
+def _jl_gauss_sql(j: int, k_expr: str) -> str:
+    """DuckDB expression for the N(0,1) projection weight g(i, j):
+    Box-Muller over two md5-derived uniforms, content-addressed by
+    (source dim i, target dim j) so both engines regenerate the exact
+    same matrix with no RNG state (the KMV determinism trick)."""
+    seed = f"md5({k_expr}::VARCHAR || ':{j}')"
+    u1 = f"((('0x' || substring({seed}, 1, 8))::BIGINT + 0.5) / 4294967296.0)"
+    u2 = f"((('0x' || substring({seed}, 9, 8))::BIGINT + 0.5) / 4294967296.0)"
+    return f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}))"
+
+
+def _jl_proj_sql(j: int) -> str:
+    """Unrounded projected coordinate j (rounding happens once, in the
+    outer SELECT, off the same double both engines computed)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {_JL_DIM}), i -> "
+        f"embedding[i]::DOUBLE * {_jl_gauss_sql(j, 'i')}))"
+    )
+
+
+@query(
+    "embed_random_projection_jl",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               {_jl_proj_sql(1)} AS p1r,
+               {_jl_proj_sql(2)} AS p2r,
+               {_jl_proj_sql(3)} AS p3r,
+               {_jl_proj_sql(4)} AS p4r,
+               list_sum(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE)) AS e2
+        FROM embeddings
+        WHERE len(embedding) = {_JL_DIM}
+    )
+    SELECT vec_id,
+           round(p1r, 4) AS p1, round(p2r, 4) AS p2,
+           round(p3r, 4) AS p3, round(p4r, 4) AS p4,
+           round((p1r * p1r + p2r * p2r + p3r * p3r + p4r * p4r)
+                 / {_JL_K}.0 / e2, 4) AS norm_ratio
+    FROM p
+    """,
+)
+def embed_random_projection_jl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the 64-dim embedding
+    column down to k=4 using a Gaussian matrix that is never stored:
+    weight g(i, j) is Box-Muller over two md5-derived uniforms keyed by
+    the (source, target) index pair, so every executor regenerates the
+    identical matrix locally and the projection is deterministic enough
+    to hash-check cross-engine — the same content-addressed-randomness
+    trick that made the KMV sketch estimates oracle-checkable. Emits
+    the projected coordinates plus the per-row JL norm estimator
+    (||p||^2 / k) / ||e||^2, whose concentration around 1.0 is the
+    lemma's whole point — the honesty column showing how faithful this
+    k is (k=4 is the demo setting; production sketches use k=64..128
+    where the ratio tightens as exp(-k*eps^2/4)).
+
+    Scale shape: pure map-side whole-stage-codegen expression work
+    (aggregate over a sequence of md5 + trig calls, no UDF, no
+    shuffle, no stored matrix to broadcast) — O(d*k) per row. At
+    100 TB this is the standard pre-LSH dimensionality cut: downstream
+    bucket joins (sim_search_lsh_bucketed) run on 16x narrower
+    vectors while pairwise distances survive within 1+/-eps."""
+
+    def gauss(i, j: int):
+        seed = F.md5(F.concat(i.cast("string"), F.lit(f":{j}")))
+        u1 = (
+            F.conv(F.substring(seed, 1, 8), 16, 10).cast("double") + 0.5
+        ) / 4294967296.0
+        u2 = (
+            F.conv(F.substring(seed, 9, 8), 16, 10).cast("double") + 0.5
+        ) / 4294967296.0
+        import math as _m
+
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * _m.pi * u2)
+
+    def proj(j: int):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_JL_DIM)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col("embedding"), i).cast("double")
+            * gauss(i, j),
+        )
+
+    emb = tables(spark, sf_dir).embeddings.filter(
+        F.size("embedding") == _JL_DIM
+    )
+    e_norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    ps = [proj(j) for j in (1, 2, 3, 4)]
+    p_norm2 = ps[0] * ps[0] + ps[1] * ps[1] + ps[2] * ps[2] + ps[3] * ps[3]
+    return emb.select(
+        "vec_id",
+        rnd(ps[0], 4).alias("p1"),
+        rnd(ps[1], 4).alias("p2"),
+        rnd(ps[2], 4).alias("p3"),
+        rnd(ps[3], 4).alias("p4"),
+        rnd((p_norm2 / float(_JL_K)) / e_norm2, 4).alias("norm_ratio"),
+    )

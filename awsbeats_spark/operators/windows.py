@@ -586,3 +586,102 @@ def window_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.lit(_HAMPEL_SCALE) * F.col("mad"), 4).alias("sigma_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-month activity runs per customer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_gap_islands",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS mi,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mstr
+        FROM orders
+    ),
+    tagged AS (
+        SELECT o_custkey, mi, mstr,
+               mi - row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY mi) AS grp
+        FROM months
+    ),
+    islands AS (
+        SELECT o_custkey, grp,
+               count(*) AS island_len,
+               min(mi) AS start_mi,
+               min(mstr) AS start_month
+        FROM tagged GROUP BY o_custkey, grp
+    ),
+    ranked AS (
+        SELECT o_custkey, island_len, start_month,
+               count(*) OVER (PARTITION BY o_custkey) AS n_islands,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY island_len DESC, start_mi ASC) AS rk
+        FROM islands
+    )
+    SELECT o_custkey AS custkey,
+           CAST(n_islands AS BIGINT) AS n_islands,
+           CAST(island_len AS BIGINT) AS longest_len,
+           start_month AS longest_start
+    FROM ranked WHERE rk = 1
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands pattern: collapse each customer's
+    active months into maximal runs of CONSECUTIVE months (islands)
+    using the row_number-difference trick — month_index minus the
+    per-customer row_number is constant exactly within a consecutive
+    run, so one window pass plus one groupBy finds every island with
+    no self-join and no iteration. Emits each customer's island count
+    and their longest island (ties broken to the earliest start) —
+    the per-entity engagement-continuity summary subscription and
+    retention teams ask for.
+
+    Scale shape: DISTINCT (customer, month) first — the frame the
+    windows run on is bounded by customers x 84 months regardless of
+    order volume; then one partitioned sort serves both the
+    row_number tagging and (after the island groupBy, which re-uses
+    the same customer hash partitioning) the final top-1 rank. Output
+    is exactly one row per active customer. At 100 TB the only knob is
+    the months-universe width, not the fact table."""
+    o = tables(spark, sf_dir).orders
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+        ).alias("mstr"),
+    ).distinct()
+    wrn = Window.partitionBy("o_custkey").orderBy("mi")
+    tagged = months.withColumn(
+        "grp", F.col("mi") - F.row_number().over(wrn)
+    )
+    islands = tagged.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("island_len"),
+        F.min("mi").alias("start_mi"),
+        F.min("mstr").alias("start_month"),
+    )
+    wcnt = Window.partitionBy("o_custkey")
+    wrk = Window.partitionBy("o_custkey").orderBy(
+        F.desc("island_len"), F.asc("start_mi")
+    )
+    ranked = islands.select(
+        "o_custkey",
+        "island_len",
+        "start_month",
+        F.count(F.lit(1)).over(wcnt).alias("n_islands"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("n_islands").cast("long").alias("n_islands"),
+        F.col("island_len").cast("long").alias("longest_len"),
+        F.col("start_month").alias("longest_start"),
+    )

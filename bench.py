@@ -286,6 +286,11 @@ EXTENDED_PROBE = [
     "multimodal_audio_silence_gate",
     "events_attribution_first_touch",
     "events_transition_entropy_rate",
+    "events_ab_cuped",
+    "ts_lagged_regression",
+    "window_gap_islands",
+    "embed_random_projection_jl",
+    "multimodal_audio_zero_crossing",
 ]
 
 
