@@ -63,3 +63,34 @@ def sign_signature_sql(v: str, n_bits: int = 16, stride: int = 4) -> str:
         f"(CASE WHEN {v}[{stride * i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
     )
     return f"({parts})"
+
+
+# --------------------------------------------------------------------------
+# Content-addressed N(0,1) weights (Box-Muller over md5-derived uniforms)
+# --------------------------------------------------------------------------
+
+
+def jl_gauss(i: Column, j: int) -> Column:
+    """Spark column for the N(0,1) projection weight g(i, j): Box-Muller
+    over two md5-derived uniforms, content-addressed by the (source
+    index, target index) pair — every executor regenerates the exact
+    same matrix locally with no RNG state and no broadcast, and the
+    DuckDB twin (jl_gauss_sql) reproduces it bit-for-bit."""
+    import math as _m
+
+    seed = F.md5(F.concat(i.cast("string"), F.lit(f":{j}")))
+    u1 = (
+        F.conv(F.substring(seed, 1, 8), 16, 10).cast("double") + 0.5
+    ) / 4294967296.0
+    u2 = (
+        F.conv(F.substring(seed, 9, 8), 16, 10).cast("double") + 0.5
+    ) / 4294967296.0
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * _m.pi * u2)
+
+
+def jl_gauss_sql(j: int, k_expr: str) -> str:
+    """DuckDB twin of jl_gauss: same md5 seed, same Box-Muller."""
+    seed = f"md5({k_expr}::VARCHAR || ':{j}')"
+    u1 = f"((('0x' || substring({seed}, 1, 8))::BIGINT + 0.5) / 4294967296.0)"
+    u2 = f"((('0x' || substring({seed}, 9, 8))::BIGINT + 0.5) / 4294967296.0)"
+    return f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}))"

@@ -1566,3 +1566,117 @@ def corpus_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rnd(F.count_if(dup) / F.count(F.lit(1)), 6).alias("doc_dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram probabilities (the serious LM baseline)
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+_KN_TOPK = 20
+
+
+@query(
+    "corpus_bigram_kneser_ney",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+    bi AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    ),
+    pair AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, sum(n) AS c1, count(*) AS fanout FROM pair GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS n_hist FROM pair GROUP BY w2),
+    types AS (SELECT count(*) AS n_types FROM pair),
+    scored AS (
+        SELECT p.w1, p.w2, p.n,
+               (greatest(p.n - {_KN_D}, 0) / ctx.c1)
+               + ({_KN_D} * ctx.fanout / ctx.c1)
+                 * (cont.n_hist * 1.0 / types.n_types) AS p_kn,
+               p.n * 1.0 / ctx.c1 AS p_mle
+        FROM pair p
+        JOIN ctx ON ctx.w1 = p.w1
+        JOIN cont ON cont.w2 = p.w2
+        CROSS JOIN types
+    )
+    SELECT w1, w2, n,
+           round(p_kn, 6) AS p_kn,
+           round(p_mle, 6) AS p_mle,
+           row_number() OVER (ORDER BY n DESC, w1, w2) AS rn
+    FROM scored
+    QUALIFY rn <= {_KN_TOPK}
+    """,
+)
+def corpus_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    the pre-neural LM state of the art and still the right statistical
+    baseline a data pipeline scores corpora against): P(w2|w1) =
+    max(c(w1,w2) - d, 0)/c(w1) + lambda(w1) * Pcont(w2), with the
+    absolute discount d = 0.75, lambda(w1) = d * |{{w: c(w1,w) > 0}}| /
+    c(w1), and the continuation probability Pcont(w2) = |{{w1: c(w1,w2)
+    > 0}}| / |bigram types| — the famous "San Francisco" fix where a
+    word's probability after a novel context reflects how many DISTINCT
+    contexts it follows, not its raw frequency. Emitted next to the MLE
+    estimate for the top-20 bigrams so the discount's redistribution is
+    directly visible; corpus_lm_score's add-one model is the naive
+    rival this replaces.
+
+    Scale shape: one bigram explode + (w1, w2) hash aggregate is the
+    only corpus-sized shuffle; the context (c1, fanout) and
+    continuation (n_hist) tables both DERIVE from the pair table by
+    one further aggregate each (vocabulary-bounded), and the type
+    count is a one-row broadcast. Joins are pair-to-marginal on their
+    own keys. The top-k single-partition window runs on 20-ish
+    surviving rows after a WindowGroupLimit prune."""
+    t = tables(spark, sf_dir)
+    ws = t.documents.select("doc_id", words().alias("ws"))
+    bi = ws.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ctx = pair.groupBy("w1").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = pair.groupBy("w2").agg(F.count(F.lit(1)).alias("n_hist"))
+    types = pair.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("n") - _KN_D, F.lit(0.0)) / F.col("c1")
+        + (_KN_D * F.col("fanout") / F.col("c1"))
+        * (F.col("n_hist") / F.col("n_types"))
+    )
+    scored = (
+        pair.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            p_kn.alias("p_kn_raw"),
+            (F.col("n") / F.col("c1")).alias("p_mle_raw"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KN_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            rnd("p_kn_raw", 6).alias("p_kn"),
+            rnd("p_mle_raw", 6).alias("p_mle"),
+            "rn",
+        )
+    )

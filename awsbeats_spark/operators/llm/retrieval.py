@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 from awsbeats_spark.catalog import tables
 from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.functions.textfns import WORDS_SQL, words
-from awsbeats_spark.functions.vectorfns import as_double, cosine_sql, dot, norm
+from awsbeats_spark.functions.vectorfns import (
+    as_double,
+    cosine_sql,
+    dot,
+    jl_gauss,
+    jl_gauss_sql,
+    norm,
+)
 from awsbeats_spark.registry import query
 
 # Fixed query-term sets (the documents vocabulary is the driver's
@@ -610,4 +617,110 @@ def retrieval_ndcg_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("dcg", 6).alias("dcg"),
         rnd("idcg", 6).alias("idcg"),
         rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dense document featurizer: feature hashing composed with JL projection
+# --------------------------------------------------------------------------
+
+_DENSE_BUCKETS = 64
+_DENSE_K = 4
+
+
+def _dense_sql(j: int) -> str:
+    """Unrounded dense coordinate j: bucket-count-weighted sum of the
+    content-addressed Gaussian g(bucket+1, j) over the doc's buckets."""
+    return f"sum(cnt * {jl_gauss_sql(j, '(bucket + 1)')})"
+
+
+@query(
+    "text_dense_hashed_embedding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(w), 1, 4))::BIGINT
+                    % {_DENSE_BUCKETS} AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT doc_id,
+               {_dense_sql(1)} AS d1r, {_dense_sql(2)} AS d2r,
+               {_dense_sql(3)} AS d3r, {_dense_sql(4)} AS d4r,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM bucketed GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(d1r / sqrt(d1r * d1r + d2r * d2r + d3r * d3r + d4r * d4r),
+                 4) AS d1,
+           round(d2r / sqrt(d1r * d1r + d2r * d2r + d3r * d3r + d4r * d4r),
+                 4) AS d2,
+           round(d3r / sqrt(d1r * d1r + d2r * d2r + d3r * d3r + d4r * d4r),
+                 4) AS d3,
+           round(d4r / sqrt(d1r * d1r + d2r * d2r + d3r * d3r + d4r * d4r),
+                 4) AS d4
+    FROM dense
+    WHERE d1r * d1r + d2r * d2r + d3r * d3r + d4r * d4r > 0
+    """,
+    tags=("retrieval", "text"),
+)
+def text_dense_hashed_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-free dense document vectors: the feature-hashing trick
+    (text_hashed_bow's 64 fixed buckets) composed with a content-
+    addressed JL Gaussian projection (embed_random_projection_jl's
+    matrix trick) and L2 normalization — the classic
+    hash-then-project featurizer that gives every document a dense,
+    deterministic, model-free vector for clustering / dedup blocking /
+    cosine retrieval when no trained embedder is available (or as the
+    cheap first pass before one). Because both stages are
+    content-addressed (md5 bucket, md5 Box-Muller weight), the output
+    is bit-reproducible across engines and runs — no vocabulary build,
+    no stored matrix, no RNG state.
+
+    Scale shape: tokenize + bucket is map-side; ONE hash aggregate on
+    (doc_id, bucket) (<= 64 rows per doc) then a per-doc fold of <= 64
+    weighted Gaussians — the projection costs O(buckets * k) per doc
+    independent of vocabulary or document length. Embarrassingly
+    parallel at 100 TB; the downstream consumer joins on the dense
+    columns exactly like a learned embedding."""
+    t = tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(words()).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+        % _DENSE_BUCKETS
+    )
+    counts = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = counts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt") * jl_gauss(F.col("bucket") + 1, j)
+            ).alias(f"d{j}r")
+            for j in (1, 2, 3, 4)
+        ],
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+    n2 = (
+        F.col("d1r") * F.col("d1r")
+        + F.col("d2r") * F.col("d2r")
+        + F.col("d3r") * F.col("d3r")
+        + F.col("d4r") * F.col("d4r")
+    )
+    nrm = F.sqrt(n2)
+    return dense.filter(n2 > 0).select(
+        "doc_id",
+        "n_tokens",
+        rnd(F.col("d1r") / nrm, 4).alias("d1"),
+        rnd(F.col("d2r") / nrm, 4).alias("d2"),
+        rnd(F.col("d3r") / nrm, 4).alias("d3"),
+        rnd(F.col("d4r") / nrm, 4).alias("d4"),
     )

@@ -20,6 +20,8 @@ from awsbeats_spark.functions.vectorfns import (
     cosine,
     cosine_sql,
     dot,
+    jl_gauss,
+    jl_gauss_sql,
     norm,
     sign_signature,
     sign_signature_sql,
@@ -1572,23 +1574,25 @@ _JL_DIM = 64  # source dimensionality (embeddings table contract)
 _JL_K = 4  # target dimensionality of the demo projection
 
 
-def _jl_gauss_sql(j: int, k_expr: str) -> str:
-    """DuckDB expression for the N(0,1) projection weight g(i, j):
-    Box-Muller over two md5-derived uniforms, content-addressed by
-    (source dim i, target dim j) so both engines regenerate the exact
-    same matrix with no RNG state (the KMV determinism trick)."""
-    seed = f"md5({k_expr}::VARCHAR || ':{j}')"
-    u1 = f"((('0x' || substring({seed}, 1, 8))::BIGINT + 0.5) / 4294967296.0)"
-    u2 = f"((('0x' || substring({seed}, 9, 8))::BIGINT + 0.5) / 4294967296.0)"
-    return f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}))"
-
-
 def _jl_proj_sql(j: int) -> str:
     """Unrounded projected coordinate j (rounding happens once, in the
     outer SELECT, off the same double both engines computed)."""
     return (
         f"list_sum(list_transform(generate_series(1, {_JL_DIM}), i -> "
-        f"embedding[i]::DOUBLE * {_jl_gauss_sql(j, 'i')}))"
+        f"embedding[i]::DOUBLE * {jl_gauss_sql(j, 'i')}))"
+    )
+
+
+def _jl_proj_col(j: int):
+    """Spark twin of _jl_proj_sql: unrounded projected coordinate j of
+    the ``embedding`` column (strictly sequential accumulation, so the
+    double agrees with DuckDB's list_sum to the last bit)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JL_DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("embedding"), i).cast("double")
+        * jl_gauss(i, j),
     )
 
 
@@ -1636,28 +1640,7 @@ def embed_random_projection_jl(
     100 TB this is the standard pre-LSH dimensionality cut: downstream
     bucket joins (sim_search_lsh_bucketed) run on 16x narrower
     vectors while pairwise distances survive within 1+/-eps."""
-
-    def gauss(i, j: int):
-        seed = F.md5(F.concat(i.cast("string"), F.lit(f":{j}")))
-        u1 = (
-            F.conv(F.substring(seed, 1, 8), 16, 10).cast("double") + 0.5
-        ) / 4294967296.0
-        u2 = (
-            F.conv(F.substring(seed, 9, 8), 16, 10).cast("double") + 0.5
-        ) / 4294967296.0
-        import math as _m
-
-        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * _m.pi * u2)
-
-    def proj(j: int):
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(_JL_DIM)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(F.col("embedding"), i).cast("double")
-            * gauss(i, j),
-        )
-
+    proj = _jl_proj_col
     emb = tables(spark, sf_dir).embeddings.filter(
         F.size("embedding") == _JL_DIM
     )
@@ -1675,4 +1658,126 @@ def embed_random_projection_jl(
         rnd(ps[2], 4).alias("p3"),
         rnd(ps[3], 4).alias("p4"),
         rnd((p_norm2 / float(_JL_K)) / e_norm2, 4).alias("norm_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JL honesty twin: measured pairwise-distance distortion of the projection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_jl_distance_distortion",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               {_jl_proj_sql(1)} AS p1r,
+               {_jl_proj_sql(2)} AS p2r,
+               {_jl_proj_sql(3)} AS p3r,
+               {_jl_proj_sql(4)} AS p4r,
+               embedding
+        FROM embeddings
+        WHERE len(embedding) = {_JL_DIM}
+    ),
+    pairs AS (
+        SELECT a.p1r - b.p1r AS d1, a.p2r - b.p2r AS d2,
+               a.p3r - b.p3r AS d3, a.p4r - b.p4r AS d4,
+               list_sum(list_transform(
+                   generate_series(1, {_JL_DIM}),
+                   i -> pow(a.embedding[i]::DOUBLE
+                            - b.embedding[i]::DOUBLE, 2))) AS ed2
+        FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    ),
+    r AS (
+        SELECT (d1 * d1 + d2 * d2 + d3 * d3 + d4 * d4) / {_JL_K}.0 / ed2
+                   AS ratio
+        FROM pairs WHERE ed2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ratio), 4) AS mean_ratio,
+           round(min(ratio), 4) AS min_ratio,
+           round(max(ratio), 4) AS max_ratio,
+           round(avg(CASE WHEN ratio BETWEEN 0.5 AND 2.0
+                          THEN 1.0 ELSE 0.0 END), 4) AS frac_within_2x
+    FROM r
+    """,
+)
+def eval_jl_distance_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured-quality twin of embed_random_projection_jl (the
+    eval_*-alongside-every-approximation discipline): pairs adjacent
+    vec_ids (id, id+1 — content-independent, so effectively random
+    pairs) and measures the squared-distance distortion ratio
+    (||pa - pb||^2 / k) / ||ea - eb||^2 that the JL lemma promises
+    concentrates near 1. Emits the pair count, the mean/min/max ratio,
+    and the fraction of pairs within [0.5, 2.0] — at k=4 that fraction
+    is the honest (and deliberately unflattering) picture of what a
+    4-dim sketch buys; rerunning at production k shows it converging
+    to 1.0. The projection is recomputed from the same shared
+    content-addressed Gaussian helpers the operator uses, so this eval
+    cannot drift from what it evaluates.
+
+    Scale shape: the projection is map-side; the pairing is ONE
+    equi-join on a numeric key (id+1), so the eval is linear in rows
+    with a single co-partitioned shuffle; the summary is a scalar
+    fold. At 100 TB you'd sample the id space first — the join shape
+    is unchanged."""
+    proj = _jl_proj_col
+    emb = tables(spark, sf_dir).embeddings.filter(
+        F.size("embedding") == _JL_DIM
+    )
+    p = emb.select(
+        "vec_id",
+        proj(1).alias("p1r"),
+        proj(2).alias("p2r"),
+        proj(3).alias("p3r"),
+        proj(4).alias("p4r"),
+        "embedding",
+    )
+    a = p.alias("a")
+    b = p.select(
+        (F.col("vec_id") - 1).alias("join_id"),
+        F.col("p1r").alias("q1"),
+        F.col("p2r").alias("q2"),
+        F.col("p3r").alias("q3"),
+        F.col("p4r").alias("q4"),
+        F.col("embedding").alias("emb_b"),
+    ).alias("b")
+    ed2 = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding").cast("array<double>"),
+            F.col("emb_b").cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a.vec_id") == F.col("join_id")).select(
+        (F.col("p1r") - F.col("q1")).alias("d1"),
+        (F.col("p2r") - F.col("q2")).alias("d2"),
+        (F.col("p3r") - F.col("q3")).alias("d3"),
+        (F.col("p4r") - F.col("q4")).alias("d4"),
+        ed2.alias("ed2"),
+    )
+    ratio = (
+        F.col("d1") * F.col("d1")
+        + F.col("d2") * F.col("d2")
+        + F.col("d3") * F.col("d3")
+        + F.col("d4") * F.col("d4")
+    ) / float(_JL_K) / F.col("ed2")
+    r = pairs.filter(F.col("ed2") > 0).select(ratio.alias("ratio"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        rnd(F.avg("ratio"), 4).alias("mean_ratio"),
+        rnd(F.min("ratio"), 4).alias("min_ratio"),
+        rnd(F.max("ratio"), 4).alias("max_ratio"),
+        rnd(
+            F.avg(
+                F.when(
+                    (F.col("ratio") >= 0.5) & (F.col("ratio") <= 2.0), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("frac_within_2x"),
     )

@@ -1165,3 +1165,67 @@ def q_revenue_concentration_topn_share(spark: SparkSession, sf_dir: str) -> Data
         share(10).alias("top10_share"),
         share(100).alias("top100_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fulfillment mix audit: order-status share per year (count AND value)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_order_status_mix_yearly",
+    oracle="""
+    WITH g AS (
+        SELECT year(o_orderdate) AS yr, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(o_totalprice) AS value_raw
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT yr, sum(n_orders) AS yr_orders, sum(value_raw) AS yr_value
+        FROM g GROUP BY yr
+    )
+    SELECT g.yr AS order_year, g.o_orderstatus AS status, g.n_orders,
+           round(g.value_raw, 2) AS total_value,
+           round(g.n_orders * 1.0 / tot.yr_orders, 4) AS share_orders,
+           round(g.value_raw / tot.yr_value, 4) AS share_value
+    FROM g JOIN tot ON tot.yr = g.yr
+    """,
+)
+def q_order_status_mix_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment mix audit: per order-year, each order status's share
+    of order COUNT and of booked VALUE side by side. The two shares
+    diverging is the actionable signal — open orders carrying an
+    outsized value share means big-ticket fulfillment lags, the thing
+    a revenue-recognition or ops review asks first. Complements
+    q_customer_migration_matrix (which tracks per-customer transitions)
+    with the corpus-level mix trend over the one orders column no
+    other mix query aggregates.
+
+    Scale shape: one hash aggregate keyed by (year, status) — a
+    |years| x 3 frame — then per-year totals derive from IT, not from
+    a second orders scan, and the share join is dimension-sized
+    (broadcastable). Output is bounded by years x statuses regardless
+    of order volume."""
+    o = tables(spark, sf_dir).orders
+    g = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("value_raw"),
+    )
+    tot = g.groupBy("yr").agg(
+        F.sum("n_orders").alias("yr_orders"),
+        F.sum("value_raw").alias("yr_value"),
+    )
+    return g.join(F.broadcast(tot), "yr").select(
+        F.col("yr").alias("order_year"),
+        "status",
+        "n_orders",
+        rnd("value_raw", 2).alias("total_value"),
+        rnd(F.col("n_orders") / F.col("yr_orders"), 4).alias(
+            "share_orders"
+        ),
+        rnd(F.col("value_raw") / F.col("yr_value"), 4).alias("share_value"),
+    )

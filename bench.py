@@ -291,6 +291,11 @@ EXTENDED_PROBE = [
     "window_gap_islands",
     "embed_random_projection_jl",
     "multimodal_audio_zero_crossing",
+    "eval_jl_distance_distortion",
+    "text_dense_hashed_embedding",
+    "corpus_bigram_kneser_ney",
+    "q_order_status_mix_yearly",
+    "orders_seasonality_index",
 ]
 
 
