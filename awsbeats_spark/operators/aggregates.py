@@ -1097,3 +1097,99 @@ def agg_percentile_disc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("l_extendedprice", 2).alias("val"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil inequality decomposition: within- vs between-nation revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_theil_inequality_decomp",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT n.n_name, cust.x
+        FROM cust
+        JOIN customer c ON c.c_custkey = cust.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    per_g AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               sum(x) AS sg,
+               sum(x * ln(x)) AS lg
+        FROM tagged GROUP BY n_name
+    ),
+    tot AS (
+        SELECT sum(sg) AS st, sum(n_customers) AS nt FROM per_g
+    )
+    SELECT n_name,
+           n_customers,
+           round(sg / tot.st, 6) AS revenue_share,
+           round(lg / sg - ln(sg / n_customers), 6) AS theil_within,
+           round((sg / tot.st)
+                 * ln((sg / n_customers) / (tot.st / tot.nt)), 6)
+               AS between_term
+    FROM per_g CROSS JOIN tot
+    """,
+)
+def agg_theil_inequality_decomp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue by nation:
+    the Theil index is the ONE standard inequality measure that splits
+    exactly into within-group + between-group parts (T = Σ s_g·T_g +
+    Σ s_g·ln(μ_g/μ)), so this answers what gini/lorenz
+    (agg_gini_by_priority, events_lorenz_deciles) cannot: is revenue
+    concentration driven by whales INSIDE each market or by rich vs
+    poor MARKETS? Emits, per nation, the revenue share s_g, the
+    within-nation Theil T_g = Σ(x/μ_g)ln(x/μ_g)/n_g, and the between
+    term s_g·ln(μ_g/μ); Σ s_g·T_g + Σ between_term reconstructs the
+    global index (pinned by the semantic test).
+
+    Scale shape: ONE customer-keyed aggregate over orders (the only
+    fact shuffle — T_g needs just Σx and Σx·ln x per group, both
+    map-side partial), customer/nation joins on the aggregate output,
+    then a nation-keyed fold whose totals derive from the per-nation
+    frame itself (one-row broadcast). x > 0 always (order totals), so
+    the logs are safe."""
+    t = tables(spark, sf_dir)
+    cust = t.orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    tagged = (
+        cust.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "x")
+    )
+    per_g = tagged.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.log("x")).alias("lg"),
+    )
+    tot = per_g.agg(
+        F.sum("sg").alias("st"), F.sum("n_customers").alias("nt")
+    )
+    mu_g = F.col("sg") / F.col("n_customers")
+    mu = F.col("st") / F.col("nt")
+    return per_g.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_customers",
+        rnd(F.col("sg") / F.col("st"), 6).alias("revenue_share"),
+        rnd(F.col("lg") / F.col("sg") - F.log(mu_g), 6).alias(
+            "theil_within"
+        ),
+        rnd((F.col("sg") / F.col("st")) * F.log(mu_g / mu), 6).alias(
+            "between_term"
+        ),
+    )

@@ -1115,3 +1115,140 @@ def multimodal_audio_zero_crossing(
             F.col("zcr_count") / (F.col("n_samples") - F.lit(1.0)), 6
         ).alias("zcr_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-channel color moments: the cheap color-signature feature for images
+# --------------------------------------------------------------------------
+
+
+def _channel_sums_sql(ch: int, power: int) -> str:
+    """Oracle sum of channel ``ch`` (0=B, 1=G, 2=R) bytes (power 1) or
+    their squares (power 2) over the stride-framed pixel grid."""
+    byte = _BYTE_SQL.format(k=f"r * stride + 3 * c + {ch}")
+    term = byte if power == 1 else f"pow({byte}, 2)"
+    return (
+        "list_sum(list_transform(generate_series(0, ht - 1),"
+        " r -> list_sum(list_transform(generate_series(0, wd - 1),"
+        f" c -> {term}))))"
+    )
+
+
+@query(
+    "multimodal_bmp_color_moments",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS wd,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht,
+               ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4) * 4
+                   AS stride
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+          AND octet_length(encode(text)) > 0
+    ),
+    sums AS (
+        SELECT doc_id, wd, ht,
+               {_channel_sums_sql(0, 1)} AS sb,
+               {_channel_sums_sql(0, 2)} AS ssb,
+               {_channel_sums_sql(1, 1)} AS sg,
+               {_channel_sums_sql(1, 2)} AS ssg,
+               {_channel_sums_sql(2, 1)} AS sr,
+               {_channel_sums_sql(2, 2)} AS ssr
+        FROM p
+    )
+    SELECT doc_id, CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+           round(sb / (wd * ht), 4) AS b_mean,
+           round(sqrt(ssb / (wd * ht) - pow(sb / (wd * ht), 2)), 4)
+               AS b_std,
+           round(sg / (wd * ht), 4) AS g_mean,
+           round(sqrt(ssg / (wd * ht) - pow(sg / (wd * ht), 2)), 4)
+               AS g_std,
+           round(sr / (wd * ht), 4) AS r_mean,
+           round(sqrt(ssr / (wd * ht) - pow(sr / (wd * ht), 2)), 4)
+               AS r_std
+    FROM sums
+    """,
+)
+def multimodal_bmp_color_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First two color moments (mean, population std) per BGR channel
+    over each image document's REAL decoded BMP pixel grid — the
+    classic 6-number color signature (Stricker & Orengo) used for
+    near-duplicate blocking, palette drift detection, and
+    flat/synthetic-image gating: a screenshot corpus and a photo corpus
+    separate on channel std alone, and ahash + edge_density + color
+    moments together form the standard cheap pre-embedding image
+    triage. The BMP container is parsed for real (header offsets,
+    4-byte-aligned row stride — padding bytes excluded from every sum).
+
+    Parity: per-channel sums and sums-of-squares are exact integers,
+    so mean and sqrt-of-moments std round-trip bit-identically against
+    the oracle's hex-nibble recompute of the same cycled byte stream.
+    Scale shape: Arrow mapInPandas per payload, O(w*h) per image, no
+    shuffle, one row per image document."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 0)
+        & (F.octet_length("payload") > 0)
+    )
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(raw)
+                meta = decode_media(bmp)  # real header parse
+                wd, ht = meta["width"], meta["height"]
+                stride = ((3 * wd + 3) // 4) * 4
+                grid = (
+                    np.frombuffer(
+                        bmp, dtype=np.uint8, count=stride * ht, offset=54
+                    )
+                    .reshape(ht, stride)[:, : 3 * wd]
+                    .reshape(ht, wd, 3)
+                    .astype(np.int64)
+                )
+                out = [doc_id, wd, ht]
+                for ch in range(3):
+                    plane = grid[:, :, ch]
+                    out.append(float(plane.sum()))
+                    out.append(float((plane * plane).sum()))
+                rows.append(tuple(out))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sb", "ssb", "sg", "ssg", "sr", "ssr",
+                ],
+            )
+
+    sums = src.mapInPandas(
+        moments,
+        "doc_id bigint, width int, height int, sb double, ssb double,"
+        " sg double, ssg double, sr double, ssr double",
+    )
+    area = (F.col("width") * F.col("height")).cast("double")
+
+    def mom(s: str, ss: str):
+        mean = F.col(s) / area
+        return mean, F.sqrt(F.col(ss) / area - mean * mean)
+
+    bm, bs = mom("sb", "ssb")
+    gm, gs = mom("sg", "ssg")
+    rm, rs = mom("sr", "ssr")
+    return sums.select(
+        "doc_id",
+        "width",
+        "height",
+        rnd(bm, 4).alias("b_mean"),
+        rnd(bs, 4).alias("b_std"),
+        rnd(gm, 4).alias("g_mean"),
+        rnd(gs, 4).alias("g_std"),
+        rnd(rm, 4).alias("r_mean"),
+        rnd(rs, 4).alias("r_std"),
+    )

@@ -296,6 +296,10 @@ EXTENDED_PROBE = [
     "corpus_bigram_kneser_ney",
     "q_order_status_mix_yearly",
     "orders_seasonality_index",
+    "ts_decomposition_strength",
+    "ts_spectral_peak_dft",
+    "agg_theil_inequality_decomp",
+    "multimodal_bmp_color_moments",
 ]
 
 
