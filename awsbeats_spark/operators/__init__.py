@@ -303,6 +303,10 @@ _ROUND7_WINDOW = [
     "ts_spectral_peak_dft",
     "agg_theil_inequality_decomp",
     "multimodal_bmp_color_moments",
+    "agg_eb_shrunk_rates",
+    "q_discount_elasticity",
+    "dq_value_drift_emd",
+    "multimodal_audio_fingerprint",
 ]
 
 

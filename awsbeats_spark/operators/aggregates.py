@@ -1193,3 +1193,92 @@ def agg_theil_inequality_decomp(
             "between_term"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage: beta-binomial smoothed per-customer rates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_eb_shrunk_rates",
+    oracle="""
+    WITH per_c AS (
+        SELECT o.o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (l.l_returnflag = 'R') AS BIGINT) AS k
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey
+    ),
+    stats AS (
+        SELECT avg(k * 1.0 / n) AS m, var_samp(k * 1.0 / n) AS v
+        FROM per_c
+    ),
+    ab AS (
+        SELECT m, (m * (1.0 - m) / v - 1.0) AS prior_ss
+        FROM stats WHERE v > 0
+    )
+    SELECT custkey, n, k,
+           round(k * 1.0 / n, 6) AS rate_raw,
+           round((k + ab.m * ab.prior_ss) / (n + ab.prior_ss), 6)
+               AS rate_shrunk
+    FROM per_c CROSS JOIN ab
+    WHERE ab.prior_ss > 0
+    """,
+)
+def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of each customer's
+    line-item return rate: the Beta prior's mean and pseudo-count are
+    fit from the population by moment matching (prior_ss = m(1-m)/v -
+    1), then every customer's raw k/n is pulled toward the global mean
+    in proportion to how little data they have — rate_shrunk = (k +
+    m*prior_ss)/(n + prior_ss). This is THE standard fix for the
+    small-sample league-table fallacy (a 1-for-2 customer is not a 50%
+    returner); emitting raw and shrunk side by side makes the
+    shrinkage visible and testable (shrunk always between raw and the
+    global mean, heavier for small n).
+
+    Scale shape: the orderkey join is the only fact-sized operation
+    (bucket both tables on orderkey at 100 TB and it disappears into
+    the scan); the per-customer aggregate carries just (n, k); the
+    prior fit is a one-row fold over the customer frame broadcast
+    back. Output is one row per active customer."""
+    t = tables(spark, sf_dir)
+    per_c = (
+        t.lineitem.select("l_orderkey", "l_returnflag")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    rate = F.col("k") / F.col("n")
+    stats = per_c.agg(
+        F.avg(rate).alias("m"), F.var_samp(rate).alias("v")
+    )
+    ab = stats.filter(F.col("v") > 0).select(
+        "m", (F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0).alias(
+            "prior_ss"
+        )
+    )
+    return (
+        per_c.crossJoin(F.broadcast(ab))
+        .filter(F.col("prior_ss") > 0)
+        .select(
+            "custkey",
+            "n",
+            "k",
+            rnd(rate, 6).alias("rate_raw"),
+            rnd(
+                (F.col("k") + F.col("m") * F.col("prior_ss"))
+                / (F.col("n") + F.col("prior_ss")),
+                6,
+            ).alias("rate_shrunk"),
+        )
+    )

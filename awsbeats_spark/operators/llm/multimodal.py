@@ -1252,3 +1252,98 @@ def multimodal_bmp_color_moments(
         rnd(rm, 4).alias("r_mean"),
         rnd(rs, 4).alias("r_std"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio content fingerprint: rolling hash over the decimated PCM stream
+# --------------------------------------------------------------------------
+
+_FP_STEP = 8  # decimation: every 8th sample
+_FP_BASE = 131
+_FP_MOD = 2147483647  # 2^31 - 1 keeps every product within BIGINT
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               600 + octet_length(encode(text)) % 500 AS ns
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
+    ),
+    fp AS (
+        SELECT doc_id, ns,
+               ((ns - 1) // {_FP_STEP}) + 1 AS n_sampled,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(
+                           generate_series(0, (ns - 1) // {_FP_STEP}),
+                           j -> CAST({_BYTE_SQL.format(k=f"j * {_FP_STEP}")}
+                                     AS BIGINT))),
+                   (acc, b) -> (acc * {_FP_BASE} + b) % {_FP_MOD}) AS fp
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           CAST(fp AS BIGINT) AS fingerprint
+    FROM fp
+    """,
+)
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-addressed audio fingerprint: a polynomial rolling hash
+    (base 131 mod 2^31-1, the classic Rabin-Karp family) over every 8th
+    PCM sample of each audio document's REAL decoded WAV stream. This
+    is the exact-duplicate detector for audio the way dedup_exact's
+    text hash is for documents: identical recordings collide by
+    construction, any sample change anywhere reshuffles the hash, and
+    the 8x decimation makes it robustly cheap while still covering the
+    whole stream (not just a prefix). Downstream: groupBy(fingerprint)
+    is the audio dedup pass, exactly dedup_latest_per_key's shape.
+
+    Parity: the fold is exact BIGINT arithmetic — every intermediate
+    stays under 2^39 — and the oracle replays the identical
+    left-to-right recurrence with DuckDB's list_reduce over the
+    hex-nibble decoded bytes, so the fingerprints match bit-for-bit
+    (the same determinism contract as the KMV md5 trick, with zero
+    floating point anywhere). Scale shape: embarrassingly parallel
+    mapInPandas per payload, O(n_samples/8) per clip, no shuffle, one
+    row per audio document."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 1)
+
+    def fingerprint(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(raw)
+                assert decode_media(wav)["decode_status"] == "wav"
+                data_off = wav.index(b"data") + 8
+                data_size = struct.unpack_from("<I", wav, data_off - 4)[0]
+                arr = np.frombuffer(
+                    wav, dtype=np.uint8, count=data_size, offset=data_off
+                )
+                sampled = arr[:: _FP_STEP]
+                acc = 0
+                for b in sampled.tolist():
+                    acc = (acc * _FP_BASE + b) % _FP_MOD
+                rows.append((doc_id, len(arr), len(sampled), acc))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "n_sampled", "fingerprint"],
+            )
+
+    return src.mapInPandas(
+        fingerprint,
+        "doc_id bigint, n_samples bigint, n_sampled bigint,"
+        " fingerprint bigint",
+    )

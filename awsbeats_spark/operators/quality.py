@@ -1445,3 +1445,137 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("vr", 4).alias("var_reduction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Earth-mover drift: Wasserstein-1 between two periods' value histograms
+# --------------------------------------------------------------------------
+
+_EMD_BINS = 10
+_EMD_CUTOFF = "TIMESTAMP '2024-01-16'"
+
+
+@query(
+    "dq_value_drift_emd",
+    oracle=f"""
+    WITH v AS (
+        SELECT value,
+               CASE WHEN ts < {_EMD_CUTOFF} THEN 0 ELSE 1 END AS period
+        FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM v
+    ),
+    binned AS (
+        SELECT period,
+               least({_EMD_BINS} - 1,
+                     CAST(floor((value - rng.mn) / (rng.mx - rng.mn)
+                                * {_EMD_BINS}) AS INT)) AS bin
+        FROM v CROSS JOIN rng WHERE rng.mx > rng.mn
+    ),
+    counts AS (
+        SELECT b.bin,
+               count(*) FILTER (period = 0) AS na,
+               count(*) FILTER (period = 1) AS nb
+        FROM binned b GROUP BY b.bin
+    ),
+    grid AS (
+        SELECT g.bin, coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+        FROM (SELECT unnest(generate_series(0, {_EMD_BINS} - 1)) AS bin) g
+        LEFT JOIN counts c ON c.bin = g.bin
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM grid),
+    cum AS (
+        SELECT grid.bin,
+               sum(grid.na * 1.0 / tot.ta)
+                   OVER (ORDER BY grid.bin) AS ca,
+               sum(grid.nb * 1.0 / tot.tb)
+                   OVER (ORDER BY grid.bin) AS cb
+        FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(max(tot.ta) AS BIGINT) AS n_before,
+           CAST(max(tot.tb) AS BIGINT) AS n_after,
+           round(sum(abs(cum.ca - cum.cb))
+                 * (max(rng.mx) - max(rng.mn)) / {_EMD_BINS}.0, 6)
+               AS emd,
+           round(max(abs(cum.ca - cum.cb)), 6) AS max_cdf_gap
+    FROM cum CROSS JOIN tot CROSS JOIN rng
+    """,
+)
+def dq_value_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) drift between the first fortnight's
+    and the second fortnight's event-value distributions, computed on a
+    fixed 10-bin equal-width grid: EMD = Σ|CDF_a - CDF_b| * bin_width.
+    The drift metric that PSI (dq_distribution_drift_psi) and KS
+    (dq_ks_test_two_sample) both miss: PSI ignores WHERE mass moved
+    (swapping adjacent bins scores the same as moving mass end to end)
+    and KS only sees the single worst gap — EMD integrates distance
+    moved, which is what a downstream regression actually feels. The
+    max-CDF-gap column doubles as the binned KS statistic for free.
+
+    Scale shape: one global min/max fold broadcast back, one (period,
+    bin) hash aggregate, then all cumsum/EMD arithmetic runs on the
+    fixed 10-row grid — fact cardinality touches exactly two scalar
+    aggregation passes, nothing else. The bin grid is generated, not
+    derived, so empty bins can't silently drop out of the CDF."""
+    ev = tables(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    v = ev.select(
+        "value",
+        F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("period"),
+    )
+    rng = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = (
+        v.crossJoin(F.broadcast(rng))
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "period",
+            F.least(
+                F.lit(_EMD_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _EMD_BINS
+                ).cast("int"),
+            ).alias("bin"),
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("period") == 1, 1)).alias("nb"),
+    )
+    grid = (
+        rng.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_EMD_BINS - 1))).alias(
+                "bin"
+            )
+        )
+        .join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    tot = grid.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    wcum = Window.orderBy("bin")
+    cum = grid.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.sum(F.col("na") / F.col("ta")).over(wcum).alias("ca"),
+        F.sum(F.col("nb") / F.col("tb")).over(wcum).alias("cb"),
+        "ta",
+        "tb",
+    )
+    return cum.crossJoin(F.broadcast(rng)).agg(
+        F.max("ta").cast("long").alias("n_before"),
+        F.max("tb").cast("long").alias("n_after"),
+        rnd(
+            F.sum(F.abs(F.col("ca") - F.col("cb")))
+            * (F.max("mx") - F.max("mn"))
+            / float(_EMD_BINS),
+            6,
+        ).alias("emd"),
+        rnd(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias(
+            "max_cdf_gap"
+        ),
+    )

@@ -1229,3 +1229,61 @@ def q_order_status_mix_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rnd(F.col("value_raw") / F.col("yr_value"), 4).alias("share_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Discount elasticity: does a deeper discount actually move quantity?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_discount_elasticity",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(l.l_quantity), 4) AS avg_qty,
+           round(regr_slope(l.l_quantity, l.l_discount), 4)
+               AS qty_discount_slope,
+           round(corr(l.l_quantity, l.l_discount), 4) AS qty_discount_corr
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    HAVING count(*) >= 3
+    """,
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity probe: the OLS slope (and
+    correlation) of ordered quantity on discount depth across a
+    brand's line items. Pricing teams run exactly this scatter-slope
+    before believing a promo drove volume — slope ~0 with deep
+    discounts is margin burned for nothing, and the TPC-H generator's
+    independence of qty and discount makes near-zero the expected
+    honest answer here (the test pins that). Complements
+    q_promo_revenue_ratio (revenue share under promo) with the
+    response-curve view.
+
+    Scale shape: one part-keyed equi-join (broadcast-sized dimension at
+    bench scale; co-partitioned hash join beyond) feeding a single
+    brand-keyed aggregate — regr_slope/corr fold map-side into six
+    moment counters per brand, no second pass."""
+    t = tables(spark, sf_dir)
+    j = t.lineitem.select("l_partkey", "l_quantity", "l_discount").join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.avg("l_quantity").alias("aq"),
+            F.regr_slope("l_quantity", "l_discount").alias("sl"),
+            F.corr("l_quantity", "l_discount").alias("co"),
+        )
+        .filter(F.col("n_lines") >= 3)
+        .select(
+            "p_brand",
+            "n_lines",
+            rnd("aq", 4).alias("avg_qty"),
+            rnd("sl", 4).alias("qty_discount_slope"),
+            rnd("co", 4).alias("qty_discount_corr"),
+        )
+    )

@@ -300,6 +300,10 @@ EXTENDED_PROBE = [
     "ts_spectral_peak_dft",
     "agg_theil_inequality_decomp",
     "multimodal_bmp_color_moments",
+    "agg_eb_shrunk_rates",
+    "q_discount_elasticity",
+    "dq_value_drift_emd",
+    "multimodal_audio_fingerprint",
 ]
 
 
