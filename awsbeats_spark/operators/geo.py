@@ -26,7 +26,7 @@ rounded before aggregation so last-bit libm drift cannot flip output.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
@@ -253,3 +253,118 @@ def geo_cell_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), "cell_lat", "cell_lon")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-blocked k-nearest-neighbors: top-3 suppliers per customer
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+@query(
+    "geo_knn_grid",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               {_lat_sql('c_custkey')} AS c_lat,
+               {_lon_sql('c_custkey')} AS c_lon
+        FROM customer
+    ),
+    cust_cells AS (
+        SELECT *,
+               {_cell_sql('c_lat')} AS cell_lat,
+               {_cell_sql('c_lon')} AS cell_lon
+        FROM cust
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               {_lat_sql('s_suppkey')} AS s_lat,
+               {_lon_sql('s_suppkey')} AS s_lon
+        FROM supplier
+    ),
+    supp_cells AS (
+        SELECT s.*,
+               {_cell_sql('s_lat')} + dlat AS cell_lat,
+               (({_cell_sql('s_lon')} + dlon + 36) % 72 + 72) % 72 - 36
+                   AS cell_lon
+        FROM supp s
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlat) a
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlon) b
+    ),
+    pairs AS (
+        SELECT c_custkey, s_suppkey,
+               round({_HAVERSINE_SQL}, 3) AS dist_km
+        FROM supp_cells s
+        JOIN cust_cells c USING (cell_lat, cell_lon)
+    )
+    SELECT c_custkey, s_suppkey, dist_km,
+           row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY dist_km, s_suppkey) AS rn
+    FROM pairs
+    QUALIFY rn <= {_KNN_K}
+    """,
+)
+def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial k-NN: each customer's 3 nearest suppliers
+    among the 3x3-neighbor-ring candidates — the "assign every entity
+    to its closest facilities" primitive (routing, coverage planning,
+    nearest-warehouse enrichment). Same blocked contract as
+    geo_grid_neighbor_join: candidates come from the cell equi-join
+    (with antimeridian wrap), haversine runs on candidates only, and
+    k-NN WITHIN the ring is the documented operator spec on both
+    engines — a production deployment widens the ring (or iterates
+    ring radius for customers with < k candidates) without changing
+    the plan shape.
+
+    Scale shape: the 9x expansion is on the supplier (small) side,
+    broadcast; the per-customer top-k is a customer-partitioned rank
+    window that Spark prunes with WindowGroupLimit before the final
+    filter. Output is <= k rows per customer — bounded, never
+    all-pairs."""
+    t = tables(spark, sf_dir)
+    cust = t.customer.select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("c_lat"),
+        _lon(F.col("c_custkey")).alias("c_lon"),
+    ).select(
+        "*",
+        _cell(F.col("c_lat")).alias("cell_lat"),
+        _cell(F.col("c_lon")).alias("cell_lon"),
+    )
+    supp = (
+        t.supplier.select(
+            "s_suppkey",
+            _lat(F.col("s_suppkey")).alias("s_lat"),
+            _lon(F.col("s_suppkey")).alias("s_lon"),
+        )
+        .withColumn("dlat", F.expr("explode(array(-1L, 0L, 1L))"))
+        .withColumn("dlon", F.expr("explode(array(-1L, 0L, 1L))"))
+        .select(
+            "*",
+            (_cell(F.col("s_lat")) + F.col("dlat")).alias("cell_lat"),
+            (
+                ((_cell(F.col("s_lon")) + F.col("dlon") + 36) % 72 + 72)
+                % 72
+                - 36
+            ).alias("cell_lon"),
+        )
+    )
+    dist = rnd(
+        _haversine_km(
+            F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
+        ),
+        3,
+    )
+    pairs = (
+        F.broadcast(supp)
+        .join(cust, ["cell_lat", "cell_lon"])
+        .select("c_custkey", "s_suppkey", dist.alias("dist_km"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("c_custkey").orderBy(
+            F.asc("dist_km"), F.asc("s_suppkey")
+        )
+    )
+    return pairs.withColumn("rn", rn).filter(F.col("rn") <= _KNN_K)

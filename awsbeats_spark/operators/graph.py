@@ -689,3 +689,88 @@ def events_transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFram
         "entropy_rate_nats",
         "joint_entropy_nats",
     )
+
+
+# --------------------------------------------------------------------------
+# Markov honesty twin: measured top-1 next-event prediction accuracy
+# --------------------------------------------------------------------------
+
+
+def _markov_top1_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH trans AS ({QUERIES['events_markov_transitions'].oracle}),
+    ranked AS (
+        SELECT src_type, dst_type, n_trans,
+               row_number() OVER (
+                   PARTITION BY src_type
+                   ORDER BY n_trans DESC, dst_type) AS rk
+        FROM trans
+    ),
+    tot AS (SELECT sum(n_trans) AS nt FROM trans),
+    modal AS (
+        SELECT max(dst_total) AS best_dst_total
+        FROM (SELECT dst_type, sum(n_trans) AS dst_total
+              FROM trans GROUP BY dst_type)
+    )
+    SELECT CAST(tot.nt AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_states,
+           round(sum(r.n_trans) * 1.0 / tot.nt, 6) AS top1_accuracy,
+           round(modal.best_dst_total * 1.0 / tot.nt, 6)
+               AS baseline_accuracy,
+           round(sum(r.n_trans) * 1.0 / tot.nt
+                 - modal.best_dst_total * 1.0 / tot.nt, 6) AS lift
+    FROM ranked r CROSS JOIN tot CROSS JOIN modal
+    WHERE r.rk = 1
+    GROUP BY tot.nt, modal.best_dst_total
+    """
+
+
+@query("eval_markov_top1_accuracy", oracle=_markov_top1_oracle())
+def eval_markov_top1_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured-quality twin of events_markov_transitions (the
+    eval-alongside-every-model discipline): if you predict each user's
+    next event as the argmax of the fitted transition row, what
+    fraction of observed transitions do you get right — and how much
+    of that is real signal vs the no-model baseline of always
+    predicting the globally most common next event? top1_accuracy is
+    in-sample Σ_src max_dst c(src,dst) / Σ c; lift near zero means the
+    Markov structure adds nothing over the marginal and downstream
+    consumers (events_pattern_match, events_path_topk) should not
+    trust per-state predictions. Composed on the registered
+    transitions oracle (argmax taken on exact counts, not the rounded
+    prob column), so the eval cannot drift from the model it grades.
+
+    Scale shape: everything runs on the |types|^2 transition frame —
+    one rank window, two scalar folds, zero additional fact scans."""
+    from awsbeats_spark.registry import QUERIES
+
+    trans = QUERIES["events_markov_transitions"].fn(spark, sf_dir)
+    rk = F.row_number().over(
+        Window.partitionBy("src_type").orderBy(
+            F.desc("n_trans"), F.asc("dst_type")
+        )
+    )
+    ranked = trans.withColumn("rk", rk).filter(F.col("rk") == 1)
+    tot = trans.agg(F.sum("n_trans").alias("nt"))
+    modal = (
+        trans.groupBy("dst_type")
+        .agg(F.sum("n_trans").alias("dst_total"))
+        .agg(F.max("dst_total").alias("best_dst_total"))
+    )
+    acc = F.sum("n_trans") / F.max("nt")
+    base = F.max("best_dst_total") / F.max("nt")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(modal))
+        .agg(
+            F.max("nt").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_states"),
+            rnd(acc, 6).alias("top1_accuracy"),
+            rnd(base, 6).alias("baseline_accuracy"),
+            rnd(acc - base, 6).alias("lift"),
+        )
+    )

@@ -1580,3 +1580,139 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_est"),
         rnd(n_i / n_u.cast("double"), 6).alias("jaccard_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# Manual HyperLogLog with content-addressed registers (hash-checkable)
+# --------------------------------------------------------------------------
+
+_HLL_M = 64  # registers
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+
+@query(
+    "sketch_hll_manual_registers",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS x
+        FROM events
+    ),
+    el AS (
+        SELECT event_type, x % {_HLL_M} AS j, x // {_HLL_M} AS w
+        FROM hashed
+    ),
+    regs AS (
+        SELECT event_type, j,
+               max(CASE WHEN w = 0 THEN 27
+                        ELSE 26 - CAST(floor(log2(w)) AS INT) END) AS r
+        FROM el GROUP BY event_type, j
+    ),
+    grid AS (
+        SELECT t.event_type, g.j, coalesce(regs.r, 0) AS r
+        FROM (SELECT DISTINCT event_type FROM hashed) t
+        CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M} - 1)) AS j) g
+        LEFT JOIN regs ON regs.event_type = t.event_type AND regs.j = g.j
+    ),
+    folded AS (
+        SELECT event_type,
+               sum(pow(2.0, -r)) AS z,
+               count(*) FILTER (r = 0) AS v
+        FROM grid GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, ex.n_exact,
+           CAST(f.v AS BIGINT) AS n_empty_registers,
+           round(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / f.z
+                           <= 2.5 * {_HLL_M} AND f.v > 0
+                      THEN {_HLL_M} * ln({_HLL_M} * 1.0 / f.v)
+                      ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / f.z
+                 END, 2) AS est_distinct,
+           round((CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / f.z
+                            <= 2.5 * {_HLL_M} AND f.v > 0
+                       THEN {_HLL_M} * ln({_HLL_M} * 1.0 / f.v)
+                       ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / f.z
+                  END - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM folded f JOIN ex ON ex.event_type = f.event_type
+    """,
+)
+def sketch_hll_manual_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog built from first principles with content-addressed
+    hashes — unlike agg_approx_distinct / agg_hll_sketch_union (Spark's
+    opaque built-in sketches, honest but rows-only checkable), every
+    internal of THIS sketch is hash-checked cross-engine: the md5
+    uniform splits into a 6-bit register index and a 26-bit suffix,
+    rho is the suffix's leading-zero count + 1, registers take the max,
+    and the harmonic-mean estimate alpha*m^2 / sum(2^-R) (with
+    Flajolet's small-range linear-counting correction m*ln(m/V)) is
+    deterministic because sum(2^-R) over 64 dyadic terms is EXACT in
+    double. The rel_err column against the exact distinct count is the
+    built-in honesty measurement (the eval-twin discipline, inline).
+
+    Scale shape: the register build is one (type, register) aggregate
+    whose output is |types| x 64 regardless of cardinality — the whole
+    point of HLL at 100 TB; register tables from different shards
+    merge by the same max (agg_partial_merge_shards' pattern). The
+    exact count (for rel_err) is the only expensive leg and exists
+    purely as the honesty column."""
+    ev = tables(spark, sf_dir).events
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("x"),
+    ).distinct()
+    el = hashed.select(
+        "event_type",
+        (F.col("x") % _HLL_M).alias("j"),
+        F.floor(F.col("x") / _HLL_M).cast("long").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(27))
+        .otherwise(26 - F.floor(F.log2("w")).cast("int"))
+        .cast("int")
+    )
+    regs = el.groupBy("event_type", "j").agg(F.max(rho).alias("r"))
+    types = hashed.select("event_type").distinct()
+    grid = (
+        types.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("j"),
+        )
+        .join(regs, ["event_type", "j"], "left")
+        .select(
+            "event_type", "j", F.coalesce("r", F.lit(0)).alias("r")
+        )
+    )
+    folded = grid.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
+        F.count(F.when(F.col("r") == 0, 1)).alias("v"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        _HLL_M * F.log(_HLL_M / F.col("v")),
+    ).otherwise(raw)
+    return folded.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("v").cast("long").alias("n_empty_registers"),
+        rnd(est, 2).alias("est_distinct"),
+        rnd((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )

@@ -685,3 +685,91 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("island_len").cast("long").alias("longest_len"),
         F.col("start_month").alias("longest_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands: rolling mean +/- 2 sigma with breach flags
+# --------------------------------------------------------------------------
+
+_BOLL_WIN = 7  # trailing days in the band estimate
+_BOLL_MIN = 5  # minimum observations before a band is emitted
+_BOLL_K = 2.0  # band half-width in rolling sigmas
+
+
+@query(
+    "window_bollinger_breach",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum(value) AS tot
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    banded AS (
+        SELECT event_type, day, tot,
+               avg(tot) OVER w AS mu,
+               stddev_samp(tot) OVER w AS sd,
+               count(*) OVER w AS n_win
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN {_BOLL_WIN - 1} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(tot, 4) AS value,
+           round(mu, 4) AS band_mid,
+           round(mu - {_BOLL_K} * sd, 4) AS band_lo,
+           round(mu + {_BOLL_K} * sd, 4) AS band_hi,
+           (tot > mu + {_BOLL_K} * sd) AS breach_hi,
+           (tot < mu - {_BOLL_K} * sd) AS breach_lo
+    FROM banded
+    WHERE n_win >= {_BOLL_MIN} AND sd > 0
+    """,
+)
+def window_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-style control bands on each event_type's daily value
+    total: trailing-7-day mean +/- 2 trailing sigmas, with the band
+    computed over STRICTLY PRECEDING days (1 preceding, never the
+    current row) so today's spike cannot widen the band that judges it
+    — the out-of-sample discipline ts_anomaly_mad (global robust
+    scale) and window_outlier_hampel (centered window) don't impose.
+    breach_hi/breach_lo are the trading-chart upper/lower band breaks,
+    i.e. days that moved more than 2 sigma against their own recent
+    regime; warm-up days (< 5 prior observations) and flat regimes
+    (sd = 0) are withheld rather than emitted with degenerate bands.
+
+    Scale shape: the fact scan folds to (type, day) cardinality first;
+    one partitioned sort serves the rolling mean, sigma, and count
+    frames together (a single window spec). Output is at most one row
+    per stream-day."""
+    ev = tables(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("tot"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_BOLL_WIN - 1), -1)
+    )
+    banded = daily.select(
+        "event_type",
+        "day",
+        "tot",
+        F.avg("tot").over(w).alias("mu"),
+        F.stddev_samp("tot").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    lo = F.col("mu") - _BOLL_K * F.col("sd")
+    hi = F.col("mu") + _BOLL_K * F.col("sd")
+    return banded.filter(
+        (F.col("n_win") >= _BOLL_MIN) & (F.col("sd") > 0)
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        rnd("tot", 4).alias("value"),
+        rnd("mu", 4).alias("band_mid"),
+        rnd(lo, 4).alias("band_lo"),
+        rnd(hi, 4).alias("band_hi"),
+        (F.col("tot") > hi).alias("breach_hi"),
+        (F.col("tot") < lo).alias("breach_lo"),
+    )

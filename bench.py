@@ -304,6 +304,10 @@ EXTENDED_PROBE = [
     "q_discount_elasticity",
     "dq_value_drift_emd",
     "multimodal_audio_fingerprint",
+    "eval_markov_top1_accuracy",
+    "geo_knn_grid",
+    "sketch_hll_manual_registers",
+    "window_bollinger_breach",
 ]
 
 
