@@ -311,6 +311,10 @@ _ROUND7_WINDOW = [
     "geo_knn_grid",
     "sketch_hll_manual_registers",
     "window_bollinger_breach",
+    "events_ab_power_mde",
+    "agg_cramers_v_association",
+    "orders_month_end_loading",
+    "agg_hill_tail_index",
 ]
 
 

@@ -1282,3 +1282,190 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_shrunk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical association: chi-square independence + Cramer's V
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cramers_v_association",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority AS pri, l.l_returnflag AS rf
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    obs AS (
+        SELECT pri, rf, CAST(count(*) AS DOUBLE) AS o
+        FROM j GROUP BY pri, rf
+    ),
+    rowm AS (SELECT pri, sum(o) AS rn FROM obs GROUP BY pri),
+    colm AS (SELECT rf, sum(o) AS cn FROM obs GROUP BY rf),
+    tot AS (
+        SELECT sum(o) AS n,
+               CAST((SELECT count(*) FROM rowm) AS BIGINT) AS r,
+               CAST((SELECT count(*) FROM colm) AS BIGINT) AS c
+        FROM obs
+    ),
+    chi AS (
+        SELECT sum(pow(obs.o - rowm.rn * colm.cn / tot.n, 2)
+                   / (rowm.rn * colm.cn / tot.n)) AS chi2,
+               max(tot.n) AS n, max(tot.r) AS r, max(tot.c) AS c
+        FROM obs
+        JOIN rowm ON rowm.pri = obs.pri
+        JOIN colm ON colm.rf = obs.rf
+        CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines,
+           CAST(r AS BIGINT) AS n_priorities,
+           CAST(c AS BIGINT) AS n_returnflags,
+           round(chi2, 4) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def agg_cramers_v_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    line return flag, summarized as Cramér's V = sqrt(chi2 / (n * min(r-1, c-1)))
+    — the [0, 1] effect-size that answers "are these two categoricals
+    actually related, and how strongly" where raw chi2 only answers
+    "detectably at this n" (at 100 TB EVERYTHING is detectable, which
+    is why the effect size is the column that matters at scale).
+    Complements events_hour_uniformity_chi2 (one-way goodness of fit)
+    with the two-way contingency case; TPC-H's generator makes
+    independence (V ~ 0) the expected honest answer, pinned by test.
+
+    Scale shape: the orderkey equi-join is the only fact-sized step;
+    the contingency table is one (priority, mode) aggregate — at most
+    r*c = 35 rows — and the marginals, expected counts, and the chi2
+    fold all derive from that tiny frame."""
+    t = tables(spark, sf_dir)
+    j = t.lineitem.select("l_orderkey", "l_returnflag").join(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    obs = j.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("l_returnflag").alias("rf"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rowm = obs.groupBy("pri").agg(F.sum("o").alias("rn"))
+    colm = obs.groupBy("rf").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    r_cnt = rowm.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    c_cnt = colm.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    exp = F.col("rn") * F.col("cn") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rowm), "pri")
+        .join(F.broadcast(colm), "rf")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(r_cnt))
+        .crossJoin(F.broadcast(c_cnt))
+        .agg(
+            F.sum(F.pow(F.col("o") - exp, 2) / exp).alias("chi2"),
+            F.max("n").alias("n"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_lines"),
+        F.col("r").cast("long").alias("n_priorities"),
+        F.col("c").cast("long").alias("n_returnflags"),
+        rnd("chi2", 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1))
+        .cast("long")
+        .alias("dof"),
+        rnd(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator: how heavy is the order-value tail?
+# --------------------------------------------------------------------------
+
+_HILL_K = 100  # top-order statistics in the estimate
+
+
+@query(
+    "agg_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ),
+    thr AS (SELECT x AS xk FROM ranked WHERE rk = {_HILL_K} + 1),
+    top AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(ln(ranked.x / thr.xk)) AS s
+        FROM ranked CROSS JOIN thr WHERE ranked.rk <= {_HILL_K}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+           top.k AS k_top,
+           round((SELECT xk FROM thr), 2) AS x_threshold,
+           round(top.s / top.k, 6) AS mean_log_excess,
+           round(top.k / top.s, 4) AS hill_alpha
+    FROM top
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index: alpha_hat = k /
+    sum(ln(x_(i) / x_(k+1))) over the top k=100 order statistics — the
+    standard answer to "is this distribution heavy-tailed, and how
+    heavy" (alpha < 2: infinite variance, whale-dominated — expect
+    shuffle skew, budget for salting; alpha large: thin exponential-
+    like tail, uniform partitioning is safe). This is the numeric
+    companion to the shape diagnostics (dq_join_key_skew_profile,
+    events_lorenz_deciles, text_zipf_slope fits words — this fits
+    VALUES), and TPC-H's bounded-uniform totalprice should produce a
+    LARGE alpha (no power-law tail), which the semantic test pins.
+
+    Scale shape: the only fact-sized step is a top-(k+1) selection —
+    Spark plans TakeOrdered (per-partition heaps, no global sort);
+    the log-excess fold runs on k rows with the threshold broadcast
+    as a one-row cross join."""
+    o = tables(spark, sf_dir).orders
+    # sort+limit plans as TakeOrderedAndProject (per-partition heaps,
+    # no global sort); the rank window then runs on k+1 rows only.
+    top_rows = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(_HILL_K + 1)
+    )
+    ranked = top_rows.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), F.asc("o_orderkey")))
+        .alias("rk"),
+    )
+    thr = ranked.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("x").alias("xk")
+    )
+    top = (
+        ranked.filter(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.log(F.col("x") / F.col("xk"))).alias("s"),
+            F.max("xk").alias("xk"),
+        )
+    )
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return top.crossJoin(F.broadcast(n)).select(
+        "n_orders",
+        F.col("k").alias("k_top"),
+        rnd("xk", 2).alias("x_threshold"),
+        rnd(F.col("s") / F.col("k"), 6).alias("mean_log_excess"),
+        rnd(F.col("k") / F.col("s"), 4).alias("hill_alpha"),
+    )

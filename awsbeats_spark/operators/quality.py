@@ -1579,3 +1579,80 @@ def dq_value_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cdf_gap"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment planning: minimum detectable effect at standard power
+# --------------------------------------------------------------------------
+
+_MDE_Z = 1.959964 + 0.841621  # z_{0.975} + z_{0.80}: 5% two-sided, 80% power
+
+
+@query(
+    "events_ab_power_mde",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type, value, CAST(user_id % 2 AS INT) AS variant
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) FILTER (variant = 0) AS n_a,
+               count(*) FILTER (variant = 1) AS n_b,
+               var_samp(value) AS pooled_var,
+               avg(value) AS mean_all
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(sqrt(pooled_var), 4) AS sd,
+           round({_MDE_Z} * sqrt(pooled_var / n_a + pooled_var / n_b), 4)
+               AS mde_abs,
+           round({_MDE_Z} * sqrt(pooled_var / n_a + pooled_var / n_b)
+                 / mean_all, 4) AS mde_rel
+    FROM g
+    WHERE n_a >= 2 AND n_b >= 2 AND mean_all <> 0
+    """,
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment PLANNING readout: the minimum detectable effect at
+    the industry-standard 80% power / 5% two-sided alpha, given each
+    metric's realized variance and the current traffic split — MDE =
+    (z_0.975 + z_0.80) * sqrt(sigma^2/n_a + sigma^2/n_b), absolute and
+    relative to the metric mean. This is the question asked BEFORE
+    events_ab_welch_ttest is ever run ("can this experiment even see a
+    2% lift?"), and the fourth leg of the experimentation suite
+    (Welch readout, SRM gate, CUPED variance reduction, power
+    planning); reading it next to events_ab_cuped's var_reduction
+    shows exactly how much smaller an MDE CUPED buys (factor
+    sqrt(1 - var_reduction)).
+
+    Scale shape: ONE aggregation pass over events — conditional counts
+    plus a pooled variance, six partial counters per event_type, no
+    joins, output one row per metric."""
+    ev = tables(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    tagged = ev.select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+    )
+    g = tagged.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.var_samp("value").alias("pooled_var"),
+        F.avg("value").alias("mean_all"),
+    )
+    mde = _MDE_Z * F.sqrt(
+        F.col("pooled_var") / F.col("n_a")
+        + F.col("pooled_var") / F.col("n_b")
+    )
+    return g.filter(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (F.col("mean_all") != 0)
+    ).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        rnd(F.sqrt("pooled_var"), 4).alias("sd"),
+        rnd(mde, 4).alias("mde_abs"),
+        rnd(mde / F.col("mean_all"), 4).alias("mde_rel"),
+    )

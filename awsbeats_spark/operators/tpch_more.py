@@ -1287,3 +1287,86 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("co", 4).alias("qty_discount_corr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Month-end loading: is revenue pulled into the last days of the month?
+# --------------------------------------------------------------------------
+
+_ME_DAYS = 3  # "month-end" = last 3 calendar days
+
+
+@query(
+    "orders_month_end_loading",
+    oracle=f"""
+    WITH o AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               o_totalprice,
+               CASE WHEN day(o_orderdate)
+                         > day(last_day(o_orderdate)) - {_ME_DAYS}
+                    THEN 1 ELSE 0 END AS is_me,
+               CAST(day(last_day(o_orderdate)) AS INT) AS days_in_month
+        FROM orders
+    ),
+    g AS (
+        SELECT yr, mo, max(days_in_month) AS dim,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(o_totalprice) AS rev,
+               sum(o_totalprice * is_me) AS rev_me,
+               CAST(sum(is_me) AS BIGINT) AS n_me
+        FROM o GROUP BY yr, mo
+    )
+    SELECT yr AS order_year, CAST(mo AS INT) AS order_month,
+           n_orders, n_me,
+           round(rev_me / rev, 6) AS month_end_rev_share,
+           round({_ME_DAYS}.0 / dim, 6) AS uniform_share,
+           round((rev_me / rev) / ({_ME_DAYS}.0 / dim), 4)
+               AS loading_ratio
+    FROM g
+    """,
+)
+def orders_month_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end loading audit: per calendar month, the share of
+    revenue booked in the last 3 days versus the uniform expectation
+    (3 / days-in-month), expressed as a loading ratio — the classic
+    sales-pull-forward / quota-gaming detector a finance team runs
+    (ratio sustained above ~1.2 means deals are being crammed into the
+    close; TPC-H's uniform generator makes ~1.0 the honest expected
+    answer, which the test pins within noise). last_day() handles
+    month lengths and leap February identically in both engines.
+
+    Scale shape: one hash aggregate keyed by (year, month) with four
+    map-side-foldable counters — the month-end flag is a row-local
+    expression, so no second pass, no join, output bounded by the
+    calendar."""
+    o = tables(spark, sf_dir).orders
+    is_me = (
+        F.dayofmonth("o_orderdate")
+        > F.dayofmonth(F.last_day("o_orderdate")) - _ME_DAYS
+    ).cast("int")
+    g = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_totalprice",
+        is_me.alias("is_me"),
+        F.dayofmonth(F.last_day("o_orderdate")).cast("int").alias(
+            "days_in_month"
+        ),
+    ).groupBy("yr", "mo").agg(
+        F.max("days_in_month").alias("dim"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+        F.sum(F.col("o_totalprice") * F.col("is_me")).alias("rev_me"),
+        F.sum("is_me").cast("long").alias("n_me"),
+    )
+    share = F.col("rev_me") / F.col("rev")
+    unif = F.lit(float(_ME_DAYS)) / F.col("dim")
+    return g.select(
+        F.col("yr").alias("order_year"),
+        F.col("mo").cast("int").alias("order_month"),
+        "n_orders",
+        "n_me",
+        rnd(share, 6).alias("month_end_rev_share"),
+        rnd(unif, 6).alias("uniform_share"),
+        rnd(share / unif, 4).alias("loading_ratio"),
+    )
