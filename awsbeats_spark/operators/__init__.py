@@ -28,19 +28,21 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 6** (``_ROUND6_WINDOW``, exactly 50): the remaining
   timeseries/events/geo/graph tail plus the first 13 operators added
   in round 4. After round 6: 292/304.
-* **Round 7** (``_ROUND7_WINDOW``, 12 round-4 overflow + the 29 keys
-  added in round 5 = 41): the round-4 additions that overflow round
-  6's budget plus everything new this round. After round 7: full
-  catalog (333) driver-evidenced; spare slots recheck round-1/2
-  greens on a rolling basis.
+* **Round 7** (``_ROUND7_WINDOW``, exactly 50): the 12 round-4
+  additions that overflow round 6's budget plus the earliest 38
+  round-5 additions. After round 7: 342/369.
+* **Round 8** (``_ROUND8_WINDOW``, 27): the later round-5 additions
+  that overflow round 7's budget. After round 8: full catalog (369)
+  driver-evidenced; spare slots recheck round-1/2 greens on a rolling
+  basis.
 
-The four lists partition the keys that had no driver row as of
-CORRECTNESS_r03 plus every key added since (25 in round 4, 29 in
+The five lists partition the keys that had no driver row as of
+CORRECTNESS_r03 plus every key added since (25 in round 4, 65 in
 round 5); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
-order is r5, r6, r7, r4 — never-driver-checked keys queue ahead of
-the already-green r4 block.
+order is r5, r6, r7, r8, r4 — never-driver-checked keys queue ahead
+of the already-green r4 block.
 """
 
 from awsbeats_spark import registry
@@ -235,8 +237,8 @@ _ROUND6_WINDOW = [
 
 
 _ROUND7_WINDOW = [
-    # round-4 additions that overflow the ~50-key round-6 budget;
-    # round 7's remaining ~40 slots recheck round-1/2 greens
+    # round-4 overflow + earliest round-5 additions, capped at the
+    # ~50-key per-round driver budget (split like round 4 did for r6)
     "multimodal_decode_quarantine",
     "ts_anomaly_seasonal_zscore",
     "join_asof_tolerance",
@@ -249,7 +251,6 @@ _ROUND7_WINDOW = [
     "graph_bipartite_projection",
     "dq_join_key_skew_profile",
     "dq_sequence_gap_audit",
-    # round-5 additions (new keys always append to the LAST window)
     "eval_containment_cap_impact",
     "eval_approx_distinct_error",
     "eval_freq_items_vs_exact",
@@ -288,6 +289,11 @@ _ROUND7_WINDOW = [
     "q_revenue_concentration_topn_share",
     "multimodal_audio_silence_gate",
     "events_attribution_first_touch",
+]
+
+_ROUND8_WINDOW = [
+    # later round-5 additions that overflow the round-7 budget;
+    # new keys always append to the LAST window
     "events_transition_entropy_rate",
     "events_ab_cuped",
     "ts_lagged_regression",
@@ -320,7 +326,11 @@ _ROUND7_WINDOW = [
 
 def _reorder() -> None:
     priority = (
-        _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW + _ROUND4_WINDOW
+        _ROUND5_WINDOW
+        + _ROUND6_WINDOW
+        + _ROUND7_WINDOW
+        + _ROUND8_WINDOW
+        + _ROUND4_WINDOW
     )
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})

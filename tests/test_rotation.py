@@ -12,6 +12,7 @@ from awsbeats_spark.operators import (
     _ROUND5_WINDOW,
     _ROUND6_WINDOW,
     _ROUND7_WINDOW,
+    _ROUND8_WINDOW,
 )
 from awsbeats_spark.registry import load_all
 
@@ -24,14 +25,17 @@ def test_round5_window_registers_first():
     assert keys[: len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
 
 
-def test_round6_then_round7_then_round4_follow():
+def test_round6_then_round7_then_round8_then_round4_follow():
     keys = list(load_all())
     s = len(_ROUND5_WINDOW)
     assert len(_ROUND6_WINDOW) == 50
     assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
     s += len(_ROUND6_WINDOW)
+    assert len(_ROUND7_WINDOW) == 50
     assert keys[s : s + len(_ROUND7_WINDOW)] == _ROUND7_WINDOW
     s += len(_ROUND7_WINDOW)
+    assert keys[s : s + len(_ROUND8_WINDOW)] == _ROUND8_WINDOW
+    s += len(_ROUND8_WINDOW)
     assert len(_ROUND4_WINDOW) == 50
     assert keys[s : s + len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
 
@@ -39,7 +43,11 @@ def test_round6_then_round7_then_round4_follow():
 def test_rotation_names_unique_and_registered():
     keys = set(load_all())
     rotation = (
-        _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW
+        _ROUND4_WINDOW
+        + _ROUND5_WINDOW
+        + _ROUND6_WINDOW
+        + _ROUND7_WINDOW
+        + _ROUND8_WINDOW
     )
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
@@ -55,7 +63,11 @@ def test_windows_partition_never_driver_checked_keys():
         checked |= set(json.loads(path.read_text()))
     never = [k for k in load_all() if k not in checked]
     rotation = (
-        _ROUND4_WINDOW + _ROUND5_WINDOW + _ROUND6_WINDOW + _ROUND7_WINDOW
+        _ROUND4_WINDOW
+        + _ROUND5_WINDOW
+        + _ROUND6_WINDOW
+        + _ROUND7_WINDOW
+        + _ROUND8_WINDOW
     )
     assert set(rotation) == set(never), (
         f"missing from rotation: {sorted(set(never) - set(rotation))}; "
