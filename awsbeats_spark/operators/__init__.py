@@ -321,6 +321,10 @@ _ROUND8_WINDOW = [
     "agg_cramers_v_association",
     "orders_month_end_loading",
     "agg_hill_tail_index",
+    "corpus_sft_lint",
+    "agg_lognormal_fit_audit",
+    "corpus_token_efficiency_by_lang",
+    "multimodal_corpus_mix",
 ]
 
 

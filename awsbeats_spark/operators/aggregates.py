@@ -1469,3 +1469,68 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("s") / F.col("k"), 6).alias("mean_log_excess"),
         rnd(F.col("k") / F.col("s"), 4).alias("hill_alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lognormal fit audit: moment fit of log-values + normality diagnostics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_lognormal_fit_audit",
+    oracle="""
+    WITH lx AS (
+        SELECT ln(o_totalprice) AS y FROM orders WHERE o_totalprice > 0
+    ),
+    m AS (
+        SELECT count(*) AS n, avg(y) AS mu, stddev_samp(y) AS sigma
+        FROM lx
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_orders,
+           round(m.mu, 6) AS mu_log,
+           round(m.sigma, 6) AS sigma_log,
+           round(avg(pow((lx.y - m.mu) / m.sigma, 3)), 4) AS skew_log,
+           round(avg(pow((lx.y - m.mu) / m.sigma, 4)) - 3.0, 4)
+               AS excess_kurtosis_log,
+           round(exp(m.mu + m.sigma * m.sigma / 2.0), 2)
+               AS fitted_mean
+    FROM lx CROSS JOIN m
+    GROUP BY m.n, m.mu, m.sigma
+    """,
+)
+def agg_lognormal_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal moment fit of order values with built-in
+    goodness-of-fit diagnostics: (mu, sigma) estimated on log-values,
+    plus the log-domain skewness and excess kurtosis — both ~0 iff the
+    lognormal family actually fits, which is the pass/fail a capacity
+    or pricing model needs BEFORE using the fitted tail (a wrong
+    family underestimates extremes far worse than wrong parameters).
+    fitted_mean = exp(mu + sigma^2/2) back-checks the fit against the
+    raw mean at a glance. Complements agg_hill_tail_index: Hill asks
+    "is the tail power-law", this asks "is the body lognormal" —
+    together they bracket the standard heavy-tail modeling decision.
+
+    Scale shape: one pass computes (n, mu, sigma) map-side; the
+    standardized-moment fold is a second pass over the same scan with
+    the one-row stats broadcast — no shuffle beyond two scalar
+    aggregates. TPC-H's bounded-uniform totalprice is NOT lognormal
+    (strong negative log-skew), which the semantic test pins — the
+    diagnostics exist precisely to catch that."""
+    o = tables(spark, sf_dir).orders.filter(F.col("o_totalprice") > 0)
+    lx = o.select(F.log("o_totalprice").alias("y"))
+    m = lx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.stddev_samp("y").alias("sigma"),
+    )
+    z = (F.col("y") - F.col("mu")) / F.col("sigma")
+    return lx.crossJoin(F.broadcast(m)).agg(
+        F.max("n").cast("long").alias("n_orders"),
+        rnd(F.max("mu"), 6).alias("mu_log"),
+        rnd(F.max("sigma"), 6).alias("sigma_log"),
+        rnd(F.avg(F.pow(z, 3)), 4).alias("skew_log"),
+        rnd(F.avg(F.pow(z, 4)) - 3.0, 4).alias("excess_kurtosis_log"),
+        rnd(
+            F.exp(F.max("mu") + F.max("sigma") * F.max("sigma") / 2.0), 2
+        ).alias("fitted_mean"),
+    )

@@ -1680,3 +1680,154 @@ def corpus_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SFT pair lint: data-quality gate over the synthesized training pairs
+# --------------------------------------------------------------------------
+
+_SFT_LINT_MIN_COMPLETION = 16  # words a useful completion needs
+
+
+def _sft_lint_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH pairs AS ({QUERIES['corpus_sft_pair_synth'].oracle}),
+    dup AS (
+        SELECT source, prompt, count(*) AS c
+        FROM pairs GROUP BY source, prompt
+    ),
+    flagged AS (
+        SELECT p.source,
+               CASE WHEN p.completion_words < {_SFT_LINT_MIN_COMPLETION}
+                    THEN 1 ELSE 0 END AS short_c,
+               CASE WHEN strpos(p.completion, p.prompt) > 0
+                    THEN 1 ELSE 0 END AS leak,
+               CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS dup_p
+        FROM pairs p
+        JOIN dup d ON d.source = p.source AND d.prompt = p.prompt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(short_c) AS BIGINT) AS n_short_completion,
+           CAST(sum(leak) AS BIGINT) AS n_prompt_leak,
+           CAST(sum(dup_p) AS BIGINT) AS n_dup_prompt,
+           round(avg(CASE WHEN short_c + leak + dup_p = 0
+                          THEN 1.0 ELSE 0.0 END), 6) AS clean_rate
+    FROM flagged
+    GROUP BY source
+    """
+
+
+@query("corpus_sft_lint", oracle=_sft_lint_oracle())
+def corpus_sft_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair lint over the registered SFT synthesis — the
+    data-quality gate every instruction-tuning pipeline runs before a
+    single gradient step: per source, how many pairs have a completion
+    too short to teach anything (< 16 words), how many leak the full
+    prompt inside the completion (the model learns to parrot), and how
+    many share a duplicated prompt (boilerplate prefixes that
+    overweight one instruction — the SFT analog of
+    corpus_line_dedup_ccnet's repeated lines). clean_rate is the
+    fraction violating NOTHING. Composed on corpus_sft_pair_synth's
+    registered oracle and DataFrame, so the lint can never drift from
+    the pairs it audits (the eval-twin discipline).
+
+    Scale shape: one pass over the synthesized pairs plus a
+    (source, prompt) aggregate for the dup check joined back on its
+    own key — both shuffles keyed identically, output one row per
+    source."""
+    from awsbeats_spark.registry import QUERIES
+
+    pairs = QUERIES["corpus_sft_pair_synth"].fn(spark, sf_dir)
+    dup = pairs.groupBy("source", "prompt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    flagged = pairs.join(dup, ["source", "prompt"]).select(
+        "source",
+        (F.col("completion_words") < _SFT_LINT_MIN_COMPLETION)
+        .cast("int")
+        .alias("short_c"),
+        (F.instr("completion", F.col("prompt")) > 0)  # type: ignore[arg-type]
+        .cast("int")
+        .alias("leak"),
+        (F.col("c") > 1).cast("int").alias("dup_p"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("short_c").cast("long").alias("n_short_completion"),
+        F.sum("leak").cast("long").alias("n_prompt_leak"),
+        F.sum("dup_p").cast("long").alias("n_dup_prompt"),
+        rnd(
+            F.avg(
+                F.when(
+                    F.col("short_c") + F.col("leak") + F.col("dup_p") == 0,
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("clean_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-efficiency audit: tokens-per-character by language and source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_token_efficiency_by_lang",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, source,
+               len({WORDS_SQL}) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_tokens) * 1.0 / sum(n_chars), 6)
+               AS tokens_per_char,
+           round(sum(n_chars) * 1.0 / sum(n_tokens), 4)
+               AS chars_per_token
+    FROM w
+    GROUP BY lang, source
+    """,
+)
+def corpus_token_efficiency_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-efficiency audit: tokens-per-character (and its
+    reciprocal) per (language, source) — the number every multilingual
+    training-budget discussion turns on, because a tokenizer that
+    spends 3x the tokens per character on one language silently
+    triples that language's compute cost and shrinks its effective
+    context window ("token inflation"). Run before corpus_source_mix /
+    corpus_budget_allocate_lrm so budget shares are set in TOKENS, not
+    documents; a drifting ratio per source also flags encoding
+    corruption (mojibake inflates chars, not tokens).
+
+    Scale shape: a map-side tokenize + length projection folded by one
+    (lang, source) hash aggregate — four counters per group, no joins,
+    output bounded by the language x source grid."""
+    t = tables(spark, sf_dir)
+    w = t.documents.filter(F.length("text") > 0).select(
+        "lang",
+        "source",
+        F.size(words()).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return w.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        rnd(F.sum("n_tokens") / F.sum("n_chars"), 6).alias(
+            "tokens_per_char"
+        ),
+        rnd(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )

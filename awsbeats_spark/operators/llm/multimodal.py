@@ -1347,3 +1347,66 @@ def multimodal_audio_fingerprint(
         "doc_id bigint, n_samples bigint, n_sampled bigint,"
         " fingerprint bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus modality mix: the one-page inventory a multimodal pipeline opens with
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_corpus_mix",
+    oracle="""
+    WITH p AS (
+        SELECT CASE CAST(octet_length(encode(text)) % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS nd, sum(n_bytes) AS nb FROM p)
+    SELECT p.modality,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_bytes) AS BIGINT) AS total_bytes,
+           round(count(*) * 1.0 / tot.nd, 6) AS doc_share,
+           round(sum(p.n_bytes) * 1.0 / tot.nb, 6) AS byte_share,
+           round(avg(p.n_bytes), 2) AS avg_bytes
+    FROM p CROSS JOIN tot
+    GROUP BY p.modality, tot.nd, tot.nb
+    """,
+)
+def multimodal_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus modality inventory: per modality (the deterministic
+    len%3 dispatch synthesize_media uses), document count, raw bytes,
+    and both shares — the first number a multimodal training run pins
+    down, because compute budgets follow BYTES (decode + embed cost)
+    while sampling policies follow DOCUMENTS, and the two shares
+    diverge exactly when one modality's payloads run long. The same
+    doc-vs-byte-share split corpus_source_mix gives text sources,
+    lifted to modalities; downstream, multimodal_shard_balance_lpt
+    consumes the byte sizes this summarizes.
+
+    Scale shape: one map-side modality/byte projection folded by a
+    3-group hash aggregate with a one-row broadcast total — no
+    payload decode at all (the container headers aren't needed for
+    byte accounting), so this runs at scan speed."""
+    t = tables(spark, sf_dir)
+    p = t.documents.select(
+        F.when(F.octet_length(F.encode("text", "UTF-8")) % 3 == 0, "image")
+        .when(F.octet_length(F.encode("text", "UTF-8")) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_bytes").alias("nb")
+    )
+    return p.crossJoin(F.broadcast(tot)).groupBy(
+        "modality", "nd", "nb"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        rnd(F.count(F.lit(1)) / F.col("nd"), 6).alias("doc_share"),
+        rnd(F.sum("n_bytes") / F.col("nb"), 6).alias("byte_share"),
+        rnd(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    ).drop("nd", "nb")
