@@ -1534,3 +1534,175 @@ def agg_lognormal_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.max("mu") + F.max("sigma") * F.max("sigma") / 2.0), 2
         ).alias("fitted_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation by group (average ranks for ties)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_linestatus,
+               rank() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_linestatus,
+                                   l_quantity) - 1) / 2.0 AS rq,
+               rank() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_linestatus,
+                                   l_extendedprice) - 1) / 2.0 AS rp
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(rq, rp), 4) AS spearman_rho
+    FROM ranked
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extended price) per
+    (returnflag, linestatus) group: ranks with average-rank tie
+    handling (min-rank + (ties-1)/2 — identical to the midrank
+    convention scipy uses), then Pearson on the ranks. The monotone-
+    association check Pearson misses when the relationship is
+    nonlinear or the marginals are heavy-tailed.
+
+    Scale shape: two rank windows per group partition, then one
+    mergeable corr aggregate — the shuffle key is the group, and the
+    in-partition sort is the unavoidable cost of exact ranks. At
+    cluster scale with billions of rows per group, swap the exact
+    window ranks for binned midranks (fixed histogram per group,
+    mergeable) — the operator's contract (rho per group) is unchanged."""
+    li = tables(spark, sf_dir).lineitem
+    g = ["l_returnflag", "l_linestatus"]
+    wq = Window.partitionBy(*g).orderBy("l_quantity")
+    wqt = Window.partitionBy(*g, "l_quantity")
+    wp = Window.partitionBy(*g).orderBy("l_extendedprice")
+    wpt = Window.partitionBy(*g, "l_extendedprice")
+    ranked = li.select(
+        *g,
+        (
+            F.rank().over(wq) + (F.count(F.lit(1)).over(wqt) - 1) / 2.0
+        ).alias("rq"),
+        (
+            F.rank().over(wp) + (F.count(F.lit(1)).over(wpt) - 1) / 2.0
+        ).alias("rp"),
+    )
+    return ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        rnd(F.corr("rq", "rp"), 4).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categorical columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               count(*) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(nxy) AS n FROM joint),
+    mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY y),
+    mi AS (
+        SELECT sum((j.nxy * 1.0 / tot.n)
+                   * ln((j.nxy * 1.0 / tot.n)
+                        / ((mx.nx * 1.0 / tot.n)
+                           * (my.ny * 1.0 / tot.n)))) AS mi_nats,
+               CAST(max(tot.n) AS BIGINT) AS n_rows
+        FROM joint j, tot, mx, my
+        WHERE j.x = mx.x AND j.y = my.y
+    ),
+    hx AS (
+        SELECT -sum((nx * 1.0 / tot.n) * ln(nx * 1.0 / tot.n)) AS h
+        FROM mx, tot
+    ),
+    hy AS (
+        SELECT -sum((ny * 1.0 / tot.n) * ln(ny * 1.0 / tot.n)) AS h
+        FROM my, tot
+    )
+    SELECT mi.n_rows,
+           round(mi.mi_nats, 6) AS mi_nats,
+           round(hx.h, 6) AS h_priority,
+           round(hy.h, 6) AS h_status,
+           round(mi.mi_nats / least(hx.h, hy.h), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and order
+    status, with the marginal entropies and the min-entropy-normalized
+    MI in [0, 1] — the dependence measure that, unlike Cramer's V
+    (already in the catalog), is additive in the information-theoretic
+    sense and directly answers "how many nats of the status do I learn
+    from the priority". The feature-selection primitive for
+    categorical predictors.
+
+    Scale shape: one (x, y) contingency aggregate (mergeable, output
+    bounded by the level grid), marginals re-aggregated from the joint
+    counts (never from the raw rows), and every join after the first
+    aggregate is over the tiny contingency table — broadcast by AQE.
+    Event-grain data is touched exactly once."""
+    orders = tables(spark, sf_dir).orders
+    joint = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .cache()
+    )
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = terms.agg(
+        F.sum(
+            (F.col("nxy") / F.col("n"))
+            * F.log(
+                (F.col("nxy") / F.col("n"))
+                / ((F.col("nx") / F.col("n")) * (F.col("ny") / F.col("n")))
+            )
+        ).alias("mi_nats"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum((F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n"))))
+            .alias("h")
+        )
+        .withColumnRenamed("h", "h_priority_raw")
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum((F.col("ny") / F.col("n")) * F.log(F.col("ny") / F.col("n"))))
+            .alias("h")
+        )
+        .withColumnRenamed("h", "h_status_raw")
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return out.select(
+        "n_rows",
+        rnd("mi_nats", 6).alias("mi_nats"),
+        rnd("h_priority_raw", 6).alias("h_priority"),
+        rnd("h_status_raw", 6).alias("h_status"),
+        rnd(
+            F.col("mi_nats") / F.least("h_priority_raw", "h_status_raw"), 6
+        ).alias("nmi"),
+    )

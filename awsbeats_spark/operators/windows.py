@@ -773,3 +773,95 @@ def window_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tot") > hi).alias("breach_hi"),
         (F.col("tot") < lo).alias("breach_lo"),
     )
+
+
+# --------------------------------------------------------------------------
+# RSI (Cutler's SMA variant) over the daily revenue series per priority
+# --------------------------------------------------------------------------
+
+_RSI_P = 14
+
+
+@query(
+    "window_rsi_cutler",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT priority, day, revenue,
+               revenue - lag(revenue) OVER w AS d,
+               row_number() OVER w AS rn
+        FROM daily
+        WINDOW w AS (PARTITION BY priority ORDER BY day)
+    ),
+    gl AS (
+        SELECT priority, day, revenue, rn,
+               avg(greatest(d, 0)) OVER (
+                   PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN {_RSI_P - 1} PRECEDING AND CURRENT ROW
+               ) AS avg_gain,
+               avg(greatest(-d, 0)) OVER (
+                   PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN {_RSI_P - 1} PRECEDING AND CURRENT ROW
+               ) AS avg_loss
+        FROM delta
+    )
+    SELECT priority, day, revenue,
+           CASE WHEN avg_loss = 0 THEN 100.0
+                ELSE round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 4)
+           END AS rsi
+    FROM gl WHERE rn > {_RSI_P}
+    """,
+)
+def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's simple-moving-average variant,
+    period 14) over the daily order-revenue series per priority class.
+    Cutler's form is chosen deliberately over Wilder's: the SMA of
+    gains/losses is a fixed ROWS frame — expressible as a pure window
+    aggregate in any engine — where Wilder's exponential smoothing is a
+    running recurrence that would force a sequential scan per series.
+    Warm-up rows (fewer than 14 deltas) are dropped; a zero-loss frame
+    pegs RSI at 100 by convention.
+
+    Scale shape: orders collapse to (priority, day) revenue first
+    (mergeable, bounded by the calendar), so the window operates on
+    day-grain series — one shuffle on the series key, local sorts,
+    output bounded by days x priorities."""
+    orders = tables(spark, sf_dir).orders
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("day", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(rnd(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("priority").orderBy("day")
+    delta = daily.select(
+        "priority",
+        "day",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wf = w.rowsBetween(-(_RSI_P - 1), Window.currentRow)
+    gl = delta.select(
+        "priority",
+        "day",
+        "revenue",
+        "rn",
+        F.avg(F.greatest(F.col("d"), F.lit(0.0))).over(wf).alias("avg_gain"),
+        F.avg(F.greatest(-F.col("d"), F.lit(0.0))).over(wf).alias("avg_loss"),
+    )
+    return gl.filter(F.col("rn") > _RSI_P).select(
+        "priority",
+        "day",
+        "revenue",
+        F.when(F.col("avg_loss") == 0, F.lit(100.0))
+        .otherwise(
+            rnd(100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss")), 4)
+        )
+        .alias("rsi"),
+    )

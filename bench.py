@@ -316,6 +316,11 @@ EXTENDED_PROBE = [
     "agg_lognormal_fit_audit",
     "corpus_token_efficiency_by_lang",
     "multimodal_corpus_mix",
+    "agg_spearman_corr",
+    "agg_mutual_information",
+    "events_poisson_burst_chernoff",
+    "ts_hurst_rs",
+    "window_rsi_cutler",
 ]
 
 
