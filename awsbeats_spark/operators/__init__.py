@@ -330,6 +330,11 @@ _ROUND8_WINDOW = [
     "events_poisson_burst_chernoff",
     "ts_hurst_rs",
     "window_rsi_cutler",
+    "ts_pacf_durbin_levinson",
+    "events_burst_fdr_bh",
+    "text_hapax_ratio",
+    "corpus_msttr_diversity",
+    "multimodal_audio_dynamic_range",
 ]
 
 

@@ -1831,3 +1831,85 @@ def corpus_token_efficiency_by_lang(
             "chars_per_token"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# MSTTR lexical diversity: mean segmental type-token ratio per source
+# --------------------------------------------------------------------------
+
+_MSTTR_SEG = 50
+
+
+@query(
+    "corpus_msttr_diversity",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id, {WORDS_SQL} AS ws FROM documents
+    ),
+    tok AS (
+        SELECT source, doc_id, u.j, ws[u.j] AS tok
+        FROM w, unnest(generate_series(1, len(ws))) AS u(j)
+    ),
+    pos AS (
+        SELECT source, tok,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id, j) - 1)
+                   // {_MSTTR_SEG} AS seg
+        FROM tok
+    ),
+    seg_tf AS (
+        SELECT source, seg, tok, count(*) AS c
+        FROM pos GROUP BY 1, 2, 3
+    ),
+    seg_stats AS (
+        SELECT source, seg, count(*) AS vocab, sum(c) AS n
+        FROM seg_tf GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(avg(vocab * 1.0 / {_MSTTR_SEG}), 6) AS msttr
+    FROM seg_stats WHERE n = {_MSTTR_SEG}
+    GROUP BY source
+    """,
+)
+def corpus_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Segmental Type-Token Ratio (MSTTR-50) per source: the
+    token stream (document order, then token order — deterministic) is
+    chopped into 50-token segments, each complete segment contributes
+    its type count / 50, and the mean is the diversity score. Unlike
+    the raw TTR (which shrinks mechanically as a corpus grows), MSTTR
+    is length-invariant, so sources of wildly different sizes compare
+    honestly — the lexical-diversity column for the corpus mix report.
+
+    Scale shape: the positional explode is per-row; the only big sort
+    is the per-source position window (rank within source), which at
+    cluster scale would be replaced by per-document segment IDs (doc
+    boundaries almost never straddle segments at 50 tokens) — the
+    cross-doc stitching here keeps the textbook definition exact. Two
+    stacked hash aggregates finish on segment-grain rows."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select(
+        "source", "doc_id", F.posexplode(words()).alias("j", "tok")
+    )
+    wpos = Window.partitionBy("source").orderBy("doc_id", "j")
+    pos = tok.select(
+        "source",
+        "tok",
+        ((F.row_number().over(wpos) - 1) / _MSTTR_SEG)
+        .cast("long")
+        .alias("seg"),
+    )
+    seg_stats = (
+        pos.groupBy("source", "seg", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", "seg")
+        .agg(F.count(F.lit(1)).alias("vocab"), F.sum("c").alias("n"))
+    )
+    return (
+        seg_stats.filter(F.col("n") == _MSTTR_SEG)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            rnd(F.avg(F.col("vocab") / float(_MSTTR_SEG)), 6).alias("msttr"),
+        )
+    )

@@ -1410,3 +1410,63 @@ def multimodal_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("n_bytes") / F.col("nb"), 6).alias("byte_share"),
         rnd(F.avg("n_bytes"), 2).alias("avg_bytes"),
     ).drop("nd", "nb")
+
+
+# --------------------------------------------------------------------------
+# Audio dynamic range / crest factor over the windowed RMS profile
+# --------------------------------------------------------------------------
+
+
+def _audio_dynrange_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH e AS ({QUERIES['multimodal_audio_energy'].oracle})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           max(rms) AS rms_max,
+           min(rms) AS rms_min,
+           round(avg(rms), 4) AS rms_mean,
+           CASE WHEN min(rms) > 0
+                THEN round(20.0 * log10(max(rms) / min(rms)), 4)
+           END AS dynamic_range_db,
+           CASE WHEN avg(rms) > 0
+                THEN round(20.0 * log10(max(rms) / avg(rms)), 4)
+           END AS crest_db
+    FROM e GROUP BY doc_id
+    """
+
+
+@query("multimodal_audio_dynamic_range", oracle=_audio_dynrange_oracle())
+def multimodal_audio_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip dynamic range and crest factor from the windowed RMS
+    profile: 20 log10(rms_max / rms_min) and 20 log10(rms_max /
+    rms_mean) in dB — the loudness-variation gate a speech pipeline
+    uses to separate compressed/limited audio (flat profile, ~0 dB
+    range) from natural speech (pauses vs peaks). Windows with zero
+    energy leave the dB columns NULL rather than -inf.
+
+    Oracle composition: the windowed-RMS CTE IS
+    multimodal_audio_energy's registered oracle — the real-parsed WAV
+    PCM on the Spark side vs the hex-nibble byte decode on the DuckDB
+    side — so this op inherits the bit-exact window energies and adds
+    only per-doc fold arithmetic on the ROUNDED rms values. Scale
+    shape: one (doc_id) hash aggregate over the bounded (<= 4 windows
+    per clip) RMS frame; the decode itself never re-runs."""
+    from awsbeats_spark.registry import QUERIES
+
+    e = QUERIES["multimodal_audio_energy"].fn(spark, sf_dir)
+    return e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.max("rms").alias("rms_max"),
+        F.min("rms").alias("rms_min"),
+        rnd(F.avg("rms"), 4).alias("rms_mean"),
+        F.when(
+            F.min("rms") > 0,
+            rnd(20.0 * F.log10(F.max("rms") / F.min("rms")), 4),
+        ).alias("dynamic_range_db"),
+        F.when(
+            F.avg("rms") > 0,
+            rnd(20.0 * F.log10(F.max("rms") / F.avg("rms")), 4),
+        ).alias("crest_db"),
+    )

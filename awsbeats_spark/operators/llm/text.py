@@ -1091,3 +1091,57 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena ratio: vocabulary richness per source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({WORDS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           round(count(*) FILTER (c = 1) * 1.0 / count(*), 6)
+               AS hapax_ratio,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness audit per source: hapax legomena (terms
+    occurring exactly once) as a share of the vocabulary, plus the raw
+    type-token ratio. A natural corpus keeps a large hapax share
+    (Zipf's tail); a templated or heavily duplicated source shows a
+    collapsing hapax ratio long before exact dedup finds the copies —
+    the cheap screening complement to [[corpus_vocab_growth_heaps]]'s
+    growth-curve fit.
+
+    Scale shape: tokenize-explode, then two stacked hash aggregates —
+    (source, term) partial-aggregates map-side before its shuffle, and
+    the per-source fold runs on vocabulary-grain rows. No windows, no
+    joins; term keys are near-unique so no skew."""
+    t = tables(spark, sf_dir)
+    tf = (
+        t.documents.select("source", F.explode(words()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        rnd(
+            F.sum((F.col("c") == 1).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("hapax_ratio"),
+        rnd(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+    )
