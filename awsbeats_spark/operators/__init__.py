@@ -335,6 +335,11 @@ _ROUND8_WINDOW = [
     "text_hapax_ratio",
     "corpus_msttr_diversity",
     "multimodal_audio_dynamic_range",
+    "graph_clustering_coefficient",
+    "eval_sq8_cosine_preservation",
+    "embed_label_centroid_cosine",
+    "corpus_oov_rate_topk_vocab",
+    "agg_corr_matrix_pairs",
 ]
 
 

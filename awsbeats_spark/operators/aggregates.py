@@ -1706,3 +1706,60 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mi_nats") / F.least("h_priority_raw", "h_status_raw"), 6
         ).alias("nmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Full pairwise correlation matrix over the lineitem numeric columns
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    selects = [
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               round(corr({a}, {b}), 6) AS pearson_r,
+               round(covar_samp({a}, {b}), 6) AS covar
+        FROM lineitem"""
+        for a, b in pairs
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+@query("agg_corr_matrix_pairs", oracle=_corr_matrix_oracle())
+def agg_corr_matrix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation / sample covariance over all 6
+    unordered pairs of the lineitem numeric columns (quantity,
+    extendedprice, discount, tax) in long form — the feature-covariance
+    screen run before any model fitting or PCA whitening, and the
+    multicollinearity check for the regression ops. One row per pair,
+    canonical column order.
+
+    Scale shape: all 12 statistics are algebraic moments, so Catalyst
+    folds them into ONE partial+final aggregate pass over the scan —
+    the table is read once, the shuffle carries a single row of moment
+    state, and the long-form reshape is a constant 6-row projection on
+    the driver-side-free aggregate result (no unpivot of raw data)."""
+    li = tables(spark, sf_dir).lineitem
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(rnd(F.corr(a, b), 6).alias(f"r__{a}__{b}"))
+        aggs.append(rnd(F.covar_samp(a, b), 6).alias(f"c__{a}__{b}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `r__{a}__{b}`, `c__{a}__{b}`" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) "
+        "AS (col_a, col_b, pearson_r, covar)"
+    )

@@ -186,10 +186,11 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COOC_FRAC = 0.2  # an edge = word pair co-occurring in >= 20% of docs
 
 
-@query(
-    "graph_triangle_count",
-    oracle=f"""
-    WITH tok AS (
+# Shared verbatim by graph_triangle_count and the local clustering
+# coefficient composed on the same graph — one edge definition, zero
+# drift between the global count and the per-node decomposition.
+_COOC_EDGES_SQL = f"""
+    tok AS (
         SELECT DISTINCT doc_id, unnest(
             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
         ) AS w
@@ -207,7 +208,35 @@ _COOC_FRAC = 0.2  # an edge = word pair co-occurring in >= 20% of docs
         FROM edges e1
         JOIN edges e2 ON e1.wb = e2.wa
         JOIN edges e3 ON e3.wa = e1.wa AND e3.wb = e2.wb
+    )"""
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (wa < wb) co-occurrence edges of the word graph (see
+    graph_triangle_count's docstring for the scale argument)."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(words())).alias("w")
     )
+    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_cooc") >= _COOC_FRAC * F.col("n_docs"))
+        .select("wa", "wb")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_COOC_EDGES_SQL}
     SELECT (SELECT count(*) FROM edges) AS n_edges,
            count(*) AS n_triangles
     FROM tris
@@ -235,23 +264,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold scales with corpus size (a fraction via a broadcast 1-row
     aggregate, not a driver-side count), so edge density — and plan
     shape — is SF-stable."""
-    t = tables(spark, sf_dir)
-    tok = t.documents.select(
-        "doc_id", F.explode(F.array_distinct(words())).alias("w")
-    )
-    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
-    edges = (
-        tok.alias("a")
-        .join(
-            tok.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")),
-        )
-        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
-        .agg(F.count(F.lit(1)).alias("n_cooc"))
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("n_cooc") >= _COOC_FRAC * F.col("n_docs"))
-        .select("wa", "wb")
-    )
+    edges = _cooc_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = e1.join(e2, F.col("e1.wb") == F.col("e2.wa")).join(
         e3,
@@ -772,5 +785,97 @@ def eval_markov_top1_accuracy(
             rnd(acc, 6).alias("top1_accuracy"),
             rnd(base, 6).alias("baseline_accuracy"),
             rnd(acc - base, 6).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient per node of the co-occurrence graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_COOC_EDGES_SQL},
+    deg AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT wa AS w FROM edges
+              UNION ALL SELECT wb AS w FROM edges)
+        GROUP BY w
+    ),
+    tv AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS w FROM tris
+              UNION ALL SELECT b AS w FROM tris
+              UNION ALL SELECT c AS w FROM tris)
+        GROUP BY w
+    )
+    SELECT d.w AS node, d.degree,
+           coalesce(tv.n_tri, 0) AS n_triangles,
+           round(2.0 * coalesce(tv.n_tri, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN tv ON tv.w = d.w
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the word co-occurrence
+    graph: lcc(v) = 2 T(v) / (deg(v) (deg(v)-1)), where T(v) counts the
+    triangles through v — the per-node decomposition of
+    graph_triangle_count (whose a<b<c canonical triangles each credit
+    their three corners once). High-degree words with low lcc are hub
+    connectors; high-lcc nodes sit inside cliques (topic clusters,
+    boilerplate blocks). Nodes of degree < 2 are excluded (lcc
+    undefined).
+
+    Shares the tok/edges/tris CTEs verbatim with graph_triangle_count —
+    one graph definition, zero drift. Scale shape: degrees are one
+    aggregate over the thresholded edge relation (orders of magnitude
+    smaller than the corpus); the triangle enumeration is the same
+    two-equi-join path count; the final join runs at vocabulary grain."""
+    edges = _cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.wb") == F.col("e2.wa"))
+        .join(
+            e3,
+            (F.col("e3.wa") == F.col("e1.wa"))
+            & (F.col("e3.wb") == F.col("e2.wb")),
+        )
+        .select(
+            F.col("e1.wa").alias("a"),
+            F.col("e1.wb").alias("b"),
+            F.col("e2.wb").alias("c"),
+        )
+    )
+    deg = (
+        edges.select(F.col("wa").alias("w"))
+        .unionAll(edges.select(F.col("wb").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tv = (
+        tris.select(F.col("a").alias("w"))
+        .unionAll(tris.select(F.col("b").alias("w")))
+        .unionAll(tris.select(F.col("c").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(tv, "w", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("w").alias("node"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            rnd(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("lcc"),
         )
     )

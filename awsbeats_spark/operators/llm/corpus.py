@@ -1913,3 +1913,72 @@ def corpus_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg(F.col("vocab") / float(_MSTTR_SEG)), 6).alias("msttr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OOV-rate audit against the global top-K vocabulary
+# --------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 2000
+
+
+@query(
+    "corpus_oov_rate_topk_vocab",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({WORDS_SQL}) AS tok FROM documents
+    ),
+    gtf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
+            FROM gtf
+        ) WHERE rn <= {_OOV_VOCAB_K}
+    ),
+    stf AS (
+        SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT s.source,
+           CAST(sum(s.c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END) * 1.0
+                 / sum(s.c), 6) AS oov_rate
+    FROM stf s LEFT JOIN vocab v ON s.tok = v.tok
+    GROUP BY s.source
+    """,
+)
+def corpus_oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the global top-2000
+    token vocabulary (ties at the cutoff break on the token string, so
+    the vocabulary is a deterministic set). The tokenizer-coverage
+    audit run before freezing a word-level vocab: a source whose OOV
+    mass is high will fragment into UNK (or into byte-fallback pieces)
+    and train poorly — and a *drifting* OOV rate per ingestion batch is
+    an early encoding-corruption alarm, the token-level cousin of
+    [[corpus_token_efficiency_by_lang]].
+
+    Scale shape: one tokenize-explode feeding two hash aggregates
+    (global term counts, per-source term counts — both partial
+    map-side); the vocabulary is a bounded top-K TakeOrdered that
+    broadcasts to the per-source join. Nothing wider than term-grain
+    ever shuffles."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(words()).alias("tok"))
+    gtf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = (
+        gtf.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _OOV_VOCAB_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    stf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    joined = stf.join(
+        F.broadcast(vocab), stf["tok"] == vocab["vtok"], "left"
+    )
+    oov_c = F.when(F.col("vtok").isNull(), F.col("c")).otherwise(F.lit(0))
+    return joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(oov_c).cast("long").alias("n_oov"),
+        rnd(F.sum(oov_c) / F.sum("c"), 6).alias("oov_rate"),
+    )

@@ -498,10 +498,11 @@ def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_DIMS = 64  # fixed embedding dimensionality across all SFs (FIXTURES.md)
 
 
-@query(
-    "embed_quantize_sq8",
-    oracle=f"""
-    WITH dims AS (
+# Shared verbatim by embed_quantize_sq8 and its cosine-preservation
+# honesty twin — one quantizer definition, zero drift between the codes
+# an index would store and the measured reconstruction quality.
+_SQ8_CODED_SQL = f"""
+    dims AS (
         SELECT i.dim,
                min(CAST(embedding[i.dim] AS DOUBLE)) AS mn,
                max(CAST(embedding[i.dim] AS DOUBLE)) AS mx
@@ -517,7 +518,13 @@ N_DIMS = 64  # fixed embedding dimensionality across all SFs (FIXTURES.md)
                                     / (d.mx - d.mn) * 255 + 0.5) AS INT)
                     ELSE 0 END AS code
         FROM embeddings e CROSS JOIN dims d
-    )
+    )"""
+
+
+@query(
+    "embed_quantize_sq8",
+    oracle=f"""
+    WITH {_SQ8_CODED_SQL}
     SELECT vec_id,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
            round(max(abs(x - (mn + (code / 255.0) * (mx - mn)))), 6)
@@ -1780,4 +1787,205 @@ def eval_jl_distance_distortion(
             ),
             4,
         ).alias("frac_within_2x"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQ8 honesty twin: measured cosine preservation of the quantizer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_sq8_cosine_preservation",
+    oracle=f"""
+    WITH {_SQ8_CODED_SQL},
+    recon AS (
+        SELECT vec_id, dim, x,
+               mn + (code / 255.0) * (mx - mn) AS r
+        FROM coded
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               round(sum(x * r) / (sqrt(sum(x * x)) * sqrt(sum(r * r))),
+                     6) AS cos_sim,
+               round(max(abs(x - r)), 6) AS max_abs_err
+        FROM recon
+        GROUP BY vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(cos_sim), 6) AS mean_cosine,
+           min(cos_sim) AS min_cosine,
+           round(avg(max_abs_err), 6) AS mean_max_abs_err,
+           max(max_abs_err) AS worst_abs_err
+    FROM per_vec
+    """,
+)
+def eval_sq8_cosine_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the SQ8 scalar quantizer: reconstruct every
+    vector from its codes and report corpus-level cosine preservation
+    (mean and worst per-vector cosine between original and
+    reconstruction) plus reconstruction-error summary. The honesty twin
+    of [[embed_quantize_sq8]] — if 8-bit codes cannot hold cosine above
+    ~0.99 on this corpus, the ANN index built on them inherits that
+    ceiling, and this eval says so with a number instead of a docstring
+    claim (the eval-twin discipline every approximate key follows).
+
+    Oracle composition: the dims/coded CTEs are embed_quantize_sq8's
+    registered SQL verbatim. Scale shape: identical to the quantizer —
+    one 64-row stats broadcast, one narrow per-vector pass; per-vector
+    cosines round before the corpus fold so both engines average
+    identical values."""
+    t = tables(spark, sf_dir)
+    stats = (
+        t.embeddings.select(
+            F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x")
+        )
+        .groupBy("dim0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mn"))),
+                lambda s: s.mn,
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mx"))),
+                lambda s: s.mx,
+            ).alias("mxs"),
+        )
+    )
+
+    def _mn(i):
+        return F.element_at(F.col("mns"), i + 1)
+
+    def _mx(i):
+        return F.element_at(F.col("mxs"), i + 1)
+
+    def _code(x, i):
+        return F.when(
+            _mx(i) > _mn(i),
+            F.floor((x - _mn(i)) / (_mx(i) - _mn(i)) * 255 + 0.5).cast("int"),
+        ).otherwise(F.lit(0))
+
+    xd = as_double(F.col("embedding"))
+    recon = F.transform(
+        xd, lambda x, i: _mn(i) + (_code(x, i) / F.lit(255.0)) * (_mx(i) - _mn(i))
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    per_vec = t.embeddings.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        rnd(
+            _dot(xd, recon)
+            / (F.sqrt(_dot(xd, xd)) * F.sqrt(_dot(recon, recon))),
+            6,
+        ).alias("cos_sim"),
+        rnd(
+            F.array_max(
+                F.zip_with(xd, recon, lambda x, r: F.abs(x - r))
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        rnd(F.avg("cos_sim"), 6).alias("mean_cosine"),
+        F.min("cos_sim").alias("min_cosine"),
+        rnd(F.avg("max_abs_err"), 6).alias("mean_max_abs_err"),
+        F.max("max_abs_err").alias("worst_abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Label-centroid cosine matrix: class separability audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embed_label_centroid_cosine",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT label, i.dim AS dim,
+               CAST(embedding[i.dim] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {N_DIMS})) AS dim) i
+    ),
+    cent AS (
+        SELECT label, dim, avg(v) AS mu,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM exploded GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               max(a.n_vecs) AS n_a, max(b.n_vecs) AS n_b,
+               sum(a.mu * b.mu) AS dot,
+               sqrt(sum(a.mu * a.mu)) AS na,
+               sqrt(sum(b.mu * b.mu)) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(dot / (na * nb), 6) AS centroid_cosine
+    FROM pairs
+    """,
+)
+def embed_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit: cosine similarity between every pair
+    of label centroids. Labels whose centroids sit at cosine ~1 are
+    indistinguishable at the class level — a supervised head trained on
+    these embeddings cannot separate what the geometry has already
+    merged, and a kNN classifier ([[embed_knn_classify]]) will confuse
+    exactly these pairs. The canonical a<b pair ordering emits each
+    pair once.
+
+    Scale shape: the corpus collapses to |labels| x 64 centroid cells
+    in one mergeable aggregate (constant-size state at any corpus
+    size); the pair matrix is a self-join on the dim key over that tiny
+    frame — |labels|^2 x 64 rows, never the vectors themselves."""
+    emb = tables(spark, sf_dir).embeddings
+    exploded = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    cent = exploded.groupBy("label", "dim").agg(
+        F.avg("v").alias("mu"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("mu").alias("mu_a"),
+        F.col("n_vecs").alias("na_raw"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("mu").alias("mu_b"),
+        F.col("n_vecs").alias("nb_raw"),
+    )
+    pairs = (
+        a.join(b, ["dim"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na_raw").cast("long").alias("n_a"),
+            F.max("nb_raw").cast("long").alias("n_b"),
+            F.sum(F.col("mu_a") * F.col("mu_b")).alias("dot"),
+            F.sqrt(F.sum(F.col("mu_a") * F.col("mu_a"))).alias("na"),
+            F.sqrt(F.sum(F.col("mu_b") * F.col("mu_b"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        rnd(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
     )
