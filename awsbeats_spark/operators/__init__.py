@@ -31,13 +31,15 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 7** (``_ROUND7_WINDOW``, exactly 50): the 12 round-4
   additions that overflow round 6's budget plus the earliest 38
   round-5 additions. After round 7: 342/369.
-* **Round 8** (``_ROUND8_WINDOW``, 27): the later round-5 additions
-  that overflow round 7's budget. After round 8: full catalog (369)
-  driver-evidenced; spare slots recheck round-1/2 greens on a rolling
-  basis.
+* **Round 8** (``_ROUND8_WINDOW``, exactly 50): the later round-5
+  additions that overflow round 7's budget. After round 8: 392
+  driver-evidenced.
+* **Round 9 onward**: any keys added after the round-8 window filled
+  open a ``_ROUND9_WINDOW`` at the 50-key budget; once every window
+  drains, spare slots recheck round-1/2 greens on a rolling basis.
 
-The five lists partition the keys that had no driver row as of
-CORRECTNESS_r03 plus every key added since (25 in round 4, 65 in
+The window lists partition the keys that had no driver row as of
+CORRECTNESS_r03 plus every key added since (25 in round 4, 88 in
 round 5); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
@@ -340,6 +342,10 @@ _ROUND8_WINDOW = [
     "embed_label_centroid_cosine",
     "corpus_oov_rate_topk_vocab",
     "agg_corr_matrix_pairs",
+    "agg_bootstrap_ci_poisson",
+    "events_interarrival_cv",
+    "multimodal_image_histogram_entropy",
+    "sketch_linear_counting_distinct",
 ]
 
 

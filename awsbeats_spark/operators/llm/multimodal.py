@@ -1470,3 +1470,101 @@ def multimodal_audio_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFram
             rnd(20.0 * F.log10(F.max("rms") / F.avg("rms")), 4),
         ).alias("crest_db"),
     )
+
+
+# --------------------------------------------------------------------------
+# Image histogram entropy: tonal-complexity gate over real BMP pixels
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_histogram_entropy",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS wd,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht,
+               ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4) * 4
+                   AS stride
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+          AND octet_length(encode(text)) > 0
+    ),
+    px AS (
+        SELECT doc_id, wd, ht,
+               CAST({_BYTE_SQL.format(k="r.r * stride + 3 * c.c + 1")}
+                    AS BIGINT) // 16 AS bin
+        FROM p,
+             unnest(generate_series(0, ht - 1)) AS r(r),
+             unnest(generate_series(0, wd - 1)) AS c(c)
+    ),
+    hist AS (
+        SELECT doc_id, wd, ht, bin, count(*) AS cnt
+        FROM px GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
+           round(-sum((cnt * 1.0 / (wd * ht))
+                      * log2(cnt * 1.0 / (wd * ht))), 6) AS entropy_bits
+    FROM hist
+    GROUP BY doc_id, wd, ht
+    """,
+)
+def multimodal_image_histogram_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy of each image's 16-bin green-channel histogram
+    over the REAL decoded BMP pixel grid (stride-framed, padding
+    excluded) — the tonal-complexity gate that separates flat/synthetic
+    frames (entropy near 0: screenshots, solid fills, corrupt decodes)
+    from natural images (entropy near the 4-bit ceiling). The cheap
+    companion to [[multimodal_bmp_color_moments]]: std measures spread,
+    entropy measures how evenly the tonal mass is used.
+
+    Parity: bin counts are exact integers from the same cycled byte
+    stream the oracle re-derives per hex nibble, so the <= 16-term
+    entropy sum is bit-stable under rounding. Scale shape: Arrow
+    mapInPandas emits (doc, bin, count) — at most 16 rows per image —
+    and the entropy fold is one hash aggregate at image grain."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 0)
+        & (F.octet_length("payload") > 0)
+    )
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(raw)
+                meta = decode_media(bmp)
+                wd, ht = meta["width"], meta["height"]
+                stride = ((3 * wd + 3) // 4) * 4
+                green = (
+                    np.frombuffer(
+                        bmp, dtype=np.uint8, count=stride * ht, offset=54
+                    )
+                    .reshape(ht, stride)[:, : 3 * wd]
+                    .reshape(ht, wd, 3)[:, :, 1]
+                )
+                counts = np.bincount(green.ravel() >> 4, minlength=16)
+                for b in range(16):
+                    if counts[b]:
+                        rows.append((doc_id, wd, ht, b, int(counts[b])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "bin", "cnt"]
+            )
+
+    h = src.mapInPandas(
+        hist,
+        "doc_id bigint, width int, height int, bin int, cnt bigint",
+    )
+    area = (F.col("width") * F.col("height")).cast("double")
+    pb = F.col("cnt") / area
+    return h.groupBy("doc_id", "width", "height").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        rnd(-F.sum(pb * F.log2(pb)), 6).alias("entropy_bits"),
+    )

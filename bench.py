@@ -331,6 +331,10 @@ EXTENDED_PROBE = [
     "embed_label_centroid_cosine",
     "corpus_oov_rate_topk_vocab",
     "agg_corr_matrix_pairs",
+    "agg_bootstrap_ci_poisson",
+    "events_interarrival_cv",
+    "multimodal_image_histogram_entropy",
+    "sketch_linear_counting_distinct",
 ]
 
 
