@@ -34,17 +34,18 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 8** (``_ROUND8_WINDOW``, exactly 50): the later round-5
   additions that overflow round 7's budget. After round 8: 392
   driver-evidenced.
-* **Round 9 onward**: any keys added after the round-8 window filled
-  open a ``_ROUND9_WINDOW`` at the 50-key budget; once every window
-  drains, spare slots recheck round-1/2 greens on a rolling basis.
+* **Round 9** (``_ROUND9_WINDOW``): keys added after the round-8
+  window filled at its 50-key budget. After round 9: full catalog
+  (396) driver-evidenced; once every window drains, spare slots
+  recheck round-1/2 greens on a rolling basis.
 
 The window lists partition the keys that had no driver row as of
-CORRECTNESS_r03 plus every key added since (25 in round 4, 88 in
+CORRECTNESS_r03 plus every key added since (25 in round 4, 92 in
 round 5); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
-order is r5, r6, r7, r8, r4 — never-driver-checked keys queue ahead
-of the already-green r4 block.
+order is r5, r6, r7, r8, r9, r4 — never-driver-checked keys queue
+ahead of the already-green r4 block.
 """
 
 from awsbeats_spark import registry
@@ -348,6 +349,13 @@ _ROUND8_WINDOW = [
     "sketch_linear_counting_distinct",
 ]
 
+_ROUND9_WINDOW = [
+    "graph_lpa_communities",
+    "dedup_image_ahash_pairs",
+    "retrieval_maxsim_late_interaction",
+    "ts_holt_linear_forecast",
+]
+
 
 def _reorder() -> None:
     priority = (
@@ -355,6 +363,7 @@ def _reorder() -> None:
         + _ROUND6_WINDOW
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
+        + _ROUND9_WINDOW
         + _ROUND4_WINDOW
     )
     if len(set(priority)) != len(priority):

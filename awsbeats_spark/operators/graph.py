@@ -879,3 +879,106 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (synchronous, fixed 3 rounds)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One synchronous LPA round as a CTE pair: votes v{i} (neighbor
+    label counts) then labels l{i} (mode with the (count DESC, label
+    ASC) deterministic tie-break)."""
+    return f"""
+    v{i} AS (
+        SELECT s.u, l.lbl, count(*) AS c
+        FROM sym s JOIN l{i - 1} l ON s.v = l.w
+        GROUP BY s.u, l.lbl
+    ),
+    l{i} AS (
+        SELECT u AS w, lbl FROM (
+            SELECT u, lbl,
+                   row_number() OVER (
+                       PARTITION BY u ORDER BY c DESC, lbl
+                   ) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_lpa_communities",
+    oracle=f"""
+    WITH {_COOC_EDGES_SQL},
+    sym AS (
+        SELECT wa AS u, wb AS v FROM edges
+        UNION ALL
+        SELECT wb AS u, wa AS v FROM edges
+    ),
+    l0 AS (SELECT DISTINCT u AS w, u AS lbl FROM sym),
+    {",".join(_lpa_round_sql(i) for i in range(1, _LPA_ROUNDS + 1))},
+    members AS (
+        SELECT lbl AS community, count(*) AS n_nodes
+        FROM l{_LPA_ROUNDS} GROUP BY lbl
+    )
+    SELECT l.w AS node, l.lbl AS community, m.n_nodes AS community_size
+    FROM l{_LPA_ROUNDS} l JOIN members m ON m.community = l.lbl
+    """,
+    tags=("graph",),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the word co-occurrence graph — the standard
+    near-linear community algorithm and the missing sibling of
+    [[dedup_connected_components]]: CC merges anything connected, LPA
+    splits a connected hub-and-spoke graph into its dense cores, which
+    is what near-dup *family* analysis actually wants. Every node
+    starts as its own label; each round every node adopts its
+    neighbors' modal label with the (count DESC, label ASC) tie-break,
+    all nodes updating simultaneously from the previous round's labels.
+    The round count is FIXED at 3, which makes the result exactly
+    reproducible in any engine (asynchronous/converged LPA is
+    update-order-dependent and unverifiable); the oracle unrolls the
+    same 3 rounds as plain GROUP BY CTEs.
+
+    Scale shape: one round = one (node, label) hash aggregate plus one
+    top-1 window on the vote relation — both keyed by node, map-side
+    partial, no iteration-to-fixpoint driver loop. The edge relation is
+    the thresholded co-occurrence graph (vocabulary grain, orders of
+    magnitude smaller than the corpus; see graph_triangle_count), and
+    labels are strings so the propagation carries no lookup table. At
+    100 TB the rounds stay 3 scans of the edge relation regardless of
+    corpus size; the final membership count is one more keyed
+    aggregate."""
+    edges = _cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col("wa").alias("u"), F.col("wb").alias("v")
+    ).unionAll(edges.select(F.col("wb").alias("u"), F.col("wa").alias("v")))
+    labels = sym.select(F.col("u").alias("w")).distinct().withColumn(
+        "lbl", F.col("w")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym["v"] == labels["w"])
+            .groupBy(sym["u"], labels["lbl"])
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = Window.partitionBy("u").orderBy(
+            F.desc("c"), F.asc("lbl")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("w"), "lbl")
+        )
+    members = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return labels.join(members, "lbl").select(
+        F.col("w").alias("node"),
+        F.col("lbl").alias("community"),
+        F.col("n_nodes").alias("community_size"),
+    )

@@ -1568,3 +1568,188 @@ def multimodal_image_histogram_entropy(
         F.count(F.lit(1)).cast("long").alias("n_bins_used"),
         rnd(-F.sum(pb * F.log2(pb)), 6).alias("entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Image near-duplicate pairs: ahash over the REAL decoded pixel grid,
+# banded 16-bit Hamming join, bounded top-k output
+# --------------------------------------------------------------------------
+
+_AHASH_TOP_K = 5
+
+# nearest-neighbor 8x8 green sample for logical cell i (row-major):
+# r = ((i//8)*ht)//8, c = ((i%8)*wd)//8, green byte = r*stride + 3c + 1
+_AHASH_K = (
+    "((((i // 8) * ht) // 8) * stride + 3 * ((((i % 8)) * wd) // 8) + 1)"
+)
+
+_AHASH_BAND_SQL = ", ".join(
+    f"""CAST(list_sum(list_transform(
+        generate_series(0, 15),
+        o -> bits[{16 * j} + o + 1] * (1::BIGINT << o)
+    )) AS BIGINT) AS b{j}"""
+    for j in range(4)
+)
+
+
+@query(
+    "dedup_image_ahash_pairs",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS wd,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht,
+               ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4) * 4
+                   AS stride
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+          AND octet_length(encode(text)) > 0
+    ),
+    sampled AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, 63),
+                   i -> CAST({{byte}} AS BIGINT)
+               ) AS s
+        FROM p
+    ),
+    bitted AS (
+        SELECT doc_id,
+               list_transform(
+                   s, x -> CASE WHEN 64 * x > list_sum(s)
+                                THEN 1::BIGINT ELSE 0::BIGINT END
+               ) AS bits
+        FROM sampled
+    ),
+    hashes AS (SELECT doc_id, {_AHASH_BAND_SQL} FROM bitted),
+    bands AS (
+        SELECT doc_id, t.j AS band_idx,
+               CASE t.j WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS band_val
+        FROM hashes, generate_series(0, 3) t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                  AS INT) AS hamming
+        FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.doc_a
+        JOIN hashes hb ON hb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, hamming,
+               row_number() OVER (
+                   PARTITION BY doc_a ORDER BY hamming, doc_b
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {_AHASH_TOP_K}
+    """.replace("{byte}", _BYTE_SQL.format(k=_AHASH_K)),
+    tags=("multimodal", "dedup"),
+)
+def dedup_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs — the visual twin of [[dedup_simhash]]
+    and the op a multimodal training pipeline runs before paying for
+    image embeddings: average-hash (ahash) each REALLY-decoded BMP
+    (header parse, stride framing, green lane; nearest-neighbor 8x8
+    grid, bit = 64*sample > sum, integer-exact so no float mean can
+    drift between engines), split the 64-bit hash into four 16-bit
+    bands, and equi-join on any shared band (two hashes within Hamming
+    distance 6 MUST agree on at least one of 4 bands by pigeonhole —
+    the same banding guarantee as [[sim_search_hamming_packed]]).
+    Survivor pairs verify exact Hamming via XOR+popcount and the output
+    is bounded to the {top_k} nearest per anchor (the
+    [[dedup_ngram_topk_bounded]] discipline: O(k * images) output no
+    matter how degenerate the corpus).
+
+    Scale shape: decode + hash is one Arrow mapInPandas pass, one row
+    per image, localCheckpointed so the band/anchor branches don't
+    re-decode; candidates come from a 4-band equi-join (never all
+    pairs); the verify is 4 integer XORs on the joined row. At 100 TB
+    the band join is the only shuffle and its fan-out is bounded by
+    true near-dup density, exactly like banded minhash."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 0) & (F.octet_length("payload") > 0)
+    )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(raw)
+                meta = decode_media(bmp)  # real header parse
+                w, h = meta["width"], meta["height"]
+                stride = ((3 * w + 3) // 4) * 4
+                px = np.frombuffer(
+                    bmp, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                green = px[:, 1 : 3 * w : 3].astype(np.int64)
+                r_idx = (np.arange(8) * h) // 8
+                c_idx = (np.arange(8) * w) // 8
+                grid = green[np.ix_(r_idx, c_idx)].ravel()  # row-major
+                bits = (64 * grid > grid.sum()).astype(np.int64)
+                bands = [
+                    int((bits[16 * j : 16 * j + 16] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                rows.append((doc_id, *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    hashes = src.mapInPandas(
+        ahash, "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    ).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"ha.b{j}").bitwiseXOR(F.col(f"hb.b{j}"))
+        )
+        for j in range(4)
+    ).cast("int")
+    scored = (
+        cand.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
+        .join(hb, F.col("hb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+    win = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _AHASH_TOP_K)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+dedup_image_ahash_pairs.__doc__ = dedup_image_ahash_pairs.__doc__.replace(
+    "{top_k}", str(_AHASH_TOP_K)
+)

@@ -724,3 +724,160 @@ def text_dense_hashed_embedding(
         rnd(F.col("d3r") / nrm, 4).alias("d3"),
         rnd(F.col("d4r") / nrm, 4).alias("d4"),
     )
+
+
+# --------------------------------------------------------------------------
+# ColBERT-style MaxSim late interaction over hashed token embeddings
+# --------------------------------------------------------------------------
+
+_MAXSIM_TOP_K = 10
+
+_MAXSIM_E_SQL = ", ".join(
+    f"g{j} / sqrt(g1 * g1 + g2 * g2 + g3 * g3 + g4 * g4) AS e{j}"
+    for j in (1, 2, 3, 4)
+)
+
+
+@query(
+    "retrieval_maxsim_late_interaction",
+    oracle=f"""
+    WITH g AS (
+        SELECT i AS bucket,
+               {", ".join(f"{jl_gauss_sql(j, '(i + 1)')} AS g{j}" for j in (1, 2, 3, 4))}
+        FROM generate_series(0, {_DENSE_BUCKETS - 1}) t(i)
+    ),
+    e AS (SELECT bucket, {_MAXSIM_E_SQL} FROM g),
+    sim AS (
+        SELECT q.bucket AS bq, d.bucket AS bd,
+               q.e1 * d.e1 + q.e2 * d.e2 + q.e3 * d.e3 + q.e4 * d.e4 AS s
+        FROM e q, e d
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(w), 1, 4))::BIGINT
+                    % {_DENSE_BUCKETS} AS BIGINT) AS bucket
+        FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+    ),
+    qt AS (SELECT doc_id AS query_id, bucket AS bq FROM toks
+           WHERE doc_id < {RRF_N_QUERIES}),
+    dt AS (SELECT doc_id, bucket AS bd FROM toks
+           WHERE doc_id >= {RRF_N_QUERIES}),
+    m AS (
+        SELECT qt.query_id, dt.doc_id, qt.bq, max(sim.s) AS ms
+        FROM dt JOIN sim ON sim.bd = dt.bd
+                JOIN qt ON qt.bq = sim.bq
+        GROUP BY qt.query_id, dt.doc_id, qt.bq
+    ),
+    sc AS (
+        SELECT query_id, doc_id, sum(ms) AS score
+        FROM m GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(rn AS INT) AS rank,
+           round(score, 4) AS maxsim
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(score, 4) DESC, doc_id
+               ) AS rn
+        FROM sc
+    ) WHERE rn <= {_MAXSIM_TOP_K}
+    """,
+    tags=("retrieval",),
+)
+def retrieval_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim scoring shape,
+    Khattab & Zaharia 2020) over the engine's content-addressed hashed
+    token embeddings: every token embeds as the L2-normalized JL
+    Gaussian of its 64-way feature-hash bucket (the per-TOKEN
+    decomposition of [[text_dense_hashed_embedding]], which pools the
+    same vectors per document), and score(q, d) = sum over q's distinct
+    token vectors of the max cosine against d's token vectors — the
+    interaction is deferred to query time instead of pooled away, which
+    is what lets late-interaction models out-rank single-vector dense
+    retrieval. Queries are the doc_id < {RRF_N_QUERIES} documents (the
+    [[retrieval_rrf_hybrid]] query convention); top-{_MAXSIM_TOP_K}
+    docs per query with the (rounded score DESC, doc_id) tie-break.
+
+    Scale shape — the hashed-vocabulary factorization: because a
+    token's vector depends only on its bucket, cos(t_q, t_d) depends
+    only on (bucket_q, bucket_d), so the whole interaction collapses to
+    a 64 x 64 similarity matrix built once from spark.range (4096 rows,
+    broadcast) joined against each document's DISTINCT bucket set (<=
+    64 rows per doc). Per doc the MaxSim is a keyed max + keyed sum —
+    two map-side-partial aggregates; no doc ever meets another doc and
+    the corpus shuffles only on (query, doc) at candidate grain. At
+    100 TB this is token-level late interaction at the cost of a
+    per-doc bounded aggregate, with real (learned) embeddings swapping
+    in by replacing the broadcast matrix with a quantized codebook
+    product, same plan."""
+    t = tables(spark, sf_dir)
+    buckets = spark.range(_DENSE_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        *[jl_gauss(F.col("id") + 1, j).alias(f"g{j}") for j in (1, 2, 3, 4)],
+    )
+    nrm = F.sqrt(
+        sum(F.col(f"g{j}") * F.col(f"g{j}") for j in (1, 2, 3, 4))
+    )
+    e = buckets.select(
+        "bucket",
+        *[(F.col(f"g{j}") / nrm).alias(f"e{j}") for j in (1, 2, 3, 4)],
+    )
+    eq, ed = e.alias("eq"), e.alias("ed")
+    sim = F.broadcast(
+        eq.crossJoin(ed).select(
+            F.col("eq.bucket").alias("bq"),
+            F.col("ed.bucket").alias("bd"),
+            sum(
+                F.col(f"eq.e{j}") * F.col(f"ed.e{j}") for j in (1, 2, 3, 4)
+            ).alias("s"),
+        )
+    )
+    toks = (
+        t.documents.select("doc_id", F.explode(words()).alias("w"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+                % _DENSE_BUCKETS
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    qt = F.broadcast(
+        toks.filter(F.col("doc_id") < RRF_N_QUERIES).select(
+            F.col("doc_id").alias("query_id"), F.col("bucket").alias("bq")
+        )
+    )
+    dt = toks.filter(F.col("doc_id") >= RRF_N_QUERIES).select(
+        "doc_id", F.col("bucket").alias("bd")
+    )
+    m = (
+        dt.join(sim, "bd")
+        .join(qt, "bq")
+        .groupBy("query_id", "doc_id", "bq")
+        .agg(F.max("s").alias("ms"))
+    )
+    sc = m.groupBy("query_id", "doc_id").agg(F.sum("ms").alias("score"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 4).desc(), F.col("doc_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _MAXSIM_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            rnd(F.col("score"), 4).alias("maxsim"),
+        )
+    )
+
+
+retrieval_maxsim_late_interaction.__doc__ = (
+    retrieval_maxsim_late_interaction.__doc__
+    .replace("{RRF_N_QUERIES}", str(RRF_N_QUERIES))
+    .replace("{_MAXSIM_TOP_K}", str(_MAXSIM_TOP_K))
+)

@@ -335,6 +335,10 @@ EXTENDED_PROBE = [
     "events_interarrival_cv",
     "multimodal_image_histogram_entropy",
     "sketch_linear_counting_distinct",
+    "graph_lpa_communities",
+    "dedup_image_ahash_pairs",
+    "retrieval_maxsim_late_interaction",
+    "ts_holt_linear_forecast",
 ]
 
 

@@ -13,6 +13,7 @@ from awsbeats_spark.operators import (
     _ROUND6_WINDOW,
     _ROUND7_WINDOW,
     _ROUND8_WINDOW,
+    _ROUND9_WINDOW,
 )
 from awsbeats_spark.registry import load_all
 
@@ -36,6 +37,8 @@ def test_round6_then_round7_then_round8_then_round4_follow():
     s += len(_ROUND7_WINDOW)
     assert keys[s : s + len(_ROUND8_WINDOW)] == _ROUND8_WINDOW
     s += len(_ROUND8_WINDOW)
+    assert keys[s : s + len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
+    s += len(_ROUND9_WINDOW)
     assert len(_ROUND4_WINDOW) == 50
     assert keys[s : s + len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
 
@@ -48,6 +51,7 @@ def test_rotation_names_unique_and_registered():
         + _ROUND6_WINDOW
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
+        + _ROUND9_WINDOW
     )
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
@@ -68,6 +72,7 @@ def test_windows_partition_never_driver_checked_keys():
         + _ROUND6_WINDOW
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
+        + _ROUND9_WINDOW
     )
     assert set(rotation) == set(never), (
         f"missing from rotation: {sorted(set(never) - set(rotation))}; "
