@@ -982,3 +982,100 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         F.col("n_nodes").alias("community_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (bipartite purchase graph, fixed rounds)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 20
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(r: int) -> str:
+    """One synchronous peel: degrees of round r-1's edge set, then the
+    edge set restricted to endpoints with degree >= k on BOTH sides."""
+    return f"""
+    dc{r} AS (SELECT c, count(*) AS d FROM e{r - 1} GROUP BY c),
+    dp{r} AS (SELECT p, count(*) AS d FROM e{r - 1} GROUP BY p),
+    e{r} AS (
+        SELECT e.c, e.p FROM e{r - 1} e
+        JOIN dc{r} ON dc{r}.c = e.c AND dc{r}.d >= {_KCORE_K}
+        JOIN dp{r} ON dp{r}.p = e.p AND dp{r}.d >= {_KCORE_K}
+    )"""
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    {",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))},
+    survivors AS (
+        SELECT 'cust' AS side, c AS node_id, count(*) AS degree
+        FROM e{_KCORE_ROUNDS} GROUP BY c
+        UNION ALL
+        SELECT 'part' AS side, p AS node_id, count(*) AS degree
+        FROM e{_KCORE_ROUNDS} GROUP BY p
+    )
+    SELECT side, node_id, CAST(degree AS BIGINT) AS degree FROM survivors
+    """,
+    tags=("graph",),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (Seidman 1983) on the bipartite customer-part
+    purchase graph: repeatedly delete nodes with degree < k — the
+    surviving core is the densely-interlocked buyer/product nucleus
+    that survives cascade removal (low-degree customers drop, which
+    lowers part degrees, which drops parts, ...). The dense-subgraph
+    primitive next to [[graph_lpa_communities]] (which partitions) and
+    [[graph_triangle_count]] (which counts local density). Rounds are
+    FIXED at {_KCORE_ROUNDS}, all nodes peeling simultaneously against
+    the previous round's degrees, so the result is exactly reproducible
+    in any engine (iterate-to-fixpoint peeling is the limit; the fixed
+    prefix is already the standard distributed formulation — each round
+    is one superstep). Output: surviving nodes with their degree inside
+    the round-{_KCORE_ROUNDS} subgraph.
+
+    Scale shape: a round = two keyed COUNT aggregates (map-side
+    partial) + two equi-joins back to the edge list — no windows, no
+    global state, and the edge set only shrinks. At 100 TB: k-core on
+    a trillion-edge purchase graph is exactly this loop on the
+    (cust, part) distinct relation, hash-partitioned by each side in
+    turn; peel depth stays a constant number of scans."""
+    t = tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(
+            t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dcv"))
+        dp = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dpv"))
+        edges = (
+            edges.join(dc.filter(F.col("dcv") >= _KCORE_K), "c")
+            .join(dp.filter(F.col("dpv") >= _KCORE_K), "p")
+            .select("c", "p")
+        )
+    cust = edges.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(
+        F.lit("cust").alias("side"), F.col("c").alias("node_id"), "degree"
+    )
+    part = edges.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(
+        F.lit("part").alias("side"), F.col("p").alias("node_id"), "degree"
+    )
+    return cust.unionAll(part)
+
+
+graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.replace(
+    "{_KCORE_ROUNDS}", str(_KCORE_ROUNDS)
+)

@@ -1982,3 +1982,90 @@ def corpus_oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov_c).cast("long").alias("n_oov"),
         rnd(F.sum(oov_c) / F.sum("c"), 6).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test leakage audit: exact content crossing the split boundary
+# --------------------------------------------------------------------------
+
+
+_LEAK_FP_SQL = (
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+)
+
+
+@query(
+    "corpus_split_leakage_audit",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT source,
+               CASE WHEN {_bucket_sql()} BETWEEN '0' AND 'b' THEN 'train'
+                    WHEN {_bucket_sql()} BETWEEN 'c' AND 'd' THEN 'val'
+                    ELSE 'test' END AS split,
+               {_LEAK_FP_SQL} AS fp
+        FROM documents
+    ),
+    train_fps AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train'),
+    held AS (
+        SELECT t.split, t.source, t.fp,
+               CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END AS leaked
+        FROM tagged t LEFT JOIN train_fps tf ON tf.fp = t.fp
+        WHERE t.split <> 'train'
+    )
+    SELECT split, source,
+           count(*) AS n_docs,
+           CAST(sum(leaked) AS BIGINT) AS n_leaked,
+           round(sum(leaked) / count(*), 6) AS leak_rate
+    FROM held GROUP BY split, source
+    """,
+)
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit — the check every training
+    pipeline must run AFTER splitting and BEFORE training: a val/test
+    document whose normalized content (lowercase, whitespace-collapsed,
+    md5-fingerprinted) also appears in train is leaked, and every
+    eval number computed on it is fiction. Reuses the EXACT split rule
+    of [[corpus_stratified_split]] (md5(doc_id) sixteenths: 12 train /
+    2 val / 2 test) so the audit can never drift from the split it
+    audits, and reports per (split, source): held-out count, leaked
+    count, leak rate. [[corpus_decontaminate]] removes eval shingles
+    from train; this op measures the opposite direction — exact
+    held-out content that survived into train via duplicate documents
+    landing in different split buckets (dedup-before-split is the fix;
+    this is the regression gate proving it happened).
+
+    Scale shape: fingerprinting is map-side; the audit is ONE
+    semi-join-shaped left join on the fingerprint hash (at 100 TB:
+    hash-partition both sides by fp — the train fingerprint set is a
+    one-column relation, a fraction of corpus bytes) followed by a
+    (split, source)-grain aggregate. No windows, no all-pairs."""
+    t = tables(spark, sf_dir)
+    b = _bucket_col()
+    split = (
+        F.when(b.between("0", "b"), F.lit("train"))
+        .when(b.between("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    tagged = t.documents.select(
+        "source", split.alias("split"), fp.alias("fp")
+    )
+    train_fps = (
+        tagged.filter(F.col("split") == "train").select("fp").distinct()
+    )
+    held = tagged.filter(F.col("split") != "train").join(
+        train_fps.withColumn("leaked", F.lit(1)), "fp", "left"
+    )
+    return held.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("leaked"), F.lit(0)))
+        .cast("long")
+        .alias("n_leaked"),
+        rnd(
+            F.sum(F.coalesce(F.col("leaked"), F.lit(0)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("leak_rate"),
+    )

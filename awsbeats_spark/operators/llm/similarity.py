@@ -1989,3 +1989,265 @@ def embed_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_cosine"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse cell pruning + product-quantized ADC, measured recall
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sim_search_ivfpq",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings
+        WHERE vec_id % {CENTROID_MOD} = 0 AND vec_id < {CENTROID_ID_CAP}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS arn
+        FROM embeddings e CROSS JOIN centroids c
+        QUALIFY arn = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS prn
+        FROM embeddings q CROSS JOIN centroids c
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY prn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+    ),
+    subs AS ({_PQ_SUBS}),
+    pqcents AS (
+        SELECT vec_id AS cid, s, sub AS pcv FROM subs
+        WHERE vec_id % {PQ_CODEBOOK_MOD} = 0 AND vec_id < {SAMPLE_ID_CAP}
+    ),
+    codes AS (
+        SELECT v.vec_id, v.s,
+               min_by(c.cid, {_pq_d2_sql('v.sub', 'c.pcv')} + c.cid * 1e-9)
+                   AS code
+        FROM subs v JOIN pqcents c USING (s)
+        GROUP BY v.vec_id, v.s
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_sum(list({_pq_d2_sql('q.sub', 'c.pcv')} ORDER BY k.s))
+                   AS approx_d2
+        FROM cand cd
+        JOIN codes k ON k.vec_id = cd.neighbor_id
+        JOIN pqcents c ON c.s = k.s AND c.cid = k.code
+        JOIN subs q ON q.s = k.s AND q.vec_id = cd.query_id
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT query_id, neighbor_id,
+               round(approx_d2, 6) AS approx_d2,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_d2, neighbor_id
+               ) AS rn
+        FROM adc
+        QUALIFY rn <= {TOP_K}
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS ern
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY ern <= {TOP_K}
+    ),
+    hits AS (
+        SELECT t.query_id,
+               CAST(count(e.neighbor_id) AS BIGINT) AS n_hits
+        FROM top t
+        LEFT JOIN exact e USING (query_id, neighbor_id)
+        GROUP BY t.query_id
+    )
+    SELECT t.query_id, t.neighbor_id, t.approx_d2,
+           CAST(t.rn AS BIGINT) AS rn,
+           round(h.n_hits / {TOP_K}.0, 6) AS recall_at_k
+    FROM top t JOIN hits h USING (query_id)
+    """,
+)
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production-scale ANN index shape (Jegou et al.
+    2011, the FAISS default): coarse IVF cells prune WHICH vectors a
+    query touches ([[sim_search_ivf]]'s nprobe-of-ncells scan), and
+    product quantization compresses HOW each touched vector is scored
+    ([[sim_search_pq]]'s 8-byte codes + asymmetric distance). The two
+    approximations compose multiplicatively on cost — scan fraction
+    nprobe/ncells TIMES 32x code compression — which is why this is
+    the layout a 100 TB vector store actually ships. Every output row
+    carries the measured recall@{TOP_K} of the composed index against
+    exact brute-force cosine (the [[sim_search_cascade_rerank]]
+    honesty discipline: the approximation's quality is a column, not a
+    docstring claim). Codebooks stay deterministic (sampled coarse
+    centroids, sampled PQ codebook) so the index is content-addressed
+    and the oracle reproduces it bit-for-bit.
+
+    Scale shape: cell assignment and PQ encoding are one broadcast
+    map + one keyed argmin over the corpus (build-side, embarrassingly
+    parallel); the query side touches only probed cells' code rows —
+    the raw vectors are NEVER read at query time (the ADC join reads
+    the broadcast codebook instead). At 100 TB: partition corpus files
+    by cent_id so the probe join prunes at the file level, exactly as
+    [[sim_search_ivf]] documents; the code table is 32x smaller than
+    the vectors, so even a full-corpus fallback scan stays
+    bandwidth-feasible."""
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    sqd2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # --- coarse IVF: cells, assignment, probes (sim_search_ivf shape)
+    cents = (
+        emb.filter(
+            (F.col("vec_id") % CENTROID_MOD == 0)
+            & (F.col("vec_id") < CENTROID_ID_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            as_double(F.col("embedding")).alias("cv"),
+        )
+        .select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+    )
+    vecs = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("ev")
+    ).select("vec_id", "ev", norm(F.col("ev")).alias("ne"))
+    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", score.alias("c_ac"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("c_ac"), -F.col("cent_id"))
+            ).alias("cent_id")
+        )
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("ne").alias("nq"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("c_qc"), F.asc("cent_id")
+    )
+    q_score = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "cent_id", q_score.alias("c_qc"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # --- PQ codes + ADC (sim_search_pq shape), restricted to candidates
+    subs = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("ev"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            "ev",
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.slice("ev", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        )
+    )
+    pqcents = subs.filter(
+        (F.col("vec_id") % PQ_CODEBOOK_MOD == 0)
+        & (F.col("vec_id") < SAMPLE_ID_CAP)
+    ).select(F.col("vec_id").alias("cid"), "s", F.col("sub").alias("pcv"))
+    codes = (
+        subs.join(F.broadcast(pqcents), "s")
+        .select(
+            "vec_id", "s", sqd2(F.col("sub"), F.col("pcv")).alias("d2"),
+            "cid",
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                F.col("cid"), F.col("d2") + F.col("cid") * F.lit(1e-9)
+            ).alias("code")
+        )
+    )
+    qsubs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sub").alias("qsub")
+    )
+    adc = (
+        cand.join(codes, F.col("vec_id") == F.col("neighbor_id"))
+        .join(
+            F.broadcast(pqcents.select(F.col("cid").alias("code"), "s", "pcv")),
+            ["s", "code"],
+        )
+        .join(F.broadcast(qsubs), ["query_id", "s"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            "s",
+            sqd2(F.col("qsub"), F.col("pcv")).alias("pd2"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "pd2"))),
+                    lambda st: st["pd2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2_raw")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2_raw"), F.asc("neighbor_id")
+    )
+    top = (
+        adc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    from awsbeats_spark.registry import QUERIES
+
+    exact = QUERIES["sim_search_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        top.join(
+            exact.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return top.join(hits, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        rnd("approx_d2_raw", 6).alias("approx_d2"),
+        F.col("rn").cast("long").alias("rn"),
+        rnd(F.col("n_hits") / float(TOP_K), 6).alias("recall_at_k"),
+    )

@@ -1797,3 +1797,124 @@ def sketch_linear_counting_distinct(
             "rel_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocated stratified sampling (deterministic md5 draw)
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 500
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               count(*) AS n_pop,
+               stddev_samp(value) AS s_h,
+               avg(value) AS pop_mean
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n_pop * s_h) AS w FROM stats),
+    alloc AS (
+        SELECT event_type, n_pop, s_h, pop_mean,
+               CAST(floor({_NEYMAN_BUDGET} * n_pop * s_h / tot.w)
+                    AS BIGINT) AS n_alloc
+        FROM stats, tot
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    ),
+    sampled AS (
+        SELECT r.event_type,
+               count(*) AS n_sampled,
+               avg(r.value) AS sample_mean
+        FROM ranked r JOIN alloc a USING (event_type)
+        WHERE r.rn <= a.n_alloc
+        GROUP BY r.event_type
+    )
+    SELECT a.event_type, CAST(a.n_pop AS BIGINT) AS n_pop,
+           round(a.s_h, 6) AS s_h, a.n_alloc,
+           CAST(s.n_sampled AS BIGINT) AS n_sampled,
+           round(s.sample_mean, 4) AS sample_mean,
+           round(a.pop_mean, 4) AS pop_mean
+    FROM alloc a JOIN sampled s USING (event_type)
+    """,
+    tags=("scale", "sampling"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sampling (Neyman 1934 — the optimal
+    allocation for estimating a population mean under a fixed budget):
+    each stratum h gets n_h = floor(B * N_h * S_h / sum(N * S)) of the
+    B={_NEYMAN_BUDGET} budget, proportional to size TIMES spread, so
+    volatile strata are oversampled and near-constant ones barely
+    sampled — the design-of-experiments upgrade over proportional
+    allocation ([[corpus_stratified_split]] fixes fractions;
+    [[sample_weighted_es]] weights rows; this sizes strata optimally).
+    The draw is the engine's content-addressed discipline: rank by
+    md5(event_id) within stratum and take the first n_h, so the
+    SAMPLE ITSELF — not just its size — is deterministic, and the
+    sample mean is hash-checked against the oracle next to the
+    population mean it estimates (the honesty pair).
+
+    Scale shape: stratum stats are one map-side-partial aggregate; the
+    allocation is a broadcast one-row total; the draw is one rank
+    window per stratum (at 100 TB: replace the exact rank with the
+    md5-threshold trick — take rows with md5 < n_h/N_h-scaled cutoff —
+    to avoid the sort entirely; the rank form is kept here because it
+    makes the allocation EXACT, and per-stratum sorts parallelize
+    across strata)."""
+    t = tables(spark, sf_dir)
+    stats = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.stddev_samp("value").alias("s_h"),
+        F.avg("value").alias("pop_mean"),
+    )
+    tot = stats.agg(
+        F.sum(F.col("n_pop") * F.col("s_h")).alias("w")
+    )
+    alloc = stats.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_pop",
+        "s_h",
+        "pop_mean",
+        F.floor(
+            _NEYMAN_BUDGET * F.col("n_pop") * F.col("s_h") / F.col("w")
+        ).cast("long").alias("n_alloc"),
+    )
+    win = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ranked = t.events.select(
+        "event_type", "value", F.row_number().over(win).alias("rn")
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("event_type", "n_alloc")),
+                    "event_type")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.avg("value").alias("sample_mean"),
+        )
+    )
+    return alloc.join(sampled, "event_type").select(
+        "event_type",
+        F.col("n_pop").cast("long").alias("n_pop"),
+        rnd(F.col("s_h"), 6).alias("s_h"),
+        "n_alloc",
+        "n_sampled",
+        rnd(F.col("sample_mean"), 4).alias("sample_mean"),
+        rnd(F.col("pop_mean"), 4).alias("pop_mean"),
+    )
+
+
+sample_stratified_neyman.__doc__ = sample_stratified_neyman.__doc__.replace(
+    "{_NEYMAN_BUDGET}", str(_NEYMAN_BUDGET)
+)

@@ -339,6 +339,10 @@ EXTENDED_PROBE = [
     "dedup_image_ahash_pairs",
     "retrieval_maxsim_late_interaction",
     "ts_holt_linear_forecast",
+    "sim_search_ivfpq",
+    "graph_kcore_peel",
+    "sample_stratified_neyman",
+    "corpus_split_leakage_audit",
 ]
 
 
