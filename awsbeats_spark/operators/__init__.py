@@ -358,6 +358,10 @@ _ROUND9_WINDOW = [
     "graph_kcore_peel",
     "sample_stratified_neyman",
     "corpus_split_leakage_audit",
+    "udtf_json_flatten",
+    "geo_user_travel_haversine",
+    "retrieval_mmr_diversify",
+    "corpus_chunk_overlap_windows",
 ]
 
 

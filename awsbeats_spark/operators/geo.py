@@ -368,3 +368,110 @@ def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.withColumn("rn", rn).filter(F.col("rn") <= _KNN_K)
+
+
+# --------------------------------------------------------------------------
+# Per-user trajectory distance (consecutive-hop haversine)
+# --------------------------------------------------------------------------
+
+_TRAVEL_TOP_K = 20
+
+
+@query(
+    "geo_user_travel_haversine",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               {_lat_sql('event_id')} AS lat,
+               {_lon_sql('event_id')} AS lon
+        FROM events
+    ),
+    hops AS (
+        SELECT user_id,
+               lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
+               lat AS c_lat, lon AS c_lon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dists AS (
+        SELECT user_id,
+               round({_HAVERSINE_SQL.replace('s_lat', 'p_lat').replace('s_lon', 'p_lon')}, 6)
+                   AS hop_km
+        FROM hops WHERE p_lat IS NOT NULL
+    ),
+    totals AS (
+        SELECT user_id, count(*) AS n_hops,
+               round(sum(hop_km), 4) AS total_km,
+               round(max(hop_km), 4) AS max_hop_km
+        FROM dists GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_hops AS BIGINT) AS n_hops, total_km, max_hop_km
+    FROM (
+        SELECT *, row_number() OVER (
+                   ORDER BY total_km DESC, user_id) AS rn
+        FROM totals
+    ) WHERE rn <= {_TRAVEL_TOP_K}
+    """,
+    tags=("geo",),
+)
+def geo_user_travel_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory mileage: order each user's events in time,
+    measure every consecutive hop with exact haversine, and rank the
+    top {_TRAVEL_TOP_K} travellers by total distance — the
+    trajectory-grain geo primitive (fleet mileage, bot-speed detection,
+    impossible-travel fraud gates all reduce to exactly this lag +
+    haversine shape). Coordinates come from the module's deterministic
+    LCG projection of the event key (see the module docstring: a real
+    deployment swaps in the actual lat/lon columns; every plan property
+    is coordinate-source-independent). Hops are rounded BEFORE the sum
+    (the module's libm-drift discipline) so cross-engine trig agreement
+    is guaranteed at hash precision.
+
+    Scale shape: one lag window per user partition (the natural
+    shuffle: trajectory analysis is keyed by the moving entity), one
+    keyed aggregate, one bounded top-k sort of user-grain rows. No
+    pair joins anywhere — trajectory distance is linear in events. At
+    100 TB: partition event files by user bucket and the window sort
+    becomes a per-file merge."""
+    t = tables(spark, sf_dir)
+    pts = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _lat(F.col("event_id")).alias("lat"),
+        _lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        F.lag("lat").over(w).alias("p_lat"),
+        F.lag("lon").over(w).alias("p_lon"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    ).filter(F.col("p_lat").isNotNull())
+    dists = hops.select(
+        "user_id",
+        rnd(
+            _haversine_km(
+                F.col("p_lat"), F.col("p_lon"),
+                F.col("c_lat"), F.col("c_lon"),
+            ),
+            6,
+        ).alias("hop_km"),
+    )
+    totals = dists.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hops"),
+        rnd(F.sum("hop_km"), 4).alias("total_km"),
+        rnd(F.max("hop_km"), 4).alias("max_hop_km"),
+    )
+    wr = Window.orderBy(F.desc("total_km"), F.asc("user_id"))
+    return (
+        totals.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _TRAVEL_TOP_K)
+        .select("user_id", "n_hops", "total_km", "max_hop_km")
+    )
+
+
+geo_user_travel_haversine.__doc__ = geo_user_travel_haversine.__doc__.replace(
+    "{_TRAVEL_TOP_K}", str(_TRAVEL_TOP_K)
+)

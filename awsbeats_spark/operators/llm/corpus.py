@@ -2069,3 +2069,94 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("leak_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping sliding-window chunking (RAG-style, stride < size)
+# --------------------------------------------------------------------------
+
+_OCHUNK_SIZE = 50
+_OCHUNK_STRIDE = 35
+
+
+@query(
+    "corpus_chunk_overlap_windows",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {WORDS_SQL} AS ws, len({WORDS_SQL}) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(t.i AS INT) AS chunk_idx,
+               list_slice(ws, t.i * {_OCHUNK_STRIDE} + 1,
+                          least(t.i * {_OCHUNK_STRIDE} + {_OCHUNK_SIZE}, n))
+                   AS cw
+        FROM w,
+             unnest(generate_series(0, CAST(floor((n - 1) / {_OCHUNK_STRIDE})
+                                        AS BIGINT))) AS t(i)
+        WHERE n >= 1
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(cw) AS BIGINT) AS n_words,
+           md5(array_to_string(cw, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+)
+def corpus_chunk_overlap_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/retrieval chunker:
+    windows of {_OCHUNK_SIZE} words advancing by {_OCHUNK_STRIDE}
+    (30% overlap), so content near a boundary appears in two chunks
+    and no retrieval query can fall into a crack.
+    [[corpus_doc_chunk]] is the disjoint variant for training packing;
+    overlap is the retrieval-side contract. Each chunk emits its word
+    count and an md5 fingerprint of its text — the fingerprint (not
+    the text) is what downstream dedup/indexing joins on, and it makes
+    every chunk's CONTENT hash-checked against the oracle, not just
+    the counts.
+
+    Scale shape: pure map-side — one tokenize, one bounded explode
+    (ceil(n/stride) rows per doc), no shuffle; at 100 TB chunking
+    streams through mapPartitions-equivalent projections and the
+    output is ~n/stride of the corpus rows."""
+    t = tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id", words().alias("ws")
+    ).withColumn("n", F.size("ws")).filter(F.col("n") >= 1)
+    chunks = w.select(
+        "doc_id",
+        "n",
+        "ws",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n") - 1) / _OCHUNK_STRIDE).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice(
+            "ws",
+            F.col("chunk_idx") * _OCHUNK_STRIDE + 1,
+            F.least(
+                F.lit(_OCHUNK_SIZE),
+                F.col("n") - F.col("chunk_idx") * _OCHUNK_STRIDE,
+            ),
+        ).alias("cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").cast("long").alias("n_words"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_fp"),
+    )
+
+
+corpus_chunk_overlap_windows.__doc__ = (
+    corpus_chunk_overlap_windows.__doc__
+    .replace("{_OCHUNK_SIZE}", str(_OCHUNK_SIZE))
+    .replace("{_OCHUNK_STRIDE}", str(_OCHUNK_STRIDE))
+)

@@ -881,3 +881,169 @@ retrieval_maxsim_late_interaction.__doc__ = (
     .replace("{RRF_N_QUERIES}", str(RRF_N_QUERIES))
     .replace("{_MAXSIM_TOP_K}", str(_MAXSIM_TOP_K))
 )
+
+
+# --------------------------------------------------------------------------
+# MMR diversification: greedy re-rank of BM25 candidates
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_SELECT = 5
+
+
+def _mmr_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    bm25 = QUERIES["retrieval_bm25_topk"].oracle
+    dense = QUERIES["text_dense_hashed_embedding"].oracle
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    steps = []
+    for t in range(2, _MMR_SELECT + 1):
+        steps.append(f"""
+    m{t} AS (
+        SELECT c.query_id, c.doc_id, c.rel,
+               max(c.d1 * v.d1 + c.d2 * v.d2 + c.d3 * v.d3 + c.d4 * v.d4)
+                   AS msim
+        FROM cv c
+        JOIN acc{t - 1} a ON a.query_id = c.query_id
+        JOIN cv v ON v.query_id = a.query_id AND v.doc_id = a.doc_id
+        LEFT JOIN acc{t - 1} x
+               ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+        WHERE x.doc_id IS NULL
+        GROUP BY c.query_id, c.doc_id, c.rel
+    ),
+    sel{t} AS (
+        SELECT query_id, doc_id, mmr, {t} AS srank FROM (
+            SELECT query_id, doc_id,
+                   {lam} * rel - {mu} * msim AS mmr,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {lam} * rel - {mu} * msim DESC, doc_id
+                   ) AS rn
+            FROM m{t}
+        ) WHERE rn = 1
+    ),
+    acc{t} AS (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    return f"""
+    WITH cand AS ({bm25}),
+    dense AS ({dense}),
+    cv AS (
+        SELECT c.query_id, c.doc_id, c.bm25 AS rel,
+               d.d1, d.d2, d.d3, d.d4
+        FROM cand c JOIN dense d USING (doc_id)
+    ),
+    acc1 AS (
+        SELECT query_id, doc_id, {lam} * rel AS mmr, 1 AS srank FROM (
+            SELECT query_id, doc_id, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, doc_id
+                   ) AS rn
+            FROM cv
+        ) WHERE rn = 1
+    ),
+    {",".join(steps)}
+    SELECT query_id, doc_id, CAST(srank AS INT) AS select_rank,
+           round(mmr, 6) AS mmr_score
+    FROM acc{_MMR_SELECT}
+    """
+
+
+@query("retrieval_mmr_diversify", oracle=_mmr_oracle(), tags=("retrieval",))
+def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select {_MMR_SELECT} of BM25's top-{RETR_TOP_K}
+    candidates per query, each step taking argmax of
+    lambda * relevance - (1 - lambda) * max-similarity-to-already-
+    selected (lambda = {_MMR_LAMBDA}) — the diversification pass that
+    keeps a retrieval result (or a training-data sample) from being
+    five copies of the same near-duplicate document. Composes two
+    registered operators with zero drift: relevance IS
+    [[retrieval_bm25_topk]]'s rounded score and inter-document
+    similarity is the dot product of [[text_dense_hashed_embedding]]'s
+    unit vectors; the oracle embeds both ops' own SQL and unrolls the
+    {_MMR_SELECT} greedy steps as plain CTEs.
+
+    Scale shape: the greedy recursion runs on the CANDIDATE LIST
+    (top-{RETR_TOP_K} per query), never the corpus — each step is a
+    keyed max over at most k x selected rows per query, broadcast-
+    sized; the corpus-scale work (BM25 scoring, embedding) happens
+    once upstream in the composed ops' own scale shapes. Fixed
+    {_MMR_SELECT} steps = fixed plan depth; the accumulated selection
+    is localCheckpointed per step so lineage stays flat."""
+    from awsbeats_spark.registry import QUERIES
+
+    cand = QUERIES["retrieval_bm25_topk"].fn(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("bm25").alias("rel")
+    )
+    dense = QUERIES["text_dense_hashed_embedding"].fn(spark, sf_dir).select(
+        "doc_id", "d1", "d2", "d3", "d4"
+    )
+    cv = cand.join(dense, "doc_id").select(
+        "query_id", "doc_id", "rel", "d1", "d2", "d3", "d4"
+    ).localCheckpoint(eager=True)
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    acc = (
+        cv.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.lit(lam) * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("srank"),
+        )
+    )
+    for t in range(2, _MMR_SELECT + 1):
+        acc = acc.localCheckpoint(eager=True)
+        sel_vecs = cv.join(
+            acc.select("query_id", "doc_id"), ["query_id", "doc_id"]
+        ).select(
+            "query_id",
+            F.col("d1").alias("e1"),
+            F.col("d2").alias("e2"),
+            F.col("d3").alias("e3"),
+            F.col("d4").alias("e4"),
+        )
+        remaining = cv.join(
+            acc.select("query_id", "doc_id"), ["query_id", "doc_id"],
+            "left_anti",
+        )
+        sim = (
+            F.col("d1") * F.col("e1")
+            + F.col("d2") * F.col("e2")
+            + F.col("d3") * F.col("e3")
+            + F.col("d4") * F.col("e4")
+        )
+        m = (
+            remaining.join(sel_vecs, "query_id")
+            .select("query_id", "doc_id", "rel", sim.alias("sim"))
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        mmr = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("msim")
+        wt = Window.partitionBy("query_id").orderBy(
+            mmr.desc(), F.asc("doc_id")
+        )
+        pick = (
+            m.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "doc_id", mmr.alias("mmr"),
+                F.lit(t).alias("srank"),
+            )
+        )
+        acc = acc.unionAll(pick)
+    return acc.select(
+        "query_id",
+        "doc_id",
+        F.col("srank").cast("int").alias("select_rank"),
+        rnd(F.col("mmr"), 6).alias("mmr_score"),
+    )
+
+
+retrieval_mmr_diversify.__doc__ = (
+    retrieval_mmr_diversify.__doc__
+    .replace("{_MMR_SELECT}", str(_MMR_SELECT))
+    .replace("{RETR_TOP_K}", str(RETR_TOP_K))
+    .replace("{_MMR_LAMBDA}", str(_MMR_LAMBDA))
+)

@@ -66,3 +66,79 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s
         """
     )
+
+
+@query(
+    "udtf_json_flatten",
+    oracle="""
+    SELECT event_id, k AS key,
+           json_extract_string(props::JSON, '$.' || k) AS value_str,
+           CASE json_type(json_extract(props::JSON, '$.' || k))
+                WHEN 'VARCHAR' THEN 'string'
+                WHEN 'BOOLEAN' THEN 'boolean'
+                WHEN 'NULL' THEN 'null'
+                WHEN 'OBJECT' THEN 'json'
+                WHEN 'ARRAY' THEN 'json'
+                ELSE 'number' END AS value_type
+    FROM (
+        SELECT event_id, props, unnest(json_keys(props::JSON)) AS k
+        FROM events
+    )
+    """,
+)
+def udtf_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic JSON flattener as the second Python UDTF: every event's
+    props object becomes one row per key with the stringified value and
+    a coarse type tag — the schema-on-read primitive a lake pipeline
+    runs to DISCOVER what's inside a semi-structured column before
+    promoting fields ([[json_parse_promote]] promotes a KNOWN schema;
+    this one enumerates an unknown one). A UDTF rather than built-ins
+    because the row fan-out depends on runtime VALUES (the key set of
+    each object), which no static json_tuple/from_json schema can
+    express; the eval is stateless per row, so Spark parallelizes it
+    like a projection and the LATERAL join is the native call form.
+
+    Scale shape: map-side only — no shuffle, no state; output is
+    bounded by total key occurrences. The oracle replays the same
+    enumeration via DuckDB's json_keys."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    t = tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events_udtf_src")
+
+    @udtf(
+        returnType="event_id bigint, key string, value_str string,"
+        " value_type string"
+    )
+    class JsonFlatten:
+        def eval(self, event_id: int, props: str):
+            try:
+                obj = json.loads(props) if props else {}
+            except ValueError:
+                return
+            if not isinstance(obj, dict):
+                return
+            for k, v in obj.items():
+                if v is None:
+                    yield event_id, k, None, "null"
+                elif isinstance(v, bool):
+                    yield event_id, k, "true" if v else "false", "boolean"
+                elif isinstance(v, (int, float)):
+                    yield event_id, k, str(v), "number"
+                elif isinstance(v, str):
+                    yield event_id, k, v, "string"
+                else:
+                    yield event_id, k, json.dumps(
+                        v, separators=(",", ":")
+                    ), "json"
+
+    spark.udtf.register("json_flatten", JsonFlatten)
+    return spark.sql(
+        """
+        SELECT f.event_id, f.key, f.value_str, f.value_type
+        FROM events_udtf_src e,
+             LATERAL json_flatten(e.event_id, e.props) f
+        """
+    )
