@@ -362,6 +362,9 @@ _ROUND9_WINDOW = [
     "geo_user_travel_haversine",
     "retrieval_mmr_diversify",
     "corpus_chunk_overlap_windows",
+    "eval_ahash_band_recall",
+    "upsert_scd2_merge",
+    "eval_chunk_overlap_vs_disjoint",
 ]
 
 

@@ -1576,6 +1576,12 @@ def multimodal_image_histogram_entropy(
 # --------------------------------------------------------------------------
 
 _AHASH_TOP_K = 5
+# hot-bucket cap: a band bucket holding more docs than this is a
+# degenerate (uninformative) bit pattern — skip it, exactly like the
+# document-frequency cap in dedup_ngram_df_capped. Bounds candidate
+# fan-out to cap * bands per doc regardless of corpus degeneracy.
+_AHASH_BUCKET_CAP = 32
+_AHASH_EVAL_ANCHORS = 64
 
 # nearest-neighbor 8x8 green sample for logical cell i (row-major):
 # r = ((i//8)*ht)//8, c = ((i%8)*wd)//8, green byte = r*stride + 3c + 1
@@ -1583,19 +1589,21 @@ _AHASH_K = (
     "((((i // 8) * ht) // 8) * stride + 3 * ((((i % 8)) * wd) // 8) + 1)"
 )
 
+_AHASH_N_BANDS = 8   # 8 bands x 8 bits: pigeonhole-guaranteed recall
+_AHASH_BAND_BITS = 8  # through Hamming 7; eval_ahash_band_recall measures
+                      # the realized recall beyond the bound
+
 _AHASH_BAND_SQL = ", ".join(
     f"""CAST(list_sum(list_transform(
-        generate_series(0, 15),
-        o -> bits[{16 * j} + o + 1] * (1::BIGINT << o)
+        generate_series(0, {_AHASH_BAND_BITS - 1}),
+        o -> bits[{_AHASH_BAND_BITS * j} + o + 1] * (1::BIGINT << o)
     )) AS BIGINT) AS b{j}"""
-    for j in range(4)
+    for j in range(8)
 )
 
 
-@query(
-    "dedup_image_ahash_pairs",
-    oracle=f"""
-    WITH p AS (
+_AHASH_HASHES_SQL = """
+    p AS (
         SELECT doc_id, hex(encode(text)) AS h,
                octet_length(encode(text)) AS n,
                4 + octet_length(encode(text)) % 29 AS wd,
@@ -1610,7 +1618,7 @@ _AHASH_BAND_SQL = ", ".join(
         SELECT doc_id,
                list_transform(
                    generate_series(0, 63),
-                   i -> CAST({{byte}} AS BIGINT)
+                   i -> CAST({byte} AS BIGINT)
                ) AS s
         FROM p
     ),
@@ -1622,59 +1630,24 @@ _AHASH_BAND_SQL = ", ".join(
                ) AS bits
         FROM sampled
     ),
-    hashes AS (SELECT doc_id, {_AHASH_BAND_SQL} FROM bitted),
-    bands AS (
-        SELECT doc_id, t.j AS band_idx,
-               CASE t.j WHEN 0 THEN b0 WHEN 1 THEN b1
-                        WHEN 2 THEN b2 ELSE b3 END AS band_val
-        FROM hashes, generate_series(0, 3) t(j)
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    ),
-    scored AS (
-        SELECT c.doc_a, c.doc_b,
-               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
-                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
-                  AS INT) AS hamming
-        FROM cand c
-        JOIN hashes ha ON ha.doc_id = c.doc_a
-        JOIN hashes hb ON hb.doc_id = c.doc_b
-    )
-    SELECT doc_a, doc_b, hamming FROM (
-        SELECT doc_a, doc_b, hamming,
-               row_number() OVER (
-                   PARTITION BY doc_a ORDER BY hamming, doc_b
-               ) AS rn
-        FROM scored
-    ) WHERE rn <= {_AHASH_TOP_K}
-    """.replace("{byte}", _BYTE_SQL.format(k=_AHASH_K)),
-    tags=("multimodal", "dedup"),
+    hashes AS (SELECT doc_id, {bands} FROM bitted)
+""".replace("{byte}", _BYTE_SQL.format(k=_AHASH_K)).replace(
+    "{bands}", _AHASH_BAND_SQL
 )
-def dedup_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs — the visual twin of [[dedup_simhash]]
-    and the op a multimodal training pipeline runs before paying for
-    image embeddings: average-hash (ahash) each REALLY-decoded BMP
-    (header parse, stride framing, green lane; nearest-neighbor 8x8
-    grid, bit = 64*sample > sum, integer-exact so no float mean can
-    drift between engines), split the 64-bit hash into four 16-bit
-    bands, and equi-join on any shared band (two hashes within Hamming
-    distance 6 MUST agree on at least one of 4 bands by pigeonhole —
-    the same banding guarantee as [[sim_search_hamming_packed]]).
-    Survivor pairs verify exact Hamming via XOR+popcount and the output
-    is bounded to the {top_k} nearest per anchor (the
-    [[dedup_ngram_topk_bounded]] discipline: O(k * images) output no
-    matter how degenerate the corpus).
 
-    Scale shape: decode + hash is one Arrow mapInPandas pass, one row
-    per image, localCheckpointed so the band/anchor branches don't
-    re-decode; candidates come from a 4-band equi-join (never all
-    pairs); the verify is 4 integer XORs on the joined row. At 100 TB
-    the band join is the only shuffle and its fan-out is bounded by
-    true near-dup density, exactly like banded minhash."""
+_AHASH_HAMMING_SQL = (
+    "CAST("
+    + " + ".join(f"bit_count(xor(ha.b{j}, hb.b{j}))" for j in range(8))
+    + " AS INT)"
+)
+
+
+def _ahash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit ahash as four 16-bit band words, from the REAL
+    decoded BMP grid (shared by dedup_image_ahash_pairs and
+    eval_ahash_band_recall — one hash definition, zero drift).
+    localCheckpointed: every consumer branches off the materialized
+    hash table instead of re-decoding."""
     t = tables(spark, sf_dir)
     src = t.documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
@@ -1699,23 +1672,112 @@ def dedup_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 grid = green[np.ix_(r_idx, c_idx)].ravel()  # row-major
                 bits = (64 * grid > grid.sum()).astype(np.int64)
                 bands = [
-                    int((bits[16 * j : 16 * j + 16] << np.arange(16)).sum())
-                    for j in range(4)
+                    int((bits[8 * j : 8 * j + 8] << np.arange(8)).sum())
+                    for j in range(8)
                 ]
                 rows.append((doc_id, *bands))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+                rows, columns=["doc_id"] + [f"b{j}" for j in range(8)]
             )
 
-    hashes = src.mapInPandas(
-        ahash, "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    return src.mapInPandas(
+        ahash,
+        "doc_id bigint, " + ", ".join(f"b{j} bigint" for j in range(8)),
     ).localCheckpoint(eager=True)
-    bands = hashes.select(
+
+
+@query(
+    "dedup_image_ahash_pairs",
+    oracle=f"""
+    WITH {_AHASH_HASHES_SQL},
+    bands0 AS (
+        SELECT doc_id, t.j AS band_idx,
+               CASE t.j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                        WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5
+                        WHEN 6 THEN b6 ELSE b7 END AS band_val
+        FROM hashes, generate_series(0, 7) t(j)
+    ),
+    bucket_sizes AS (
+        SELECT band_idx, band_val, count(*) AS bsz
+        FROM bands0 GROUP BY band_idx, band_val
+    ),
+    bands AS (
+        SELECT b.doc_id, b.band_idx, b.band_val
+        FROM bands0 b JOIN bucket_sizes z
+          ON z.band_idx = b.band_idx AND z.band_val = b.band_val
+        WHERE z.bsz <= {_AHASH_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b, {_AHASH_HAMMING_SQL} AS hamming
+        FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.doc_a
+        JOIN hashes hb ON hb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, hamming,
+               row_number() OVER (
+                   PARTITION BY doc_a ORDER BY hamming, doc_b
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {_AHASH_TOP_K}
+    """.replace("{byte}", _BYTE_SQL.format(k=_AHASH_K)),
+    tags=("multimodal", "dedup"),
+)
+def dedup_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs — the visual twin of [[dedup_simhash]]
+    and the op a multimodal training pipeline runs before paying for
+    image embeddings: average-hash (ahash) each REALLY-decoded BMP
+    (header parse, stride framing, green lane; nearest-neighbor 8x8
+    grid, bit = 64*sample > sum, integer-exact so no float mean can
+    drift between engines), split the 64-bit hash into eight 8-bit
+    bands and equi-join on any shared band, SKIPPING hot buckets
+    (band values held by more than the bucket cap of docs) — the
+    hot-bucket skip is this module's instance of the
+    [[dedup_ngram_df_capped]] discipline: a band byte shared by a
+    large fraction of the corpus is an uninformative bit pattern
+    (flat images all hash near 0x00/0xFF), and dropping it bounds the
+    candidate fan-out to cap x bands per doc no matter how degenerate
+    the corpus. Pigeonhole still guarantees pairs within Hamming 7
+    share a band (recall guaranteed when the shared band is cool);
+    realized recall is measured by [[eval_ahash_band_recall]].
+    Candidate pairs verify exact Hamming
+    via XOR+popcount and each anchor keeps only its {top_k} nearest
+    banded neighbors with the distance as the score (the
+    [[dedup_ngram_topk_bounded]] discipline: O(k * images) output, no
+    absolute cutoff the operator can't know up front — the consumer
+    thresholds the reported hamming).
+
+    Scale shape: decode + hash is one Arrow mapInPandas pass, one row
+    per image, localCheckpointed so the band/anchor branches don't
+    re-decode; candidates come from a 4-band equi-join (never all
+    pairs); the verify is 8 integer XORs on the joined row. At 100 TB
+    the capped band join is the only shuffle. Banding history, all
+    eval-measured on this corpus (true neighbors sit at Hamming 9-14):
+    4x16 single bands = recall 0.06 (too selective); uncapped 8x8 =
+    recall 0.58 but alpha 1.5 (hot 256-value buckets go quadratic);
+    28-pair compound = alpha 0.66 but recall 0.13 (too selective
+    again); capped 8x8 = the one that keeps both, because the
+    quadratic term lived entirely in the hot buckets."""
+    hashes = _ahash_hashes(spark, sf_dir)
+    bands0 = hashes.select(
         "doc_id",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+        F.posexplode(F.array(*[f"b{j}" for j in range(8)])).alias(
             "band_idx", "band_val"
         ),
     )
+    bucket_sizes = bands0.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    bands = bands0.join(
+        bucket_sizes.filter(F.col("bsz") <= _AHASH_BUCKET_CAP),
+        ["band_idx", "band_val"],
+    ).select("doc_id", "band_idx", "band_val")
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
@@ -1735,7 +1797,7 @@ def dedup_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(
             F.col(f"ha.b{j}").bitwiseXOR(F.col(f"hb.b{j}"))
         )
-        for j in range(4)
+        for j in range(8)
     ).cast("int")
     scored = (
         cand.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
@@ -1752,4 +1814,133 @@ def dedup_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_image_ahash_pairs.__doc__ = dedup_image_ahash_pairs.__doc__.replace(
     "{top_k}", str(_AHASH_TOP_K)
+)
+
+
+# --------------------------------------------------------------------------
+# Banding recall eval: banded ahash pairs vs exact all-pairs Hamming
+# --------------------------------------------------------------------------
+
+
+def _ahash_recall_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    banded = QUERIES["dedup_image_ahash_pairs"].oracle
+    return f"""
+    WITH banded AS ({banded}),
+    {_AHASH_HASHES_SQL},
+    anchors AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) AS arn
+            FROM hashes
+        ) WHERE arn <= {_AHASH_EVAL_ANCHORS}
+    ),
+    exact AS (
+        SELECT ha.doc_id AS doc_a, hb.doc_id AS doc_b,
+               {_AHASH_HAMMING_SQL} AS hamming,
+               row_number() OVER (
+                   PARTITION BY ha.doc_id
+                   ORDER BY {_AHASH_HAMMING_SQL}, hb.doc_id
+               ) AS rn
+        FROM anchors ha JOIN hashes hb ON ha.doc_id < hb.doc_id
+        QUALIFY rn <= {_AHASH_TOP_K}
+    ),
+    per_anchor AS (
+        SELECT e.doc_a,
+               count(*) AS n_exact,
+               CAST(count(b.doc_b) AS BIGINT) AS n_hit
+        FROM exact e
+        LEFT JOIN banded b
+               ON b.doc_a = e.doc_a AND b.doc_b = e.doc_b
+        GROUP BY e.doc_a
+    )
+    SELECT doc_a, CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+           round(n_hit / n_exact, 4) AS recall
+    FROM per_anchor
+    """
+
+
+@query(
+    "eval_ahash_band_recall",
+    oracle=_ahash_recall_oracle(),
+    tags=("multimodal", "eval"),
+)
+def eval_ahash_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured banding recall for [[dedup_image_ahash_pairs]] — the
+    honesty twin the engine pairs with every approximate operator: the
+    banded op's top-{k} neighbors per anchor are compared against the
+    EXACT top-{k} from brute-force all-pairs Hamming over the same
+    hash table, and each anchor reports hits/expected. Pigeonhole
+    guarantees recall 1.0 for pairs within Hamming 7; this measures
+    what the 8x8 banding actually achieves on the real corpus beyond
+    that bound (the [[eval_minhash_vs_exact]] /
+    [[eval_ann_recall_ivf]] pattern). The banded side embeds the
+    registered op's own oracle, so the eval can never drift from what
+    it evaluates.
+
+    Scale shape: the exact side uses a FIXED-SIZE anchor set — the
+    {n_anchors} md5-first images — so the brute-force side is
+    O(anchors x corpus), genuinely linear in the corpus (a fractional
+    sample would still be quadratic; this is the constant-times-n
+    eval lane), while the banded op under test stays fully linear.
+    Hashes come from the shared localCheckpointed decode (one pass),
+    and the join carries eight ints per row."""
+    hashes = _ahash_hashes(spark, sf_dir)
+    wa = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    anchors = (
+        hashes.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= _AHASH_EVAL_ANCHORS)
+        .drop("arn")
+    )
+    ha, hb = anchors.alias("ha"), hashes.alias("hb")
+    hamming = sum(
+        F.bit_count(F.col(f"ha.b{j}").bitwiseXOR(F.col(f"hb.b{j}")))
+        for j in range(8)
+    ).cast("int")
+    we = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
+    exact = (
+        ha.join(hb, F.col("ha.doc_id") < F.col("hb.doc_id"))
+        .select(
+            F.col("ha.doc_id").alias("doc_a"),
+            F.col("hb.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _AHASH_TOP_K)
+    )
+    from awsbeats_spark.registry import QUERIES
+
+    banded = QUERIES["dedup_image_ahash_pairs"].fn(spark, sf_dir).select(
+        "doc_a", F.col("doc_b").alias("bb"), F.lit(1).alias("hit")
+    )
+    per_anchor = (
+        exact.join(
+            banded,
+            (exact["doc_a"] == banded["doc_a"])
+            & (exact["doc_b"] == banded["bb"]),
+            "left",
+        )
+        .select(exact["doc_a"].alias("doc_a"), "hit")
+        .groupBy("doc_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+    )
+    return per_anchor.select(
+        "doc_a",
+        "n_exact",
+        "n_hit",
+        rnd(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
+eval_ahash_band_recall.__doc__ = (
+    eval_ahash_band_recall.__doc__
+    .replace("{k}", str(_AHASH_TOP_K))
+    .replace("{n_anchors}", str(_AHASH_EVAL_ANCHORS))
 )

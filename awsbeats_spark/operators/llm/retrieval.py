@@ -1047,3 +1047,126 @@ retrieval_mmr_diversify.__doc__ = (
     .replace("{RETR_TOP_K}", str(RETR_TOP_K))
     .replace("{_MMR_LAMBDA}", str(_MMR_LAMBDA))
 )
+
+
+# --------------------------------------------------------------------------
+# Chunking-design eval: overlap vs disjoint windows for retrieval hit
+# --------------------------------------------------------------------------
+
+
+def _chunk_score_sql(stride: int) -> str:
+    """Best chunk score (distinct query terms present) per query under a
+    chunking of width _OCHUNK_SIZE advancing by ``stride``."""
+    from awsbeats_spark.operators.llm.corpus import _OCHUNK_SIZE
+
+    return f"""
+        SELECT qt.query_id,
+               max(len(list_intersect(
+                   list_slice(w.ws, t.i * {stride} + 1,
+                              least(t.i * {stride} + {_OCHUNK_SIZE}, w.n)),
+                   qt.terms))) AS best
+        FROM (
+            SELECT doc_id, {WORDS_SQL} AS ws, len({WORDS_SQL}) AS n
+            FROM documents
+        ) w,
+        unnest(generate_series(0,
+            CAST(floor((w.n - 1) / {stride}) AS BIGINT))) AS t(i),
+        (SELECT query_id, list(term) AS terms
+         FROM {_query_terms_sql()} GROUP BY query_id) qt
+        WHERE w.n >= 1
+        GROUP BY qt.query_id
+    """
+
+
+def _chunk_eval_oracle() -> str:
+    from awsbeats_spark.operators.llm.corpus import (
+        _OCHUNK_SIZE,
+        _OCHUNK_STRIDE,
+    )
+
+    return f"""
+    WITH ov AS ({_chunk_score_sql(_OCHUNK_STRIDE)}),
+    dj AS ({_chunk_score_sql(_OCHUNK_SIZE)})
+    SELECT ov.query_id,
+           CAST(ov.best AS BIGINT) AS best_overlap,
+           CAST(dj.best AS BIGINT) AS best_disjoint,
+           CAST(ov.best - dj.best AS BIGINT) AS gain
+    FROM ov JOIN dj USING (query_id)
+    """
+
+
+@query(
+    "eval_chunk_overlap_vs_disjoint",
+    oracle=_chunk_eval_oracle(),
+    tags=("retrieval", "eval"),
+)
+def eval_chunk_overlap_vs_disjoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chunking-design eval: does [[corpus_chunk_overlap_windows]]'s
+    30%-overlap sliding window actually retrieve better than the
+    disjoint chunking of [[corpus_doc_chunk]]? For each fixed query,
+    score every chunk by how many distinct query terms it contains
+    (the integer-exact proxy for retrieval hit quality) and report the
+    best chunk score under BOTH chunkings plus the gain — the
+    measured-design discipline: overlap costs ~size/stride more
+    storage, and this eval is the number that says whether the crack
+    coverage pays for it on the actual corpus. Window width and
+    strides are imported from the chunker's own constants, so the eval
+    can't drift from the op it evaluates.
+
+    Scale shape: two bounded explodes (one per chunking) + one keyed
+    max — the same map-side shape as the chunker itself; query terms
+    are a broadcast literal list."""
+    from awsbeats_spark.operators.llm.corpus import (
+        _OCHUNK_SIZE,
+        _OCHUNK_STRIDE,
+    )
+
+    t = tables(spark, sf_dir)
+    qterms = _query_terms_df(spark).groupBy("query_id").agg(
+        F.collect_list("term").alias("terms")
+    )
+    w = t.documents.select("doc_id", words().alias("ws")).withColumn(
+        "n", F.size("ws")
+    ).filter(F.col("n") >= 1)
+
+    def best(stride: int, alias: str) -> DataFrame:
+        chunks = w.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("n") - 1) / stride).cast("int"),
+                )
+            ).alias("i"),
+            F.col("ws"),
+            F.col("n"),
+        ).select(
+            F.slice(
+                "ws",
+                F.col("i") * stride + 1,
+                F.least(
+                    F.lit(_OCHUNK_SIZE), F.col("n") - F.col("i") * stride
+                ),
+            ).alias("cw")
+        )
+        return (
+            chunks.crossJoin(F.broadcast(qterms))
+            .select(
+                "query_id",
+                F.size(F.array_intersect("cw", "terms")).alias("hits"),
+            )
+            .groupBy("query_id")
+            .agg(F.max("hits").cast("long").alias(alias))
+        )
+
+    ov = best(_OCHUNK_STRIDE, "best_overlap")
+    dj = best(_OCHUNK_SIZE, "best_disjoint")
+    return ov.join(dj, "query_id").select(
+        "query_id",
+        "best_overlap",
+        "best_disjoint",
+        (F.col("best_overlap") - F.col("best_disjoint"))
+        .cast("long")
+        .alias("gain"),
+    )

@@ -1918,3 +1918,95 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_stratified_neyman.__doc__ = sample_stratified_neyman.__doc__.replace(
     "{_NEYMAN_BUDGET}", str(_NEYMAN_BUDGET)
 )
+
+
+# --------------------------------------------------------------------------
+# SCD-2 merge: apply a change batch with effective dating
+# --------------------------------------------------------------------------
+
+_SCD2_EPOCH = "1995-01-01"
+_SCD2_CHANGE_DATE = "1997-06-01"
+_SCD2_NEW_SEGMENT = "MACHINERY"
+
+
+@query(
+    "upsert_scd2_merge",
+    oracle=f"""
+    WITH changes AS (
+        SELECT c_custkey, '{_SCD2_NEW_SEGMENT}' AS new_segment
+        FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> '{_SCD2_NEW_SEGMENT}'
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           1 AS version,
+           '{_SCD2_EPOCH}' AS valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN '{_SCD2_CHANGE_DATE}' END AS valid_to,
+           ch.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN changes ch ON ch.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT c_custkey AS custkey, new_segment AS segment,
+           2 AS version,
+           '{_SCD2_CHANGE_DATE}' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to,
+           true AS is_current
+    FROM changes
+    """,
+    tags=("scale", "cdc"),
+)
+def upsert_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 merge — the warehouse MERGE INTO with history: applying a
+    change batch to a dimension closes the superseded row (valid_to =
+    effective date, is_current = false) and inserts a version-2 row
+    open-ended from that date, while untouched keys pass through as
+    current version 1. [[upsert_scd1]] is the overwrite variant (no
+    history); [[scd2_history_intervals]] RECONSTRUCTS intervals from an
+    event log — this op is the forward maintenance path that keeps
+    those intervals true as changes arrive. The change batch is
+    deterministic (customers with custkey % 7 = 0 moving to
+    {_SCD2_NEW_SEGMENT}), standing in for the day's CDC feed.
+
+    Scale shape: one left join of the dimension against the change
+    batch on the business key (broadcast when the batch is small, hash
+    join otherwise) plus a union — no windows, no global state. On a
+    lakehouse format the same plan becomes a file-level MERGE; the
+    engine expresses the row-level semantics the format then optimizes."""
+    t = tables(spark, sf_dir)
+    changes = (
+        t.customer.filter(
+            (F.col("c_custkey") % 7 == 0)
+            & (F.col("c_mktsegment") != _SCD2_NEW_SEGMENT)
+        )
+        .select(
+            F.col("c_custkey").alias("ch_key"),
+            F.lit(_SCD2_NEW_SEGMENT).alias("new_segment"),
+        )
+    )
+    base = t.customer.join(
+        F.broadcast(changes),
+        t.customer["c_custkey"] == changes["ch_key"],
+        "left",
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("version"),
+        F.lit(_SCD2_EPOCH).alias("valid_from"),
+        F.when(
+            F.col("ch_key").isNotNull(), F.lit(_SCD2_CHANGE_DATE)
+        ).alias("valid_to"),
+        F.col("ch_key").isNull().alias("is_current"),
+    )
+    inserts = changes.select(
+        F.col("ch_key").alias("custkey"),
+        F.col("new_segment").alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit(_SCD2_CHANGE_DATE).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return base.unionAll(inserts)
+
+
+upsert_scd2_merge.__doc__ = upsert_scd2_merge.__doc__.replace(
+    "{_SCD2_NEW_SEGMENT}", _SCD2_NEW_SEGMENT
+)

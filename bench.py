@@ -347,6 +347,9 @@ EXTENDED_PROBE = [
     "geo_user_travel_haversine",
     "retrieval_mmr_diversify",
     "corpus_chunk_overlap_windows",
+    "eval_ahash_band_recall",
+    "upsert_scd2_merge",
+    "eval_chunk_overlap_vs_disjoint",
 ]
 
 

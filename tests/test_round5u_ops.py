@@ -85,8 +85,8 @@ def _ahash_bands(raw: bytes):
     flat = grid.ravel()
     bits = (64 * flat > flat.sum()).astype(np.int64)
     return [
-        int((bits[16 * j : 16 * j + 16] << np.arange(16)).sum())
-        for j in range(4)
+        int((bits[8 * j : 8 * j + 8] << np.arange(8)).sum())
+        for j in range(8)
     ]
 
 
@@ -98,13 +98,16 @@ def test_image_ahash_pairs_matches_numpy(run, sf_dir):
         int(d): _ahash_bands(t.encode("utf-8"))
         for d, t in zip(sel["doc_id"], sel["text"])
     }
-    # banded candidates
+    # banded candidates with the hot-bucket cap (<= 32 docs per bucket)
     buckets = defaultdict(list)
     for d, bs in bands.items():
         for j, b in enumerate(bs):
             buckets[(j, b)].append(d)
+    assert all(len(bs) == 8 for bs in bands.values())
     cand = set()
     for ds in buckets.values():
+        if len(ds) > 32:
+            continue
         ds = sorted(ds)
         for i in range(len(ds)):
             for j in range(i + 1, len(ds)):
