@@ -365,6 +365,10 @@ _ROUND9_WINDOW = [
     "eval_ahash_band_recall",
     "upsert_scd2_merge",
     "eval_chunk_overlap_vs_disjoint",
+    "reco_item_item_cooccurrence",
+    "join_bloom_prefilter_audit",
+    "ts_sma_crossover_signals",
+    "events_nb_feature_loglik",
 ]
 
 

@@ -1079,3 +1079,115 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.replace(
     "{_KCORE_ROUNDS}", str(_KCORE_ROUNDS)
 )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine, bounded top-k)
+# --------------------------------------------------------------------------
+
+_RECO_TOP_K = 5
+_RECO_MIN_COOC = 3
+
+
+@query(
+    "reco_item_item_cooccurrence",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+    cooc AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS n_common
+        FROM e a JOIN e b ON a.c = b.c AND a.p <> b.p
+        GROUP BY a.p, b.p
+        HAVING count(*) >= {_RECO_MIN_COOC}
+    ),
+    scored AS (
+        SELECT c.pa AS part_id, c.pb AS similar_part,
+               CAST(c.n_common AS BIGINT) AS n_common,
+               round(c.n_common / sqrt(da.d * db.d), 6) AS cosine
+        FROM cooc c
+        JOIN deg da ON da.p = c.pa
+        JOIN deg db ON db.p = c.pb
+    )
+    SELECT part_id, similar_part, n_common, cosine FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY part_id
+                   ORDER BY cosine DESC, similar_part) AS rn
+        FROM scored
+    ) WHERE rn <= {_RECO_TOP_K}
+    """,
+    tags=("graph", "reco"),
+)
+def reco_item_item_cooccurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative filtering (the Amazon 2003 item-to-item
+    shape, Linden et al.): two parts are similar when the same
+    customers buy both, scored by co-occurrence cosine
+    n_common / sqrt(deg_a * deg_b), keeping the top {k} neighbors per
+    part — the recommender primitive on the SAME bipartite purchase
+    relation that [[graph_kcore_peel]] densifies and
+    [[graph_bipartite_projection]] projects. A minimum-co-occurrence
+    floor ({floor} shared customers) plays the hot-bucket/df-cap role:
+    singleton coincidences never become candidate pairs, and the
+    directed output is rank-capped per anchor (bounded like
+    [[dedup_ngram_topk_bounded]]).
+
+    Scale shape: the pair generation is the classic self-join on the
+    user key — fan-out bounded by parts-per-customer squared, NOT
+    corpus size (a user buys tens of parts, so each contributes a
+    bounded pair block; a pathological power-user is exactly the
+    df-cap case and would be dropped upstream at 100 TB). The cosine
+    join touches the part-degree relation (item grain), and the top-k
+    window sorts per-part groups bounded by the co-occurrence floor."""
+    t = tables(spark, sf_dir)
+    e = (
+        t.lineitem.join(
+            t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"]
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    ea, eb = e.alias("ea"), e.alias("eb")
+    cooc = (
+        ea.join(
+            eb,
+            (F.col("ea.c") == F.col("eb.c"))
+            & (F.col("ea.p") != F.col("eb.p")),
+        )
+        .groupBy(F.col("ea.p").alias("pa"), F.col("eb.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _RECO_MIN_COOC)
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("dav"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("dbv"))
+    scored = (
+        cooc.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.col("pa").alias("part_id"),
+            F.col("pb").alias("similar_part"),
+            F.col("n_common").cast("long").alias("n_common"),
+            rnd(
+                F.col("n_common") / F.sqrt(F.col("dav") * F.col("dbv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("cosine"), F.asc("similar_part")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECO_TOP_K)
+        .select("part_id", "similar_part", "n_common", "cosine")
+    )
+
+
+reco_item_item_cooccurrence.__doc__ = (
+    reco_item_item_cooccurrence.__doc__
+    .replace("{k}", str(_RECO_TOP_K))
+    .replace("{floor}", str(_RECO_MIN_COOC))
+)

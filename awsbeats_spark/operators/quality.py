@@ -1656,3 +1656,105 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(mde, 4).alias("mde_abs"),
         rnd(mde / F.col("mean_all"), 4).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes feature likelihoods (purchase-propensity model params)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_nb_feature_loglik",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               bool_or(event_type = 'purchase') AS is_pos,
+               bool_or(event_type = 'click') AS f_click,
+               bool_or(event_type = 'view') AS f_view,
+               bool_or(event_type = 'signup') AS f_signup,
+               bool_or(event_type = 'error') AS f_error
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT count(*) FILTER (is_pos) AS n_pos,
+               count(*) FILTER (NOT is_pos) AS n_neg
+        FROM flags
+    ),
+    feat AS (
+        SELECT 'click' AS feature,
+               count(*) FILTER (f_click AND is_pos) AS n_pos_with,
+               count(*) FILTER (f_click AND NOT is_pos) AS n_neg_with
+        FROM flags
+        UNION ALL
+        SELECT 'view', count(*) FILTER (f_view AND is_pos),
+               count(*) FILTER (f_view AND NOT is_pos) FROM flags
+        UNION ALL
+        SELECT 'signup', count(*) FILTER (f_signup AND is_pos),
+               count(*) FILTER (f_signup AND NOT is_pos) FROM flags
+        UNION ALL
+        SELECT 'error', count(*) FILTER (f_error AND is_pos),
+               count(*) FILTER (f_error AND NOT is_pos) FROM flags
+    )
+    SELECT f.feature,
+           CAST(f.n_pos_with AS BIGINT) AS n_pos_with,
+           CAST(f.n_neg_with AS BIGINT) AS n_neg_with,
+           round((f.n_pos_with + 1.0) / (c.n_pos + 2.0), 6) AS p_given_pos,
+           round((f.n_neg_with + 1.0) / (c.n_neg + 2.0), 6) AS p_given_neg,
+           round(ln(((f.n_pos_with + 1.0) / (c.n_pos + 2.0))
+                    / ((f.n_neg_with + 1.0) / (c.n_neg + 2.0))), 6)
+               AS loglik_ratio
+    FROM feat f, counts c
+    """,
+)
+def events_nb_feature_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli Naive Bayes feature likelihoods for purchase
+    propensity: label = user ever purchased, features = presence of
+    each other event type, parameters = Laplace-smoothed (+1/+2)
+    conditional presence rates and their log-likelihood ratio — the
+    classical supervised learner fitted ENTIRELY with two hash
+    aggregates (no gradient loop, no driver state), the way NB is
+    actually trained on cluster-scale clickstreams. Complements
+    [[embed_knn_classify]] (instance-based) with the parametric
+    family; the llr column IS the model — a scorer sums it over a
+    user's feature set ([[events_ab_welch_ttest]] and friends judge
+    the resulting uplift). Smoothing makes every probability strictly
+    inside (0,1), so the log is total and hash-stable.
+
+    Scale shape: one user-grain bool_or fold (map-side partial), one
+    one-row class count broadcast, and a 4-row feature reshape —
+    events are touched exactly once regardless of feature count; new
+    features add columns to the SAME fold, not new scans."""
+    t = tables(spark, sf_dir)
+    flags = t.events.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "purchase").alias("is_pos"),
+        *[
+            F.bool_or(F.col("event_type") == ft).alias(f"f_{ft}")
+            for ft in ("click", "view", "signup", "error")
+        ],
+    )
+    counts = flags.agg(
+        F.sum(F.col("is_pos").cast("long")).alias("n_pos"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("n_neg"),
+    )
+    feats = None
+    for ft in ("click", "view", "signup", "error"):
+        row = flags.agg(
+            F.lit(ft).alias("feature"),
+            F.sum(
+                (F.col(f"f_{ft}") & F.col("is_pos")).cast("long")
+            ).alias("n_pos_with"),
+            F.sum(
+                (F.col(f"f_{ft}") & ~F.col("is_pos")).cast("long")
+            ).alias("n_neg_with"),
+        )
+        feats = row if feats is None else feats.unionAll(row)
+    p_pos = (F.col("n_pos_with") + 1.0) / (F.col("n_pos") + 2.0)
+    p_neg = (F.col("n_neg_with") + 1.0) / (F.col("n_neg") + 2.0)
+    return feats.crossJoin(F.broadcast(counts)).select(
+        "feature",
+        "n_pos_with",
+        "n_neg_with",
+        rnd(p_pos, 6).alias("p_given_pos"),
+        rnd(p_neg, 6).alias("p_given_neg"),
+        rnd(F.log(p_pos / p_neg), 6).alias("loglik_ratio"),
+    )

@@ -350,6 +350,10 @@ EXTENDED_PROBE = [
     "eval_ahash_band_recall",
     "upsert_scd2_merge",
     "eval_chunk_overlap_vs_disjoint",
+    "reco_item_item_cooccurrence",
+    "join_bloom_prefilter_audit",
+    "ts_sma_crossover_signals",
+    "events_nb_feature_loglik",
 ]
 
 
