@@ -369,6 +369,9 @@ _ROUND9_WINDOW = [
     "join_bloom_prefilter_audit",
     "ts_sma_crossover_signals",
     "events_nb_feature_loglik",
+    "mv_incremental_refresh",
+    "scan_manifest_filelist",
+    "geo_dbscan_cells",
 ]
 
 

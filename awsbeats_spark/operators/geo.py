@@ -475,3 +475,139 @@ def geo_user_travel_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 geo_user_travel_haversine.__doc__ = geo_user_travel_haversine.__doc__.replace(
     "{_TRAVEL_TOP_K}", str(_TRAVEL_TOP_K)
 )
+
+
+# --------------------------------------------------------------------------
+# Grid DBSCAN: dense-cell clustering by fixed-round label propagation
+# --------------------------------------------------------------------------
+
+_DBSCAN_MIN_PTS = 5
+_DBSCAN_ROUNDS = 3
+
+# linear cell index: lat cells span [-17, 16] for +-85 deg at 5 deg
+_DBSCAN_LIN_SQL = (
+    "CAST((cell_lat + 17) * {lc} + ((cell_lon % {lc} + {lc}) % {lc}) "
+    "AS BIGINT)".format(lc=_LON_CELLS)
+)
+
+
+def _dbscan_round_sql(r: int) -> str:
+    return f"""
+    l{r} AS (
+        SELECT e.a AS lin, min(least(l.lbl, l2.lbl)) AS lbl
+        FROM adj e
+        JOIN l{r - 1} l ON l.lin = e.a
+        JOIN l{r - 1} l2 ON l2.lin = e.b
+        GROUP BY e.a
+    )"""
+
+
+@query(
+    "geo_dbscan_cells",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               {_lat_sql('event_id')} AS lat, {_lon_sql('event_id')} AS lon
+        FROM events
+    ),
+    cells AS (
+        SELECT {_cell_sql('lat')} AS cell_lat, {_cell_sql('lon')} AS cell_lon,
+               count(*) AS n_points
+        FROM pts GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT {_DBSCAN_LIN_SQL} AS lin, cell_lat, cell_lon, n_points
+        FROM cells WHERE n_points >= {_DBSCAN_MIN_PTS}
+    ),
+    adj AS (
+        SELECT a.lin AS a, b.lin AS b
+        FROM dense a
+        JOIN dense b
+          ON b.cell_lat BETWEEN a.cell_lat - 1 AND a.cell_lat + 1
+         AND ((b.cell_lon - a.cell_lon) % {_LON_CELLS} + {_LON_CELLS})
+             % {_LON_CELLS} IN (0, 1, {_LON_CELLS - 1})
+    ),
+    l0 AS (SELECT lin, lin AS lbl FROM dense),
+    {",".join(_dbscan_round_sql(r) for r in range(1, _DBSCAN_ROUNDS + 1))}
+    SELECT d.cell_lat, d.cell_lon, CAST(d.n_points AS BIGINT) AS n_points,
+           l.lbl AS cluster_id
+    FROM dense d JOIN l{_DBSCAN_ROUNDS} l ON l.lin = d.lin
+    """,
+    tags=("geo",),
+)
+def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN — density-based spatial clustering in its
+    cluster-scale formulation: bucket points into the module's 5-degree
+    grid, keep DENSE cells (>= {minpts} points — the minPts rule at
+    cell granularity), and merge 8-neighbor-adjacent dense cells into
+    clusters by {rounds} rounds of synchronous min-label propagation
+    (the [[graph_lpa_communities]] superstep shape; each cluster id is
+    the smallest member cell's linear index). This is how DBSCAN is
+    actually run on planetary point sets — cell-grid density first,
+    exact point-level epsilon refinement only inside surviving cells —
+    because the grid pass is ONE aggregate + ONE bounded
+    neighbor-join, while naive DBSCAN is all-pairs
+    ([[geo_grid_neighbor_join]] is the same blocking idea for joins).
+    Longitude adjacency wraps the antimeridian via the module's
+    modular-cell convention.
+
+    Scale shape: the point scan collapses to cell grain immediately
+    (map-side partial count); everything after runs on the bounded
+    cell lattice (<= 34 x {lc} cells on Earth at 5 degrees, regardless
+    of point count). Fixed rounds = fixed plan depth; label
+    propagation on the lattice is a self-join on an 8-neighbor
+    condition, broadcast-sized."""
+    t = tables(spark, sf_dir)
+    pts = t.events.select(
+        _lat(F.col("event_id")).alias("lat"),
+        _lon(F.col("event_id")).alias("lon"),
+    )
+    cells = pts.select(
+        _cell(F.col("lat")).alias("cell_lat"),
+        _cell(F.col("lon")).alias("cell_lon"),
+    ).groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    lin = (
+        (F.col("cell_lat") + 17) * _LON_CELLS
+        + ((F.col("cell_lon") % _LON_CELLS) + _LON_CELLS) % _LON_CELLS
+    ).cast("long")
+    dense = cells.filter(F.col("n_points") >= _DBSCAN_MIN_PTS).select(
+        lin.alias("lin"), "cell_lat", "cell_lon", "n_points"
+    ).localCheckpoint(eager=True)
+    da, db = dense.alias("da"), dense.alias("db")
+    dlon = (
+        (F.col("db.cell_lon") - F.col("da.cell_lon")) % _LON_CELLS
+        + _LON_CELLS
+    ) % _LON_CELLS
+    adj = da.join(
+        db,
+        F.col("db.cell_lat").between(
+            F.col("da.cell_lat") - 1, F.col("da.cell_lat") + 1
+        )
+        & dlon.isin(0, 1, _LON_CELLS - 1),
+    ).select(F.col("da.lin").alias("a"), F.col("db.lin").alias("b"))
+    labels = dense.select("lin", F.col("lin").alias("lbl"))
+    for _ in range(_DBSCAN_ROUNDS):
+        la = labels.select(F.col("lin").alias("a"), F.col("lbl").alias("la"))
+        lb = labels.select(F.col("lin").alias("b"), F.col("lbl").alias("lb"))
+        labels = (
+            adj.join(la, "a")
+            .join(lb, "b")
+            .groupBy(F.col("a").alias("lin"))
+            .agg(F.min(F.least(F.col("la"), F.col("lb"))).alias("lbl"))
+        )
+    return dense.join(labels, "lin").select(
+        "cell_lat",
+        "cell_lon",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("lbl").alias("cluster_id"),
+    )
+
+
+geo_dbscan_cells.__doc__ = (
+    geo_dbscan_cells.__doc__
+    .replace("{minpts}", str(_DBSCAN_MIN_PTS))
+    .replace("{rounds}", str(_DBSCAN_ROUNDS))
+    .replace("{lc}", str(_LON_CELLS))
+)

@@ -2010,3 +2010,162 @@ def upsert_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 upsert_scd2_merge.__doc__ = upsert_scd2_merge.__doc__.replace(
     "{_SCD2_NEW_SEGMENT}", _SCD2_NEW_SEGMENT
 )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view refresh (partial-merge, self-audited)
+# --------------------------------------------------------------------------
+
+_MV_SPLIT_DATE = "1997-01-01"
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS p, count(*) AS n, sum(o_totalprice) AS s
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_MV_SPLIT_DATE}'
+        GROUP BY 1
+    ),
+    delta AS (
+        SELECT o_orderpriority AS p, count(*) AS n, sum(o_totalprice) AS s
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_MV_SPLIT_DATE}'
+        GROUP BY 1
+    ),
+    merged AS (
+        SELECT p, CAST(sum(n) AS BIGINT) AS n_orders,
+               round(sum(s), 2) AS total,
+               round(sum(s) / sum(n), 4) AS avg_price
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY p
+    ),
+    full_rec AS (
+        SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total,
+               round(sum(o_totalprice) / count(*), 4) AS avg_price
+        FROM orders GROUP BY 1
+    )
+    SELECT m.p AS priority, m.n_orders, m.total, m.avg_price,
+           (m.n_orders = f.n_orders AND m.total = f.total) AS matches_full
+    FROM merged m JOIN full_rec f ON f.p = m.p
+    """,
+    tags=("scale", "mv"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh by partial-aggregate
+    merge: yesterday's MV state (count, sum partials over the base
+    period) absorbs today's delta batch with ONE small merge aggregate
+    instead of a full-table recompute — the algebraic-rollup property
+    (count/sum/avg are self-maintainable; [[agg_partial_merge_shards]]
+    proves the merge algebra shard-wise, this op runs the actual
+    refresh protocol on a date split). The honesty column: every row
+    carries matches_full, the comparison against a from-scratch
+    recompute of the same MV, so the refresh path is AUDITED inside
+    the operator rather than trusted ([[dq_order_total_reconciliation]]
+    style). At 100 TB the left term never rescans history — the base
+    partials are yesterday's stored MV — and the full-recompute lane
+    exists only as the periodic audit.
+
+    Scale shape: two date-pruned scans (the split predicate reaches
+    the parquet reader; on a date-partitioned lake the base scan reads
+    the stored MV instead), two map-side-partial aggregates at
+    priority grain, one 10-row merge. The audit recompute is one more
+    aggregate at the same grain."""
+    t = tables(spark, sf_dir)
+    split = F.lit(_MV_SPLIT_DATE).cast("timestamp_ntz")
+
+    def partials(df):
+        return df.groupBy(F.col("o_orderpriority").alias("p")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+        )
+
+    base = partials(t.orders.filter(F.col("o_orderdate") < split))
+    delta = partials(t.orders.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("p")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            rnd(F.sum("s"), 2).alias("total"),
+            rnd(F.sum("s") / F.sum("n"), 4).alias("avg_price"),
+        )
+    )
+    full_rec = t.orders.groupBy(
+        F.col("o_orderpriority").alias("p")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("f_n"),
+        rnd(F.sum("o_totalprice"), 2).alias("f_total"),
+    )
+    return merged.join(full_rec, "p").select(
+        F.col("p").alias("priority"),
+        "n_orders",
+        "total",
+        "avg_price",
+        (
+            (F.col("n_orders") == F.col("f_n"))
+            & (F.col("total") == F.col("f_total"))
+        ).alias("matches_full"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Manifest-driven scan: read only the files a manifest lists
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_manifest_filelist",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE CAST(event_id % 4 AS INT) IN (0, 1)
+    GROUP BY event_type
+    """,
+    tags=("scan", "scale"),
+)
+def scan_manifest_filelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven scanning — the table-format idea (Iceberg/Delta
+    manifests) on plain parquet: the events table is laid out as four
+    bucket directories, a manifest names the two buckets this query
+    owns, and the reader is handed ONLY the manifest's paths — files
+    outside the manifest are never opened, not merely filtered. This
+    is file-level pruning as an explicit contract rather than an
+    optimizer courtesy: at 100 TB the difference between "scan
+    everything then filter" and "open 2 of 4 million files" is the
+    whole game, and a manifest (or partition index) is how the 2 are
+    named without listing the lake. The oracle replays the manifest's
+    selection as the equivalent predicate.
+
+    Scale shape: the bucket write is executor-parallel partitionBy;
+    the manifest is metadata (driver-side file list, kilobytes); the
+    read plan contains only the listed directories, so partition
+    pruning is structural. Aggregation on the pruned scan is one
+    map-side-partial fold."""
+    import json
+    import os
+
+    from awsbeats_spark.functions.workdirs import work_dir
+
+    t = tables(spark, sf_dir)
+    root = work_dir("manifest_scan", sf_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    (
+        t.events.select(*cols)
+        .withColumn("bucket", (F.col("event_id") % 4).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    manifest_path = os.path.join(root, "_engine_manifest.json")
+    manifest = {"paths": [f"{root}/bucket={b}" for b in (0, 1)]}
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh)
+    with open(manifest_path) as fh:
+        listed = json.load(fh)["paths"]
+    scanned = spark.read.parquet(*listed)
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        rnd(F.sum("value"), 2).alias("total_value"),
+    )

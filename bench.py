@@ -354,6 +354,9 @@ EXTENDED_PROBE = [
     "join_bloom_prefilter_audit",
     "ts_sma_crossover_signals",
     "events_nb_feature_loglik",
+    "mv_incremental_refresh",
+    "scan_manifest_filelist",
+    "geo_dbscan_cells",
 ]
 
 
