@@ -372,6 +372,10 @@ _ROUND9_WINDOW = [
     "mv_incremental_refresh",
     "scan_manifest_filelist",
     "geo_dbscan_cells",
+    "multimodal_audio_active_segments",
+    "geo_impossible_travel_flags",
+    "codec_json_corrupt_permissive",
+    "corpus_length_bucket_batching",
 ]
 
 

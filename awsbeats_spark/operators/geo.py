@@ -611,3 +611,112 @@ geo_dbscan_cells.__doc__ = (
     .replace("{rounds}", str(_DBSCAN_ROUNDS))
     .replace("{lc}", str(_LON_CELLS))
 )
+
+
+# --------------------------------------------------------------------------
+# Impossible-travel fraud flags: hop speed over consecutive events
+# --------------------------------------------------------------------------
+
+_TRAVEL_MAX_KMH = 900.0  # commercial-flight ceiling
+
+
+@query(
+    "geo_impossible_travel_flags",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               {_lat_sql('event_id')} AS lat,
+               {_lon_sql('event_id')} AS lon
+        FROM events
+    ),
+    hops AS (
+        SELECT user_id, ts, event_id,
+               lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
+               lag(ts) OVER w AS p_ts,
+               lat AS c_lat, lon AS c_lon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    scored AS (
+        SELECT user_id, event_id,
+               round({_HAVERSINE_SQL.replace('s_lat', 'p_lat').replace('s_lon', 'p_lon')}, 4)
+                   AS hop_km,
+               round(epoch(ts - p_ts) / 3600.0, 6) AS gap_h
+        FROM hops WHERE p_lat IS NOT NULL
+    )
+    SELECT user_id, event_id, hop_km, gap_h,
+           round(hop_km / gap_h, 2) AS speed_kmh
+    FROM scored
+    WHERE gap_h > 0 AND hop_km / gap_h > {_TRAVEL_MAX_KMH}
+    """,
+    tags=("geo", "quality"),
+)
+def geo_impossible_travel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel detection — the classic account-takeover /
+    bot gate: consecutive events of one user whose implied ground
+    speed (haversine hop distance over wall-clock gap) exceeds the
+    {kmh} km/h commercial-flight ceiling are flagged with their speed.
+    Same lag + haversine trajectory shape as
+    [[geo_user_travel_haversine]] (which totals mileage; this one
+    emits the violating hops), with the hop distance rounded before
+    the division per the module's libm-drift discipline. Zero-gap
+    pairs (same timestamp) are excluded: speed is undefined, and a
+    same-second device switch is the session-anomaly lane's job, not
+    a velocity violation.
+
+    Scale shape: one lag window keyed by the moving entity, one
+    row-local filter — linear, no joins; flags are a sparse output
+    lane exactly like [[dq_quarantine_rows]]."""
+    t = tables(spark, sf_dir)
+    pts = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _lat(F.col("event_id")).alias("lat"),
+        _lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        "event_id",
+        F.lag("lat").over(w).alias("p_lat"),
+        F.lag("lon").over(w).alias("p_lon"),
+        F.lag("ts").over(w).alias("p_ts"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        "ts",
+    ).filter(F.col("p_lat").isNotNull())
+    scored = hops.select(
+        "user_id",
+        "event_id",
+        rnd(
+            _haversine_km(
+                F.col("p_lat"), F.col("p_lon"),
+                F.col("c_lat"), F.col("c_lon"),
+            ),
+            4,
+        ).alias("hop_km"),
+        rnd(
+            (
+                F.col("ts").cast("double") - F.col("p_ts").cast("double")
+            ) / 3600.0,
+            6,
+        ).alias("gap_h"),
+    )
+    return scored.filter(
+        (F.col("gap_h") > 0)
+        & (F.col("hop_km") / F.col("gap_h") > _TRAVEL_MAX_KMH)
+    ).select(
+        "user_id",
+        "event_id",
+        "hop_km",
+        "gap_h",
+        rnd(F.col("hop_km") / F.col("gap_h"), 2).alias("speed_kmh"),
+    )
+
+
+geo_impossible_travel_flags.__doc__ = (
+    geo_impossible_travel_flags.__doc__.replace(
+        "{kmh}", str(int(_TRAVEL_MAX_KMH))
+    )
+)

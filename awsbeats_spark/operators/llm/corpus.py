@@ -2160,3 +2160,95 @@ corpus_chunk_overlap_windows.__doc__ = (
     .replace("{_OCHUNK_SIZE}", str(_OCHUNK_SIZE))
     .replace("{_OCHUNK_STRIDE}", str(_OCHUNK_STRIDE))
 )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching efficiency audit (padding waste)
+# --------------------------------------------------------------------------
+
+_LENBUCKET_EDGE = 64  # tokens per bucket edge
+
+
+@query(
+    "corpus_length_bucket_batching",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, len({WORDS_SQL}) AS n_tokens FROM documents
+        WHERE len({WORDS_SQL}) >= 1
+    ),
+    gmax AS (SELECT max(n_tokens) AS global_max FROM lens),
+    b AS (
+        SELECT CAST(n_tokens // {_LENBUCKET_EDGE} AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               sum(n_tokens) AS sum_tokens,
+               max(n_tokens) AS max_tokens
+        FROM lens GROUP BY 1
+    )
+    SELECT b.bucket, CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.max_tokens AS BIGINT) AS max_tokens,
+           round(1.0 - b.sum_tokens
+                 / CAST(b.n_docs * b.max_tokens AS DOUBLE), 6)
+               AS pad_waste_bucketed,
+           round(1.0 - b.sum_tokens
+                 / CAST(b.n_docs * g.global_max AS DOUBLE), 6)
+               AS pad_waste_global
+    FROM b, gmax g
+    """,
+)
+def corpus_length_bucket_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batching audit — the padding-efficiency number
+    that decides a training run's real throughput: documents batch by
+    length bucket ({edge}-token edges), and every bucket reports the
+    padding waste under bucketed batching (pad to the bucket's own
+    max) next to the waste the SAME docs would suffer padded to the
+    global max — the measured gain of dynamic batching. Padding waste
+    is 1 - sum(len) / (n * pad_len): real tokens over allocated slots.
+    [[corpus_token_pack]] eliminates padding by concatenation
+    (pretraining); bucketing is the regime for SFT/inference where
+    documents must stay intact, and this op is its design audit
+    ([[eval_chunk_overlap_vs_disjoint]] discipline: the configuration
+    choice ships with its measured consequence).
+
+    Scale shape: one tokenize + one bucket-grain aggregate (map-side
+    partial), one broadcast one-row global max — the audit costs one
+    scan regardless of corpus size."""
+    t = tables(spark, sf_dir)
+    lens = t.documents.select(
+        F.size(words()).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    glob = lens.agg(F.max("n_tokens").alias("global_max"))
+    b = lens.groupBy(
+        F.floor(F.col("n_tokens") / _LENBUCKET_EDGE)
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return b.crossJoin(F.broadcast(glob)).select(
+        "bucket",
+        "n_docs",
+        "max_tokens",
+        rnd(
+            1.0
+            - F.col("sum_tokens")
+            / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+            6,
+        ).alias("pad_waste_bucketed"),
+        rnd(
+            1.0
+            - F.col("sum_tokens")
+            / (F.col("n_docs") * F.col("global_max")).cast("double"),
+            6,
+        ).alias("pad_waste_global"),
+    )
+
+
+corpus_length_bucket_batching.__doc__ = (
+    corpus_length_bucket_batching.__doc__.replace(
+        "{edge}", str(_LENBUCKET_EDGE)
+    )
+)

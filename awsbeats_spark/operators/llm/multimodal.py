@@ -1944,3 +1944,133 @@ eval_ahash_band_recall.__doc__ = (
     .replace("{k}", str(_AHASH_TOP_K))
     .replace("{n_anchors}", str(_AHASH_EVAL_ANCHORS))
 )
+
+
+# --------------------------------------------------------------------------
+# Voice-activity-style segmentation: islands of active RMS windows
+# --------------------------------------------------------------------------
+
+# integer-exact activity rule: a 256-sample window is ACTIVE when its
+# mean absolute deviation from the 8-bit midpoint exceeds 33.5, i.e.
+# 2 * sum|x-128| > 67 * n — no float compare can drift cross-engine.
+_VAD_NUM = 67
+
+
+@query(
+    "multimodal_audio_active_segments",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               600 + octet_length(encode(text)) % 500 AS ns
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
+          AND octet_length(encode(text)) > 0
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0,
+                       CAST(ceil(ns / {_AUDIO_WIN}.0) AS BIGINT) - 1),
+                   w -> {{
+                       'w': w,
+                       'cnt': least(ns - w * {_AUDIO_WIN}, {_AUDIO_WIN}),
+                       'sd': list_sum(list_transform(
+                           generate_series(1,
+                               least(ns - w * {_AUDIO_WIN}, {_AUDIO_WIN})),
+                           j -> abs(CAST({_BYTE_SQL.format(
+                               k=f"w * {_AUDIO_WIN} + j - 1")} AS BIGINT)
+                               - 128)))
+                   }})) AS u
+        FROM p
+    ),
+    act AS (
+        SELECT doc_id, u.w AS window_id, u.sd AS sd, u.cnt AS cnt
+        FROM w WHERE 2 * u.sd > {_VAD_NUM} * u.cnt
+    ),
+    isl AS (
+        SELECT doc_id, window_id, sd, cnt,
+               window_id - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY window_id) AS grp
+        FROM act
+    )
+    SELECT doc_id,
+           CAST(min(window_id) AS BIGINT) AS seg_start,
+           CAST(max(window_id) AS BIGINT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           round(sum(sd) / CAST(sum(cnt) AS DOUBLE), 4) AS mean_activity
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_active_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Voice-activity-style segmentation over the REAL decoded PCM
+    stream: {win}-sample windows are ACTIVE when their mean absolute
+    deviation from the 8-bit midpoint exceeds 33.5 (the integer-exact
+    2*sum > 67*n rule — the threshold sits at this corpus's median
+    window activity so segmentation actually splits), and consecutive
+    active windows merge into segments via the gaps-and-islands trick
+    ([[window_sessionize_gap]]'s id-minus-rank grouping, applied to
+    window ids instead of timestamps). Each segment reports its span
+    and mean activity — the structure a speech pipeline extracts
+    before paying for transcription, and the temporal sibling of the
+    scalar [[multimodal_audio_silence_gate]] verdict.
+
+    Scale shape: decode emits one row per window (bounded: ns/{win}
+    per clip) from one Arrow mapInPandas pass; the island window and
+    the segment fold shuffle on doc_id only. Window-grain activity is
+    exact integer arithmetic, so the float appears only in the final
+    rounded per-segment ratio."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 1) & (F.octet_length("payload") > 0)
+    )
+
+    def winrows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(raw)
+                meta = decode_media(wav)  # real chunk walk
+                ns = meta["width"]  # WAV decode reports samples as width
+                data_off = wav.index(b"data") + 8
+                pcm = np.frombuffer(
+                    wav, dtype=np.uint8, count=ns, offset=data_off
+                ).astype(np.int64)
+                dev = np.abs(pcm - 128)
+                for w in range(-(-ns // _AUDIO_WIN)):
+                    chunk = dev[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+                    rows.append(
+                        (doc_id, w, int(chunk.sum()), len(chunk))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_id", "sd", "cnt"]
+            )
+
+    wins = src.mapInPandas(
+        winrows, "doc_id bigint, window_id bigint, sd bigint, cnt bigint"
+    )
+    act = wins.filter(2 * F.col("sd") > _VAD_NUM * F.col("cnt"))
+    iw = Window.partitionBy("doc_id").orderBy("window_id")
+    isl = act.withColumn(
+        "grp", F.col("window_id") - F.row_number().over(iw)
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("window_id").cast("long").alias("seg_start"),
+        F.max("window_id").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        rnd(
+            F.sum("sd") / F.sum("cnt").cast("double"), 4
+        ).alias("mean_activity"),
+    ).drop("grp")
+
+
+multimodal_audio_active_segments.__doc__ = (
+    multimodal_audio_active_segments.__doc__.replace(
+        "{win}", str(_AUDIO_WIN)
+    )
+)

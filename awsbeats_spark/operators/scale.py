@@ -2169,3 +2169,89 @@ def scan_manifest_filelist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         rnd(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-record quarantine on JSON-lines ingest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "codec_json_corrupt_permissive",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (CAST(event_id % 7 AS INT) <> 3)
+               AS BIGINT) AS n_clean,
+           CAST(count(*) FILTER (CAST(event_id % 7 AS INT) = 3)
+               AS BIGINT) AS n_quarantined,
+           round(sum(value) FILTER (CAST(event_id % 7 AS INT) <> 3), 2)
+               AS clean_value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scale", "codec"),
+)
+def codec_json_corrupt_permissive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corrupt-record quarantine on JSON-lines ingest — the JSON twin
+    of [[codec_csv_corrupt_permissive]]: a replica of events is
+    serialized as NDJSON with a deterministic fraction of lines
+    damaged (the numeric value field emitted as a STRING for
+    event_id % 7 == 3 — a type mismatch, which PERMISSIVE quarantines
+    while still recovering the row's well-typed fields; an invalid
+    token would null the whole row and lose the group key), read back
+    under PERMISSIVE mode with
+    columnNameOfCorruptRecord, and reconciled per event_type:
+    survivors, quarantined, and the survivors' value sum. JSON is the
+    format the reference actually emits
+    (/root/reference/streams/client.go serializes records as JSON
+    lines), so this lane is the reference's own wire format under
+    damage. PERMISSIVE + quarantine column is the contract that keeps
+    a 100 TB load alive through a bad producer instead of FAILFAST
+    killing it or DROPMALFORMED lying about it.
+
+    Scale shape: NDJSON stays line-splittable, write/read are
+    executor-parallel, the readback aggregate is map-side partial at
+    type grain."""
+    import json as _json
+
+    from awsbeats_spark.functions.workdirs import work_dir
+
+    t = tables(spark, sf_dir)
+    out = work_dir("codec_json_corrupt", sf_dir)
+    line = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('", "value": '),
+        F.when(
+            F.col("event_id") % 7 == 3, F.lit('"__NOT_A_NUMBER__"')
+        ).otherwise(F.col("value").cast("string")),
+        F.lit("}"),
+    )
+    t.events.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.options(mode="PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(
+            "event_id long, event_type string, value double,"
+            " _corrupt string"
+        )
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1))
+        .cast("long")
+        .alias("n_clean"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1))
+        .cast("long")
+        .alias("n_quarantined"),
+        rnd(
+            F.sum(
+                F.when(F.col("_corrupt").isNull(), F.col("value"))
+            ),
+            2,
+        ).alias("clean_value_sum"),
+    )
