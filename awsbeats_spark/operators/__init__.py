@@ -376,6 +376,8 @@ _ROUND9_WINDOW = [
     "geo_impossible_travel_flags",
     "codec_json_corrupt_permissive",
     "corpus_length_bucket_batching",
+    "reco_user_recommendations",
+    "eval_reco_holdout_hitrate",
 ]
 
 
