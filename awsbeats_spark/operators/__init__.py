@@ -35,12 +35,14 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   additions that overflow round 7's budget. After round 8: 392
   driver-evidenced.
 * **Round 9** (``_ROUND9_WINDOW``): keys added after the round-8
-  window filled at its 50-key budget. After round 9: full catalog
-  (396) driver-evidenced; once every window drains, spare slots
-  recheck round-1/2 greens on a rolling basis.
+  window filled at its 50-key budget; it currently holds the round-5
+  late additions and is split at 50 into a ``_ROUND10_WINDOW`` if it
+  overflows. Once every window drains the full catalog is
+  driver-evidenced and spare slots recheck round-1/2 greens on a
+  rolling basis.
 
 The window lists partition the keys that had no driver row as of
-CORRECTNESS_r03 plus every key added since (25 in round 4, 92 in
+CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
 round 5); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
@@ -378,6 +380,8 @@ _ROUND9_WINDOW = [
     "corpus_length_bucket_batching",
     "reco_user_recommendations",
     "eval_reco_holdout_hitrate",
+    "supplier_scorecard_composite",
+    "dq_schema_contract_check",
 ]
 
 

@@ -1758,3 +1758,113 @@ def events_nb_feature_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(p_neg, 6).alias("p_given_neg"),
         rnd(F.log(p_pos / p_neg), 6).alias("loglik_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema contract check: expected vs actual column types
+# --------------------------------------------------------------------------
+
+# the published ingest contract for the orders table, in canonical
+# engine-neutral type names
+_ORDERS_CONTRACT = [
+    ("o_orderkey", "int64"),
+    ("o_custkey", "int64"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "float64"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+    ("o_clerk", "string"),
+    ("o_shippriority", "int64"),
+    ("o_comment", "string"),
+]
+
+_CANON_SPARK = {
+    "bigint": "int64",
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamp",
+    "date": "date",
+    "boolean": "bool",
+}
+
+_CANON_DUCK_SQL = """
+    CASE upper(column_type)
+        WHEN 'BIGINT' THEN 'int64'
+        WHEN 'INTEGER' THEN 'int32'
+        WHEN 'DOUBLE' THEN 'float64'
+        WHEN 'FLOAT' THEN 'float32'
+        WHEN 'VARCHAR' THEN 'string'
+        WHEN 'TIMESTAMP' THEN 'timestamp'
+        WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+        WHEN 'DATE' THEN 'date'
+        WHEN 'BOOLEAN' THEN 'bool'
+        ELSE lower(column_type)
+    END
+"""
+
+_CONTRACT_VALUES = ", ".join(
+    f"({i}, '{n}', '{t}')" for i, (n, t) in enumerate(_ORDERS_CONTRACT)
+)
+
+
+@query(
+    "dq_schema_contract_check",
+    oracle=f"""
+    WITH actual AS (
+        SELECT column_name,
+               {_CANON_DUCK_SQL} AS actual_type
+        FROM (DESCRIBE SELECT * FROM orders)
+    ),
+    contract AS (
+        SELECT * FROM (VALUES {_CONTRACT_VALUES})
+            AS t(pos, column_name, expected_type)
+    )
+    SELECT c.column_name,
+           c.expected_type,
+           a.actual_type,
+           a.actual_type IS NOT NULL
+               AND a.actual_type = c.expected_type AS ok
+    FROM contract c LEFT JOIN actual a USING (column_name)
+    """,
+)
+def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema contract enforcement — the ingest gate that runs BEFORE
+    any data is read: every column the published contract promises is
+    checked against the actual parquet schema (presence + canonical
+    type), one verdict row per contract column. Missing columns
+    surface as actual_type NULL / ok false rather than a downstream
+    AnalysisException at 3 a.m.; type drift (an upstream producer
+    widening int to string) is caught at the boundary where it is
+    cheap. Canonical engine-neutral type names make the same contract
+    enforceable by Spark, DuckDB, or any catalog
+    ([[scan_schema_evolution]] handles the SANCTIONED evolution path;
+    this op rejects the unsanctioned kind). [[profile_columns]]
+    describes what IS; this op asserts what MUST BE.
+
+    Scale shape: pure metadata — the parquet footer schema, zero data
+    rows scanned regardless of table size; the check is a constant-
+    size join of two type lists."""
+    actual = {
+        f.name: _CANON_SPARK.get(
+            f.dataType.simpleString(), f.dataType.simpleString()
+        )
+        for f in tables(spark, sf_dir).orders.schema.fields
+    }
+    rows = [
+        (
+            name,
+            expected,
+            actual.get(name),
+            actual.get(name) is not None and actual.get(name) == expected,
+        )
+        for name, expected in _ORDERS_CONTRACT
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, expected_type string, actual_type string,"
+        " ok boolean",
+    )

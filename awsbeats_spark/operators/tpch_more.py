@@ -1370,3 +1370,100 @@ def orders_month_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(unif, 6).alias("uniform_share"),
         rnd(share / unif, 4).alias("loading_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Composite supplier scorecard (multi-KPI join + rank)
+# --------------------------------------------------------------------------
+
+_SCORECARD_TOP = 25
+
+
+@query(
+    "supplier_scorecard_composite",
+    oracle=f"""
+    WITH kpis AS (
+        SELECT l_suppkey AS suppkey,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+               round(avg(l_discount), 6) AS avg_discount,
+               round(avg(CASE WHEN l_returnflag = 'R'
+                              THEN 1.0 ELSE 0.0 END), 6) AS return_rate
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_name, k.suppkey, CAST(k.n_lines AS BIGINT) AS n_lines,
+           k.revenue, k.avg_discount, k.return_rate,
+           CAST(rn AS INT) AS revenue_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   ORDER BY revenue DESC, suppkey) AS rn
+        FROM kpis
+    ) k
+    JOIN supplier s ON s.s_suppkey = k.suppkey
+    WHERE rn <= {_SCORECARD_TOP}
+    """,
+    tags=("tpch",),
+)
+def supplier_scorecard_composite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier scorecard — the reporting pattern that joins several
+    KPIs computed in ONE pass over the fact table: line volume,
+    discounted revenue, average discount depth (the margin-give-away
+    signal) and return rate
+    (returnflag = 'R', [[q_returned_items]]' signal) — then ranks by
+    revenue and decorates the top {top} with the supplier dimension.
+    The point of the shape: N KPIs cost one scan + one keyed fold when
+    expressed as conditional aggregates, not N scans ([[agg_conditional_bools]]
+    micro-benchmarks the same trick); a dashboard query that scans per
+    KPI is the classic accidental 5x at 100 TB.
+
+    Scale shape: one map-side-partial aggregate at supplier grain, a
+    bounded top-{top} sort on supplier-grain rows, one broadcast dim
+    join LAST (decorate after ranking so the join touches {top} rows,
+    not all suppliers)."""
+    t = tables(spark, sf_dir)
+    kpis = t.lineitem.groupBy(
+        F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        rnd(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        rnd(F.avg("l_discount"), 6).alias("avg_discount"),
+        rnd(
+            F.avg(
+                F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("return_rate"),
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("suppkey"))
+    top = (
+        kpis.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SCORECARD_TOP)
+    )
+    return top.join(
+        F.broadcast(
+            t.supplier.select(
+                F.col("s_suppkey").alias("suppkey"), "s_name"
+            )
+        ),
+        "suppkey",
+    ).select(
+        "s_name",
+        "suppkey",
+        "n_lines",
+        "revenue",
+        "avg_discount",
+        "return_rate",
+        F.col("rn").cast("int").alias("revenue_rank"),
+    )
+
+
+supplier_scorecard_composite.__doc__ = (
+    supplier_scorecard_composite.__doc__.replace(
+        "{top}", str(_SCORECARD_TOP)
+    )
+)

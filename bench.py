@@ -363,6 +363,8 @@ EXTENDED_PROBE = [
     "corpus_length_bucket_batching",
     "reco_user_recommendations",
     "eval_reco_holdout_hitrate",
+    "supplier_scorecard_composite",
+    "dq_schema_contract_check",
 ]
 
 
