@@ -382,6 +382,8 @@ _ROUND9_WINDOW = [
     "eval_reco_holdout_hitrate",
     "supplier_scorecard_composite",
     "dq_schema_contract_check",
+    "agg_median_two_pass_binned",
+    "sample_md5_threshold",
 ]
 
 

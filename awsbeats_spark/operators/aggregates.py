@@ -1949,3 +1949,143 @@ def agg_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates", "point_mean", "ci_lo", "ci_hi", "se_boot"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distributed median via two-pass binning (no global sort)
+# --------------------------------------------------------------------------
+
+_MED2_BINS = 1000
+
+
+@query(
+    "agg_median_two_pass_binned",
+    oracle=f"""
+    WITH stats AS (
+        SELECT count(*) AS n, min(l_extendedprice) AS lo,
+               max(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT least(CAST(floor((l_extendedprice - s.lo)
+                     / ((s.hi - s.lo) / {_MED2_BINS})) AS BIGINT),
+                     {_MED2_BINS - 1}) AS b,
+               count(*) AS c
+        FROM lineitem, stats s GROUP BY 1
+    ),
+    cum AS (
+        SELECT b, c, sum(c) OVER (ORDER BY b) AS cum_c,
+               sum(c) OVER (ORDER BY b) - c AS before_c
+        FROM binned
+    ),
+    target AS (
+        SELECT CAST(ceil(n / 2.0) AS BIGINT) AS k, n, lo, hi FROM stats
+    ),
+    med_bin AS (
+        SELECT cum.b, cum.before_c, t.k, t.n, t.lo, t.hi, cum.c AS n_in_bin
+        FROM cum, target t
+        WHERE cum.before_c < t.k AND t.k <= cum.cum_c
+    ),
+    second_pass AS (
+        SELECT m.n, m.k, m.b, m.n_in_bin,
+               min(l_extendedprice) FILTER (
+                   rnk = m.k - m.before_c) AS median_val
+        FROM med_bin m
+        JOIN (
+            SELECT l_extendedprice,
+                   least(CAST(floor((l_extendedprice - s.lo)
+                         / ((s.hi - s.lo) / {_MED2_BINS})) AS BIGINT),
+                         {_MED2_BINS - 1}) AS b,
+                   row_number() OVER (
+                       PARTITION BY least(CAST(floor((l_extendedprice - s.lo)
+                           / ((s.hi - s.lo) / {_MED2_BINS})) AS BIGINT),
+                           {_MED2_BINS - 1})
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS rnk
+            FROM lineitem, stats s
+        ) v ON v.b = m.b
+        GROUP BY m.n, m.k, m.b, m.n_in_bin
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(b AS BIGINT) AS median_bin,
+           CAST(n_in_bin AS BIGINT) AS n_in_bin,
+           round(median_val, 2) AS median_exact
+    FROM second_pass
+    """,
+)
+def agg_median_two_pass_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median WITHOUT a global sort — the two-pass
+    binning algorithm a 100 TB engine actually uses when "exact" is
+    non-negotiable ([[agg_percentile_exact]] sorts everything;
+    [[agg_percentile_approx]] gives up exactness; this gets exact at
+    two linear scans): pass 1 histograms the column into {bins}
+    equal-width bins (one map-side fold) and walks the cumulative
+    counts to find the single bin containing the k = ceil(n/2)-th
+    smallest value (the lower median, percentile_disc semantics);
+    pass 2 ranks ONLY that bin's members — n/{bins} of the data in
+    expectation — and picks the (k - count_before)-th. The output
+    carries the located bin and its population as the honesty columns
+    showing how small the second pass really was.
+
+    Scale shape: pass 1 is a {bins}-cell aggregate (map-side partial,
+    broadcast min/max); the cumulative walk runs on {bins} rows; pass
+    2's sort is confined to one bin's rows. No stage ever globally
+    sorts the column — the property that survives a 100x scale-up.
+    Degenerate distributions (everything in one bin) degrade to the
+    full sort gracefully and visibly via n_in_bin."""
+    t = tables(spark, sf_dir)
+    li = t.lineitem.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binw = (F.col("hi") - F.col("lo")) / _MED2_BINS
+    bin_of = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / binw).cast(
+            "long"
+        ),
+        F.lit(_MED2_BINS - 1),
+    )
+    with_bin = li.crossJoin(F.broadcast(stats)).select(
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+        bin_of.alias("b"),
+    )
+    binned = with_bin.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("b")
+    cum = binned.select(
+        "b",
+        "c",
+        F.sum("c").over(wcum).alias("cum_c"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("before_c"),
+    )
+    target = stats.select(
+        F.ceil(F.col("n") / 2.0).cast("long").alias("k"), "n"
+    )
+    med_bin = F.broadcast(
+        cum.crossJoin(F.broadcast(target)).filter(
+            (F.col("before_c") < F.col("k"))
+            & (F.col("k") <= F.col("cum_c"))
+        ).select(
+            "b", "before_c", "k", "n", F.col("c").alias("n_in_bin")
+        )
+    )
+    wrank = Window.partitionBy("b").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    second = (
+        with_bin.join(med_bin, "b")
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") == F.col("k") - F.col("before_c"))
+    )
+    return second.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("b").cast("long").alias("median_bin"),
+        F.col("n_in_bin").cast("long").alias("n_in_bin"),
+        rnd(F.col("l_extendedprice"), 2).alias("median_exact"),
+    )
+
+
+agg_median_two_pass_binned.__doc__ = (
+    agg_median_two_pass_binned.__doc__.replace("{bins}", str(_MED2_BINS))
+)

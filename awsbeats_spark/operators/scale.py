@@ -2255,3 +2255,75 @@ def codec_json_corrupt_permissive(
             2,
         ).alias("clean_value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sort-free deterministic sampling by md5 threshold
+# --------------------------------------------------------------------------
+
+_THRESH_FRAC = 0.05  # target sampling fraction
+
+
+@query(
+    "sample_md5_threshold",
+    oracle=f"""
+    WITH u AS (
+        SELECT event_type, value,
+               ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT / 4294967296.0 AS unif
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pop,
+           CAST(count(*) FILTER (unif < {_THRESH_FRAC}) AS BIGINT)
+               AS n_sampled,
+           round(count(*) FILTER (unif < {_THRESH_FRAC})
+                 / CAST(count(*) AS DOUBLE), 6) AS achieved_frac,
+           round(avg(value) FILTER (unif < {_THRESH_FRAC}), 4)
+               AS sample_mean,
+           round(avg(value), 4) AS pop_mean
+    FROM u GROUP BY event_type
+    """,
+    tags=("scale", "sampling"),
+)
+def sample_md5_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-free deterministic sampling — the 100 TB sampler: a row is
+    in the sample iff its content-addressed md5 uniform falls below
+    the target fraction. No rank window, no shuffle, no RNG state:
+    the predicate is row-local, pushes into the scan like any filter,
+    the SAME rows are sampled on every engine/run/partitioning, and
+    the sample composes (a 5% sample is a superset-of-nothing /
+    subset-of a 10% one using the same hash — progressive sampling
+    for free). This is the threshold variant
+    [[sample_stratified_neyman]]'s docstring names as its cluster-
+    scale path: Neyman gets EXACT allocation via a per-stratum rank;
+    this trades exactness (binomial wobble, reported as
+    achieved_frac vs the 5% target) for zero coordination.
+    [[sample_hash_deterministic]] buckets by hash for splits; this is
+    the tunable-fraction form with the honesty columns (sample vs
+    population mean per stratum).
+
+    Scale shape: one map-side filter + one keyed fold. Nothing else.
+    That IS the point."""
+    t = tables(spark, sf_dir)
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    u = t.events.select(
+        "event_type", "value", unif.alias("unif")
+    )
+    in_s = F.col("unif") < _THRESH_FRAC
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.count(F.when(in_s, 1)).cast("long").alias("n_sampled"),
+        rnd(
+            F.count(F.when(in_s, 1)) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("achieved_frac"),
+        rnd(F.avg(F.when(in_s, F.col("value"))), 4).alias("sample_mean"),
+        rnd(F.avg("value"), 4).alias("pop_mean"),
+    )
