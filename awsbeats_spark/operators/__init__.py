@@ -384,6 +384,7 @@ _ROUND9_WINDOW = [
     "dq_schema_contract_check",
     "agg_median_two_pass_binned",
     "sample_md5_threshold",
+    "eval_pq_rank_quality",
 ]
 
 

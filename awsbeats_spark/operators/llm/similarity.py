@@ -2251,3 +2251,127 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("rn"),
         rnd(F.col("n_hits") / float(TOP_K), 6).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# PQ quality eval: ADC ranking vs exact L2 ranking
+# --------------------------------------------------------------------------
+
+
+def _pq_quality_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    pq = QUERIES["sim_search_pq"].oracle
+    return f"""
+    WITH pq_top AS ({pq}),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_pq_d2_sql('q.embedding::DOUBLE[]',
+                                        'c.embedding::DOUBLE[]')},
+                            c.vec_id
+               ) AS ern
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY ern <= {TOP_K}
+    ),
+    joined AS (
+        SELECT p.query_id,
+               count(e.neighbor_id) AS n_hits,
+               coalesce(
+                   round(avg(abs(p.rn - e.ern)), 4), 0.0
+               ) AS mean_rank_shift
+        FROM pq_top p
+        LEFT JOIN exact e
+               ON e.query_id = p.query_id
+              AND e.neighbor_id = p.neighbor_id
+        GROUP BY p.query_id
+    )
+    SELECT query_id,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / {TOP_K}.0, 6) AS recall_at_k,
+           mean_rank_shift
+    FROM joined
+    """
+
+
+@query(
+    "eval_pq_rank_quality",
+    oracle=_pq_quality_oracle(),
+    tags=("similarity", "eval"),
+)
+def eval_pq_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ranking quality of [[sim_search_pq]] — the quality twin
+    the product quantizer was missing (every other approximate index
+    here already carries one: IVF via [[eval_ann_recall_ivf]], the
+    Hamming cascade and IVF-PQ inline, ahash banding via
+    [[eval_ahash_band_recall]]): the ADC top-{k} per query is compared
+    against the exact squared-L2 top-{k} on the raw vectors, reporting
+    recall@{k} and the mean rank displacement of the hits (a code that
+    finds the right neighbors in the wrong order shows displacement;
+    one that misses them shows recall). The PQ side embeds the
+    registered op's own oracle — zero spec drift.
+
+    Scale shape: the eval's exact side is the {n_q}-query brute-force
+    scan (constant queries x corpus, linear); the PQ side reuses the
+    compressed-code join under test. Verdict columns per query, not
+    docstring claims."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = tables(spark, sf_dir)
+    pq_top = QUERIES["sim_search_pq"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rn"
+    )
+    emb = t.embeddings
+    sqd2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        F.broadcast(qv)
+        .join(cv, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            sqd2(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("ern", F.row_number().over(we))
+        .filter(F.col("ern") <= TOP_K)
+        .select("query_id", "neighbor_id", "ern")
+    )
+    joined = (
+        pq_top.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("ern").cast("long").alias("n_hits"),
+            F.coalesce(
+                rnd(F.avg(F.abs(F.col("rn") - F.col("ern"))), 4),
+                F.lit(0.0),
+            ).alias("mean_rank_shift"),
+        )
+    )
+    return joined.select(
+        "query_id",
+        "n_hits",
+        rnd(F.col("n_hits") / float(TOP_K), 6).alias("recall_at_k"),
+        "mean_rank_shift",
+    )
+
+
+eval_pq_rank_quality.__doc__ = (
+    eval_pq_rank_quality.__doc__
+    .replace("{k}", str(TOP_K))
+    .replace("{n_q}", str(N_QUERIES))
+)

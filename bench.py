@@ -367,6 +367,7 @@ EXTENDED_PROBE = [
     "dq_schema_contract_check",
     "agg_median_two_pass_binned",
     "sample_md5_threshold",
+    "eval_pq_rank_quality",
 ]
 
 

@@ -108,6 +108,28 @@ SAMPLE = [
     "corpus_dup_span_detect",
     "corpus_mix_sample",
     "embed_quantize_sq8",
+    # round-5/6 session additions (cross-section)
+    "graph_lpa_communities",
+    "dedup_image_ahash_pairs",
+    "retrieval_maxsim_late_interaction",
+    "ts_holt_linear_forecast",
+    "sim_search_ivfpq",
+    "graph_kcore_peel",
+    "sample_stratified_neyman",
+    "corpus_split_leakage_audit",
+    "geo_user_travel_haversine",
+    "corpus_chunk_overlap_windows",
+    "upsert_scd2_merge",
+    "reco_item_item_cooccurrence",
+    "ts_sma_crossover_signals",
+    "mv_incremental_refresh",
+    "geo_dbscan_cells",
+    "multimodal_audio_active_segments",
+    "geo_impossible_travel_flags",
+    "corpus_length_bucket_batching",
+    "supplier_scorecard_composite",
+    "agg_median_two_pass_binned",
+    "sample_md5_threshold",
     "agg_freq_items_approx",
     "graph_triangle_count",
     "corpus_sample_k_per_group",
