@@ -1216,3 +1216,129 @@ def eval_containment_cap_impact(
         "n_overlap",
         rnd(recall, 6).alias("pair_recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training-pair mining (positives from minhash, hard
+# negatives from same-source length-blocked adjacency)
+# --------------------------------------------------------------------------
+
+_CONTRAST_LEN_BLOCK = 50  # chars per negative-mining length block
+
+
+def _contrastive_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    minhash = QUERIES["dedup_minhash"].oracle
+    return f"""
+    WITH pos_cand AS ({minhash}),
+    wsets AS (
+        SELECT doc_id,
+               list_distinct({WORDS_SQL}) AS ws
+        FROM documents
+    ),
+    neg_cand AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_id AS doc_a,
+                   lead(doc_id) OVER (
+                       PARTITION BY source, n_chars // {_CONTRAST_LEN_BLOCK}
+                       ORDER BY doc_id
+                   ) AS doc_b
+            FROM documents
+        ) WHERE doc_b IS NOT NULL
+    ),
+    neg AS (
+        SELECT n.doc_a, n.doc_b FROM neg_cand n
+        LEFT JOIN pos_cand p
+               ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+        WHERE p.doc_a IS NULL
+    ),
+    pairs AS (
+        SELECT 'pos' AS pair_type, doc_a, doc_b FROM pos_cand
+        UNION ALL
+        SELECT 'neg', doc_a, doc_b FROM neg
+    )
+    SELECT p.pair_type, p.doc_a, p.doc_b,
+           round(len(list_intersect(a.ws, b.ws)) * 1.0
+                 / len(list_distinct(a.ws || b.ws)), 6) AS jaccard
+    FROM pairs p
+    JOIN wsets a ON a.doc_id = p.doc_a
+    JOIN wsets b ON b.doc_id = p.doc_b
+    WHERE len(list_distinct(a.ws || b.ws)) > 0
+    """
+
+
+@query(
+    "corpus_contrastive_pair_mining",
+    oracle=_contrastive_oracle(),
+    tags=("dedup", "corpus"),
+)
+def corpus_contrastive_pair_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive training-pair mining — the data an embedding model
+    is actually trained on: POSITIVES are [[dedup_minhash]]'s banded
+    near-duplicate pairs (its own oracle embedded, zero drift), HARD
+    NEGATIVES are same-source documents of near-identical length
+    (blocked by {blk}-char length bands, paired with their doc_id
+    successor inside the block — one candidate per doc, never
+    quadratic) that the minhash pass did NOT flag: superficially
+    similar, semantically distinct — exactly the pairs that teach a
+    model the boundary. Both classes carry the EXACT word-set Jaccard
+    as the supervision signal, so the label quality is hash-checked,
+    and a consumer can re-threshold without re-mining.
+
+    Scale shape: positives inherit banded minhash's linearity;
+    negative mining is one lead() window per (source, length-block)
+    partition — one candidate pair per document by construction — and
+    the exact Jaccard join runs only on mined pairs. [[corpus_sft_pair_synth]]
+    builds generative pairs; this builds the discriminative set."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = tables(spark, sf_dir)
+    pos = QUERIES["dedup_minhash"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    wsets = t.documents.select(
+        "doc_id", F.array_distinct(words()).alias("ws")
+    ).localCheckpoint(eager=True)
+    wneg = Window.partitionBy(
+        "source", F.floor(F.col("n_chars") / _CONTRAST_LEN_BLOCK)
+    ).orderBy("doc_id")
+    neg = (
+        t.documents.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id").over(wneg).alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+        .join(pos, ["doc_a", "doc_b"], "left_anti")
+    )
+    pairs = pos.withColumn("pair_type", F.lit("pos")).unionByName(
+        neg.withColumn("pair_type", F.lit("neg"))
+    )
+    wa = wsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa")
+    )
+    wb = wsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb")
+    )
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size(F.array_distinct(F.concat(F.col("wa"), F.col("wb"))))
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(union > 0)
+        .select(
+            "pair_type",
+            "doc_a",
+            "doc_b",
+            rnd(inter * 1.0 / union, 6).alias("jaccard"),
+        )
+    )
+
+
+corpus_contrastive_pair_mining.__doc__ = (
+    corpus_contrastive_pair_mining.__doc__.replace(
+        "{blk}", str(_CONTRAST_LEN_BLOCK)
+    )
+)

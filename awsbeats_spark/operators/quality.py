@@ -1868,3 +1868,106 @@ def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, expected_type string, actual_type string,"
         " ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson's paradox probe: stratified vs pooled metric comparison
+# --------------------------------------------------------------------------
+
+_SIMPSON_SEG_A = "BUILDING"
+_SIMPSON_SEG_B = "MACHINERY"
+
+
+@query(
+    "dq_simpsons_paradox_probe",
+    oracle=f"""
+    WITH j AS (
+        SELECT o.o_orderpriority AS stratum, c.c_mktsegment AS seg,
+               o.o_totalprice AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('{_SIMPSON_SEG_A}', '{_SIMPSON_SEG_B}')
+    ),
+    per AS (
+        SELECT stratum,
+               count(*) FILTER (seg = '{_SIMPSON_SEG_A}') AS n_a,
+               count(*) FILTER (seg = '{_SIMPSON_SEG_B}') AS n_b,
+               avg(v) FILTER (seg = '{_SIMPSON_SEG_A}') AS avg_a,
+               avg(v) FILTER (seg = '{_SIMPSON_SEG_B}') AS avg_b
+        FROM j GROUP BY stratum
+    ),
+    pooled AS (
+        SELECT avg(v) FILTER (seg = '{_SIMPSON_SEG_A}')
+               > avg(v) FILTER (seg = '{_SIMPSON_SEG_B}') AS pooled_a_wins
+        FROM j
+    )
+    SELECT p.stratum,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           round(p.avg_a, 4) AS avg_a, round(p.avg_b, 4) AS avg_b,
+           p.avg_a > p.avg_b AS a_wins,
+           (p.avg_a > p.avg_b) <> q.pooled_a_wins AS reversed_vs_pooled
+    FROM per p, pooled q
+    WHERE p.n_a > 0 AND p.n_b > 0
+    """,
+)
+def dq_simpsons_paradox_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox probe — the aggregation-literacy gate every
+    metrics platform needs: compare two cohorts' average order value
+    WITHIN each stratum (order priority) next to the POOLED verdict,
+    and flag strata whose winner contradicts the pooled winner. When
+    reversed_vs_pooled fires on most strata, the pooled number is a
+    mix-effect artifact (the cohorts load different strata), not a
+    real difference — the classic way a dashboard misleads at any
+    scale ([[events_ab_srm_check]] catches broken randomization;
+    this catches broken AGGREGATION). Strata where either cohort is
+    absent are excluded: no comparison exists.
+
+    Scale shape: one broadcast dim join, one stratum-grain conditional
+    aggregate (map-side partial), one one-row pooled aggregate
+    broadcast back — two scans of the fact table, nothing else."""
+    t = tables(spark, sf_dir)
+    j = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select("c_custkey", "c_mktsegment")
+            ),
+            t.orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .filter(
+            F.col("c_mktsegment").isin(_SIMPSON_SEG_A, _SIMPSON_SEG_B)
+        )
+        .select(
+            F.col("o_orderpriority").alias("stratum"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    is_a = F.col("seg") == _SIMPSON_SEG_A
+    is_b = F.col("seg") == _SIMPSON_SEG_B
+    per = j.groupBy("stratum").agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(is_a, F.col("v"))).alias("avg_a_raw"),
+        F.avg(F.when(is_b, F.col("v"))).alias("avg_b_raw"),
+    )
+    pooled = j.agg(
+        (
+            F.avg(F.when(is_a, F.col("v")))
+            > F.avg(F.when(is_b, F.col("v")))
+        ).alias("pooled_a_wins")
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "stratum",
+            "n_a",
+            "n_b",
+            rnd(F.col("avg_a_raw"), 4).alias("avg_a"),
+            rnd(F.col("avg_b_raw"), 4).alias("avg_b"),
+            (F.col("avg_a_raw") > F.col("avg_b_raw")).alias("a_wins"),
+            (
+                (F.col("avg_a_raw") > F.col("avg_b_raw"))
+                != F.col("pooled_a_wins")
+            ).alias("reversed_vs_pooled"),
+        )
+    )

@@ -368,6 +368,8 @@ EXTENDED_PROBE = [
     "agg_median_two_pass_binned",
     "sample_md5_threshold",
     "eval_pq_rank_quality",
+    "corpus_contrastive_pair_mining",
+    "dq_simpsons_paradox_probe",
 ]
 
 
