@@ -387,6 +387,8 @@ _ROUND9_WINDOW = [
     "eval_pq_rank_quality",
     "corpus_contrastive_pair_mining",
     "dq_simpsons_paradox_probe",
+    "corpus_dedup_apply_chain",
+    "agg_eta_squared_by_keys",
 ]
 
 

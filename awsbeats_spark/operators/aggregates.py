@@ -2089,3 +2089,104 @@ def agg_median_two_pass_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_median_two_pass_binned.__doc__ = (
     agg_median_two_pass_binned.__doc__.replace("{bins}", str(_MED2_BINS))
 )
+
+
+# --------------------------------------------------------------------------
+# Eta-squared by candidate dimension (variance-explained scan)
+# --------------------------------------------------------------------------
+
+_ETA_DIMS_SQL = """
+        SELECT 'event_type' AS dim, event_type AS dv, value AS v
+        FROM events
+        UNION ALL
+        SELECT 'hour_of_day', CAST(hour(ts) AS VARCHAR), value FROM events
+        UNION ALL
+        SELECT 'user_bucket', CAST(user_id % 10 AS VARCHAR), value
+        FROM events
+"""
+
+
+@query(
+    "agg_eta_squared_by_keys",
+    oracle=f"""
+    WITH tot AS (
+        SELECT count(*) AS n, sum(value) AS s,
+               sum(value * value) AS ss
+        FROM events
+    ),
+    dims AS ({_ETA_DIMS_SQL}),
+    g AS (
+        SELECT dim, dv, count(*) AS ng, sum(v) AS sg
+        FROM dims GROUP BY dim, dv
+    ),
+    per_dim AS (
+        SELECT dim, count(*) AS n_groups,
+               sum(sg * sg / ng) AS sum_gsq
+        FROM g GROUP BY dim
+    )
+    SELECT p.dim AS dimension,
+           CAST(p.n_groups AS BIGINT) AS n_groups,
+           round((p.sum_gsq - t.s * t.s / t.n)
+                 / (t.ss - t.s * t.s / t.n), 6) AS eta_squared
+    FROM per_dim p, tot t
+    """,
+)
+def agg_eta_squared_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-explained scan — which dimension matters: eta-squared
+    (SS_between / SS_total, the ANOVA effect size) of the event value
+    against every candidate grouping dimension (type, hour-of-day,
+    user bucket) in ONE unpivoted pass. This is the feature-selection
+    triage a metrics/ML platform runs before building per-dimension
+    dashboards or one-hot features: a dimension with eta-squared near
+    0 explains nothing and costs cardinality. [[ts_dow_anova]] tests
+    ONE dimension's significance; this RANKS candidates by effect
+    size, from group sums alone (sum(sg^2/ng) - s^2/n — no per-row
+    second pass).
+
+    Scale shape: the fact table unpivots to (dim, value) rows — 3x
+    map-side fan-out, no shuffle — then one (dim, group) fold and one
+    dim-grain reshape; the grand totals are a one-row broadcast. New
+    candidate dimensions are one more UNION arm on the same scan."""
+    t = tables(spark, sf_dir)
+    tot = t.events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    dims = (
+        t.events.select(
+            F.lit("event_type").alias("dim"),
+            F.col("event_type").alias("dv"),
+            F.col("value").alias("v"),
+        )
+        .unionAll(
+            t.events.select(
+                F.lit("hour_of_day").alias("dim"),
+                F.hour("ts").cast("string").alias("dv"),
+                F.col("value").alias("v"),
+            )
+        )
+        .unionAll(
+            t.events.select(
+                F.lit("user_bucket").alias("dim"),
+                (F.col("user_id") % 10).cast("string").alias("dv"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    g = dims.groupBy("dim", "dv").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("v").alias("sg")
+    )
+    per_dim = g.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("sum_gsq"),
+    )
+    return per_dim.crossJoin(F.broadcast(tot)).select(
+        F.col("dim").alias("dimension"),
+        "n_groups",
+        rnd(
+            (F.col("sum_gsq") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("ss") - F.col("s") * F.col("s") / F.col("n")),
+            6,
+        ).alias("eta_squared"),
+    )

@@ -1342,3 +1342,104 @@ corpus_contrastive_pair_mining.__doc__ = (
         "{blk}", str(_CONTRAST_LEN_BLOCK)
     )
 )
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup chain: exact keep-first, then near-dup CC keep-min
+# --------------------------------------------------------------------------
+
+
+def _dedup_chain_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    cc = QUERIES["dedup_connected_components"].oracle
+    return f"""
+    WITH cc AS ({cc}),
+    exact_kept AS (
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM documents
+        ) WHERE doc_id = keeper
+    ),
+    final_kept AS (
+        SELECT e.doc_id, e.source
+        FROM exact_kept e
+        LEFT JOIN cc ON cc.doc_id = e.doc_id
+        WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(e.doc_id) AS BIGINT) AS n_after_exact,
+           CAST(count(f.doc_id) AS BIGINT) AS n_final,
+           round(count(f.doc_id) / CAST(count(*) AS DOUBLE), 6)
+               AS retention
+    FROM documents d
+    LEFT JOIN exact_kept e ON e.doc_id = d.doc_id
+    LEFT JOIN final_kept f ON f.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "corpus_dedup_apply_chain",
+    oracle=_dedup_chain_oracle(),
+    tags=("dedup", "corpus"),
+)
+def corpus_dedup_apply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup chain APPLIED — the manifest a training run actually
+    consumes: stage 1 drops exact duplicates (md5 content groups keep
+    their lowest doc_id — this also covers documents too short to
+    shingle), stage 2 drops near-duplicates by keeping only each
+    [[dedup_connected_components]] cluster's canonical (min) member —
+    which is guaranteed to have survived stage 1, because exact
+    duplicates share shingle sets and therefore sit in the same
+    component as their group minimum. Reported per source: original,
+    after-exact, and final counts with the retention ratio
+    ([[corpus_dedup_impact_report]] measures the same chain's token
+    impact; this op emits the survivorship accounting that the
+    sampler downstream joins against).
+
+    Scale shape: stage 1 is one window over the content-hash
+    partition (group size = duplicate count, tiny); stage 2 is the
+    registered CC op's own bounded label propagation plus two hash
+    anti-joins at doc grain; accounting is one source-grain fold."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = tables(spark, sf_dir)
+    cc = QUERIES["dedup_connected_components"].fn(spark, sf_dir)
+    wfp = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        t.documents.select(
+            "doc_id", "source",
+            F.min("doc_id").over(wfp).alias("keeper"),
+        )
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source")
+    )
+    dropped_near = cc.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    final_kept = exact_kept.join(dropped_near, "doc_id", "left_anti")
+    base = t.documents.select("doc_id", "source")
+    return (
+        base.join(
+            exact_kept.select("doc_id").withColumn("e", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            final_kept.select("doc_id").withColumn("f", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("e").cast("long").alias("n_after_exact"),
+            F.count("f").cast("long").alias("n_final"),
+            rnd(
+                F.count("f") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("retention"),
+        )
+    )
