@@ -2252,3 +2252,76 @@ corpus_length_bucket_batching.__doc__ = (
         "{edge}", str(_LENBUCKET_EDGE)
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Packing efficiency audit of the registered token packer
+# --------------------------------------------------------------------------
+
+
+def _pack_eff_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    pack = QUERIES["corpus_token_pack"].oracle
+    return f"""
+    WITH packed AS ({pack}),
+    per_pack AS (
+        SELECT source, pack_id, sum(n_tokens) AS pack_tokens
+        FROM packed GROUP BY source, pack_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           round(avg(pack_tokens / {_PACK_BUDGET}.0), 6) AS mean_fill,
+           round(avg(greatest(pack_tokens - {_PACK_BUDGET}, 0)), 4)
+               AS mean_overflow_tokens,
+           CAST(max(greatest(pack_tokens - {_PACK_BUDGET}, 0)) AS BIGINT)
+               AS max_overflow_tokens
+    FROM per_pack GROUP BY source
+    """
+
+
+@query(
+    "eval_token_pack_efficiency",
+    oracle=_pack_eff_oracle(),
+    tags=("corpus", "eval"),
+)
+def eval_token_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured packing efficiency of [[corpus_token_pack]] — the
+    design-audit twin for the offset-based packer: per source, the
+    mean fill ratio against the {budget}-token budget and the mean /
+    max overflow (offset packing lets the last document of a pack
+    spill past the budget by construction; this op MEASURES how much
+    that costs on the real corpus instead of asserting 'at most one
+    document'). A mean fill near 1.0 with small overflow vindicates
+    the single-window-cumsum design over sequential first-fit; a fat
+    overflow tail would argue for the chunker upstream. Composes the
+    registered packer's own oracle — zero drift
+    ([[eval_chunk_overlap_vs_disjoint]] discipline).
+
+    Scale shape: the packer's one cumsum window, then a (source,
+    pack) fold and a source-grain reshape — same single shuffle as
+    the op under audit."""
+    from awsbeats_spark.registry import QUERIES
+
+    packed = QUERIES["corpus_token_pack"].fn(spark, sf_dir)
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    over = F.greatest(
+        F.col("pack_tokens") - _PACK_BUDGET, F.lit(0)
+    )
+    return per_pack.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        rnd(F.avg(F.col("pack_tokens") / float(_PACK_BUDGET)), 6).alias(
+            "mean_fill"
+        ),
+        rnd(F.avg(over), 4).alias("mean_overflow_tokens"),
+        F.max(over).cast("long").alias("max_overflow_tokens"),
+    )
+
+
+eval_token_pack_efficiency.__doc__ = (
+    eval_token_pack_efficiency.__doc__.replace(
+        "{budget}", str(_PACK_BUDGET)
+    )
+)

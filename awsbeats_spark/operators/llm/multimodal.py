@@ -2074,3 +2074,150 @@ multimodal_audio_active_segments.__doc__ = (
         "{win}", str(_AUDIO_WIN)
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Spatial autocorrelation (Moran's I, rook adjacency) on decoded pixels
+# --------------------------------------------------------------------------
+
+_GREEN_K = "((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + 1"
+
+
+@query(
+    "multimodal_bmp_spatial_autocorr",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS wd,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht,
+               ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4) * 4
+                   AS stride
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+          AND octet_length(encode(text)) > 0
+    ),
+    sums AS (
+        SELECT doc_id, wd, ht,
+               CAST(ht * (wd - 1) + (ht - 1) * wd AS BIGINT) AS n_pairs,
+               list_sum(list_transform(generate_series(1, wd * ht), j ->
+                   {_BYTE_SQL.format(k=_GREEN_K)})) AS s,
+               list_sum(list_transform(generate_series(1, wd * ht), j ->
+                   pow({_BYTE_SQL.format(k=_GREEN_K)}, 2))) AS ss,
+               list_sum(list_transform(generate_series(0, ht - 1),
+                   r -> list_sum(list_transform(generate_series(0, wd - 2),
+                       c -> {_BYTE_SQL.format(k="r * stride + 3 * c + 1")}
+                          * {_BYTE_SQL.format(k="r * stride + 3 * c + 4")}
+                   )))) AS ph,
+               list_sum(list_transform(generate_series(0, ht - 2),
+                   r -> list_sum(list_transform(generate_series(0, wd - 1),
+                       c -> {_BYTE_SQL.format(k="r * stride + 3 * c + 1")}
+                          * {_BYTE_SQL.format(k="(r + 1) * stride + 3 * c + 1")}
+                   )))) AS pv,
+               list_sum(list_transform(generate_series(0, ht - 1),
+                   r -> list_sum(list_transform(generate_series(0, wd - 2),
+                       c -> {_BYTE_SQL.format(k="r * stride + 3 * c + 1")}
+                          + {_BYTE_SQL.format(k="r * stride + 3 * c + 4")}
+                   )))) AS th,
+               list_sum(list_transform(generate_series(0, ht - 2),
+                   r -> list_sum(list_transform(generate_series(0, wd - 1),
+                       c -> {_BYTE_SQL.format(k="r * stride + 3 * c + 1")}
+                          + {_BYTE_SQL.format(k="(r + 1) * stride + 3 * c + 1")}
+                   )))) AS tv
+        FROM p
+    )
+    SELECT doc_id, CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+           round(
+               (CAST(wd * ht AS DOUBLE) / n_pairs)
+               * ((ph + pv)
+                  - (s / CAST(wd * ht AS DOUBLE)) * (th + tv)
+                  + n_pairs * (s / CAST(wd * ht AS DOUBLE))
+                            * (s / CAST(wd * ht AS DOUBLE)))
+               / (ss - s * s / CAST(wd * ht AS DOUBLE)),
+           6) AS morans_i
+    FROM sums
+    WHERE ss - s * s / CAST(wd * ht AS DOUBLE) > 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_bmp_spatial_autocorr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spatial autocorrelation of each REALLY-decoded image's green
+    channel — Moran's I under rook (4-neighbor) adjacency, the classic
+    texture/smoothness statistic: I near +1 means neighboring pixels
+    agree (smooth gradients, real photographs), near 0 means spatial
+    noise (synthetic or encrypted payloads masquerading as images —
+    this op is a steganography/garbage screen), negative means
+    checkerboarding. Complements [[multimodal_image_edge_density]]
+    (gradient energy) and [[multimodal_image_histogram_entropy]]
+    (tonal diversity) with the SPATIAL-structure axis. All five
+    component sums (value, square, horizontal/vertical neighbor
+    products and endpoint sums) are exact integers over the pixel
+    grid, so the closed-form I — (N/W) * [P - m*T + W*m^2] / (SS -
+    S^2/N) — is bit-identical to the oracle's hex-nibble recompute;
+    constant images (zero variance) are excluded, I being undefined.
+
+    Scale shape: one Arrow mapInPandas decode pass, numpy does the
+    O(w*h) products per image, one row out per image — embarrassingly
+    parallel, no shuffle."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 0) & (F.octet_length("payload") > 0)
+    )
+
+    def moran(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(raw)
+                meta = decode_media(bmp)  # real header parse
+                w, h = meta["width"], meta["height"]
+                stride = ((3 * w + 3) // 4) * 4
+                px = np.frombuffer(
+                    bmp, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                g = px[:, 1 : 3 * w : 3].astype(np.int64)
+                n = w * h
+                n_pairs = h * (w - 1) + (h - 1) * w
+                s = int(g.sum())
+                ss = int((g * g).sum())
+                ph = int((g[:, :-1] * g[:, 1:]).sum())
+                pv = int((g[:-1, :] * g[1:, :]).sum())
+                th = int((g[:, :-1] + g[:, 1:]).sum())
+                tv = int((g[:-1, :] + g[1:, :]).sum())
+                rows.append(
+                    (doc_id, w, h, n, n_pairs, s, ss, ph, pv, th, tv)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n", "n_pairs",
+                    "s", "ss", "ph", "pv", "th", "tv",
+                ],
+            )
+
+    sums = src.mapInPandas(
+        moran,
+        "doc_id bigint, width int, height int, n bigint, n_pairs bigint,"
+        " s bigint, ss bigint, ph bigint, pv bigint, th bigint, tv bigint",
+    )
+    m = F.col("s") / F.col("n").cast("double")
+    denom = F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast(
+        "double"
+    )
+    num = (
+        (F.col("ph") + F.col("pv"))
+        - m * (F.col("th") + F.col("tv"))
+        + F.col("n_pairs") * m * m
+    )
+    return sums.filter(denom > 0).select(
+        "doc_id",
+        "width",
+        "height",
+        rnd(
+            (F.col("n").cast("double") / F.col("n_pairs")) * num / denom, 6
+        ).alias("morans_i"),
+    )

@@ -372,6 +372,8 @@ EXTENDED_PROBE = [
     "dq_simpsons_paradox_probe",
     "corpus_dedup_apply_chain",
     "agg_eta_squared_by_keys",
+    "multimodal_bmp_spatial_autocorr",
+    "eval_token_pack_efficiency",
 ]
 
 
