@@ -2190,3 +2190,75 @@ def agg_eta_squared_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("eta_squared"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted Pearson correlation (importance-weighted moments)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS flag,
+               sum(l_extendedprice) AS w,
+               sum(l_extendedprice * l_discount) AS wx,
+               sum(l_extendedprice * l_quantity) AS wy,
+               sum(l_extendedprice * l_discount * l_discount) AS wxx,
+               sum(l_extendedprice * l_quantity * l_quantity) AS wyy,
+               sum(l_extendedprice * l_discount * l_quantity) AS wxy,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((wxy / w - (wx / w) * (wy / w))
+                 / (sqrt(wxx / w - (wx / w) * (wx / w))
+                    * sqrt(wyy / w - (wy / w) * (wy / w))), 6)
+               AS weighted_corr,
+           round((wx / w), 6) AS weighted_mean_discount,
+           round((wy / w), 4) AS weighted_mean_quantity
+    FROM m
+    WHERE wxx / w - (wx / w) * (wx / w) > 0
+      AND wyy / w - (wy / w) * (wy / w) > 0
+    """,
+)
+def agg_weighted_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Pearson correlation — discount vs quantity
+    with every lineitem weighted by its revenue (a dollar-weighted
+    relationship, the estimator finance and ads measurement actually
+    report: unweighted corr treats a $9 line like a $90k one;
+    [[agg_corr_stats]] is the unweighted twin). Computed entirely from
+    weighted raw moments (sum w, swx, swy, swxx, swyy, swxy) in ONE
+    keyed fold — the textbook cov_w / (sd_w sd_w) identity — so the
+    estimator is mergeable and map-side-partial like any sum. Groups
+    with zero weighted variance are excluded (correlation undefined).
+
+    Scale shape: one pass, one shuffle at group grain, six sums per
+    group — the weighted estimator costs exactly what the unweighted
+    one does."""
+    t = tables(spark, sf_dir)
+    w = F.col("l_extendedprice")
+    x = F.col("l_discount")
+    y = F.col("l_quantity")
+    m = t.lineitem.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(w).alias("w"),
+        F.sum(w * x).alias("wx"),
+        F.sum(w * y).alias("wy"),
+        F.sum(w * x * x).alias("wxx"),
+        F.sum(w * y * y).alias("wyy"),
+        F.sum(w * x * y).alias("wxy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mx = F.col("wx") / F.col("w")
+    my = F.col("wy") / F.col("w")
+    vx = F.col("wxx") / F.col("w") - mx * mx
+    vy = F.col("wyy") / F.col("w") - my * my
+    cov = F.col("wxy") / F.col("w") - mx * my
+    return m.filter((vx > 0) & (vy > 0)).select(
+        "flag",
+        "n",
+        rnd(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("weighted_corr"),
+        rnd(mx, 6).alias("weighted_mean_discount"),
+        rnd(my, 4).alias("weighted_mean_quantity"),
+    )

@@ -1971,3 +1971,63 @@ def dq_simpsons_paradox_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reversed_vs_pooled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rare-category audit: levels below the support floor
+# --------------------------------------------------------------------------
+
+_RARE_SUPPORT = 0.0065  # minimum level share before consolidation
+
+
+@query(
+    "dq_rare_category_audit",
+    oracle=f"""
+    WITH levels AS (
+        SELECT p_brand || '/' || p_type AS level, count(*) AS n
+        FROM part GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_levels FROM levels)
+    SELECT l.level,
+           CAST(l.n AS BIGINT) AS n,
+           round(l.n / CAST(t.total AS DOUBLE), 6) AS share,
+           l.n / CAST(t.total AS DOUBLE) < {_RARE_SUPPORT} AS is_rare
+    FROM levels l, tot t
+    """,
+)
+def dq_rare_category_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category audit — the feature-engineering gate before
+    one-hot/target encoding: every level of a high-cardinality
+    categorical (the brand x type composite, 150 levels) with its
+    support share and the is_rare verdict against the 0.65% floor. Rare
+    levels become 'OTHER' downstream: they carry no statistical
+    signal, blow up encoded width, and (in target encoding) leak
+    label noise — this table is the consolidation contract, versioned
+    with the data rather than hardcoded in the model repo
+    ([[profile_columns]] says what columns look like;
+    [[dq_constraint_violations]] checks values; this decides the
+    encodable vocabulary).
+
+    Scale shape: one level-grain fold (map-side partial), a one-row
+    total broadcast — the audit costs one scan at any cardinality,
+    and the output is level-grain (bounded by the vocabulary, not
+    the row count)."""
+    t = tables(spark, sf_dir)
+    levels = t.part.groupBy(
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias(
+            "level"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = levels.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_levels")
+    )
+    share = F.col("n") / F.col("total").cast("double")
+    return levels.crossJoin(F.broadcast(tot)).select(
+        "level",
+        F.col("n").cast("long").alias("n"),
+        rnd(share, 6).alias("share"),
+        (share < _RARE_SUPPORT).alias("is_rare"),
+    )
+
+
+

@@ -612,3 +612,63 @@ def scalar_bitmask_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.shiftright(m, 3).bitwiseAND(1)).cast("int").alias("is_recent"),
         m.bitwiseXOR(15).alias("inverted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic surrogate keys (UUIDv5-style from content hash)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_surrogate_key_uuid5",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS d
+        FROM documents
+    )
+    SELECT doc_id,
+           substring(d, 1, 8) || '-' || substring(d, 9, 4) || '-5'
+           || substring(d, 14, 3) || '-'
+           || CASE CAST(('0x' || substring(d, 17, 1))::BIGINT % 4 AS INT)
+                  WHEN 0 THEN '8' WHEN 1 THEN '9'
+                  WHEN 2 THEN 'a' ELSE 'b' END
+           || substring(d, 18, 3) || '-' || substring(d, 21, 12)
+               AS surrogate_uuid
+    FROM h
+    """,
+)
+def scalar_surrogate_key_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting — UUIDv5-style identifiers
+    derived from a namespaced content hash ('doc:' + natural key →
+    md5, with the version nibble pinned to 5 and the variant nibble
+    folded into 8/9/a/b per RFC 4122 layout): the ETL primitive that
+    gives every entity a STABLE, collision-resistant, join-safe id
+    with no sequence generator, no coordination, and no
+    run-to-run drift — uuid()/monotonically_increasing_id() keys
+    cannot be reproduced, so they break idempotent re-loads and
+    cross-engine reconciliation; content-addressed keys are this
+    engine's house discipline applied to identity itself. The same
+    natural key always mints the same surrogate on Spark, DuckDB, or
+    anything with md5.
+
+    Scale shape: pure map-side string expression — whole-stage
+    codegen, no UDF, no shuffle, no state."""
+    t = tables(spark, sf_dir)
+    d = F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    variant = (
+        F.conv(F.substring(d, 17, 1), 16, 10).cast("int") % 4
+    )
+    uuid = F.concat(
+        F.substring(d, 1, 8), F.lit("-"),
+        F.substring(d, 9, 4), F.lit("-5"),
+        F.substring(d, 14, 3), F.lit("-"),
+        F.when(variant == 0, F.lit("8"))
+        .when(variant == 1, F.lit("9"))
+        .when(variant == 2, F.lit("a"))
+        .otherwise(F.lit("b")),
+        F.substring(d, 18, 3), F.lit("-"),
+        F.substring(d, 21, 12),
+    )
+    return t.documents.select(
+        "doc_id", uuid.alias("surrogate_uuid")
+    )

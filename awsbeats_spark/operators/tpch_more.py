@@ -1467,3 +1467,73 @@ supplier_scorecard_composite.__doc__ = (
         "{top}", str(_SCORECARD_TOP)
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Basket-size distribution (order width histogram with value overlay)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_basket_size_histogram",
+    oracle="""
+    WITH widths AS (
+        SELECT o.o_orderkey, count(l.l_orderkey) AS n_lines,
+               any_value(o.o_totalprice) AS price
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    )
+    SELECT CAST(n_lines AS INT) AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(price), 4) AS avg_order_value,
+           round(count(*) * 1.0 / (SELECT count(*) FROM widths), 6)
+               AS share
+    FROM widths GROUP BY n_lines
+    """,
+    tags=("tpch",),
+)
+def orders_basket_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution — the merchandising 101 table: how
+    many lineitems orders carry (INCLUDING zero-line orders, which the
+    LEFT join keeps and an inner join would silently drop — the same
+    itemless orders [[eval_reco_holdout_hitrate]] had to exclude), and
+    whether wide baskets are worth more (avg order value overlaid per
+    width). The share column makes it a probability mass function a
+    capacity model consumes directly.
+
+    Scale shape: one fact-side count aggregate keyed by order (the
+    join is key-to-key, no fan-out beyond true lines-per-order), one
+    histogram fold at basket-size grain, one one-row total broadcast
+    for the share."""
+    t = tables(spark, sf_dir)
+    widths = (
+        t.orders.join(
+            t.lineitem,
+            t.orders["o_orderkey"] == t.lineitem["l_orderkey"],
+            "left",
+        )
+        .groupBy(t.orders["o_orderkey"])
+        .agg(
+            F.count(t.lineitem["l_orderkey"]).alias("n_lines"),
+            F.any_value(F.col("o_totalprice")).alias("price"),
+        )
+    )
+    tot = widths.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        widths.groupBy(F.col("n_lines").cast("int").alias("basket_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            rnd(F.avg("price"), 4).alias("avg_order_value"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "basket_size",
+            "n_orders",
+            "avg_order_value",
+            rnd(F.col("n_orders") / F.col("n_total").cast("double"), 6)
+            .alias("share"),
+        )
+    )

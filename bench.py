@@ -374,6 +374,10 @@ EXTENDED_PROBE = [
     "agg_eta_squared_by_keys",
     "multimodal_bmp_spatial_autocorr",
     "eval_token_pack_efficiency",
+    "scalar_surrogate_key_uuid5",
+    "orders_basket_size_histogram",
+    "dq_rare_category_audit",
+    "agg_weighted_corr",
 ]
 
 
