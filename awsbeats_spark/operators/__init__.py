@@ -395,6 +395,7 @@ _ROUND9_WINDOW = [
     "orders_basket_size_histogram",
     "dq_rare_category_audit",
     "agg_weighted_corr",
+    "agg_pythagorean_means",
 ]
 
 

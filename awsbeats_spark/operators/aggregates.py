@@ -2262,3 +2262,50 @@ def agg_weighted_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(mx, 6).alias("weighted_mean_discount"),
         rnd(my, 4).alias("weighted_mean_quantity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pythagorean means (arithmetic / geometric / harmonic) per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_pythagorean_means",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS mean_arith,
+           round(exp(avg(ln(value))), 4) AS mean_geom,
+           round(count(*) / sum(1.0 / value), 4) AS mean_harm
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group — because averaging the
+    WRONG way is the most common silent metrics bug: rates and speeds
+    average harmonically (mean of 10 req/s and 1000 req/s throughput
+    over equal work is ~19.8, not 505), multiplicative growth factors
+    average geometrically, and only additive quantities average
+    arithmetically. Emitting all three side by side per group makes
+    the AM >= GM >= HM inequality visible in the data and gives the
+    dashboard the right one to pick. Geometric mean is computed as
+    exp(mean(ln x)) — the log-sum form that is map-side mergeable and
+    overflow-proof where a naive product of a billion values is not;
+    harmonic as n / sum(1/x). Non-positive values are excluded (GM/HM
+    undefined), visibly via n.
+
+    Scale shape: one keyed fold carrying three sums — identical cost
+    to a plain avg; the log/reciprocal transforms are row-local
+    codegen."""
+    t = tables(spark, sf_dir)
+    pos = t.events.filter(F.col("value") > 0)
+    return pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        rnd(F.avg("value"), 4).alias("mean_arith"),
+        rnd(F.exp(F.avg(F.log("value"))), 4).alias("mean_geom"),
+        rnd(
+            F.count(F.lit(1)) / F.sum(1.0 / F.col("value")), 4
+        ).alias("mean_harm"),
+    )

@@ -378,6 +378,7 @@ EXTENDED_PROBE = [
     "orders_basket_size_histogram",
     "dq_rare_category_audit",
     "agg_weighted_corr",
+    "agg_pythagorean_means",
 ]
 
 

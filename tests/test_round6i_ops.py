@@ -107,3 +107,26 @@ def test_weighted_corr_matches_numpy(run, sf_dir):
         assert r["weighted_mean_discount"] == pytest.approx(mx, abs=2e-6)
         assert r["weighted_mean_quantity"] == pytest.approx(my, abs=2e-4)
         assert -1 - 1e-9 <= r["weighted_corr"] <= 1 + 1e-9
+
+
+def test_pythagorean_means_match_numpy(run, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pos = ev[ev["value"] > 0]
+    out = run("agg_pythagorean_means").set_index("event_type")
+    for tp, g in pos.groupby("event_type"):
+        v = g["value"].to_numpy()
+        r = out.loc[tp]
+        assert r["n"] == len(v)
+        assert r["mean_arith"] == pytest.approx(v.mean(), abs=2e-4)
+        assert r["mean_geom"] == pytest.approx(
+            float(np.exp(np.log(v).mean())), abs=2e-4
+        )
+        assert r["mean_harm"] == pytest.approx(
+            len(v) / (1.0 / v).sum(), abs=2e-4
+        )
+        # AM >= GM >= HM
+        assert (
+            r["mean_arith"] + 1e-9
+            >= r["mean_geom"]
+            >= r["mean_harm"] - 1e-9
+        )
