@@ -396,6 +396,8 @@ _ROUND9_WINDOW = [
     "dq_rare_category_audit",
     "agg_weighted_corr",
     "agg_pythagorean_means",
+    "events_kpi_daily_snapshot",
+    "q_revenue_bridge_decomposition",
 ]
 
 

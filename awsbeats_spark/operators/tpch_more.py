@@ -1537,3 +1537,110 @@ def orders_basket_size_histogram(
             .alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue bridge: price / volume / mix decomposition between years
+# --------------------------------------------------------------------------
+
+_BRIDGE_Y0 = 1997
+_BRIDGE_Y1 = 1998
+
+
+@query(
+    "q_revenue_bridge_decomposition",
+    oracle=f"""
+    WITH base AS (
+        SELECT p.p_type AS ptype,
+               year(o.o_orderdate) AS y,
+               sum(l.l_quantity) AS q,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(o.o_orderdate) IN ({_BRIDGE_Y0}, {_BRIDGE_Y1})
+        GROUP BY p.p_type, year(o.o_orderdate)
+    ),
+    wide AS (
+        SELECT ptype,
+               max(CASE WHEN y = {_BRIDGE_Y0} THEN q END) AS q0,
+               max(CASE WHEN y = {_BRIDGE_Y0} THEN rev END) AS r0,
+               max(CASE WHEN y = {_BRIDGE_Y1} THEN q END) AS q1,
+               max(CASE WHEN y = {_BRIDGE_Y1} THEN rev END) AS r1
+        FROM base GROUP BY ptype
+    )
+    SELECT ptype,
+           round(r0, 2) AS rev_base, round(r1, 2) AS rev_next,
+           round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+           round((r1 / q1 - r0 / q0) * q0, 2) AS price_effect,
+           round((q1 - q0) * (r1 / q1 - r0 / q0), 2) AS mix_effect,
+           round(r1 - r0, 2) AS delta_total
+    FROM wide
+    WHERE q0 > 0 AND q1 > 0
+    """,
+    tags=("tpch",),
+)
+def q_revenue_bridge_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue bridge — the FP&A decomposition that explains a
+    year-over-year revenue move as volume effect ((Q1-Q0)·P0), price
+    effect ((P1-P0)·Q0) and the interaction/mix term
+    ((Q1-Q0)·(P1-P0)), per part type between {y0} and {y1}, where P
+    is the realized (discounted) unit price rev/qty. The three
+    effects sum EXACTLY to delta_total by construction — the identity
+    a finance reviewer checks first, and here it is hash-checked
+    across engines rather than asserted ([[q_discount_elasticity]]
+    estimates the demand curve; this op explains the realized P&L).
+    Types absent in either year are excluded (no bridge exists).
+
+    Scale shape: one fact scan with the year predicate pushed to the
+    parquet reader, dims broadcast, a (type, year) fold, then a 6-row
+    pivot — the decomposition itself is row-local arithmetic."""
+    t = tables(spark, sf_dir)
+    base = (
+        t.lineitem.join(
+            t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"]
+        )
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            t.lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(F.year("o_orderdate").isin(_BRIDGE_Y0, _BRIDGE_Y1))
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev"),
+        )
+    )
+    wide = base.groupBy("ptype").agg(
+        F.max(F.when(F.col("y") == _BRIDGE_Y0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("y") == _BRIDGE_Y0, F.col("rev"))).alias("r0"),
+        F.max(F.when(F.col("y") == _BRIDGE_Y1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("y") == _BRIDGE_Y1, F.col("rev"))).alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return wide.filter((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "ptype",
+        rnd(F.col("r0"), 2).alias("rev_base"),
+        rnd(F.col("r1"), 2).alias("rev_next"),
+        rnd((F.col("q1") - F.col("q0")) * p0, 2).alias("volume_effect"),
+        rnd((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
+        rnd((F.col("q1") - F.col("q0")) * (p1 - p0), 2).alias(
+            "mix_effect"
+        ),
+        rnd(F.col("r1") - F.col("r0"), 2).alias("delta_total"),
+    )
+
+
+q_revenue_bridge_decomposition.__doc__ = (
+    q_revenue_bridge_decomposition.__doc__
+    .replace("{y0}", str(_BRIDGE_Y0))
+    .replace("{y1}", str(_BRIDGE_Y1))
+)

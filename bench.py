@@ -379,6 +379,8 @@ EXTENDED_PROBE = [
     "dq_rare_category_audit",
     "agg_weighted_corr",
     "agg_pythagorean_means",
+    "events_kpi_daily_snapshot",
+    "q_revenue_bridge_decomposition",
 ]
 
 
