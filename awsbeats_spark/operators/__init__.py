@@ -398,6 +398,9 @@ _ROUND9_WINDOW = [
     "agg_pythagorean_means",
     "events_kpi_daily_snapshot",
     "q_revenue_bridge_decomposition",
+    "events_ab_sequential_sprt",
+    "graph_transition_reciprocity",
+    "events_sessions_per_user_hist",
 ]
 
 

@@ -1544,3 +1544,91 @@ eval_reco_holdout_hitrate.__doc__ = (
     .replace("{floor}", str(_RECO_MIN_COOC))
     .replace("{topk}", str(_RECO_TOP_K))
 )
+
+
+# --------------------------------------------------------------------------
+# Weighted reciprocity of the event transition graph
+# --------------------------------------------------------------------------
+
+
+def _reciprocity_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    markov = QUERIES["events_markov_transitions"].oracle
+    return f"""
+    WITH t AS ({markov}),
+    pairs AS (
+        SELECT a.src_type, a.dst_type, a.n_trans AS w_ab,
+               coalesce(b.n_trans, 0) AS w_ba
+        FROM t a
+        LEFT JOIN t b ON b.src_type = a.dst_type
+                     AND b.dst_type = a.src_type
+        WHERE a.src_type <> a.dst_type
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           CAST(count(*) FILTER (w_ba > 0) AS BIGINT) AS n_reciprocated,
+           CAST(sum(w_ab) AS BIGINT) AS total_weight,
+           round(sum(least(w_ab, w_ba)) / CAST(sum(w_ab) AS DOUBLE), 6)
+               AS weighted_reciprocity
+    FROM pairs
+    """
+
+
+@query(
+    "graph_transition_reciprocity",
+    oracle=_reciprocity_oracle(),
+    tags=("graph",),
+)
+def graph_transition_reciprocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted reciprocity of the event-type transition graph
+    (Squartini et al. 2013: sum of min(w_ab, w_ba) over directed
+    flow) — does behaviour flow BOTH ways between states (browse <->
+    click loops) or is the journey a one-way funnel? Reciprocity near
+    1 means oscillation (rage-clicking, retry loops); near 0 means a
+    clean directed funnel. Composes the registered
+    [[events_markov_transitions]] op's own oracle for the flow matrix
+    — zero drift — and complements [[events_transition_entropy_rate]]
+    (how RANDOM the walk is) with how SYMMETRIC it is; self-loops are
+    excluded (reciprocity is about pairs).
+
+    Scale shape: the transition matrix is |types|^2 rows no matter
+    the event count (the markov op's one lag window + fold does the
+    data-sized work); the reciprocity join and fold run on that tiny
+    matrix."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = QUERIES["events_markov_transitions"].fn(spark, sf_dir).select(
+        "src_type", "dst_type", "n_trans"
+    ).localCheckpoint(eager=True)
+    b = t.select(
+        F.col("src_type").alias("b_src"),
+        F.col("dst_type").alias("b_dst"),
+        F.col("n_trans").alias("w_ba"),
+    )
+    pairs = (
+        t.filter(F.col("src_type") != F.col("dst_type"))
+        .join(
+            b,
+            (F.col("b_src") == F.col("dst_type"))
+            & (F.col("b_dst") == F.col("src_type")),
+            "left",
+        )
+        .select(
+            F.col("n_trans").alias("w_ab"),
+            F.coalesce(F.col("w_ba"), F.lit(0)).alias("w_ba"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        F.count(F.when(F.col("w_ba") > 0, 1))
+        .cast("long")
+        .alias("n_reciprocated"),
+        F.sum("w_ab").cast("long").alias("total_weight"),
+        rnd(
+            F.sum(F.least(F.col("w_ab"), F.col("w_ba")))
+            / F.sum("w_ab").cast("double"),
+            6,
+        ).alias("weighted_reciprocity"),
+    )

@@ -2031,3 +2031,131 @@ def dq_rare_category_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# --------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT) experiment monitor
+# --------------------------------------------------------------------------
+
+_SPRT_LIFT = 1.25   # H1: conversion rate = LIFT * p0
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.20
+# Wald boundaries: ln((1-beta)/alpha), ln(beta/(1-alpha))
+_SPRT_UPPER = 2.772589
+_SPRT_LOWER = -1.558145
+
+
+@query(
+    "events_ab_sequential_sprt",
+    oracle=f"""
+    WITH exposures AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               user_id,
+               bool_or(event_type = 'purchase') AS converted
+        FROM events
+        WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND '7'
+        GROUP BY 1, 2
+    ),
+    p0x AS (
+        SELECT count(*) FILTER (converted) / CAST(count(*) AS DOUBLE)
+                   AS p0
+        FROM (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+                   bool_or(event_type = 'purchase') AS converted
+            FROM events GROUP BY 1, 2
+        )
+    ),
+    daily AS (
+        SELECT d, count(*) AS n, count(*) FILTER (converted) AS c
+        FROM exposures GROUP BY d
+    ),
+    cum AS (
+        SELECT d,
+               sum(n) OVER (ORDER BY d) AS n_cum,
+               sum(c) OVER (ORDER BY d) AS c_cum
+        FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_cum AS BIGINT) AS n_exposures,
+           CAST(c_cum AS BIGINT) AS n_conversions,
+           round(c_cum * ln({_SPRT_LIFT})
+                 + (n_cum - c_cum)
+                   * ln((1 - {_SPRT_LIFT} * p.p0) / (1 - p.p0)), 6)
+               AS llr,
+           CASE WHEN c_cum * ln({_SPRT_LIFT})
+                     + (n_cum - c_cum)
+                       * ln((1 - {_SPRT_LIFT} * p.p0) / (1 - p.p0))
+                     >= {_SPRT_UPPER} THEN 'accept_h1'
+                WHEN c_cum * ln({_SPRT_LIFT})
+                     + (n_cum - c_cum)
+                       * ln((1 - {_SPRT_LIFT} * p.p0) / (1 - p.p0))
+                     <= {_SPRT_LOWER} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum, p0x p
+    """,
+)
+def events_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test as an experiment
+    monitor — the SEQUENTIAL lane the A/B family was missing
+    ([[events_ab_welch_ttest]] is fixed-horizon;
+    [[events_ab_power_mde]] sizes that horizon up front; SPRT lets
+    the experiment STOP the day the evidence is in, with alpha/beta
+    guaranteed by the Wald boundaries ln((1-b)/a), ln(b/(1-a))):
+    daily (user, day) exposures of the md5-assigned treatment arm
+    accumulate a log-likelihood ratio of H1 (conversion = {lift}x
+    the pooled baseline) against H0 (baseline), and each day carries
+    the running verdict. Since ln(p1/p0) = ln(lift) exactly, the
+    per-conversion increment is a constant and the whole path is
+    closed-form from cumulative counts — hash-checkable, no
+    simulation.
+
+    Scale shape: one (day, user) fold (map-side partial), a one-row
+    pooled baseline broadcast, one cumulative window over the
+    calendar-grain frame. The monitor costs one scan per refresh at
+    any event volume."""
+    t = tables(spark, sf_dir)
+    all_exp = t.events.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        "user_id",
+    ).agg(F.bool_or(F.col("event_type") == "purchase").alias("converted"))
+    p0x = all_exp.agg(
+        (
+            F.count(F.when(F.col("converted"), 1))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("p0")
+    )
+    arm = all_exp.filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+        .between("0", "7")
+    )
+    daily = arm.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("converted"), 1)).alias("c"),
+    )
+    wcum = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.sum("n").over(wcum).alias("n_cum"),
+        F.sum("c").over(wcum).alias("c_cum"),
+    )
+    import math as _m
+
+    llr = F.col("c_cum") * _m.log(_SPRT_LIFT) + (
+        F.col("n_cum") - F.col("c_cum")
+    ) * F.log((1 - _SPRT_LIFT * F.col("p0")) / (1 - F.col("p0")))
+    return cum.crossJoin(F.broadcast(p0x)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_cum").cast("long").alias("n_exposures"),
+        F.col("c_cum").cast("long").alias("n_conversions"),
+        rnd(llr, 6).alias("llr"),
+        F.when(llr >= _SPRT_UPPER, F.lit("accept_h1"))
+        .when(llr <= _SPRT_LOWER, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+events_ab_sequential_sprt.__doc__ = (
+    events_ab_sequential_sprt.__doc__.replace("{lift}", str(_SPRT_LIFT))
+)
