@@ -401,6 +401,7 @@ _ROUND9_WINDOW = [
     "events_ab_sequential_sprt",
     "graph_transition_reciprocity",
     "events_sessions_per_user_hist",
+    "corpus_version_hash",
 ]
 
 

@@ -2325,3 +2325,4 @@ eval_token_pack_efficiency.__doc__ = (
         "{budget}", str(_PACK_BUDGET)
     )
 )
+

@@ -1443,3 +1443,89 @@ def corpus_dedup_apply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus version hash: content-addressed manifest of the final corpus
+# --------------------------------------------------------------------------
+
+
+def _corpus_version_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    cc = QUERIES["dedup_connected_components"].oracle
+    return f"""
+    WITH cc AS ({cc}),
+    exact_kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM documents
+        ) WHERE doc_id = keeper
+    ),
+    kept AS (
+        SELECT e.doc_id, md5(e.text) AS fp, octet_length(encode(e.text)) AS nb
+        FROM exact_kept e
+        LEFT JOIN cc ON cc.doc_id = e.doc_id
+        WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bytes,
+           md5(string_agg(fp, '' ORDER BY fp)) AS corpus_version_hash
+    FROM kept
+    """
+
+
+@query(
+    "corpus_version_hash",
+    oracle=_corpus_version_oracle(),
+    tags=("corpus",),
+)
+def corpus_version_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus version hash — content-addressed identity for the
+    FINAL training corpus ([[corpus_dedup_apply_chain]]'s survivors):
+    the md5 of the sorted concatenation of every kept document's
+    content fingerprint, alongside the doc and byte counts. This one
+    row is what a training run records as its data version: two runs
+    with the same hash trained on byte-identical corpora, full stop —
+    no manifest diffing, no trust in pipeline logs
+    ([[scalar_surrogate_key_uuid5]] gives rows reproducible identity;
+    this gives the DATASET one). Both engines produce the identical
+    hash because the fold is order-canonicalized (sort before
+    concatenate).
+
+    Scale shape: fingerprints are map-side; the canonical fold here
+    is a single sorted aggregate — at 100 TB replace it with the
+    standard Merkle tree (hash per partition of sorted fps, then hash
+    the sorted partition hashes; two levels, same determinism), which
+    the docstring records as the cluster configuration of the same
+    contract."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = tables(spark, sf_dir)
+    cc = QUERIES["dedup_connected_components"].fn(spark, sf_dir)
+    wfp = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        t.documents.select(
+            "doc_id", "text",
+            F.min("doc_id").over(wfp).alias("keeper"),
+        )
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    kept = exact_kept.join(
+        cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_anti",
+    ).select(
+        F.md5("text").alias("fp"),
+        F.octet_length("text").alias("nb"),
+    )
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("n_bytes"),
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list("fp")))
+        ).alias("corpus_version_hash"),
+    )

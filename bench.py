@@ -384,6 +384,7 @@ EXTENDED_PROBE = [
     "events_ab_sequential_sprt",
     "graph_transition_reciprocity",
     "events_sessions_per_user_hist",
+    "corpus_version_hash",
 ]
 
 

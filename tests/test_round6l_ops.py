@@ -103,3 +103,29 @@ def test_sessions_hist_matches_pandas(run, sf_dir):
         r = out.loc[k]
         assert r["n_users"] == n
         assert r["share"] == pytest.approx(n / n_users, abs=2e-6)
+
+
+def test_corpus_version_hash_reproducible(run, spark, sf_dir):
+    """The hash must equal an independent recomputation over the
+    dedup chain's survivors, and be stable across invocations."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    fp = docs["text"].apply(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    keeper = docs.assign(fp=fp).groupby("fp")["doc_id"].transform("min")
+    exact_kept = docs[docs["doc_id"] == keeper]
+    cc = SPECS["dedup_connected_components"].fn(spark, sf_dir).toPandas()
+    dropped = set(cc.loc[cc["doc_id"] != cc["cluster_id"], "doc_id"])
+    kept = exact_kept[~exact_kept["doc_id"].isin(dropped)]
+    fps = sorted(
+        hashlib.md5(t.encode()).hexdigest() for t in kept["text"]
+    )
+    expect = hashlib.md5("".join(fps).encode()).hexdigest()
+    r1 = run("corpus_version_hash").iloc[0]
+    assert r1["n_docs"] == len(kept)
+    assert r1["n_bytes"] == sum(
+        len(t.encode()) for t in kept["text"]
+    )
+    assert r1["corpus_version_hash"] == expect
+    r2 = run("corpus_version_hash").iloc[0]
+    assert r2["corpus_version_hash"] == r1["corpus_version_hash"]
