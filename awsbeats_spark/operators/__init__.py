@@ -34,12 +34,11 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 8** (``_ROUND8_WINDOW``, exactly 50): the later round-5
   additions that overflow round 7's budget. After round 8: 392
   driver-evidenced.
-* **Round 9** (``_ROUND9_WINDOW``): keys added after the round-8
-  window filled at its 50-key budget; it currently holds the round-5
-  late additions and is split at 50 into a ``_ROUND10_WINDOW`` if it
-  overflows. Once every window drains the full catalog is
-  driver-evidenced and spare slots recheck round-1/2 greens on a
-  rolling basis.
+* **Round 9** (``_ROUND9_WINDOW``, exactly 50): round-5 late
+  additions. **Round 10** (``_ROUND10_WINDOW``): the overflow past
+  round 9's budget; new keys append here. Once every window drains
+  the full catalog is driver-evidenced and spare slots recheck
+  round-1/2 greens on a rolling basis.
 
 The window lists partition the keys that had no driver row as of
 CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
@@ -404,6 +403,11 @@ _ROUND9_WINDOW = [
     "corpus_version_hash",
 ]
 
+_ROUND10_WINDOW = [
+    "dq_partition_checksums",
+    "q_discount_depth_bands",
+]
+
 
 def _reorder() -> None:
     priority = (
@@ -412,6 +416,7 @@ def _reorder() -> None:
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
+        + _ROUND10_WINDOW
         + _ROUND4_WINDOW
     )
     if len(set(priority)) != len(priority):

@@ -1644,3 +1644,86 @@ q_revenue_bridge_decomposition.__doc__ = (
     .replace("{y0}", str(_BRIDGE_Y0))
     .replace("{y1}", str(_BRIDGE_Y1))
 )
+
+
+# --------------------------------------------------------------------------
+# Discount-depth bands: pricing leakage waterfall
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_discount_depth_bands",
+    oracle="""
+    WITH banded AS (
+        SELECT CASE WHEN l_discount = 0 THEN '0: none'
+                    WHEN l_discount <= 0.03 THEN '1: 1-3%'
+                    WHEN l_discount <= 0.06 THEN '2: 4-6%'
+                    ELSE '3: 7%+' END AS band,
+               l_extendedprice * (1 - l_discount) AS rev,
+               l_extendedprice * l_discount AS given_away
+        FROM lineitem
+    ),
+    tot AS (SELECT sum(rev) AS total_rev FROM banded)
+    SELECT b.band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(b.rev), 2) AS revenue,
+           round(sum(b.given_away), 2) AS discount_given,
+           round(sum(b.rev) / t.total_rev, 6) AS revenue_share,
+           round(sum(b.given_away)
+                 / (sum(b.rev) + sum(b.given_away)), 6) AS leakage_rate
+    FROM banded b, tot t
+    GROUP BY b.band, t.total_rev
+    """,
+    tags=("tpch",),
+)
+def q_discount_depth_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth waterfall — the pricing-leakage table revenue
+    teams actually review: lineitems banded by discount depth, each
+    band reporting realized revenue, the dollars given away, its
+    share of total revenue, and the leakage rate (given-away over
+    list). Deep-discount bands carrying a big revenue share is the
+    'we buy volume with margin' signal; [[q_discount_elasticity]]
+    asks whether the discounts WORK, this op prices what they COST.
+    Band edges are the classic 0 / 1-3 / 4-6 / 7+ ladder, labels
+    prefixed for deterministic ordering.
+
+    Scale shape: one banded fold (map-side partial, band is row-local
+    CASE), a one-row total broadcast for the share — one scan."""
+    t = tables(spark, sf_dir)
+    band = (
+        F.when(F.col("l_discount") == 0, F.lit("0: none"))
+        .when(F.col("l_discount") <= 0.03, F.lit("1: 1-3%"))
+        .when(F.col("l_discount") <= 0.06, F.lit("2: 4-6%"))
+        .otherwise(F.lit("3: 7%+"))
+    )
+    banded = t.lineitem.select(
+        band.alias("band"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        ),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "given_away"
+        ),
+    )
+    tot = banded.agg(F.sum("rev").alias("total_rev"))
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev").alias("rev_raw"),
+            F.sum("given_away").alias("ga_raw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_lines",
+            rnd(F.col("rev_raw"), 2).alias("revenue"),
+            rnd(F.col("ga_raw"), 2).alias("discount_given"),
+            rnd(F.col("rev_raw") / F.col("total_rev"), 6).alias(
+                "revenue_share"
+            ),
+            rnd(
+                F.col("ga_raw") / (F.col("rev_raw") + F.col("ga_raw")), 6
+            ).alias("leakage_rate"),
+        )
+    )

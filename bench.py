@@ -385,6 +385,8 @@ EXTENDED_PROBE = [
     "graph_transition_reciprocity",
     "events_sessions_per_user_hist",
     "corpus_version_hash",
+    "dq_partition_checksums",
+    "q_discount_depth_bands",
 ]
 
 

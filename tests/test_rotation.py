@@ -14,6 +14,7 @@ from awsbeats_spark.operators import (
     _ROUND7_WINDOW,
     _ROUND8_WINDOW,
     _ROUND9_WINDOW,
+    _ROUND10_WINDOW,
 )
 from awsbeats_spark.registry import load_all
 
@@ -39,6 +40,8 @@ def test_round6_then_round7_then_round8_then_round4_follow():
     s += len(_ROUND8_WINDOW)
     assert keys[s : s + len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
     s += len(_ROUND9_WINDOW)
+    assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
+    s += len(_ROUND10_WINDOW)
     assert len(_ROUND4_WINDOW) == 50
     assert keys[s : s + len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
 
@@ -52,6 +55,7 @@ def test_rotation_names_unique_and_registered():
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
+        + _ROUND10_WINDOW
     )
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
@@ -73,6 +77,7 @@ def test_windows_partition_never_driver_checked_keys():
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
+        + _ROUND10_WINDOW
     )
     assert set(rotation) == set(never), (
         f"missing from rotation: {sorted(set(never) - set(rotation))}; "
