@@ -406,6 +406,8 @@ _ROUND9_WINDOW = [
 _ROUND10_WINDOW = [
     "dq_partition_checksums",
     "q_discount_depth_bands",
+    "corpus_prefix_boilerplate_topk",
+    "events_conformance_illegal_transitions",
 ]
 
 

@@ -1632,3 +1632,93 @@ def graph_transition_reciprocity(
             6,
         ).alias("weighted_reciprocity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Process conformance: illegal state transitions
+# --------------------------------------------------------------------------
+
+# the sanctioned behaviour model: which event may follow which
+_LEGAL_TRANSITIONS = [
+    ("signup", "view"), ("signup", "click"),
+    ("view", "view"), ("view", "click"), ("view", "error"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("click", "error"),
+    ("purchase", "view"), ("purchase", "signup"),
+    ("error", "view"), ("error", "error"),
+]
+
+_LEGAL_VALUES = ", ".join(
+    f"('{a}', '{b}')" for a, b in _LEGAL_TRANSITIONS
+)
+
+
+def _conformance_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    markov = QUERIES["events_markov_transitions"].oracle
+    return f"""
+    WITH t AS ({markov}),
+    legal AS (
+        SELECT * FROM (VALUES {_LEGAL_VALUES}) AS v(src_type, dst_type)
+    ),
+    tot AS (SELECT sum(n_trans) AS total FROM t)
+    SELECT t.src_type, t.dst_type,
+           CAST(t.n_trans AS BIGINT) AS n_trans,
+           round(t.n_trans / CAST(x.total AS DOUBLE), 6) AS share
+    FROM t
+    LEFT JOIN legal l ON l.src_type = t.src_type
+                     AND l.dst_type = t.dst_type
+    CROSS JOIN tot x
+    WHERE l.src_type IS NULL
+    """
+
+
+@query(
+    "events_conformance_illegal_transitions",
+    oracle=_conformance_oracle(),
+    tags=("graph", "quality"),
+)
+def events_conformance_illegal_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Process conformance checking — the process-mining gate: observed
+    behaviour flow ([[events_markov_transitions]]'s matrix, its own
+    oracle embedded) is diffed against the SANCTIONED transition model
+    (a literal allow-list of which event may follow which), and every
+    un-sanctioned transition surfaces with its volume and share of
+    all flow. A purchase not preceded by a click, an error leading
+    straight to purchase — instrumentation bugs, fraud scripts and
+    undocumented product paths all land in exactly this table
+    ([[events_pattern_match]] finds a KNOWN sequence;
+    [[graph_transition_reciprocity]] measures symmetry; this one
+    enumerates everything OFF the map). The allow-list lives with the
+    operator as data, versioned like [[dq_schema_contract_check]]'s
+    contract.
+
+    Scale shape: the observed matrix is |types|^2 regardless of event
+    volume (the markov op does the data-sized lag + fold); the
+    conformance diff is an anti-join of that tiny matrix against a
+    literal table."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = QUERIES["events_markov_transitions"].fn(spark, sf_dir).select(
+        "src_type", "dst_type", "n_trans"
+    )
+    spark_session = spark
+    legal = spark_session.createDataFrame(
+        _LEGAL_TRANSITIONS, "src_type string, dst_type string"
+    )
+    tot = t.agg(F.sum("n_trans").alias("total"))
+    return (
+        t.join(F.broadcast(legal), ["src_type", "dst_type"], "left_anti")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src_type",
+            "dst_type",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            rnd(
+                F.col("n_trans") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+    )

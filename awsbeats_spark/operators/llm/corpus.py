@@ -2326,3 +2326,83 @@ eval_token_pack_efficiency.__doc__ = (
     )
 )
 
+
+
+# --------------------------------------------------------------------------
+# Prefix boilerplate mining (templated-document detection)
+# --------------------------------------------------------------------------
+
+_PREFIX_WORDS = 5
+_PREFIX_TOP_K = 10
+
+
+@query(
+    "corpus_prefix_boilerplate_topk",
+    oracle=f"""
+    WITH pfx AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice({WORDS_SQL}, 1, {_PREFIX_WORDS}), ' '
+               ) AS prefix,
+               len({WORDS_SQL}) AS n_words
+        FROM documents
+        WHERE len({WORDS_SQL}) >= {_PREFIX_WORDS}
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM pfx)
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(t.n_docs AS DOUBLE), 6) AS share
+    FROM pfx, tot t
+    GROUP BY prefix, t.n_docs
+    ORDER BY count(*) DESC, prefix
+    LIMIT {_PREFIX_TOP_K}
+    """,
+)
+def corpus_prefix_boilerplate_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Templated-prefix mining — the boilerplate detector that catches
+    what near-dup misses: documents opening with the SAME
+    {n}-word prefix but diverging bodies (scraped page chrome, prompt
+    templates, license headers) sit below any Jaccard threshold yet
+    poison training data with repeated spans. The top-{k} prefixes by
+    document count with their corpus share are the removal worklist
+    ([[corpus_dup_span_detect]] finds repeated spans ANYWHERE; the
+    prefix position is where templates live and where a cheap
+    group-by finds them; [[corpus_line_dedup_ccnet]] then dedups the
+    confirmed lines). Documents shorter than the prefix are excluded
+    — their 'prefix' is just the document.
+
+    Scale shape: prefix extraction is map-side; one hash fold at
+    prefix grain (vocabulary-bounded), a bounded top-k sort, one-row
+    total broadcast."""
+    t = tables(spark, sf_dir)
+    pfx = t.documents.select(
+        F.array_join(F.slice(words(), 1, _PREFIX_WORDS), " ").alias(
+            "prefix"
+        ),
+        F.size(words()).alias("n_words"),
+    ).filter(F.col("n_words") >= _PREFIX_WORDS)
+    tot = pfx.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("prefix"))
+    return (
+        pfx.groupBy("prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prefix",
+            "n_docs",
+            rnd(F.col("n_docs") / F.col("n_total").cast("double"), 6)
+            .alias("share"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PREFIX_TOP_K)
+        .drop("rn")
+    )
+
+
+corpus_prefix_boilerplate_topk.__doc__ = (
+    corpus_prefix_boilerplate_topk.__doc__
+    .replace("{n}", str(_PREFIX_WORDS))
+    .replace("{k}", str(_PREFIX_TOP_K))
+)

@@ -387,6 +387,8 @@ EXTENDED_PROBE = [
     "corpus_version_hash",
     "dq_partition_checksums",
     "q_discount_depth_bands",
+    "corpus_prefix_boilerplate_topk",
+    "events_conformance_illegal_transitions",
 ]
 
 
