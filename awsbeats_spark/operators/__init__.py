@@ -408,6 +408,8 @@ _ROUND10_WINDOW = [
     "q_discount_depth_bands",
     "corpus_prefix_boilerplate_topk",
     "events_conformance_illegal_transitions",
+    "join_point_in_time_scd2",
+    "ts_time_weighted_average",
 ]
 
 

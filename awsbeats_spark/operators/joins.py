@@ -1089,3 +1089,82 @@ join_bloom_prefilter_audit.__doc__ = (
     .replace("{m}", str(_BLOOM_M))
     .replace("{k}", str(_BLOOM_HASHES))
 )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join against the SCD-2 dimension
+# --------------------------------------------------------------------------
+
+
+def _pit_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    scd2 = QUERIES["upsert_scd2_merge"].oracle
+    return f"""
+    WITH dim AS ({scd2}),
+    joined AS (
+        SELECT o.o_orderkey, d.version, d.segment
+        FROM orders o
+        LEFT JOIN dim d
+               ON d.custkey = o.o_custkey
+              AND CAST(o.o_orderdate AS DATE) >= CAST(d.valid_from AS DATE)
+              AND (d.valid_to IS NULL
+                   OR CAST(o.o_orderdate AS DATE) < CAST(d.valid_to AS DATE))
+    )
+    SELECT segment,
+           CAST(version AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM joined
+    WHERE version IS NOT NULL
+    GROUP BY segment, version
+    """
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle=_pit_oracle(),
+    tags=("joins", "cdc"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against the SCD-2 dimension — the
+    query pattern SCD-2 history EXISTS to serve: every order joins to
+    the dimension version that was valid ON ITS ORDER DATE
+    (valid_from <= date < valid_to, open-ended current rows matching
+    everything after their effective date), so facts booked before
+    the segment change carry the OLD segment and later ones the new —
+    no retroactive rewriting of history. Composes
+    [[upsert_scd2_merge]]'s own oracle for the dimension, and the
+    aggregated (segment, version) order counts make the version
+    split visible and hash-checked ([[join_asof]] is the
+    nearest-event form on timestamps; this is the interval-validity
+    form on effective dating).
+
+    Scale shape: the dimension is broadcast (dim tables are small by
+    definition — at 100 TB the fact side streams through the
+    broadcast interval lookup with zero shuffle); the validity
+    predicate is row-local; the final fold is (segment, version)
+    grain. Each fact matches at most one version by the interval
+    partitioning invariant the SCD-2 merge maintains."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = tables(spark, sf_dir)
+    dim = QUERIES["upsert_scd2_merge"].fn(spark, sf_dir).select(
+        "custkey",
+        "segment",
+        "version",
+        F.to_date("valid_from").alias("vf"),
+        F.to_date("valid_to").alias("vt"),
+    )
+    od = F.to_date("o_orderdate")
+    joined = t.orders.join(
+        F.broadcast(dim),
+        (t.orders["o_custkey"] == dim["custkey"])
+        & (od >= F.col("vf"))
+        & (F.col("vt").isNull() | (od < F.col("vt"))),
+        "left",
+    )
+    return (
+        joined.filter(F.col("version").isNotNull())
+        .groupBy("segment", F.col("version").cast("int").alias("version"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
