@@ -410,6 +410,8 @@ _ROUND10_WINDOW = [
     "events_conformance_illegal_transitions",
     "join_point_in_time_scd2",
     "ts_time_weighted_average",
+    "events_cohens_d_effect_size",
+    "multimodal_rgb_channel_correlation",
 ]
 
 

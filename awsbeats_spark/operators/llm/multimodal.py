@@ -2221,3 +2221,143 @@ def multimodal_bmp_spatial_autocorr(
             (F.col("n").cast("double") / F.col("n_pairs")) * num / denom, 6
         ).alias("morans_i"),
     )
+
+
+# --------------------------------------------------------------------------
+# RGB channel correlation (grayscale-likeness / channel-shift screen)
+# --------------------------------------------------------------------------
+
+_CH_OFF = {"b": 0, "g": 1, "r": 2}  # BMP stores BGR
+
+
+def _chan_sum_sql(off: int, power_pair: str) -> str:
+    """SQL integer sum over pixels of one channel (or product of two).
+    power_pair: 'x' -> sum c, 'xx' -> sum c*c, with {o2} for pairs."""
+    base = _BYTE_SQL.format(
+        k=f"((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + {off}"
+    )
+    if power_pair == "x":
+        return f"list_sum(list_transform(generate_series(1, wd * ht), j -> {base}))"
+    return (
+        f"list_sum(list_transform(generate_series(1, wd * ht), j -> "
+        f"{base} * {{other}}))"
+    )
+
+
+@query(
+    "multimodal_rgb_channel_correlation",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS wd,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht,
+               ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4) * 4
+                   AS stride
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+          AND octet_length(encode(text)) > 0
+    ),
+    sums AS (
+        SELECT doc_id, wd * ht AS npx,
+               {_chan_sum_sql(0, 'x')} AS sb,
+               {_chan_sum_sql(1, 'x')} AS sg,
+               {_chan_sum_sql(2, 'x')} AS sr,
+               {_chan_sum_sql(0, 'xx').format(other=_BYTE_SQL.format(k="((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + 0"))} AS sbb,
+               {_chan_sum_sql(1, 'xx').format(other=_BYTE_SQL.format(k="((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + 1"))} AS sgg,
+               {_chan_sum_sql(2, 'xx').format(other=_BYTE_SQL.format(k="((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + 2"))} AS srr,
+               {_chan_sum_sql(2, 'xx').format(other=_BYTE_SQL.format(k="((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + 1"))} AS srg,
+               {_chan_sum_sql(1, 'xx').format(other=_BYTE_SQL.format(k="((j - 1) // wd) * stride + 3 * ((j - 1) % wd) + 0"))} AS sgb
+        FROM p
+    )
+    SELECT doc_id,
+           round((srg / npx - (sr / CAST(npx AS DOUBLE)) * (sg / npx))
+                 / (sqrt(srr / npx - pow(sr / CAST(npx AS DOUBLE), 2))
+                    * sqrt(sgg / npx - pow(sg / CAST(npx AS DOUBLE), 2))),
+                 6) AS corr_rg,
+           round((sgb / npx - (sg / CAST(npx AS DOUBLE)) * (sb / npx))
+                 / (sqrt(sgg / npx - pow(sg / CAST(npx AS DOUBLE), 2))
+                    * sqrt(sbb / npx - pow(sb / CAST(npx AS DOUBLE), 2))),
+                 6) AS corr_gb
+    FROM sums
+    WHERE srr / CAST(npx AS DOUBLE) - pow(sr / CAST(npx AS DOUBLE), 2) > 0
+      AND sgg / CAST(npx AS DOUBLE) - pow(sg / CAST(npx AS DOUBLE), 2) > 0
+      AND sbb / CAST(npx AS DOUBLE) - pow(sb / CAST(npx AS DOUBLE), 2) > 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_rgb_channel_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-channel correlation of each REALLY-decoded image —
+    Pearson r between the red/green and green/blue pixel lanes: a
+    grayscale image re-encoded as color shows r ~ 1.0 on both pairs
+    (the wasted-channels signal a vision pipeline uses to route into
+    single-channel processing), natural photos sit high-but-below-1,
+    and channel-shifted/synthetic payloads decorrelate. Completes the
+    image-QA battery on its third axis (edges = sharpness, histogram
+    = tonal diversity, Moran = spatial structure, this = spectral
+    redundancy). All sums are exact integers over the BGR byte lanes
+    so the correlations are bit-identical to the oracle's hex-nibble
+    recompute; constant channels are excluded (r undefined).
+
+    Scale shape: one Arrow mapInPandas decode, numpy channel moments
+    per image, one row out — embarrassingly parallel."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(
+        (F.octet_length("payload") % 3 == 0) & (F.octet_length("payload") > 0)
+    )
+
+    def chan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(raw)
+                meta = decode_media(bmp)
+                w, h = meta["width"], meta["height"]
+                stride = ((3 * w + 3) // 4) * 4
+                px = np.frombuffer(
+                    bmp, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                b = px[:, 0 : 3 * w : 3].astype(np.int64).ravel()
+                g = px[:, 1 : 3 * w : 3].astype(np.int64).ravel()
+                r = px[:, 2 : 3 * w : 3].astype(np.int64).ravel()
+                npx = w * h
+                rows.append(
+                    (
+                        doc_id, npx,
+                        int(b.sum()), int(g.sum()), int(r.sum()),
+                        int((b * b).sum()), int((g * g).sum()),
+                        int((r * r).sum()),
+                        int((r * g).sum()), int((g * b).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "npx", "sb", "sg", "sr",
+                    "sbb", "sgg", "srr", "srg", "sgb",
+                ],
+            )
+
+    sums = src.mapInPandas(
+        chan,
+        "doc_id bigint, npx bigint, sb bigint, sg bigint, sr bigint,"
+        " sbb bigint, sgg bigint, srr bigint, srg bigint, sgb bigint",
+    )
+    npx = F.col("npx").cast("double")
+    mr, mg, mb = (
+        F.col("sr") / npx, F.col("sg") / npx, F.col("sb") / npx
+    )
+    vr = F.col("srr") / npx - mr * mr
+    vg = F.col("sgg") / npx - mg * mg
+    vb = F.col("sbb") / npx - mb * mb
+    corr_rg = (F.col("srg") / npx - mr * mg) / (F.sqrt(vr) * F.sqrt(vg))
+    corr_gb = (F.col("sgb") / npx - mg * mb) / (F.sqrt(vg) * F.sqrt(vb))
+    return sums.filter((vr > 0) & (vg > 0) & (vb > 0)).select(
+        "doc_id",
+        rnd(corr_rg, 6).alias("corr_rg"),
+        rnd(corr_gb, 6).alias("corr_gb"),
+    )

@@ -2224,3 +2224,112 @@ def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.bit_xor(h).cast("long").alias("xor_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's d effect sizes between segment pairs
+# --------------------------------------------------------------------------
+
+_COHEN_BASE_SEG = "BUILDING"
+
+
+@query(
+    "events_cohens_d_effect_size",
+    oracle=f"""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    stats AS (
+        SELECT seg, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+        FROM j GROUP BY seg
+    ),
+    base AS (
+        SELECT n AS n0, m AS m0, s2 AS s20 FROM stats
+        WHERE seg = '{_COHEN_BASE_SEG}'
+    )
+    SELECT s.seg AS segment,
+           CAST(s.n AS BIGINT) AS n,
+           round(s.m - b.m0, 4) AS mean_diff,
+           round((s.m - b.m0)
+                 / sqrt(((s.n - 1) * s.s2 + (b.n0 - 1) * b.s20)
+                        / (s.n + b.n0 - 2)), 6) AS cohens_d,
+           CASE WHEN abs((s.m - b.m0)
+                    / sqrt(((s.n - 1) * s.s2 + (b.n0 - 1) * b.s20)
+                           / (s.n + b.n0 - 2))) < 0.2 THEN 'negligible'
+                WHEN abs((s.m - b.m0)
+                    / sqrt(((s.n - 1) * s.s2 + (b.n0 - 1) * b.s20)
+                           / (s.n + b.n0 - 2))) < 0.5 THEN 'small'
+                WHEN abs((s.m - b.m0)
+                    / sqrt(((s.n - 1) * s.s2 + (b.n0 - 1) * b.s20)
+                           / (s.n + b.n0 - 2))) < 0.8 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM stats s, base b
+    WHERE s.seg <> '{_COHEN_BASE_SEG}'
+    """,
+)
+def events_cohens_d_effect_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's d effect sizes — every market segment's order value
+    against the {base} baseline, standardized by the pooled standard
+    deviation, with the conventional negligible/small/medium/large
+    banding: the number that says whether a difference MATTERS, which
+    a p-value cannot ([[events_ab_welch_ttest]] answers 'is it real';
+    at 100 TB everything is statistically significant and effect size
+    is the only defensible ranking; [[events_ab_power_mde]] consumes
+    exactly this d to size experiments). Computed from per-segment
+    count/mean/variance — one mergeable fold, the pooled-sd formula
+    applied segment-by-segment against the broadcast baseline row.
+
+    Scale shape: one broadcast dim join + one segment-grain moment
+    fold + a one-row baseline broadcast — one scan regardless of
+    volume."""
+    t = tables(spark, sf_dir)
+    j = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        t.orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+    )
+    stats = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("s2"),
+    )
+    base = stats.filter(F.col("seg") == _COHEN_BASE_SEG).select(
+        F.col("n").alias("n0"),
+        F.col("m").alias("m0"),
+        F.col("s2").alias("s20"),
+    )
+    pooled = F.sqrt(
+        (
+            (F.col("n") - 1) * F.col("s2")
+            + (F.col("n0") - 1) * F.col("s20")
+        )
+        / (F.col("n") + F.col("n0") - 2)
+    )
+    d = (F.col("m") - F.col("m0")) / pooled
+    return (
+        stats.filter(F.col("seg") != _COHEN_BASE_SEG)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").cast("long").alias("n"),
+            rnd(F.col("m") - F.col("m0"), 4).alias("mean_diff"),
+            rnd(d, 6).alias("cohens_d"),
+            F.when(F.abs(d) < 0.2, F.lit("negligible"))
+            .when(F.abs(d) < 0.5, F.lit("small"))
+            .when(F.abs(d) < 0.8, F.lit("medium"))
+            .otherwise(F.lit("large"))
+            .alias("magnitude"),
+        )
+    )
+
+
+events_cohens_d_effect_size.__doc__ = (
+    events_cohens_d_effect_size.__doc__.replace(
+        "{base}", _COHEN_BASE_SEG
+    )
+)

@@ -391,6 +391,8 @@ EXTENDED_PROBE = [
     "events_conformance_illegal_transitions",
     "join_point_in_time_scd2",
     "ts_time_weighted_average",
+    "events_cohens_d_effect_size",
+    "multimodal_rgb_channel_correlation",
 ]
 
 
