@@ -21,13 +21,13 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   events_attribution_last_touch, events_pattern_match) plus the first
   5 of the old round-5 front (llm.retrieval x4,
   join_dynamic_in_pushdown). After round 4: 192/304.
-* **Round 5** (``_ROUND5_WINDOW``, exactly 50, NOW FRONTED): the
-  remaining 9 of the old round-5 front, then corpus/similarity/text/
-  quality/scalar/window/sketch keys in registry order. After round
-  5: 242/304.
-* **Round 6** (``_ROUND6_WINDOW``, exactly 50): the remaining
-  timeseries/events/geo/graph tail plus the first 13 operators added
-  in round 4. After round 6: 292/304.
+* **Round 5** (``_ROUND5_WINDOW``, exactly 50, all driver-green in
+  CORRECTNESS_r05): the remaining 9 of the old round-5 front, then
+  corpus/similarity/text/quality/scalar/window/sketch keys in
+  registry order. After round 5: 242/450.
+* **Round 6** (``_ROUND6_WINDOW``, exactly 50, NOW FRONTED): the
+  remaining timeseries/events/geo/graph tail plus the first 13
+  operators added in round 4. After round 6: 292/450.
 * **Round 7** (``_ROUND7_WINDOW``, exactly 50): the 12 round-4
   additions that overflow round 6's budget plus the earliest 38
   round-5 additions. After round 7: 342/369.
@@ -45,8 +45,8 @@ CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
 round 5); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
-order is r5, r6, r7, r8, r9, r4 — never-driver-checked keys queue
-ahead of the already-green r4 block.
+order is r6, r7, r8, r9, r10, r5, r4 — never-driver-checked keys
+queue ahead of the already-green r5/r4 blocks.
 """
 
 from awsbeats_spark import registry
@@ -417,12 +417,12 @@ _ROUND10_WINDOW = [
 
 def _reorder() -> None:
     priority = (
-        _ROUND5_WINDOW
-        + _ROUND6_WINDOW
+        _ROUND6_WINDOW
         + _ROUND7_WINDOW
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
+        + _ROUND5_WINDOW
         + _ROUND4_WINDOW
     )
     if len(set(priority)) != len(priority):
