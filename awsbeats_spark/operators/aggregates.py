@@ -97,17 +97,58 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None, tags=("rows-only",))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rsd=1%). No oracle: DuckDB's
-    approx_count_distinct uses a different sketch so values legitimately
-    differ; tests/test_aggregates.py bounds the estimate against the
-    exact count instead. At 100 TB this is THE distinct-count operator —
-    fixed-size mergeable registers instead of a row shuffle."""
+    """HyperLogLog++ distinct estimate (rsd=1%). At 100 TB this is THE
+    distinct-count operator — fixed-size mergeable registers instead of
+    a row shuffle.
+
+    Hash-checked since round 6 (rows-only before; VERDICT r5 item 4,
+    the agg_percentile_approx sandwich applied): DuckDB's HLL differs
+    from Spark's so the raw estimate can never hash-match, but the
+    EXACT count can, and the sketch's health reduces to ``within_bound``
+    = |approx - exact| / exact <= 5*rsd, computed Spark-side against
+    the exact count and asserted TRUE by the oracle (5 sigma on an
+    ~Gaussian error never fires on a healthy sketch; a wrong column,
+    broken merge, or precision loss flips it and the driver row goes
+    red). Grain is (l_returnflag, l_linestatus) — one level finer than
+    the eval_approx_distinct_error twin, exercising smaller groups.
+
+    Plan note (the EXTRAPOLATION.md Expand lesson): exact and approx
+    are SEPARATE aggregates joined on the tiny group key — mixing
+    countDistinct with non-distinct aggregates forces the
+    distinct-rewrite Expand (every row replicated per aggregate class),
+    which probed 60x slower at 10x scale. The exact side exists only
+    for the verdict; the production path is the sketch alone."""
     t = tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    keys = ["l_returnflag", "l_linestatus"]
+    exact = (
+        t.lineitem.select(*keys, "l_orderkey")
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    approx = t.lineitem.groupBy(*keys).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    joined = exact.join(approx, keys)
+    rel_err = F.abs(F.col("approx") - F.col("exact_orders")) / F.col("exact_orders")
+    return joined.select(
+        *keys,
+        "exact_orders",
+        "n_rows",
+        (rel_err <= 0.05).alias("within_bound"),
     )
 
 
@@ -344,19 +385,41 @@ def agg_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item")
 
 
-@query("agg_hll_sketch_union", oracle=None)  # sketch binaries are engine-specific
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL):
-    build one user_id sketch per (day, event_type), then UNION the
-    sketches across days per event_type and estimate.
+    build one user_id sketch per (day, event_type), then UNION the day
+    sketches up a DIFFERENT rollup axis — per (event_type, month) — and
+    estimate.
 
     This is THE pattern for distinct counts at 100 TB: per-partition
     (here per-day) sketches are computed once, stored small (~KB), and
     re-aggregated along any rollup axis WITHOUT touching raw rows again
     — exact countDistinct re-shuffles every row for every new grouping.
-    The binary sketch is engine-specific, so this is rows-only for the
-    oracle; accuracy vs exact is asserted in tests/test_properties.py
-    (HLL lgk=12 → ~1.6% standard error)."""
+
+    Hash-checked since round 6 (rows-only before; VERDICT r5 item 4):
+    the binary sketch is engine-specific, so the row carries the EXACT
+    per-(event_type, month) distinct-user count plus ``within_bound`` =
+    merged-estimate relative error <= 0.06 (default lgk=12 → ~1.6%
+    standard error; ~4 sigma), computed Spark-side and asserted TRUE by
+    the oracle — a register-losing union or wrong-column regression
+    flips it red. The exact side is a separate distinct aggregate
+    joined on the tiny (event_type, month) key (the Expand lesson,
+    EXTRAPOLATION.md); production rolls up sketches without re-touching
+    raw rows. The event_type-level union lives on in
+    eval_hll_union_vs_exact."""
     t = tables(spark, sf_dir)
     daily = (
         t.events.groupBy(
@@ -364,14 +427,33 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.hll_sketch_agg("user_id").alias("sk"),
               F.count(F.lit(1)).alias("n_rows"))
     )
-    return (
-        daily.groupBy("event_type")
+    monthly = (
+        daily.groupBy(
+            "event_type", F.date_format("day", "yyyy-MM").alias("month")
+        )
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
             F.sum("n_rows").alias("n_events"),
             F.count(F.lit(1)).alias("n_days"),
         )
-        .orderBy("event_type")
+    )
+    exact = t.events.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM").alias("month")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return (
+        monthly.join(exact, ["event_type", "month"])
+        .select(
+            "event_type",
+            "month",
+            "exact_users",
+            "n_events",
+            "n_days",
+            (rel_err <= 0.06).alias("within_bound"),
+        )
+        .orderBy("event_type", "month")
     )
 
 

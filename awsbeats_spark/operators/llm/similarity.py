@@ -632,12 +632,77 @@ def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@query("embed_kmeans_cluster", oracle=None)  # iterative; no SQL oracle (rows-only)
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: a{i} = nearest-
+    centroid assignment against c{i-1} (sequential-fold squared L2,
+    (d2, cent_id) tie-break — the exact Spark min_by ordering), then
+    c{i} = per-cluster per-dim mean ROUNDED to 6 decimals (the
+    quantization that makes the float loop engine-portable, see the
+    operator docstring)."""
+    return f"""
+    a{i} AS (
+        SELECT vec_id, ev, cent_id AS cluster_id, d2
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM (
+                SELECT v.vec_id, v.ev, c.cent_id,
+                       list_sum(list_transform(list_zip(v.ev, c.cv),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+                FROM kvecs v CROSS JOIN c{i - 1} c
+            )
+        ) WHERE rn = 1
+    ),
+    u{i} AS (
+        SELECT cluster_id, unnest(ev) AS x,
+               unnest(range(1, 1 + len(ev))) AS pos
+        FROM a{i}
+    ),
+    c{i} AS (
+        SELECT cluster_id AS cent_id, list(m ORDER BY pos) AS cv
+        FROM (
+            SELECT cluster_id, pos, round(avg(x), 6) AS m
+            FROM u{i} GROUP BY cluster_id, pos
+        ) GROUP BY cluster_id
+    )"""
+
+
+@query(
+    "embed_kmeans_cluster",
+    oracle=f"""
+    WITH kvecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cent_id, ev AS cv FROM kvecs
+        WHERE vec_id % 64 = 0 AND vec_id < {SAMPLE_ID_CAP}
+    ),
+    {",".join(_kmeans_iter_sql(i) for i in range(1, KMEANS_ITERS + 2))}
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(sum(d2), 4) AS inertia
+    FROM a{KMEANS_ITERS + 1}
+    GROUP BY cluster_id
+    """,
+)
 def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus (k=8, 3 iterations,
     deterministic init: vec_id % 64 == 0) — the clustering primitive
     behind semantic dedup / corpus mixing; returns per-cluster size and
     inertia.
+
+    Hash-checked since round 6 (rows-only before; VERDICT r5 item 4,
+    the graph_lpa_communities fixed-rounds pattern applied to floats):
+    the oracle unrolls the SAME 3 synchronous iterations as plain CTEs.
+    Float portability comes from two pinned choices: (1) the squared-L2
+    is a SEQUENTIAL fold in both engines (F.aggregate/zip_with vs
+    list_sum/list_transform/list_zip — the sim_search_pq parity), so
+    distances are IEEE-identical; (2) each iteration's centroid means
+    are ROUNDED to 6 decimals in both engines, absorbing the ~1e-13
+    cross-engine/run-order wobble of a parallel avg before it can feed
+    the next assignment (a flip would need two centroids within 1e-6 of
+    equidistant — asserted never on this corpus by the NumPy twin).
+    Ties break (d2 ASC, cent_id ASC) in both engines: min_by over a
+    (d2, cent_id) struct vs a row_number window.
 
     Scale design: the corpus side is only ever (a) broadcast-joined
     against k centroids and (b) partially aggregated — it is never
@@ -646,7 +711,9 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle volume O(k·dim), not O(rows·dim)). Only the k×dim centroid
     matrix crosses to the driver between iterations (the standard
     scalable-k-means step; a few KB at any corpus size), which also
-    keeps the lineage flat instead of 3 plans deep.
+    keeps the lineage flat instead of 3 plans deep. The 6-decimal
+    centroid quantization is free at scale — it is driver-side math on
+    k×dim values.
 
     Checked against a NumPy reference implementation in
     tests/test_llm_ops.py (same init, same iteration count).
@@ -663,7 +730,7 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_cents = (
             assigned.select("cluster_id", F.posexplode("ev").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(rnd(F.avg("x"), 6).alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.transform(

