@@ -412,6 +412,8 @@ _ROUND10_WINDOW = [
     "ts_time_weighted_average",
     "events_cohens_d_effect_size",
     "multimodal_rgb_channel_correlation",
+    "corpus_bpe_encode",
+    "dedup_url_registered_domain",
 ]
 
 

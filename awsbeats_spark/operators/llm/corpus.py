@@ -916,6 +916,188 @@ def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE apply/encode: tokenize the vocabulary with the learned merge table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_bpe_encode",
+    oracle=f"""
+    WITH bvocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY w
+    ),
+    bpairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substring(w, i, 2))) AS pair,
+               freq
+        FROM bvocab WHERE length(w) >= 2
+    ),
+    rules_ranked AS (
+        SELECT pair, row_number() OVER (
+                   ORDER BY sum(freq) DESC, pair) AS rk
+        FROM bpairs GROUP BY pair
+        QUALIFY rk <= {_BPE_TOPN}
+    ),
+    rules AS (SELECT list(pair ORDER BY rk) AS rules FROM rules_ranked),
+    encoded AS (
+        SELECT w, freq,
+               string_split(list_reduce(
+                   list_prepend(
+                       array_to_string(
+                           list_transform(generate_series(1, length(w)),
+                                          i -> substring(w, i, 1)), '|'),
+                       rules.rules),
+                   (acc, p) -> list_reduce(
+                       string_split(acc, '|'),
+                       (t, x) -> CASE
+                           WHEN (t = p[1] OR right(t, 2) = '|' || p[1])
+                                AND x = p[2]
+                           THEN t || x
+                           ELSE t || '|' || x
+                       END)
+               ), '|') AS toks
+        FROM bvocab, rules
+    ),
+    tok_vocab AS (
+        SELECT tok, row_number() OVER (ORDER BY tok) AS token_id
+        FROM (SELECT DISTINCT unnest(toks) AS tok FROM encoded)
+    ),
+    ex AS (
+        SELECT w, freq, unnest(toks) AS tok,
+               unnest(range(1, 1 + len(toks))) AS pos
+        FROM encoded
+    )
+    SELECT e.w, e.freq,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(e.tok ORDER BY e.pos), '|') AS tokens,
+           array_to_string(
+               list(CAST(v.token_id AS VARCHAR) ORDER BY e.pos), ','
+           ) AS token_ids
+    FROM ex e JOIN tok_vocab v USING (tok)
+    GROUP BY e.w, e.freq
+    """,
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: encode every vocabulary word into merge tokens + token
+    ids using the merge table [[corpus_bpe_pair_stats]] learns (top-20
+    character pairs by corpus-weighted frequency, rank order = merge
+    priority) — the other half of the tokenizer: pair_stats trains,
+    this encodes (VERDICT r5 item 5).
+
+    Semantics (single-level BPE, deterministic): a word starts as its
+    character sequence; merge rules apply in rank order, each merging
+    adjacent SINGLE-char tokens (a,b) leftmost-first non-overlapping —
+    "aaa" under rule "aa" gives [aa, a]; a char consumed by an earlier
+    rule never feeds a later one (the "abc" + [ab, bc] → [ab, c] case).
+    Token ids are the alphabetical rank over the final token
+    vocabulary. Both engines run the IDENTICAL fold: Spark as nested
+    higher-order F.aggregate (rules outer, tokens inner — pure JVM
+    codegen, zero Python), DuckDB as nested list_reduce over a
+    '|'-separated token string (list_reduce has no init accumulator, so
+    the initial char-split string is PREPENDED to the rules list).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (the same
+    two-level reduction as pair_stats — real tokenizers encode the
+    vocab, then map words→tokens by broadcast join at stream time), the
+    merge table arrives as a broadcast 1-row array (scalar-broadcast
+    idiom), and the fold is a map-side expression over vocab rows.
+    Token-id assignment joins the |tokens|-bounded vocabulary back as a
+    broadcast. Nothing downstream of the first exchange scales with
+    corpus size."""
+    docs = tables(spark, sf_dir).documents
+    vocab = (
+        docs.select(F.explode(words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.desc("pair_count"), F.asc("pair"))
+    )
+    rules_row = (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") <= _BPE_TOPN)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "pair"))),
+                lambda s: s["pair"],
+            ).alias("rules")
+        )
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+
+    def _apply_rule(ts, p):
+        a, b = F.substring(p, 1, 1), F.substring(p, 2, 1)
+
+        def _step(acc, x):
+            # ANSI-safe last element: element_at(-1) on an empty array
+            # raises under ANSI mode and `&` does not short-circuit, so
+            # the empty case must be carved out by a conditional branch
+            last = F.when(F.size(acc) > 0, F.element_at(acc, -1)).otherwise(
+                F.lit("")
+            )
+            return F.when(
+                (last == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(p)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(ts, F.array().cast("array<string>"), _step)
+
+    encoded = vocab.crossJoin(F.broadcast(rules_row)).select(
+        "w",
+        "freq",
+        F.aggregate(F.col("rules"), chars, _apply_rule).alias("toks"),
+    )
+    tok_vocab = (
+        encoded.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("tok")),
+        )
+    )
+    ex = encoded.select("w", "freq", F.posexplode("toks").alias("pos", "tok"))
+    return (
+        ex.join(F.broadcast(tok_vocab), "tok")
+        .groupBy("w", "freq")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                "|",
+            ).alias("tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # N-gram novelty: how much of each doc is unseen in earlier docs
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,120 @@
+"""Semantic twins for the round-6 additions: BPE encode checked against
+a pure-Python reference apply (same merge table, same leftmost-first
+rule), and registered-domain dedup against a pandas public-suffix
+recompute — independent of the DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from awsbeats_spark.operators.llm.dedup import _PSL_SUFFIXES, _URL_TLDS
+from awsbeats_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return SPECS[name].fn(spark, sf_dir).toPandas()
+
+    return _run
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.lower()) if w]
+
+
+def _bpe_rules(vocab: Counter, topn: int = 20) -> list[str]:
+    pair_counts: Counter = Counter()
+    for w, f in vocab.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pair_counts[w[i : i + 2]] += f
+    ranked = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [p for p, _ in ranked[:topn]]
+
+
+def _bpe_encode(w: str, rules: list[str]) -> list[str]:
+    toks = list(w)
+    for p in rules:
+        a, b = p[0], p[1]
+        out: list[str] = []
+        for x in toks:
+            if out and out[-1] == a and x == b:
+                out[-1] = p
+            else:
+                out.append(x)
+        toks = out
+    return toks
+
+
+def test_bpe_reference_hand_cases():
+    # leftmost-first within an a==b run; cross-rule char consumption
+    assert _bpe_encode("aaa", ["aa"]) == ["aa", "a"]
+    assert _bpe_encode("aaaa", ["aa"]) == ["aa", "aa"]
+    assert _bpe_encode("abc", ["ab", "bc"]) == ["ab", "c"]
+    assert _bpe_encode("abc", ["bc", "ab"]) == ["a", "bc"]
+    assert _bpe_encode("x", ["xy"]) == ["x"]
+
+
+def test_bpe_encode_matches_python_reference(run, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        vocab.update(_words(t))
+    rules = _bpe_rules(vocab)
+    got = run("corpus_bpe_encode").set_index("w")
+    assert set(got.index) == set(vocab)
+    all_toks = sorted(
+        {t for w in vocab for t in _bpe_encode(w, rules)}
+    )
+    tid = {t: i + 1 for i, t in enumerate(all_toks)}
+    for w, f in vocab.items():
+        toks = _bpe_encode(w, rules)
+        row = got.loc[w]
+        assert row["freq"] == f, w
+        assert row["n_tokens"] == len(toks), w
+        assert row["tokens"] == "|".join(toks), w
+        assert row["token_ids"] == ",".join(str(tid[t]) for t in toks), w
+        # encode must be lossless: tokens concatenate back to the word
+        assert "".join(toks) == w
+
+
+def test_url_registered_domain_matches_pandas(run, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    psl = set(_PSL_SUFFIXES)
+    agg: dict[str, dict] = {}
+    for doc_id, lang, source in zip(
+        docs["doc_id"], docs["lang"], docs["source"]
+    ):
+        host = f"{lang}.cdn{doc_id % 3}.{source}{_URL_TLDS[doc_id % 4]}"
+        labels = host.split(".")
+        k_pub = max(
+            k
+            for k in range(1, len(labels))
+            if ".".join(labels[-k:]) in psl
+        )
+        reg = ".".join(labels[-(k_pub + 1) :])
+        a = agg.setdefault(
+            reg, {"n_docs": 0, "hosts": set(), "keeper": doc_id}
+        )
+        a["n_docs"] += 1
+        a["hosts"].add(host)
+        a["keeper"] = min(a["keeper"], doc_id)
+    got = run("dedup_url_registered_domain").set_index("registered_domain")
+    assert set(got.index) == set(agg)
+    for reg, a in agg.items():
+        row = got.loc[reg]
+        assert row["n_docs"] == a["n_docs"], reg
+        assert row["n_hosts"] == len(a["hosts"]), reg
+        assert row["keeper_doc_id"] == a["keeper"], reg
+    # multi-part TLDs must NOT collapse to the raw TLD: a co.uk host's
+    # registered domain carries three labels
+    assert all("." in r for r in got.index)
+    assert any(r.endswith(".co.uk") and r.count(".") == 2 for r in got.index)
+    assert any(r.endswith(".github.io") and r.count(".") == 2 for r in got.index)
