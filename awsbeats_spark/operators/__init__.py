@@ -414,6 +414,7 @@ _ROUND10_WINDOW = [
     "multimodal_rgb_channel_correlation",
     "corpus_bpe_encode",
     "dedup_url_registered_domain",
+    "retrieval_crossencoder_rerank",
 ]
 
 

@@ -1170,3 +1170,215 @@ def eval_chunk_overlap_vs_disjoint(
         .cast("long")
         .alias("gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-encoder-style rerank over the BM25 shortlist (hashed interaction
+# features — the expensive pairwise scorer runs ONLY on Q x k pairs)
+# --------------------------------------------------------------------------
+
+# "Trained" scorer weights, fixed constants (a real cross-encoder's head
+# would be a learned MLP; the ENGINE shape — pairwise features computed
+# jointly over (query, doc) on the shortlist only — is identical).
+_CE_W_COV = 2.0
+_CE_W_TF = 1.0
+_CE_W_BIGRAM = 0.5
+_CE_W_LEN = 0.25
+_CE_BUCKETS = 64
+
+
+def _crossencoder_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    bucket = (
+        "CAST(('0x' || substring(md5({w}), 1, 4))::BIGINT"
+        f" % {_CE_BUCKETS} AS BIGINT)"
+    )
+    return f"""
+    WITH bm AS ({QUERIES['retrieval_bm25_topk'].oracle}),
+    tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl FROM dl),
+    qb AS (
+        SELECT query_id,
+               count(*) AS n_terms,
+               list(DISTINCT {bucket.format(w='term')}) AS qbl
+        FROM {_query_terms_sql()}
+        GROUP BY query_id
+    ),
+    termfeat AS (
+        SELECT qt.query_id, tf.doc_id,
+               count(*) AS n_present,
+               sum(tf.tf) AS tf_sum
+        FROM {_query_terms_sql()}
+        JOIN tf ON tf.term = qt.term
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    bl AS (
+        SELECT doc_id,
+               list_transform({WORDS_SQL}, w -> {bucket.format(w='w')}) AS bl
+        FROM documents
+    ),
+    feats AS (
+        SELECT bm.query_id, bm.doc_id, bm.rn AS bm25_rn,
+               coalesce(t.n_present, 0) * 1.0 / q.n_terms AS cov,
+               ln(1 + coalesce(t.tf_sum, 0)) AS tfsat,
+               len(list_filter(
+                   generate_series(1, greatest(len(b.bl) - 1, 0)),
+                   i -> list_contains(q.qbl, b.bl[i])
+                        AND list_contains(q.qbl, b.bl[i + 1])
+               )) AS bigram_hits,
+               ln(d.dl / s.avgdl) AS len_pen
+        FROM bm
+        JOIN qb q ON q.query_id = bm.query_id
+        LEFT JOIN termfeat t
+               ON t.query_id = bm.query_id AND t.doc_id = bm.doc_id
+        JOIN bl b ON b.doc_id = bm.doc_id
+        JOIN dl d ON d.doc_id = bm.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id, bm25_rn, bigram_hits,
+               {_CE_W_COV} * cov + {_CE_W_TF} * tfsat
+                   + {_CE_W_BIGRAM} * ln(1 + bigram_hits)
+                   - {_CE_W_LEN} * len_pen AS ce
+        FROM feats
+    )
+    SELECT query_id, doc_id,
+           CAST(bm25_rn AS INT) AS bm25_rn,
+           CAST(bigram_hits AS BIGINT) AS bigram_hits,
+           round(ce, 6) AS ce_score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY ce DESC, doc_id) AS rn,
+           CAST(bm25_rn AS INT) - CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY ce DESC, doc_id) AS INT)
+               AS rank_delta
+    FROM scored
+    """
+
+
+@query(
+    "retrieval_crossencoder_rerank",
+    oracle=_crossencoder_oracle(),
+    tags=("retrieval",),
+)
+def retrieval_crossencoder_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-encoder-STYLE second-stage rerank (VERDICT r5 item 5): the
+    registered BM25 retriever supplies a top-k shortlist per query, and
+    an "expensive" PAIRWISE scorer — features computed jointly over
+    (query, doc), which a bi-encoder cannot express — re-orders it:
+    query-term coverage, saturated TF, a hashed BIGRAM interaction
+    (count of adjacent doc-word pairs whose md5 feature-hash buckets
+    both fall in the query's bucket set — adjacency is exactly the
+    signal dot-product retrieval loses), and a length penalty, combined
+    with fixed "trained" weights.
+
+    The architectural point is the CASCADE COST SHAPE (the sparse twin
+    of [[sim_search_cascade_rerank]]): the corpus-wide pass is the
+    cheap stage-1 scan; the joint scorer touches only Q x k shortlist
+    pairs, so its per-pair cost (here a bigram fold over the doc; in
+    production a transformer forward pass per pair) never multiplies
+    against corpus size. Composes the REGISTERED bm25 operator — same
+    DataFrame, same oracle embedded as a CTE — so the shortlist can
+    never drift from the ranker it audits.
+
+    Scale shape: stage-2 joins are all shortlist-sized (Q x k rows)
+    against broadcast per-query features; the only corpus-scale inputs
+    are the tf/dl tables stage 1 already built (at 100 TB: the
+    persisted inverted index) and one bucket-array projection of the
+    shortlisted docs (semi-join pushdown on doc_id). The bigram fold is
+    a JVM higher-order expression, no Python."""
+    from awsbeats_spark.registry import QUERIES
+
+    t = tables(spark, sf_dir)
+    short = QUERIES["retrieval_bm25_topk"].fn(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rn").alias("bm25_rn")
+    )
+    w = words()
+    toks = t.documents.select("doc_id", F.explode(w).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"))
+
+    def _bucket(c):
+        return (
+            F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("bigint")
+            % _CE_BUCKETS
+        )
+
+    qt = _query_terms_df(spark)
+    qb = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.collect_set(_bucket(F.col("term"))).alias("qbl"),
+    )
+    termfeat = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("tf").alias("tf_sum"),
+        )
+    )
+    bl = t.documents.select(
+        "doc_id", F.transform(w, _bucket).alias("bl")
+    )
+    pairs = F.arrays_zip(
+        F.slice(F.col("bl"), 1, F.size("bl") - 1).alias("x"),
+        F.slice(F.col("bl"), 2, F.size("bl") - 1).alias("y"),
+    )
+    hits_expr = F.size(
+        F.filter(
+            pairs,
+            lambda s: F.exists(F.col("qbl"), lambda q: q == s["x"])
+            & F.exists(F.col("qbl"), lambda q2: q2 == s["y"]),
+        )
+    )
+    feats = (
+        short.join(F.broadcast(qb), "query_id")
+        .join(termfeat, ["query_id", "doc_id"], "left")
+        .join(bl, "doc_id")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rn",
+            (
+                F.coalesce(F.col("n_present"), F.lit(0))
+                / F.col("n_terms")
+            ).alias("cov"),
+            F.log(1 + F.coalesce(F.col("tf_sum"), F.lit(0))).alias("tfsat"),
+            F.when(F.size("bl") >= 2, hits_expr)
+            .otherwise(F.lit(0))
+            .alias("bigram_hits"),
+            F.log(F.col("dl") / F.col("avgdl")).alias("len_pen"),
+        )
+    )
+    ce = (
+        _CE_W_COV * F.col("cov")
+        + _CE_W_TF * F.col("tfsat")
+        + _CE_W_BIGRAM * F.log(1 + F.col("bigram_hits"))
+        - _CE_W_LEN * F.col("len_pen")
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("ce"), F.asc("doc_id"))
+    return (
+        feats.select(
+            "query_id", "doc_id", "bm25_rn", "bigram_hits", ce.alias("ce")
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("bm25_rn").cast("int").alias("bm25_rn"),
+            F.col("bigram_hits").cast("long").alias("bigram_hits"),
+            rnd("ce", 6).alias("ce_score"),
+            "rn",
+            (F.col("bm25_rn").cast("int") - F.col("rn")).alias("rank_delta"),
+        )
+    )

@@ -118,3 +118,20 @@ def test_url_registered_domain_matches_pandas(run, sf_dir):
     assert all("." in r for r in got.index)
     assert any(r.endswith(".co.uk") and r.count(".") == 2 for r in got.index)
     assert any(r.endswith(".github.io") and r.count(".") == 2 for r in got.index)
+
+
+def test_crossencoder_rerank_permutes_bm25_shortlist(run):
+    ce = run("retrieval_crossencoder_rerank")
+    bm = run("retrieval_bm25_topk")
+    for qid, grp in ce.groupby("query_id"):
+        # stage 2 reranks exactly the stage-1 shortlist (no adds/drops)
+        bdocs = set(bm[bm["query_id"] == qid]["doc_id"])
+        assert set(grp["doc_id"]) == bdocs
+        assert sorted(grp["rn"]) == list(range(1, len(grp) + 1))
+        assert sorted(grp["bm25_rn"]) == list(range(1, len(grp) + 1))
+        # a permutation's displacement sums to zero
+        assert int(grp["rank_delta"].sum()) == 0
+    # the joint features must actually disagree with BM25 somewhere,
+    # and the hashed bigram interaction must fire on this corpus
+    assert (ce["rank_delta"] != 0).any()
+    assert (ce["bigram_hits"] > 0).any()
