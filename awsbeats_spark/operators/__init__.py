@@ -415,6 +415,8 @@ _ROUND10_WINDOW = [
     "corpus_bpe_encode",
     "dedup_url_registered_domain",
     "retrieval_crossencoder_rerank",
+    "geo_geohash_density",
+    "geo_bbox_assign",
 ]
 
 

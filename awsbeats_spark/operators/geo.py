@@ -720,3 +720,275 @@ geo_impossible_travel_flags.__doc__ = (
         "{kmh}", str(int(_TRAVEL_MAX_KMH))
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Geohash encoding (bit-interleave, base32) + prefix density
+# --------------------------------------------------------------------------
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_PRECISION = 5  # 25 bits: 13 lon (even positions), 12 lat (odd)
+_GH_LON_BITS = 13
+_GH_LAT_BITS = 12
+_GH_PREFIX = 3  # density grain (~156 x 156 km cells)
+_GH_TOPK = 20
+
+
+def _gh_code_terms(shr) -> str:
+    """The 25 interleave terms as a SQL sum. `shr(x, n)` renders a
+    right-shift in the target dialect (Spark: shiftright; DuckDB: >>).
+    Bit i of the code (0 = MSB): even i takes the next lon bit, odd i
+    the next lat bit — the geohash standard."""
+    terms = []
+    for b in range(_GH_LON_BITS):
+        terms.append(
+            f"({shr('lonq', _GH_LON_BITS - 1 - b)} & 1)"
+            f" * {1 << (24 - 2 * b)}"
+        )
+    for b in range(_GH_LAT_BITS):
+        terms.append(
+            f"({shr('latq', _GH_LAT_BITS - 1 - b)} & 1)"
+            f" * {1 << (23 - 2 * b)}"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "geo_geohash_density",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_lat_sql('c_custkey')} AS lat,
+               {_lon_sql('c_custkey')} AS lon
+        FROM customer
+    ),
+    q AS (
+        SELECT c_custkey,
+               CAST(floor((lon + 180.0) / 360.0 * {1 << _GH_LON_BITS})
+                    AS BIGINT) AS lonq,
+               CAST(floor((lat + 90.0) / 180.0 * {1 << _GH_LAT_BITS})
+                    AS BIGINT) AS latq
+        FROM pts
+    ),
+    coded AS (
+        SELECT c_custkey,
+               {_gh_code_terms(lambda x, n: f"({x} >> {n})")} AS code
+        FROM q
+    ),
+    gh AS (
+        SELECT c_custkey,
+               {" || ".join(
+                   f"substring('{_GH_ALPHABET}',"
+                   f" CAST(((code >> {20 - 5 * i}) & 31) + 1 AS INT), 1)"
+                   for i in range(_GH_PRECISION)
+               )} AS gh5
+        FROM coded
+    ),
+    per5 AS (
+        SELECT substring(gh5, 1, {_GH_PREFIX}) AS gh3, gh5,
+               count(*) AS n
+        FROM gh GROUP BY 1, 2
+    ),
+    dens AS (
+        SELECT gh3,
+               CAST(sum(n) AS BIGINT) AS n_points,
+               CAST(count(*) AS BIGINT) AS n_cells5,
+               min(gh5) AS min_gh5
+        FROM per5 GROUP BY gh3
+    )
+    SELECT gh3, n_points, n_cells5, min_gh5,
+           row_number() OVER (ORDER BY n_points DESC, gh3) AS rn
+    FROM dens
+    QUALIFY rn <= {_GH_TOPK}
+    """,
+)
+def geo_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash encoding (Niemeyer base32: quantize lon to 13
+    bits / lat to 12, interleave lon-first, 5 bits per character) of
+    the customer point set, aggregated to precision-3 prefix density
+    with a per-prefix precision-5 exemplar — the index-construction
+    primitive behind geohash range scans ("one prefix = one contiguous
+    key range").
+
+    Everything through the base32 string is INTEGER arithmetic on a
+    floor()-quantized value whose double input is bit-identical across
+    engines (same LCG projection as the rest of this module), so the
+    hash is engine-portable with no float rounding anywhere. The bit
+    interleave is a closed-form 25-term sum (no iterative bisection):
+    bit i of the code takes lon bit i/2 for even i, lat bit (i-1)/2
+    for odd — checked against a classic bisection-loop reference in
+    tests/test_round6q_ops.py.
+
+    Scale shape: encode is a map-side projection (whole-stage codegen,
+    25 shift-mask terms); density is a two-level keyed rollup (gh5
+    grain then gh3 — no COUNT DISTINCT Expand); top-k is
+    TakeOrderedAndProject. One shuffle at any corpus size, and the gh3
+    key is exactly what a 100-TB deployment would range-partition
+    by."""
+    t = tables(spark, sf_dir)
+    pts = t.customer.select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    q = pts.select(
+        "c_custkey",
+        F.floor((F.col("lon") + 180.0) / 360.0 * (1 << _GH_LON_BITS))
+        .cast("long")
+        .alias("lonq"),
+        F.floor((F.col("lat") + 90.0) / 180.0 * (1 << _GH_LAT_BITS))
+        .cast("long")
+        .alias("latq"),
+    )
+    code = sum(
+        (
+            F.shiftright(F.col("lonq"), _GH_LON_BITS - 1 - b).bitwiseAND(
+                F.lit(1)
+            )
+            * F.lit(1 << (24 - 2 * b))
+            for b in range(_GH_LON_BITS)
+        ),
+        start=F.lit(0),
+    ) + sum(
+        (
+            F.shiftright(F.col("latq"), _GH_LAT_BITS - 1 - b).bitwiseAND(
+                F.lit(1)
+            )
+            * F.lit(1 << (23 - 2 * b))
+            for b in range(_GH_LAT_BITS)
+        ),
+        start=F.lit(0),
+    )
+    alpha = F.array(*[F.lit(c) for c in _GH_ALPHABET])
+    coded = q.select("c_custkey", code.alias("code"))
+    gh5 = F.concat(
+        *[
+            F.element_at(
+                alpha,
+                (
+                    F.shiftright(F.col("code"), 20 - 5 * i).bitwiseAND(
+                        F.lit(31)
+                    )
+                    + 1
+                ).cast("int"),
+            )
+            for i in range(_GH_PRECISION)
+        ]
+    )
+    per5 = (
+        coded.select(gh5.alias("gh5"))
+        .select(F.substring("gh5", 1, _GH_PREFIX).alias("gh3"), "gh5")
+        .groupBy("gh3", "gh5")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dens = per5.groupBy("gh3").agg(
+        F.sum("n").cast("long").alias("n_points"),
+        F.count(F.lit(1)).cast("long").alias("n_cells5"),
+        F.min("gh5").alias("min_gh5"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.desc("n_points"), F.asc("gh3"))
+    )
+    return dens.withColumn("rn", rn).filter(F.col("rn") <= _GH_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Bounding-box containment join (broadcast region dims)
+# --------------------------------------------------------------------------
+
+_BBOX_DLAT = 10.0  # box half-height (degrees)
+_BBOX_DLON = 20.0  # box half-width
+
+
+@query(
+    "geo_bbox_assign",
+    oracle=f"""
+    WITH boxes AS (
+        SELECT n_nationkey, n_name,
+               {_lat_sql('n_nationkey')} AS b_lat,
+               {_lon_sql('n_nationkey')} AS b_lon
+        FROM nation
+    ),
+    pts AS (
+        SELECT c_custkey,
+               {_lat_sql('c_custkey')} AS c_lat,
+               {_lon_sql('c_custkey')} AS c_lon
+        FROM customer
+    ),
+    hit AS (
+        SELECT b.n_nationkey, b.n_name,
+               round(2.0 * {_EARTH_KM} * asin(sqrt(
+                   pow(sin(radians(c_lat - b_lat) / 2), 2)
+                   + cos(radians(b_lat)) * cos(radians(c_lat))
+                   * pow(sin(radians(c_lon - b_lon) / 2), 2))), 6)
+                   AS d_km
+        FROM pts p JOIN boxes b
+          ON p.c_lat BETWEEN b.b_lat - {_BBOX_DLAT}
+                         AND b.b_lat + {_BBOX_DLAT}
+         AND p.c_lon BETWEEN b.b_lon - {_BBOX_DLON}
+                         AND b.b_lon + {_BBOX_DLON}
+    )
+    SELECT n_nationkey, n_name,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(d_km), 4) AS avg_center_km,
+           round(max(d_km), 4) AS max_center_km
+    FROM hit GROUP BY n_nationkey, n_name
+    """,
+)
+def geo_bbox_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment join: every nation carries a
+    fixed lat/lon bounding box (center from the module's LCG
+    projection, ±{dlat}°/±{dlon}°), and the customer point set is
+    assigned to every box containing it — the "which region is this
+    point in" primitive (geofencing, admin-area rollups), here in its
+    axis-aligned form where containment is two BETWEEN predicates.
+
+    Scale shape: the region dim is tiny and BROADCAST, so Spark runs a
+    BroadcastNestedLoopJoin — the right plan for range predicates
+    against a small dim (a hash join cannot express BETWEEN; the
+    wrong plan would be a shuffle cartesian). Points stream through
+    map-side, each testing ≤ |regions| boxes; overlapping boxes
+    multi-assign by design (a point near a border belongs to both
+    rollups). At PSL-scale region counts you grid-block first
+    ([[geo_grid_neighbor_join]]'s cell trick) so each point tests only
+    its cell's boxes; the containment predicate and the aggregate are
+    unchanged. Distances round before aggregation (module contract:
+    libm last-bit drift cannot flip output)."""
+    t = tables(spark, sf_dir)
+    boxes = t.nation.select(
+        "n_nationkey",
+        "n_name",
+        _lat(F.col("n_nationkey")).alias("b_lat"),
+        _lon(F.col("n_nationkey")).alias("b_lon"),
+    )
+    pts = t.customer.select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("c_lat"),
+        _lon(F.col("c_custkey")).alias("c_lon"),
+    )
+    hit = pts.join(
+        F.broadcast(boxes),
+        (F.col("c_lat") >= F.col("b_lat") - _BBOX_DLAT)
+        & (F.col("c_lat") <= F.col("b_lat") + _BBOX_DLAT)
+        & (F.col("c_lon") >= F.col("b_lon") - _BBOX_DLON)
+        & (F.col("c_lon") <= F.col("b_lon") + _BBOX_DLON),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        rnd(
+            _haversine_km(
+                F.col("b_lat"), F.col("b_lon"), F.col("c_lat"), F.col("c_lon")
+            ),
+            6,
+        ).alias("d_km"),
+    )
+    return hit.groupBy("n_nationkey", "n_name").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        rnd(F.avg("d_km"), 4).alias("avg_center_km"),
+        rnd(F.max("d_km"), 4).alias("max_center_km"),
+    )
+
+
+geo_bbox_assign.__doc__ = geo_bbox_assign.__doc__.replace(
+    "{dlat}", str(int(_BBOX_DLAT))
+).replace("{dlon}", str(int(_BBOX_DLON)))

@@ -135,3 +135,65 @@ def test_crossencoder_rerank_permutes_bm25_shortlist(run):
     # and the hashed bigram interaction must fire on this corpus
     assert (ce["rank_delta"] != 0).any()
     assert (ce["bigram_hits"] > 0).any()
+
+
+def _geohash_ref(lat: float, lon: float, precision: int = 5) -> str:
+    """Textbook bisection geohash (independent of the operator's
+    closed-form interleave)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = [], [], True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    for i in range(precision):
+        chunk = bits[i * 5 : i * 5 + 5]
+        out.append(alphabet[int("".join(map(str, chunk)), 2)])
+    return "".join(out)
+
+
+def test_geohash_density_matches_bisection_reference(run, sf_dir):
+    import pandas as pd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    M = 233280
+    lat = ((cust["c_custkey"] * 9301 + 49297) % M) / M * 170.0 - 85.0
+    lon = ((cust["c_custkey"] * 49297 + 9301) % M) / M * 360.0 - 180.0
+    gh5 = [
+        _geohash_ref(la, lo) for la, lo in zip(lat.tolist(), lon.tolist())
+    ]
+    ref = pd.DataFrame({"gh5": gh5})
+    ref["gh3"] = ref["gh5"].str[:3]
+    per = (
+        ref.groupby("gh3")
+        .agg(
+            n_points=("gh5", "size"),
+            n_cells5=("gh5", "nunique"),
+            min_gh5=("gh5", "min"),
+        )
+        .reset_index()
+        .sort_values(["n_points", "gh3"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    got = run("geo_geohash_density").sort_values("rn").reset_index(drop=True)
+    assert got["gh3"].tolist() == per["gh3"].tolist()
+    assert got["n_points"].tolist() == per["n_points"].tolist()
+    assert got["n_cells5"].tolist() == per["n_cells5"].tolist()
+    assert got["min_gh5"].tolist() == per["min_gh5"].tolist()
