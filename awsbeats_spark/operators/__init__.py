@@ -417,6 +417,7 @@ _ROUND10_WINDOW = [
     "retrieval_crossencoder_rerank",
     "geo_geohash_density",
     "geo_bbox_assign",
+    "udtf_pcm_frames",
 ]
 
 
