@@ -418,6 +418,8 @@ _ROUND10_WINDOW = [
     "geo_geohash_density",
     "geo_bbox_assign",
     "udtf_pcm_frames",
+    "corpus_bt_source_strength",
+    "corpus_mix_reweight_mw",
 ]
 
 

@@ -2588,3 +2588,361 @@ corpus_prefix_boilerplate_topk.__doc__ = (
     .replace("{n}", str(_PREFIX_WORDS))
     .replace("{k}", str(_PREFIX_TOP_K))
 )
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry source strength from synthesized pairwise preferences
+# --------------------------------------------------------------------------
+
+_BT_ITERS = 3
+_BT_ROUND = 8  # per-iteration strength rounding (engine portability)
+
+
+def _bt_iter_sql(t: int) -> str:
+    """One unrolled Bradley-Terry MM iteration as CTEs: raw{t} applies
+    the minorize-maximize update s_i = W_i / sum_j n_ij/(s_i + s_j),
+    bt{t} renormalizes to sum = |items| and ROUNDS to 8 decimals (the
+    quantization that makes the float loop engine-portable — the
+    embed_kmeans_cluster pattern)."""
+    return f"""
+    raw{t} AS (
+        SELECT m.i,
+               any_value(w.wins) / sum(m.n / (si.s + sj.s)) AS s_raw
+        FROM mat m
+        JOIN bt{t - 1} si ON si.i = m.i
+        JOIN bt{t - 1} sj ON sj.i = m.j
+        JOIN wintot w ON w.i = m.i
+        GROUP BY m.i
+    ),
+    bt{t} AS (
+        SELECT i,
+               round(s_raw * (SELECT count(*) FROM items)
+                     / sum(s_raw) OVER (), {_BT_ROUND}) AS s
+        FROM raw{t}
+    )"""
+
+
+@query(
+    "corpus_bt_source_strength",
+    oracle=f"""
+    WITH d1 AS (
+        SELECT doc_id, source, n_chars FROM documents
+    ),
+    comp AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CASE WHEN a.n_chars > b.n_chars THEN a.source
+                    ELSE b.source END AS winner
+        FROM d1 a JOIN d1 b ON b.doc_id = a.doc_id + 1
+        WHERE a.source <> b.source AND a.n_chars <> b.n_chars
+    ),
+    mat0 AS (
+        SELECT winner AS i,
+               CASE WHEN winner = sa THEN sb ELSE sa END AS j,
+               count(*) AS wins_ij
+        FROM comp GROUP BY 1, 2
+    ),
+    mat AS (
+        SELECT coalesce(a.i, b.j) AS i, coalesce(a.j, b.i) AS j,
+               coalesce(a.wins_ij, 0) + coalesce(b.wins_ij, 0) AS n
+        FROM mat0 a FULL JOIN mat0 b ON a.i = b.j AND a.j = b.i
+        WHERE coalesce(a.i, b.j) IS NOT NULL
+    ),
+    items AS (SELECT DISTINCT i FROM mat),
+    wintot AS (
+        SELECT i, CAST(sum(coalesce(w.wins_ij, 0)) AS DOUBLE) AS wins
+        FROM items LEFT JOIN mat0 w USING (i) GROUP BY i
+    ),
+    bt0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM items),
+    {",".join(_bt_iter_sql(t) for t in range(1, _BT_ITERS + 1))},
+    compn AS (
+        SELECT i, CAST(sum(n) / 2 AS BIGINT) AS n_comparisons
+        FROM (SELECT i, n FROM mat) GROUP BY i
+    )
+    SELECT b.i AS source,
+           CAST(w.wins AS BIGINT) AS n_wins,
+           c.n_comparisons,
+           round(b.s, 6) AS bt_strength,
+           row_number() OVER (ORDER BY b.s DESC, b.i) AS rank
+    FROM bt{_BT_ITERS} b
+    JOIN wintot w ON w.i = b.i
+    JOIN compn c ON c.i = b.i
+    """,
+)
+def corpus_bt_source_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength per SOURCE fitted to synthesized pairwise
+    preferences — the preference-data primitive behind RLHF reward
+    modeling and arena-style rankings (Elo's batch cousin), engine-
+    shaped: comparisons are adjacent-doc_id cross-source pairs with the
+    longer document winning (a deterministic stand-in for a judge;
+    equal lengths abstain), and the MM fixed-point update s_i = W_i /
+    sum_j n_ij/(s_i+s_j) (Hunter 2004) runs THREE unrolled iterations,
+    renormalized to sum=|sources| and ROUNDED to 8 decimals per
+    iteration — the [[embed_kmeans_cluster]] float-portability pattern,
+    so both engines walk identical trajectories and the whole fit is
+    hash-checked (no rows-only escape hatch for iterative numerics).
+
+    Scale shape: the corpus-scale work is ONE self-join on adjacent
+    doc_id (sort-merge on the same key both sides — at 100 TB this is
+    the window lead() formulation, zero extra shuffle) reduced to a
+    |sources|^2 win matrix; all three MM iterations run on that tiny
+    matrix via keyed joins (no collect — the fit is a DataFrame plan,
+    so it composes with checkpointing like any other operator)."""
+    docs = tables(spark, sf_dir).documents
+    d = docs.select("doc_id", "source", "n_chars")
+    x = d.select(
+        "doc_id", F.col("source").alias("sa"), F.col("n_chars").alias("ca")
+    )
+    y = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("source").alias("sb"),
+        F.col("n_chars").alias("cb"),
+    )
+    # adjacent-pair join on the shifted key: a parallel hash/sort-merge
+    # join, NOT a global-ordered lead() window (which would funnel the
+    # corpus through one partition)
+    adj = x.join(y, "doc_id").filter(
+        (F.col("sa") != F.col("sb")) & (F.col("ca") != F.col("cb"))
+    )
+    comp = adj.select(
+        "sa",
+        "sb",
+        F.when(F.col("ca") > F.col("cb"), F.col("sa"))
+        .otherwise(F.col("sb"))
+        .alias("winner"),
+    )
+    mat0 = comp.select(
+        F.col("winner").alias("i"),
+        F.when(F.col("winner") == F.col("sa"), F.col("sb"))
+        .otherwise(F.col("sa"))
+        .alias("j"),
+    ).groupBy("i", "j").agg(F.count(F.lit(1)).alias("wins_ij"))
+    m_a, m_b = mat0.alias("ma"), mat0.alias("mb")
+    mat = (
+        m_a.join(
+            m_b,
+            (F.col("ma.i") == F.col("mb.j")) & (F.col("ma.j") == F.col("mb.i")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("ma.i"), F.col("mb.j")).alias("i"),
+            F.coalesce(F.col("ma.j"), F.col("mb.i")).alias("j"),
+            (
+                F.coalesce(F.col("ma.wins_ij"), F.lit(0))
+                + F.coalesce(F.col("mb.wins_ij"), F.lit(0))
+            ).alias("n"),
+        )
+        .filter(F.col("i").isNotNull())
+    )
+    items = mat.select("i").distinct()
+    wintot = (
+        items.join(mat0, "i", "left")
+        .groupBy("i")
+        .agg(
+            F.sum(F.coalesce(F.col("wins_ij"), F.lit(0)))
+            .cast("double")
+            .alias("wins")
+        )
+    )
+    n_items = items.count()  # |sources|: tiny, bounds the fit, not the data
+    bt = items.select("i", F.lit(1.0).alias("s"))
+    for _ in range(_BT_ITERS):
+        si = bt.select(F.col("i").alias("si_i"), F.col("s").alias("s_i"))
+        sj = bt.select(F.col("i").alias("sj_i"), F.col("s").alias("s_j"))
+        raw = (
+            mat.join(si, F.col("i") == F.col("si_i"))
+            .join(sj, F.col("j") == F.col("sj_i"))
+            .join(wintot.select(F.col("i").alias("w_i"), "wins"),
+                  F.col("i") == F.col("w_i"))
+            .groupBy("i")
+            .agg(
+                (
+                    F.any_value("wins")
+                    / F.sum(F.col("n") / (F.col("s_i") + F.col("s_j")))
+                ).alias("s_raw")
+            )
+        )
+        tot = Window.partitionBy(F.lit(1))
+        bt = raw.select(
+            "i",
+            rnd(
+                F.col("s_raw") * n_items / F.sum("s_raw").over(tot),
+                _BT_ROUND,
+            ).alias("s"),
+        )
+    compn = mat.groupBy("i").agg((F.sum("n") / 2).cast("long").alias("n_comparisons"))
+    rank = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.desc("s"), F.asc("i"))
+    )
+    return (
+        bt.join(wintot, "i")
+        .join(compn, "i")
+        .select(
+            F.col("i").alias("source"),
+            F.col("wins").cast("long").alias("n_wins"),
+            "n_comparisons",
+            rnd(F.col("s"), 6).alias("bt_strength"),
+            rank.alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style mixture reweighting (multiplicative weights, fixed rounds)
+# --------------------------------------------------------------------------
+
+_MW_ETA = 1.0
+_MW_ITERS = 3
+_MW_ROUND = 8
+
+
+def _mw_iter_sql(t: int) -> str:
+    """One unrolled multiplicative-weights round: the reference loss is
+    re-weighted by the CURRENT mixture (so the loop is genuinely
+    iterative even with static per-source losses), each weight moves by
+    exp(eta * excess), and the simplex projection is a normalize +
+    8-decimal round (the float-portability quantization)."""
+    return f"""
+    mean{t} AS (
+        SELECT sum(w.w * l.loss) AS mloss
+        FROM mw{t - 1} w JOIN losses l USING (source)
+    ),
+    up{t} AS (
+        SELECT w.source,
+               w.w * exp({_MW_ETA} * (l.loss - m.mloss)) AS w_raw
+        FROM mw{t - 1} w
+        JOIN losses l USING (source)
+        CROSS JOIN mean{t} m
+    ),
+    mw{t} AS (
+        SELECT source,
+               round(w_raw / sum(w_raw) OVER (), {_MW_ROUND}) AS w
+        FROM up{t}
+    )"""
+
+
+@query(
+    "corpus_mix_reweight_mw",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+    stot AS (SELECT source, sum(c) AS tot_s FROM sw GROUP BY source),
+    cw AS (SELECT w, sum(c) AS cw FROM sw GROUP BY w),
+    ctot AS (SELECT sum(c) AS tot FROM sw),
+    losses AS (
+        SELECT s.source,
+               round(-sum((s.c * 1.0 / st.tot_s)
+                          * ln(c.cw * 1.0 / ct.tot)), {_MW_ROUND}) AS loss
+        FROM sw s
+        JOIN stot st USING (source)
+        JOIN cw c USING (w)
+        CROSS JOIN ctot ct
+        GROUP BY s.source
+    ),
+    mw0 AS (
+        SELECT source,
+               round(1.0 / (SELECT count(*) FROM losses), {_MW_ROUND}) AS w
+        FROM losses
+    ),
+    {",".join(_mw_iter_sql(t) for t in range(1, _MW_ITERS + 1))}
+    SELECT l.source,
+           CAST(st.tot_s AS BIGINT) AS n_tokens,
+           round(st.tot_s * 1.0 / ct.tot, 6) AS nat_share,
+           round(l.loss, 6) AS xent_loss,
+           round(f.w, 6) AS mix_weight,
+           round(f.w / (st.tot_s * 1.0 / ct.tot), 4) AS eff_upweight
+    FROM mw{_MW_ITERS} f
+    JOIN losses l USING (source)
+    JOIN stot st USING (source)
+    CROSS JOIN ctot ct
+    """,
+)
+def corpus_mix_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped mixture reweighting (Xie et al. 2023, the
+    multiplicative-weights skeleton): each source's "excess loss" —
+    here the unigram cross-entropy of the source's token distribution
+    against the corpus distribution, the deterministic stand-in for a
+    proxy-model loss — drives exp(eta * excess) updates of the domain
+    weights over {iters} fixed rounds, renormalized onto the simplex
+    and ROUNDED to 8 decimals per round ([[embed_kmeans_cluster]]'s
+    float-portability pattern; the loop is genuinely iterative because
+    the excess is measured against the CURRENT mixture's mean loss).
+    `eff_upweight` (= final weight / natural share) is the number a
+    capacity planner reads: how hard the mixture leans into each
+    source. Fully hash-checked — the oracle unrolls the same rounds.
+
+    Scale shape: the corpus collapses to the (source, word) grain in
+    one exploded aggregate (map-side combine; vocab-bounded); the
+    cross-entropy is one more keyed aggregate over that table with the
+    word-marginal joined back on the same key; all MW rounds run on
+    |sources| rows. At 100 TB exactly one shuffle touches token-scale
+    data."""
+    docs = tables(spark, sf_dir).documents
+    toks = docs.select("source", F.explode(words()).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("tot_s"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    ctot = sw.agg(F.sum("c").alias("tot"))
+    losses = (
+        sw.join(stot, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            rnd(
+                -F.sum(
+                    (F.col("c") / F.col("tot_s"))
+                    * F.log(F.col("cw") / F.col("tot"))
+                ),
+                _MW_ROUND,
+            ).alias("loss")
+        )
+    )
+    n_sources = losses.count()  # |sources|: tiny, bounds the fit only
+    mw = losses.select(
+        "source", rnd(F.lit(1.0) / n_sources, _MW_ROUND).alias("w")
+    )
+    for _ in range(_MW_ITERS):
+        mean_t = (
+            mw.join(losses, "source")
+            .agg(F.sum(F.col("w") * F.col("loss")).alias("mloss"))
+        )
+        up = (
+            mw.join(losses, "source")
+            .crossJoin(F.broadcast(mean_t))
+            .select(
+                "source",
+                (
+                    F.col("w")
+                    * F.exp(_MW_ETA * (F.col("loss") - F.col("mloss")))
+                ).alias("w_raw"),
+            )
+        )
+        tot_w = Window.partitionBy(F.lit(1))
+        mw = up.select(
+            "source",
+            rnd(F.col("w_raw") / F.sum("w_raw").over(tot_w), _MW_ROUND).alias(
+                "w"
+            ),
+        )
+    return (
+        mw.join(losses, "source")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            F.col("tot_s").cast("long").alias("n_tokens"),
+            rnd(F.col("tot_s") / F.col("tot"), 6).alias("nat_share"),
+            rnd(F.col("loss"), 6).alias("xent_loss"),
+            rnd(F.col("w"), 6).alias("mix_weight"),
+            rnd(F.col("w") / (F.col("tot_s") / F.col("tot")), 4).alias(
+                "eff_upweight"
+            ),
+        )
+    )
+
+
+corpus_mix_reweight_mw.__doc__ = corpus_mix_reweight_mw.__doc__.replace(
+    "{iters}", str(_MW_ITERS)
+)

@@ -197,3 +197,108 @@ def test_geohash_density_matches_bisection_reference(run, sf_dir):
     assert got["n_points"].tolist() == per["n_points"].tolist()
     assert got["n_cells5"].tolist() == per["n_cells5"].tolist()
     assert got["min_gh5"].tolist() == per["min_gh5"].tolist()
+
+
+def test_bt_source_strength_matches_numpy(run, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    by_id = docs.set_index("doc_id")
+    wins: dict = {}
+    for doc_id in docs["doc_id"]:
+        if doc_id + 1 not in by_id.index:
+            continue
+        a, b = by_id.loc[doc_id], by_id.loc[doc_id + 1]
+        if a["source"] == b["source"] or a["n_chars"] == b["n_chars"]:
+            continue
+        w, l = (
+            (a["source"], b["source"])
+            if a["n_chars"] > b["n_chars"]
+            else (b["source"], a["source"])
+        )
+        wins[(w, l)] = wins.get((w, l), 0) + 1
+    items = sorted({s for p in wins for s in p})
+    idx = {s: i for i, s in enumerate(items)}
+    k = len(items)
+    n = np.zeros((k, k))
+    W = np.zeros(k)
+    for (w, l), c in wins.items():
+        n[idx[w], idx[l]] += c
+        n[idx[l], idx[w]] += c
+        W[idx[w]] += c
+    s = np.ones(k)
+    for _ in range(3):
+        denom = np.array(
+            [
+                sum(
+                    n[i, j] / (s[i] + s[j])
+                    for j in range(k)
+                    if n[i, j] > 0
+                )
+                for i in range(k)
+            ]
+        )
+        s = W / denom
+        s = np.round(s * k / s.sum(), 8)
+    got = run("corpus_bt_source_strength").set_index("source")
+    assert set(got.index) == set(items)
+    for src in items:
+        i = idx[src]
+        assert got.loc[src, "n_wins"] == W[i]
+        assert abs(got.loc[src, "bt_strength"] - round(s[i], 6)) < 2e-6, src
+    # strength must order consistently with a sanity signal: the top
+    # source by strength should have an above-average win rate
+    top = got.sort_values("rank").iloc[0]
+    assert top["n_wins"] / top["n_comparisons"] >= 0.5
+
+
+def test_mix_reweight_mw_matches_numpy(run, sf_dir):
+    import numpy as np
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    sw: dict = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        c = sw.setdefault(src, Counter())
+        c.update(_words(text))
+    corpus = Counter()
+    for c in sw.values():
+        corpus.update(c)
+    tot = sum(corpus.values())
+    sources = sorted(sw)
+    loss = {}
+    for src in sources:
+        tot_s = sum(sw[src].values())
+        loss[src] = round(
+            -sum(
+                (c / tot_s) * np.log(corpus[w] / tot)
+                for w, c in sw[src].items()
+            ),
+            8,
+        )
+    k = len(sources)
+    w = {s: round(1.0 / k, 8) for s in sources}
+    for _ in range(3):
+        mloss = sum(w[s] * loss[s] for s in sources)
+        raw = {s: w[s] * np.exp(1.0 * (loss[s] - mloss)) for s in sources}
+        z = sum(raw.values())
+        w = {s: round(raw[s] / z, 8) for s in sources}
+    got = run("corpus_mix_reweight_mw").set_index("source")
+    assert set(got.index) == set(sources)
+    for src in sources:
+        assert abs(got.loc[src, "xent_loss"] - round(loss[src], 6)) < 2e-6
+        assert abs(got.loc[src, "mix_weight"] - round(w[src], 6)) < 2e-6
+    # weights stay on the simplex and lean into high-loss sources
+    # (weights start uniform, so after the updates the MIX WEIGHT is
+    # monotone in loss; eff_upweight is not — it divides by natural
+    # share, which is independent of loss)
+    assert abs(got["mix_weight"].sum() - 1.0) < 1e-4
+    hi = max(sources, key=lambda s: loss[s])
+    lo = min(sources, key=lambda s: loss[s])
+    assert got.loc[hi, "mix_weight"] >= got.loc[lo, "mix_weight"]
