@@ -420,6 +420,8 @@ _ROUND10_WINDOW = [
     "udtf_pcm_frames",
     "corpus_bt_source_strength",
     "corpus_mix_reweight_mw",
+    "scale_zorder_clustering_audit",
+    "profile_value_topk",
 ]
 
 

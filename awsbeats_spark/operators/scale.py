@@ -2327,3 +2327,137 @@ def sample_md5_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg(F.when(in_s, F.col("value"))), 4).alias("sample_mean"),
         rnd(F.avg("value"), 4).alias("pop_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering audit (Morton interleave -> min/max pruning width)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-key quantization
+_Z_BUCKETS_LOG2 = 6  # 64 equal-width z-range buckets (top 6 bits)
+
+
+def _z_terms(shr, qo: str, qp: str) -> str:
+    """The 32 Morton-interleave terms as a SQL sum (even bit positions
+    from the orderkey rank, odd from the partkey rank). `shr(x, n)`
+    renders a right-shift in the target dialect."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(
+            f"({shr(qo, _Z_BITS - 1 - b)} & 1) * {1 << (31 - 2 * b)}"
+        )
+        terms.append(
+            f"({shr(qp, _Z_BITS - 1 - b)} & 1) * {1 << (30 - 2 * b)}"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "scale_zorder_clustering_audit",
+    oracle=f"""
+    WITH mx AS (
+        SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp FROM lineitem
+    ),
+    q AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(floor(l_orderkey * {1 << _Z_BITS}.0 / (mo + 1))
+                    AS BIGINT) AS qo,
+               CAST(floor(l_partkey * {1 << _Z_BITS}.0 / (mp + 1))
+                    AS BIGINT) AS qp,
+               mo, mp
+        FROM lineitem CROSS JOIN mx
+    ),
+    z AS (
+        SELECT l_orderkey, l_partkey, mo, mp,
+               {_z_terms(lambda x, n: f"({x} >> {n})", 'qo', 'qp')} AS zval
+        FROM q
+    ),
+    b AS (
+        SELECT *, zval >> {32 - _Z_BUCKETS_LOG2} AS bucket FROM z
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           round((max(l_orderkey) - min(l_orderkey) + 1.0)
+                 / (any_value(mo) + 1), 6) AS span_orderkey,
+           round((max(l_partkey) - min(l_partkey) + 1.0)
+                 / (any_value(mp) + 1), 6) AS span_partkey
+    FROM b GROUP BY bucket
+    """,
+)
+def scale_zorder_clustering_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-ORDER (Morton curve) clustering audit — the data-layout
+    primitive behind Delta/Iceberg `ZORDER BY`: quantize two join/filter
+    keys to 16-bit ranks, interleave their bits into a 32-bit z-value
+    (closed-form 32-term shift-mask sum, the [[geo_geohash_density]]
+    technique on key space instead of lat/lon), bucket rows by the top
+    6 z-bits (= 64 equal-width z ranges ~ 64 files written in z order),
+    and report each bucket's min/max KEY SPANS — exactly the statistics
+    a scan planner prunes on. The audit's point: under z-order BOTH
+    spans sit near 1/sqrt(64) = 1/8 per bucket (each dimension splits
+    ~8 ways), so predicates on EITHER key skip ~7/8 of files, where
+    single-key sorting gives a perfect span on one key and span ~1 on
+    the other. Every step is integer arithmetic on both engines
+    (double quantize feeding floor is bit-identical — the LCG/geohash
+    argument), so the audit is hash-checked end to end.
+
+    Scale shape: z-value and bucket are MAP-SIDE expressions (one
+    whole-stage-codegen projection over the fact scan — this is the
+    write-path clustering key, costing nothing extra at rewrite time);
+    the audit is one keyed aggregate over the bucket id plus a
+    broadcast 1-row max. No sort, no window: equal-width z ranges
+    stand in for the equal-count file split so the audit stays
+    shuffle-light at any scale."""
+    t = tables(spark, sf_dir)
+    mx = t.lineitem.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    )
+    q = t.lineitem.select("l_orderkey", "l_partkey").crossJoin(
+        F.broadcast(mx)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "mo",
+        "mp",
+        F.floor(F.col("l_orderkey") * float(1 << _Z_BITS) / (F.col("mo") + 1))
+        .cast("long")
+        .alias("qo"),
+        F.floor(F.col("l_partkey") * float(1 << _Z_BITS) / (F.col("mp") + 1))
+        .cast("long")
+        .alias("qp"),
+    )
+    zval = sum(
+        (
+            F.shiftright(F.col("qo"), _Z_BITS - 1 - b).bitwiseAND(F.lit(1))
+            * F.lit(1 << (31 - 2 * b))
+            + F.shiftright(F.col("qp"), _Z_BITS - 1 - b).bitwiseAND(F.lit(1))
+            * F.lit(1 << (30 - 2 * b))
+            for b in range(_Z_BITS)
+        ),
+        start=F.lit(0),
+    )
+    b = q.select(
+        "l_orderkey",
+        "l_partkey",
+        "mo",
+        "mp",
+        F.shiftright(zval, 32 - _Z_BUCKETS_LOG2).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        rnd(
+            (F.max("l_orderkey") - F.min("l_orderkey") + 1.0)
+            / (F.any_value("mo") + 1),
+            6,
+        ).alias("span_orderkey"),
+        rnd(
+            (F.max("l_partkey") - F.min("l_partkey") + 1.0)
+            / (F.any_value("mp") + 1),
+            6,
+        ).alias("span_partkey"),
+    )

@@ -302,3 +302,73 @@ def test_mix_reweight_mw_matches_numpy(run, sf_dir):
     hi = max(sources, key=lambda s: loss[s])
     lo = min(sources, key=lambda s: loss[s])
     assert got.loc[hi, "mix_weight"] >= got.loc[lo, "mix_weight"]
+
+
+def test_zorder_audit_matches_numpy_morton(run, sf_dir):
+    import numpy as np
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    mo, mp = li["l_orderkey"].max(), li["l_partkey"].max()
+    qo = np.floor(li["l_orderkey"].to_numpy() * 65536.0 / (mo + 1)).astype(
+        np.int64
+    )
+    qp = np.floor(li["l_partkey"].to_numpy() * 65536.0 / (mp + 1)).astype(
+        np.int64
+    )
+    z = np.zeros(len(li), dtype=np.int64)
+    for b in range(16):
+        z += ((qo >> (15 - b)) & 1) << (31 - 2 * b)
+        z += ((qp >> (15 - b)) & 1) << (30 - 2 * b)
+    li["bucket"] = z >> 26
+    ref = li.groupby("bucket").agg(
+        n_rows=("l_orderkey", "size"),
+        min_o=("l_orderkey", "min"),
+        max_o=("l_orderkey", "max"),
+        min_p=("l_partkey", "min"),
+        max_p=("l_partkey", "max"),
+    )
+    got = run("scale_zorder_clustering_audit").set_index("bucket")
+    assert set(got.index) == set(ref.index)
+    for bkt, r in ref.iterrows():
+        g = got.loc[bkt]
+        assert g["n_rows"] == r["n_rows"]
+        assert g["min_orderkey"] == r["min_o"]
+        assert g["max_orderkey"] == r["max_o"]
+        assert abs(
+            g["span_orderkey"] - round((r["max_o"] - r["min_o"] + 1) / (mo + 1), 6)
+        ) < 1e-9
+        assert abs(
+            g["span_partkey"] - round((r["max_p"] - r["min_p"] + 1) / (mp + 1), 6)
+        ) < 1e-9
+    # THE z-order claim: both dimensions' average bucket span sit far
+    # below 1 (single-key sorting would pin one near 1); 64 buckets
+    # split each dimension ~8 ways, boundary effects allowed
+    assert got["span_orderkey"].mean() < 0.35
+    assert got["span_partkey"].mean() < 0.35
+    assert int(got["n_rows"].sum()) == len(li)
+
+
+def test_profile_value_topk_matches_pandas(run, sf_dir):
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    ).to_pandas()
+    n = len(orders)
+    panels = {
+        "o_orderstatus": orders["o_orderstatus"],
+        "o_orderpriority": orders["o_orderpriority"],
+        "o_year": orders["o_orderdate"].dt.year.astype(str),
+    }
+    got = run("profile_value_topk")
+    for col, series in panels.items():
+        vc = series.value_counts()
+        ref = sorted(
+            vc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:5]
+        sub = got[got["column_name"] == col].sort_values("rn")
+        assert list(sub["value"]) == [v for v, _ in ref]
+        assert list(sub["cnt"]) == [c for _, c in ref]
+        for (_, c), sh in zip(ref, sub["share"]):
+            assert abs(sh - round(c / n, 6)) < 1e-9
