@@ -422,6 +422,8 @@ _ROUND10_WINDOW = [
     "corpus_mix_reweight_mw",
     "scale_zorder_clustering_audit",
     "profile_value_topk",
+    "corpus_dsir_importance",
+    "corpus_quality_classifier_filter",
 ]
 
 

@@ -2946,3 +2946,254 @@ def corpus_mix_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_mix_reweight_mw.__doc__ = corpus_mix_reweight_mw.__doc__.replace(
     "{iters}", str(_MW_ITERS)
 )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (hashed-feature log-likelihood ratio)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+_DSIR_BUCKET_SQL = (
+    f"CAST(('0x' || substring(md5(w), 1, 4))::BIGINT % {_DSIR_BUCKETS}"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, lang, unnest({WORDS_SQL}) AS w FROM documents)
+    ),
+    db AS (
+        SELECT doc_id, any_value(lang) AS lang, b, count(*) AS c
+        FROM toks GROUP BY doc_id, b
+    ),
+    tcnt AS (
+        SELECT b, count(*) AS ct FROM toks
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    rcnt AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+    tot AS (
+        SELECT (SELECT count(*) FROM toks
+                WHERE lang = '{_DSIR_TARGET_LANG}') AS nt,
+               (SELECT count(*) FROM toks) AS nr
+    ),
+    ratio AS (
+        SELECT r.b,
+               ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+               - ln((r.cr + 1.0) / (tot.nr + {_DSIR_BUCKETS})) AS lr
+        FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+    ),
+    docw AS (
+        SELECT d.doc_id, any_value(d.lang) AS lang,
+               round(sum(d.c * ratio.lr), 8) AS logw
+        FROM db d JOIN ratio USING (b)
+        GROUP BY d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(logw), 4) AS mean_logw,
+           round(avg(CASE WHEN logw > 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS pos_share
+    FROM docw GROUP BY lang
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection via
+    Importance Resampling"), the hashed-n-gram form: every document
+    gets a log importance weight = sum over its hashed word features of
+    ln p_target(bucket) - ln p_raw(bucket), where the target is the
+    '{tl}' slice and raw is the whole corpus (add-1 smoothed, {nb}
+    md5 buckets — engine-identical bytes). Positive logw = "looks like
+    the target distribution"; resampling by exp(logw) is the published
+    recipe for tilting a 100-TB crawl toward a curated target. Reported
+    at the language grain: mean logw and the positive share — target-
+    language docs must upweight (pinned in tests), which is the whole
+    point of the method. Per-doc logw rounds to 8 decimals before the
+    sign test and the mean (float-portability quantization).
+
+    Scale shape: two passes over the token projection — one (doc, b)
+    aggregate (the per-doc feature vector, map-side combined) and one
+    bucket-marginal aggregate ({nb} rows, broadcast back). The log-
+    ratio table is model-as-data: at serving time these {nb} numbers
+    ARE the trained importance model, joined onto any corpus."""
+    docs = tables(spark, sf_dir).documents
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(words()).alias("w")
+    ).select("doc_id", "lang", bucket.alias("b"))
+    db = toks.groupBy("doc_id", "b").agg(
+        F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("c")
+    )
+    tcnt = (
+        toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rcnt = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = toks.agg(
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + _DSIR_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            rnd(F.sum(F.col("c") * F.col("lr")), 8).alias("logw"),
+        )
+    )
+    return docw.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("logw"), 4).alias("mean_logw"),
+        rnd(F.avg(F.when(F.col("logw") > 0, 1.0).otherwise(0.0)), 6).alias(
+            "pos_share"
+        ),
+    )
+
+
+corpus_dsir_importance.__doc__ = corpus_dsir_importance.__doc__.replace(
+    "{tl}", _DSIR_TARGET_LANG
+).replace("{nb}", str(_DSIR_BUCKETS))
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filter (hashed logistic scorer, weights as data)
+# --------------------------------------------------------------------------
+
+_QLF_BUCKETS = 64
+_QLF_THRESHOLD = 0.5
+
+
+@query(
+    "corpus_quality_classifier_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substring(md5(w), 1, 4))::BIGINT
+                    % {_QLF_BUCKETS} AS BIGINT) AS b
+        FROM (SELECT doc_id, source, unnest({WORDS_SQL}) AS w
+              FROM documents)
+    ),
+    feats AS (
+        SELECT doc_id, any_value(source) AS source, b,
+               ln(1 + count(*)) AS x
+        FROM toks GROUP BY doc_id, b
+    ),
+    wts AS (
+        SELECT b,
+               (('0x' || substring(md5('w:' || CAST(b AS VARCHAR)), 1, 4))
+                    ::BIGINT % 2001 - 1000) / 1000.0 AS wt
+        FROM (SELECT unnest(generate_series(0, {_QLF_BUCKETS - 1})) AS b)
+    ),
+    scored AS (
+        SELECT f.doc_id, any_value(f.source) AS source,
+               round(1.0 / (1.0 + exp(-sum(f.x * w.wt))), 8) AS p
+        FROM feats f JOIN wts w USING (b)
+        GROUP BY f.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p), 4) AS mean_score,
+           round(avg(CASE WHEN p >= {_QLF_THRESHOLD} THEN 1.0 ELSE 0.0 END),
+                 6) AS pass_rate
+    FROM scored GROUP BY source
+    """,
+)
+def corpus_quality_classifier_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-based quality filtering, the DCLM/FineWeb-edu engine
+    shape: a (fasttext/logistic-style) linear scorer over hashed
+    bag-of-words features gates every document, and the pipeline
+    reports per-source score mass and pass rate at the threshold. The
+    weight VECTOR here is a deterministic md5-derived stand-in (each
+    bucket's weight in [-1, 1]) — in production the trained weights
+    load from the model registry — but the serving plan is the real
+    thing and is what this operator pins: **weights are DATA**, a
+    {nb}-row broadcast table joined onto the per-doc feature vector,
+    so shipping a retrained model is a table swap, not a code change.
+    Sigmoid output rounds to 8 decimals before thresholding
+    (float-portability quantization over exp()).
+
+    Scale shape: one token-scale exploded aggregate builds the sparse
+    (doc, bucket, log(1+tf)) features map-side; the dot product is a
+    per-doc keyed aggregate after a broadcast join with the weight
+    table; the report is a |sources|-grain rollup. Exactly one
+    exchange touches corpus-scale rows."""
+    docs = tables(spark, sf_dir).documents
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+        % _QLF_BUCKETS
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(words()).alias("w")
+    ).select("doc_id", "source", bucket.alias("b"))
+    feats = toks.groupBy("doc_id", "b").agg(
+        F.any_value("source").alias("source"),
+        F.log(1 + F.count(F.lit(1))).alias("x"),
+    )
+    wts = spark.range(_QLF_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("wt"),
+    )
+    scored = (
+        feats.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            rnd(
+                1.0 / (1.0 + F.exp(-F.sum(F.col("x") * F.col("wt")))), 8
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("p"), 4).alias("mean_score"),
+        rnd(
+            F.avg(
+                F.when(F.col("p") >= _QLF_THRESHOLD, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
+corpus_quality_classifier_filter.__doc__ = (
+    corpus_quality_classifier_filter.__doc__.replace("{nb}", str(_QLF_BUCKETS))
+)

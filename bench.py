@@ -393,6 +393,17 @@ EXTENDED_PROBE = [
     "ts_time_weighted_average",
     "events_cohens_d_effect_size",
     "multimodal_rgb_channel_correlation",
+    # round 6 additions
+    "corpus_bpe_encode",
+    "dedup_url_registered_domain",
+    "retrieval_crossencoder_rerank",
+    "geo_geohash_density",
+    "geo_bbox_assign",
+    "udtf_pcm_frames",
+    "corpus_bt_source_strength",
+    "corpus_mix_reweight_mw",
+    "scale_zorder_clustering_audit",
+    "profile_value_topk",
 ]
 
 

@@ -372,3 +372,88 @@ def test_profile_value_topk_matches_pandas(run, sf_dir):
         assert list(sub["cnt"]) == [c for _, c in ref]
         for (_, c), sh in zip(ref, sub["share"]):
             assert abs(sh - round(c / n, 6)) < 1e-9
+
+
+def _md5_bucket(w: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % mod
+
+
+def test_dsir_importance_matches_numpy_and_upweights_target(run, sf_dir):
+    import numpy as np
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    B = 64
+    doc_feats, doc_lang = {}, {}
+    tgt, raw = Counter(), Counter()
+    for doc_id, lang, text in zip(docs["doc_id"], docs["lang"], docs["text"]):
+        c = Counter(_md5_bucket(w, B) for w in _words(text))
+        doc_feats[doc_id] = c
+        doc_lang[doc_id] = lang
+        raw.update(c)
+        if lang == "en":
+            tgt.update(c)
+    nt, nr = sum(tgt.values()), sum(raw.values())
+    lr = {
+        b: np.log((tgt.get(b, 0) + 1.0) / (nt + B))
+        - np.log((raw[b] + 1.0) / (nr + B))
+        for b in raw
+    }
+    per_lang: dict = {}
+    for doc_id, c in doc_feats.items():
+        logw = round(sum(cnt * lr[b] for b, cnt in c.items()), 8)
+        a = per_lang.setdefault(doc_lang[doc_id], [])
+        a.append(logw)
+    got = run("corpus_dsir_importance").set_index("lang")
+    assert set(got.index) == set(per_lang)
+    for lang, ws in per_lang.items():
+        assert got.loc[lang, "n_docs"] == len(ws)
+        assert abs(got.loc[lang, "mean_logw"] - round(np.mean(ws), 4)) < 2e-4
+        assert (
+            abs(
+                got.loc[lang, "pos_share"]
+                - round(np.mean([w > 0 for w in ws]), 6)
+            )
+            < 1e-6
+        )
+    # the method's point: the target slice upweights itself
+    assert got.loc["en", "mean_logw"] == got["mean_logw"].max()
+    assert got.loc["en", "pos_share"] >= got["pos_share"].max() - 1e-9
+
+
+def test_quality_classifier_filter_matches_numpy(run, sf_dir):
+    import hashlib
+
+    import numpy as np
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    B = 64
+    wts = {
+        b: (
+            int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:4], 16) % 2001
+            - 1000
+        )
+        / 1000.0
+        for b in range(B)
+    }
+    per_source: dict = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        c = Counter(_md5_bucket(w, B) for w in _words(text))
+        s = sum(np.log(1 + cnt) * wts[b] for b, cnt in c.items())
+        p = round(1.0 / (1.0 + np.exp(-s)), 8)
+        per_source.setdefault(src, []).append(p)
+    got = run("corpus_quality_classifier_filter").set_index("source")
+    assert set(got.index) == set(per_source)
+    for src, ps in per_source.items():
+        assert got.loc[src, "n_docs"] == len(ps)
+        assert abs(got.loc[src, "mean_score"] - round(np.mean(ps), 4)) < 2e-4
+        assert (
+            abs(
+                got.loc[src, "pass_rate"]
+                - round(np.mean([p >= 0.5 for p in ps]), 6)
+            )
+            < 1e-6
+        )
