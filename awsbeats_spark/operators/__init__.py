@@ -424,6 +424,7 @@ _ROUND10_WINDOW = [
     "profile_value_topk",
     "corpus_dsir_importance",
     "corpus_quality_classifier_filter",
+    "graph_adamic_adar_topk",
 ]
 
 

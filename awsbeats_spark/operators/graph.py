@@ -1722,3 +1722,99 @@ def events_conformance_illegal_transitions(
             ).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (hub-capped candidate generation)
+# --------------------------------------------------------------------------
+
+_AA_HUB_CAP = 50  # parts with more suppliers than this are hubs: dropped
+_AA_TOPK = 5
+
+
+@query(
+    "graph_adamic_adar_topk",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    pdeg AS (
+        SELECT part, count(*) AS d FROM edges GROUP BY part
+        HAVING count(*) BETWEEN 2 AND {_AA_HUB_CAP}
+    ),
+    contrib AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               1.0 / ln(p.d) AS w
+        FROM edges a
+        JOIN pdeg p USING (part)
+        JOIN edges b USING (part)
+        WHERE a.supp < b.supp
+    ),
+    scored AS (
+        SELECT supp_a, supp_b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               round(sum(w), 6) AS aa_score
+        FROM contrib GROUP BY supp_a, supp_b
+    )
+    SELECT supp_a, supp_b, n_common, aa_score,
+           row_number() OVER (
+               PARTITION BY supp_a
+               ORDER BY aa_score DESC, supp_b) AS rk
+    FROM scored
+    QUALIFY rk <= {_AA_TOPK}
+    """,
+    tags=("graph",),
+)
+def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the supplier-part bipartite
+    graph: candidate supplier pairs share at least one part, and each
+    shared part contributes 1/ln(degree) — rare parts are strong
+    evidence of a link, ubiquitous parts near-none (Adamic & Adar
+    2003). Top-{k} predicted partners per supplier.
+
+    This operator APPLIES the hub cap that [[graph_bipartite_projection]]
+    only documents: parts with more than {cap} suppliers are dropped
+    before the pair join (a hub part with degree d emits d² candidate
+    pairs while contributing only 1/ln(d) ≈ nothing to any of them —
+    the df-cap economics of [[dedup_ngram_df_capped]], here with a
+    principled justification built into the score itself). Degree-1
+    parts are also pruned (no pairs). Scores are ROUNDED to 6 decimals
+    BEFORE the rank window in both engines so partial-aggregation
+    summation order cannot flip a rank tie.
+
+    Scale shape: degree is one keyed aggregate reusing the exchange the
+    pair join needs anyway; the join stays a plain hash join on part;
+    candidate volume is bounded by cap² per part; the per-source top-k
+    is a WindowGroupLimit-pruned rank."""
+    li = tables(spark, sf_dir).lineitem
+    edges = li.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    pdeg = (
+        edges.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP))
+    )
+    a = edges.select(F.col("supp").alias("supp_a"), "part")
+    b = edges.select(F.col("supp").alias("supp_b"), "part")
+    contrib = (
+        a.join(pdeg, "part")
+        .join(b, "part")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .select("supp_a", "supp_b", (1.0 / F.log(F.col("d"))).alias("w"))
+    )
+    scored = contrib.groupBy("supp_a", "supp_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        rnd(F.sum("w"), 6).alias("aa_score"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("supp_a").orderBy(
+            F.desc("aa_score"), F.asc("supp_b")
+        )
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= _AA_TOPK)
+
+
+graph_adamic_adar_topk.__doc__ = graph_adamic_adar_topk.__doc__.replace(
+    "{k}", str(_AA_TOPK)
+).replace("{cap}", str(_AA_HUB_CAP))

@@ -404,6 +404,9 @@ EXTENDED_PROBE = [
     "corpus_mix_reweight_mw",
     "scale_zorder_clustering_audit",
     "profile_value_topk",
+    "corpus_dsir_importance",
+    "corpus_quality_classifier_filter",
+    "graph_adamic_adar_topk",
 ]
 
 

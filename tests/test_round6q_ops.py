@@ -457,3 +457,41 @@ def test_quality_classifier_filter_matches_numpy(run, sf_dir):
             )
             < 1e-6
         )
+
+
+def test_adamic_adar_matches_pandas(run, sf_dir):
+    import numpy as np
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = li.drop_duplicates()
+    deg = edges.groupby("l_partkey").size()
+    keep = deg[(deg >= 2) & (deg <= 50)]
+    scores: dict = {}
+    common: dict = {}
+    for part, d in keep.items():
+        supps = sorted(edges[edges["l_partkey"] == part]["l_suppkey"])
+        w = 1.0 / np.log(d)
+        for i in range(len(supps)):
+            for j in range(i + 1, len(supps)):
+                key = (supps[i], supps[j])
+                scores[key] = scores.get(key, 0.0) + w
+                common[key] = common.get(key, 0) + 1
+    per_a: dict = {}
+    for (a, b), sc in scores.items():
+        per_a.setdefault(a, []).append((round(sc, 6), b))
+    expect = {}
+    for a, lst in per_a.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (sc, b) in enumerate(lst[:5], 1):
+            expect[(a, b)] = (sc, rk)
+    got = run("graph_adamic_adar_topk")
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        key = (row.supp_a, row.supp_b)
+        assert key in expect, key
+        sc, rk = expect[key]
+        assert abs(row.aa_score - sc) < 1e-9, key
+        assert row.rk == rk, key
+        assert row.n_common == common[key], key
