@@ -425,6 +425,7 @@ _ROUND10_WINDOW = [
     "corpus_dsir_importance",
     "corpus_quality_classifier_filter",
     "graph_adamic_adar_topk",
+    "text_winnowing_fingerprints",
 ]
 
 

@@ -1145,3 +1145,137 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ratio"),
         rnd(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003 — the MOSS algorithm)
+# --------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window size over the k-gram hash sequence
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH shs AS (
+        SELECT doc_id, {shingles_sql(WORDS_SQL)} AS arr FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, len(arr) AS L, unnest(arr) AS sh,
+               unnest(range(1, 1 + len(arr))) AS p
+        FROM shs WHERE len(arr) >= {_WINNOW_W}
+    ),
+    hv AS (
+        SELECT doc_id, L, p,
+               CAST(('0x' || substring(md5(sh), 1, 8))::BIGINT AS BIGINT)
+                   AS h
+        FROM pos
+    ),
+    wins AS (
+        SELECT doc_id, L, p, h,
+               unnest(generate_series(greatest(1, p - {_WINNOW_W - 1}),
+                                      least(p, L - {_WINNOW_W - 1}))) AS j
+        FROM hv
+    ),
+    sel AS (
+        SELECT doc_id, L, j, p, h,
+               row_number() OVER (
+                   PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn
+        FROM wins
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, L, p, h FROM sel WHERE rn = 1
+    )
+    SELECT doc_id,
+           CAST(max(L) AS BIGINT) AS n_grams,
+           CAST(max(L) - {_WINNOW_W - 1} AS BIGINT) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           round(count(*) * 1.0 / max(L), 6) AS density,
+           md5(string_agg(CAST(p AS VARCHAR) || ':' || CAST(h AS VARCHAR),
+                          '|' ORDER BY p)) AS fp_digest
+    FROM fps GROUP BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    plagiarism-detector selection rule), not the bottom-k sketch
+    [[text_fingerprint]] ships: slide a w={w} window over the doc's
+    k-gram hash sequence and record each window's MINIMUM hash
+    (rightmost on ties), deduped. Winnowing's guarantee — any shared
+    substring of >= w+k-1 words yields at least one shared fingerprint,
+    with expected density 2/(w+1) — is what makes it the local
+    fingerprinting standard: unlike bottom-k it is POSITIONAL, so
+    matches localize to regions, and density is bounded per document
+    regardless of length. Emits per-doc fingerprint count, density,
+    and a digest of the (position, hash) set; at 100 TB the exploded
+    (doc, p, h) fingerprint rows would feed an equi-join on h for
+    local-overlap candidate pairs.
+
+    Engine parity: hashes are 32-bit md5-prefix integers; selection is
+    pure integer argmin with a pinned (h ASC, p DESC) tie-break —
+    min_by over a (h, -p) struct in Spark, a row_number window in
+    DuckDB. Scale shape: every stage is map-side or keyed by
+    (doc_id, window) — the window explode is a bounded x{w} fan-out of
+    narrow integer rows, the argmin is one hash aggregate with
+    map-side combine, and nothing pairs docs with docs."""
+    t = tables(spark, sf_dir)
+    shs = t.documents.select(
+        "doc_id", shingles(words()).alias("arr")
+    ).filter(F.size("arr") >= _WINNOW_W)
+    pos = shs.select(
+        "doc_id",
+        F.size("arr").alias("L"),
+        F.posexplode("arr").alias("p0", "sh"),
+    ).select(
+        "doc_id",
+        "L",
+        (F.col("p0") + 1).alias("p"),
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wins = pos.select(
+        "doc_id",
+        "L",
+        "p",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("p") - (_WINNOW_W - 1)),
+                F.least(F.col("p"), F.col("L") - (_WINNOW_W - 1)),
+            )
+        ).alias("j"),
+    )
+    sel = wins.groupBy("doc_id", "j").agg(
+        F.any_value("L").alias("L"),
+        F.min_by(
+            F.struct("p", "h"), F.struct(F.col("h"), -F.col("p"))
+        ).alias("m"),
+    )
+    fps = sel.select(
+        "doc_id", "L", F.col("m.p").alias("p"), F.col("m.h").alias("h")
+    ).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.max("L").cast("long").alias("n_grams"),
+        (F.max("L") - (_WINNOW_W - 1)).cast("long").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        rnd(F.count(F.lit(1)) / F.max("L"), 6).alias("density"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "h"))),
+                    lambda s: F.concat(
+                        s["p"].cast("string"),
+                        F.lit(":"),
+                        s["h"].cast("string"),
+                    ),
+                ),
+                "|",
+            )
+        ).alias("fp_digest"),
+    )
+
+
+text_winnowing_fingerprints.__doc__ = (
+    text_winnowing_fingerprints.__doc__.replace("{w}", str(_WINNOW_W))
+)

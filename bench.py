@@ -407,6 +407,7 @@ EXTENDED_PROBE = [
     "corpus_dsir_importance",
     "corpus_quality_classifier_filter",
     "graph_adamic_adar_topk",
+    "text_winnowing_fingerprints",
 ]
 
 

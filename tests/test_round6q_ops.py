@@ -495,3 +495,39 @@ def test_adamic_adar_matches_pandas(run, sf_dir):
         assert abs(row.aa_score - sc) < 1e-9, key
         assert row.rk == rk, key
         assert row.n_common == common[key], key
+
+
+def test_winnowing_matches_python_reference(run, sf_dir):
+    import hashlib
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    W = 4
+    got = run("text_winnowing_fingerprints").set_index("doc_id")
+    expected_docs = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = _words(text)
+        grams = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        if len(grams) < W:
+            continue
+        expected_docs.add(doc_id)
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        fps = set()
+        for j in range(len(hs) - W + 1):
+            win = hs[j : j + W]
+            m = min(win)
+            # rightmost minimal hash of the window
+            p = j + max(i for i, v in enumerate(win) if v == m)
+            fps.add((p + 1, hs[p]))
+        row = got.loc[doc_id]
+        assert row["n_grams"] == len(grams)
+        assert row["n_windows"] == len(grams) - W + 1
+        assert row["n_fingerprints"] == len(fps)
+        digest = hashlib.md5(
+            "|".join(f"{p}:{h}" for p, h in sorted(fps)).encode()
+        ).hexdigest()
+        assert row["fp_digest"] == digest, doc_id
+        # the winnowing density guarantee: expected 2/(w+1), generous cap
+        assert row["density"] <= 0.75
+    assert set(got.index) == expected_docs
