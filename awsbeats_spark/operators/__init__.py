@@ -426,6 +426,7 @@ _ROUND10_WINDOW = [
     "corpus_quality_classifier_filter",
     "graph_adamic_adar_topk",
     "text_winnowing_fingerprints",
+    "multimodal_video_scene_cuts",
 ]
 
 

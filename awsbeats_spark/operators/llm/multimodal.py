@@ -2361,3 +2361,183 @@ def multimodal_rgb_channel_correlation(
         rnd(corr_rg, 6).alias("corr_rg"),
         rnd(corr_gb, 6).alias("corr_gb"),
     )
+
+
+# --------------------------------------------------------------------------
+# Video scene cuts: per-frame luma deltas over a motion Y4M stream
+# --------------------------------------------------------------------------
+
+_CUT_MAX_FRAMES = 8  # prefix frames probed per clip
+_CUT_ROTATE = 17  # per-frame byte rotation of the source stream
+_CUT_THRESHOLD = 8.0  # mean-luma jump that counts as a cut
+
+
+def synthesize_y4m_motion(data: bytes) -> bytes:
+    """A valid YUV4MPEG2 stream with SHOT structure: frame i's bytes
+    are the source stream rotated left by i*{rot} (mod n) — smooth
+    "motion" within a shot — and every 4th frame (i % 4 == 3) is
+    luma-INVERTED (255 - b), a hard scene change. Byte j of frame i is
+    therefore data[(i*{rot} + j) % n], inverted on cut frames — the
+    property the scene-cut oracle replays nibble-exactly. Same
+    geometry rules as :func:`synthesize_y4m` (and the same 37-byte
+    header), so :func:`decode_media` parses it as a normal video."""
+    n = len(data)
+    w = 10 + 2 * (n % 7)
+    h = 10 + 2 * ((7 * n) % 5)
+    frames = 1 + n % 24
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode("ascii")
+    frame_bytes = w * h * 3 // 2
+    parts = []
+    for i in range(frames):
+        off = (i * _CUT_ROTATE) % n
+        rot = data[off:] + data[:off]
+        body = _cycle_bytes(rot, frame_bytes)
+        if i % 4 == 3:
+            body = bytes(255 - b for b in body)
+        parts.append(b"FRAME\n" + body)
+    return header + b"".join(parts)
+
+
+synthesize_y4m_motion.__doc__ = synthesize_y4m_motion.__doc__.replace(
+    "{rot}", str(_CUT_ROTATE)
+)
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               10 + 2 * (octet_length(encode(text)) % 7) AS wd,
+               10 + 2 * ((7 * octet_length(encode(text))) % 5) AS ht,
+               1 + octet_length(encode(text)) % 24 AS n_frames
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 2
+    ),
+    fr AS (
+        SELECT doc_id, h, n, wd, ht, n_frames,
+               unnest(generate_series(
+                   0, least(n_frames, {_CUT_MAX_FRAMES}) - 1)) AS f
+        FROM p
+    ),
+    sums AS (
+        SELECT doc_id, wd, ht, n_frames, f,
+               list_sum(list_transform(
+                   generate_series(1, wd * ht),
+                   j -> CASE WHEN f % 4 = 3
+                        THEN 255.0 - {_BYTE_SQL.format(k=f"f * {_CUT_ROTATE} + j - 1")}
+                        ELSE {_BYTE_SQL.format(k=f"f * {_CUT_ROTATE} + j - 1")}
+                        END))
+                   AS s
+        FROM fr
+    ),
+    deltas AS (
+        SELECT doc_id, wd, ht, n_frames, f, s,
+               abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f))
+                   / (wd * ht) AS d
+        FROM sums
+    )
+    SELECT doc_id,
+           CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(coalesce(sum(CASE WHEN d > {_CUT_THRESHOLD} THEN 1 END), 0)
+                AS BIGINT) AS n_cuts,
+           CAST(coalesce(min(CASE WHEN d > {_CUT_THRESHOLD} THEN f END), 0)
+                AS BIGINT) AS first_cut_frame,
+           round(coalesce(max(d), 0.0), 4) AS max_luma_delta
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over each video document's frame sequence —
+    the shot-boundary primitive a video-training pipeline runs before
+    sampling frames (one frame per SHOT, not per fixed stride, is what
+    keeps clips from contributing 24 near-identical images): mean-luma
+    jump between consecutive frames above {th} levels = a cut. Probes
+    the first {mf} frames of the REAL container (FRAME-marker walk over
+    the motion Y4M stream, whose frames genuinely differ — see
+    :func:`synthesize_y4m_motion`).
+
+    Parity: per-frame luma sums are exact integers and the cut
+    predicate compares an exact rational (delta-sum / area) against the
+    threshold, so cut counts, first-cut frame, and the rounded max
+    delta are bit-identical to the oracle's hex-nibble replay of the
+    rotated byte stream. Scale shape: embarrassingly parallel
+    mapInPandas per payload, no shuffle; one output row per clip; cost
+    is O(probed_frames x width x height) regardless of clip length."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 2)
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                y4m = synthesize_y4m_motion(bytes(raw))
+                meta = decode_media(y4m)  # real header parse + frame walk
+                wd, ht = meta["width"], meta["height"]
+                frame_bytes = wd * ht * 3 // 2
+                n_frames = meta["n_frames"]
+                probed = min(n_frames, _CUT_MAX_FRAMES)
+                area = wd * ht
+                sums = []
+                for i in range(probed):
+                    off = 37 + i * (6 + frame_bytes) + 6
+                    plane = np.frombuffer(
+                        y4m, dtype=np.uint8, count=area, offset=off
+                    ).astype(np.int64)
+                    sums.append(int(plane.sum()))
+                deltas = [
+                    abs(sums[i] - sums[i - 1]) / area
+                    for i in range(1, probed)
+                ]
+                cut_frames = [
+                    i + 1
+                    for i, d in enumerate(deltas)
+                    if d > _CUT_THRESHOLD
+                ]
+                rows.append(
+                    (
+                        doc_id,
+                        n_frames,
+                        probed,
+                        len(cut_frames),
+                        cut_frames[0] if cut_frames else 0,
+                        max(deltas) if deltas else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_probed",
+                    "n_cuts",
+                    "first_cut_frame",
+                    "max_luma_delta",
+                ],
+            )
+
+    raw = src.mapInPandas(
+        cuts,
+        "doc_id bigint, n_frames bigint, n_probed bigint, n_cuts bigint,"
+        " first_cut_frame bigint, max_luma_delta double",
+    )
+    # round JVM-side (HALF_UP, matching DuckDB) — python round() is
+    # banker's and can diverge on exact .00005 rationals
+    return raw.select(
+        "doc_id",
+        "n_frames",
+        "n_probed",
+        "n_cuts",
+        "first_cut_frame",
+        rnd("max_luma_delta", 4).alias("max_luma_delta"),
+    )
+
+
+multimodal_video_scene_cuts.__doc__ = (
+    multimodal_video_scene_cuts.__doc__.replace("{th}", str(_CUT_THRESHOLD))
+    .replace("{mf}", str(_CUT_MAX_FRAMES))
+)

@@ -408,6 +408,7 @@ EXTENDED_PROBE = [
     "corpus_quality_classifier_filter",
     "graph_adamic_adar_topk",
     "text_winnowing_fingerprints",
+    "multimodal_video_scene_cuts",
 ]
 
 

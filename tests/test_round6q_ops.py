@@ -531,3 +531,40 @@ def test_winnowing_matches_python_reference(run, sf_dir):
         # the winnowing density guarantee: expected 2/(w+1), generous cap
         assert row["density"] <= 0.75
     assert set(got.index) == expected_docs
+
+
+def test_video_scene_cuts_matches_numpy(run, sf_dir):
+    import numpy as np
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    got = run("multimodal_video_scene_cuts").set_index("doc_id")
+    checked = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        data = text.encode()
+        n = len(data)
+        if n % 3 != 2:
+            continue
+        w, h = 10 + 2 * (n % 7), 10 + 2 * ((7 * n) % 5)
+        frames = 1 + n % 24
+        probed = min(frames, 8)
+        area = w * h
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        sums = []
+        for i in range(probed):
+            frame = arr[(np.arange(area) + i * 17) % n]
+            if i % 4 == 3:  # inverted cut frame (shot structure)
+                frame = 255 - frame
+            sums.append(int(frame.sum()))
+        deltas = [abs(sums[i] - sums[i - 1]) / area for i in range(1, probed)]
+        cut_frames = [i + 1 for i, d in enumerate(deltas) if d > 8.0]
+        row = got.loc[doc_id]
+        assert row["n_frames"] == frames
+        assert row["n_probed"] == probed
+        assert row["n_cuts"] == len(cut_frames), doc_id
+        assert row["first_cut_frame"] == (cut_frames[0] if cut_frames else 0)
+        expect_max = max(deltas) if deltas else 0.0
+        assert abs(row["max_luma_delta"] - expect_max) < 1e-3, doc_id
+        checked += 1
+    assert checked == len(got)
+    # the motion synth must actually produce detectable cuts somewhere
+    assert (got["n_cuts"] > 0).any()
