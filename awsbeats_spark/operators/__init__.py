@@ -427,6 +427,7 @@ _ROUND10_WINDOW = [
     "graph_adamic_adar_topk",
     "text_winnowing_fingerprints",
     "multimodal_video_scene_cuts",
+    "set_symmetric_diff_all",
 ]
 
 

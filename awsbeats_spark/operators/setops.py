@@ -123,3 +123,63 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.exceptAll(b)
+
+
+@query(
+    "set_symmetric_diff_all",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ),
+    b AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 120000
+    ),
+    ca AS (SELECT custkey, count(*) AS na FROM a GROUP BY custkey),
+    cb AS (SELECT custkey, count(*) AS nb FROM b GROUP BY custkey)
+    SELECT coalesce(ca.custkey, cb.custkey) AS custkey,
+           CAST(coalesce(na, 0) AS BIGINT) AS n_left,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_right,
+           CAST(abs(coalesce(na, 0) - coalesce(nb, 0)) AS BIGINT)
+               AS multiplicity
+    FROM ca FULL JOIN cb USING (custkey)
+    WHERE coalesce(na, 0) <> coalesce(nb, 0)
+    """,
+)
+def set_symmetric_diff_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset SYMMETRIC DIFFERENCE — the set op SQL doesn't name:
+    keys whose multiplicities differ between the two bags, with
+    |count_left - count_right| as the surviving multiplicity (the bag
+    analog of XOR; equal-count keys vanish). Completes the ALL-variant
+    family next to [[set_intersect_all]] (min) and [[set_except_all]]
+    (clamped difference).
+
+    Scale shape: computed COUNT-WISE, not row-wise — each side
+    collapses to (key, count) with map-side combine before a single
+    full outer join on the key, so multiplicities travel as one long
+    per key instead of repeated rows (the same counts-travel trick
+    Spark's intersectAll compiles to, here made explicit because no
+    built-in exists). The diff-count grain is also the USEFUL output
+    for the op's main job — reconciling two table snapshots — where
+    "which keys changed and by how much" beats a bag of repeated
+    rows."""
+    t = tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = t.orders.filter(F.col("o_totalprice") > 120000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ca = a.groupBy("custkey").agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy("custkey").agg(F.count(F.lit(1)).alias("nb"))
+    joined = ca.join(cb, "custkey", "full")
+    nl = F.coalesce(F.col("na"), F.lit(0))
+    nr = F.coalesce(F.col("nb"), F.lit(0))
+    return (
+        joined.select(
+            "custkey",
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            F.abs(nl - nr).alias("multiplicity"),
+        )
+        .filter(F.col("n_left") != F.col("n_right"))
+    )

@@ -409,6 +409,7 @@ EXTENDED_PROBE = [
     "graph_adamic_adar_topk",
     "text_winnowing_fingerprints",
     "multimodal_video_scene_cuts",
+    "set_symmetric_diff_all",
 ]
 
 
