@@ -430,6 +430,8 @@ _ROUND10_WINDOW = [
     "text_winnowing_fingerprints",
     "multimodal_video_scene_cuts",
     "set_symmetric_diff_all",
+    "sketch_ddsketch_quantiles",
+    "orders_littles_law_audit",
 ]
 
 

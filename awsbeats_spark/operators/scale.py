@@ -2461,3 +2461,135 @@ def scale_zorder_clustering_audit(
             6,
         ).alias("span_partkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# DDSketch quantiles (log-bucketed, mergeable, deterministic)
+# --------------------------------------------------------------------------
+
+_DD_GAMMA = 1.02  # relative accuracy (gamma-1)/(gamma+1) ~ 0.99%
+_DD_QS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "sketch_ddsketch_quantiles",
+    oracle=f"""
+    WITH v AS (SELECT event_type, value FROM events WHERE value > 0),
+    bk AS (
+        SELECT event_type,
+               CAST(ceil(ln(value) / ln({_DD_GAMMA})) AS BIGINT) AS b
+        FROM v
+    ),
+    bc AS (SELECT event_type, b, count(*) AS c FROM bk GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, b,
+               sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM bc
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES {", ".join(f"({q})" for q in _DD_QS)}) AS t(q)),
+    sel AS (
+        SELECT event_type, q, n, min(b) AS qb
+        FROM cum CROSS JOIN qs
+        WHERE cum >= ceil(q * n)
+        GROUP BY event_type, q, n
+    ),
+    ex AS (
+        SELECT event_type,
+               {", ".join(f"quantile_disc(value, {q}) AS e{i}"
+                          for i, q in enumerate(_DD_QS))}
+        FROM v GROUP BY event_type
+    ),
+    j AS (
+        SELECT s.event_type, s.q, s.n, s.qb,
+               2 * power({_DD_GAMMA}, s.qb) / ({_DD_GAMMA} + 1) AS est,
+               CASE {" ".join(f"WHEN s.q = {q} THEN e{i}"
+                              for i, q in enumerate(_DD_QS))} END AS ex
+        FROM sel s JOIN ex USING (event_type)
+    )
+    SELECT event_type, q, CAST(n AS BIGINT) AS n,
+           CAST(qb AS BIGINT) AS bucket,
+           round(est, 6) AS dd_estimate,
+           round(ex, 6) AS exact_value,
+           abs(est - ex) / ex <= 0.011 AS within_bound
+    FROM j
+    """,
+)
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (Masson, Rim & Lee, VLDB 2019) — the RELATIVE-error
+    quantile sketch: values land in log-scale buckets i =
+    ceil(ln(v)/ln({g})), the q-quantile is read from the cumulative
+    bucket counts at rank ceil(q*n) (the percentile_disc rule pinned by
+    [[agg_percentile_disc_rank]]), and the estimate 2*{g}^i/({g}+1) is
+    guaranteed within ({g}-1)/({g}+1) ~ 1% of the true value at ANY
+    quantile — unlike rank-error sketches (KLL/t-digest tails). Unlike
+    those, DDSketch is fully DETERMINISTIC (the bucket function has no
+    randomness and no merge-order dependence), so this operator is
+    hash-checked end to end — no rows-only escape — with the exact
+    disc-quantile and a within_bound verdict column riding along
+    (sandwich pattern).
+
+    Scale shape: THE mergeable-quantile pattern for 100 TB — the
+    bucket id is a map-side expression, partial (type, bucket) counts
+    combine losslessly across any partitioning/rollup axis, and sketch
+    size is bounded by the value range's log span (~1.2k buckets per
+    60 dB of dynamic range). Quantile extraction runs on the
+    bucket-grain table: one cumulative window + a rank probe."""
+    t = tables(spark, sf_dir)
+    v = t.events.filter(F.col("value") > 0).select(
+        "event_type", "value", "event_id"
+    )
+    g = _DD_GAMMA
+    bk = v.select(
+        "event_type",
+        F.ceil(F.log("value") / F.log(F.lit(g))).cast("long").alias("b"),
+    )
+    bc = bk.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("b")
+    wall = Window.partitionBy("event_type")
+    cum = bc.select(
+        "event_type",
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in _DD_QS], "q double")
+    sel = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q", "n")
+        .agg(F.min("b").alias("qb"))
+    )
+    wrank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = v.select(
+        "event_type",
+        "value",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_ex"),
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n_ex")))
+        .select("event_type", "q", F.col("value").alias("ex"))
+    )
+    est = 2 * F.pow(F.lit(g), F.col("qb")) / (g + 1)
+    return (
+        sel.join(exact, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("qb").cast("long").alias("bucket"),
+            rnd(est, 6).alias("dd_estimate"),
+            rnd(F.col("ex"), 6).alias("exact_value"),
+            (F.abs(est - F.col("ex")) / F.col("ex") <= 0.011).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+sketch_ddsketch_quantiles.__doc__ = sketch_ddsketch_quantiles.__doc__.replace(
+    "{g}", str(_DD_GAMMA)
+)

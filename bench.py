@@ -410,6 +410,8 @@ EXTENDED_PROBE = [
     "text_winnowing_fingerprints",
     "multimodal_video_scene_cuts",
     "set_symmetric_diff_all",
+    "sketch_ddsketch_quantiles",
+    "orders_littles_law_audit",
 ]
 
 

@@ -568,3 +568,60 @@ def test_video_scene_cuts_matches_numpy(run, sf_dir):
     assert checked == len(got)
     # the motion synth must actually produce detectable cuts somewhere
     assert (got["n_cuts"] > 0).any()
+
+
+def test_ddsketch_matches_numpy_and_error_bound(run, sf_dir):
+    import math
+
+    import numpy as np
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    ev = ev[ev["value"] > 0]
+    got = run("sketch_ddsketch_quantiles")
+    g = 1.02
+    for (et, q), grp in got.groupby(["event_type", "q"]):
+        vals = np.sort(ev[ev["event_type"] == et]["value"].to_numpy())
+        n = len(vals)
+        rank = math.ceil(q * n)
+        exact = vals[rank - 1]
+        buckets = np.ceil(np.log(vals) / math.log(g)).astype(np.int64)
+        # smallest bucket whose cumulative count reaches the rank
+        order = np.sort(buckets)
+        qb = order[rank - 1]
+        est = 2 * g**qb / (g + 1)
+        row = grp.iloc[0]
+        assert row["n"] == n
+        assert row["bucket"] == qb, (et, q)
+        assert abs(row["dd_estimate"] - round(est, 6)) < 1e-9
+        assert abs(row["exact_value"] - round(float(exact), 6)) < 1e-9
+        # the DDSketch guarantee itself
+        assert abs(est - exact) / exact <= (g - 1) / (g + 1) + 1e-6
+        assert bool(row["within_bound"]) is True
+
+
+def test_littles_law_identity_holds(run, sf_dir):
+    import pandas as pd
+
+    got = run("orders_littles_law_audit").iloc[0]
+    # the invariant: on a complete extract the sweep L equals lambda*W
+    assert bool(got["within_tol"]) is True
+    assert abs(got["l_time_avg"] - got["l_littles"]) < 2e-6
+    # independent recompute of lambda and W
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    comp = li.groupby("l_orderkey")["l_shipdate"].max()
+    oc = orders.set_index("o_orderkey").join(comp, how="inner")
+    od = pd.to_datetime(oc["o_orderdate"]).dt.normalize()
+    cd = pd.to_datetime(oc["l_shipdate"]).dt.normalize()
+    w = (cd - od).dt.days.mean()
+    horizon = (cd.max() - od.min()).days
+    assert got["n_orders"] == len(oc)
+    assert got["horizon_days"] == horizon
+    assert abs(got["w_days"] - round(w, 6)) < 2e-6
+    assert abs(got["lambda_per_day"] - round(len(oc) / horizon, 6)) < 2e-6
