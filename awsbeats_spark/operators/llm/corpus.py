@@ -2899,7 +2899,10 @@ def corpus_mix_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loss")
         )
     )
-    n_sources = losses.count()  # |sources|: tiny, bounds the fit only
+    # |sources|: tiny, bounds the fit only. max(.., 1) keeps the
+    # constant-folded uniform weight from dividing by zero on an empty
+    # corpus (the select below is then empty anyway).
+    n_sources = max(losses.count(), 1)
     mw = losses.select(
         "source", rnd(F.lit(1.0) / n_sources, _MW_ROUND).alias("w")
     )

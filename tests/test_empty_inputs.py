@@ -33,6 +33,7 @@ GLOBAL_AGG = {
     "ts_trend_mann_kendall",
     "ts_theil_sen_slope",
     "join_keyhash_sample_estimate",
+    "orders_littles_law_audit",
 }
 
 # operators with a fixed output shape regardless of input rows
@@ -243,6 +244,25 @@ SAMPLE = [
     "ts_forecast_linear_holdout",
     "multimodal_decode_quarantine",
     "ts_anomaly_seasonal_zscore",
+    # round-6 session-4 additions
+    "corpus_bpe_encode",
+    "dedup_url_registered_domain",
+    "retrieval_crossencoder_rerank",
+    "geo_geohash_density",
+    "geo_bbox_assign",
+    "udtf_pcm_frames",
+    "corpus_bt_source_strength",
+    "corpus_mix_reweight_mw",
+    "scale_zorder_clustering_audit",
+    "profile_value_topk",
+    "corpus_dsir_importance",
+    "corpus_quality_classifier_filter",
+    "graph_adamic_adar_topk",
+    "text_winnowing_fingerprints",
+    "multimodal_video_scene_cuts",
+    "set_symmetric_diff_all",
+    "sketch_ddsketch_quantiles",
+    "orders_littles_law_audit",
 ]
 
 
