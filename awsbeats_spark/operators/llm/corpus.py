@@ -3200,3 +3200,82 @@ def corpus_quality_classifier_filter(
 corpus_quality_classifier_filter.__doc__ = (
     corpus_quality_classifier_filter.__doc__.replace("{nb}", str(_QLF_BUCKETS))
 )
+
+
+# --------------------------------------------------------------------------
+# BPE compression audit by language (composes the registered encoder)
+# --------------------------------------------------------------------------
+
+
+def _bpe_compression_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    return f"""
+    WITH enc AS ({QUERIES['corpus_bpe_encode'].oracle}),
+    cw AS (
+        SELECT lang, w, count(*) AS cnt
+        FROM (SELECT lang, unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY lang, w
+    )
+    SELECT cw.lang,
+           CAST(sum(cw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(cw.cnt * length(cw.w)) AS BIGINT) AS n_chars,
+           CAST(sum(cw.cnt * enc.n_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(sum(cw.cnt * enc.n_tokens) * 1.0 / sum(cw.cnt), 6)
+               AS tokens_per_word,
+           round(sum(cw.cnt * length(cw.w)) * 1.0
+                 / sum(cw.cnt * enc.n_tokens), 6) AS chars_per_token
+    FROM cw JOIN enc ON enc.w = cw.w
+    GROUP BY cw.lang
+    """
+
+
+@query("corpus_bpe_compression_by_lang", oracle=_bpe_compression_oracle())
+def corpus_bpe_compression_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer compression audit: corpus-weighted tokens-per-word and
+    chars-per-token under the [[corpus_bpe_encode]] merge table, by
+    language — the fertility number that decides whether a tokenizer
+    is fair to a language (high tokens-per-word = that lang pays more
+    sequence length per content; the auditable form of the
+    token-inflation problem [[corpus_token_efficiency_by_lang]] reports
+    for whitespace tokens). COMPOSES the registered encoder — same
+    DataFrame, same oracle embedded as a CTE (the retrieval_overlap_at_k
+    pattern), so the audit can never drift from the tokenizer it
+    grades.
+
+    Scale shape: encoding happens at VOCAB grain (the whole point of
+    word-level BPE application); the corpus contributes one
+    (lang, word) count aggregate that broadcast-joins the encoded
+    vocab. Token-scale data crosses one exchange."""
+    from awsbeats_spark.registry import QUERIES
+
+    docs = tables(spark, sf_dir).documents
+    enc = QUERIES["corpus_bpe_encode"].fn(spark, sf_dir).select(
+        "w", "n_tokens"
+    )
+    cw = (
+        docs.select("lang", F.explode(words()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cw.join(F.broadcast(enc), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tokens"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            rnd(
+                F.sum(F.col("cnt") * F.col("n_tokens")) / F.sum("cnt"), 6
+            ).alias("tokens_per_word"),
+            rnd(
+                F.sum(F.col("cnt") * F.length("w"))
+                / F.sum(F.col("cnt") * F.col("n_tokens")),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

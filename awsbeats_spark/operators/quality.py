@@ -2333,3 +2333,106 @@ events_cohens_d_effect_size.__doc__ = (
         "{base}", _COHEN_BASE_SEG
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Western Electric control-chart rules over the daily revenue KPI
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_spc_western_electric",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS d, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT avg(rev) AS mu, stddev_pop(rev) AS sigma FROM daily
+    ),
+    z AS (
+        SELECT d, rev, round((rev - mu) / sigma, 6) AS z
+        FROM daily CROSS JOIN stats
+    ),
+    flags AS (
+        SELECT d, rev, z,
+               abs(z) > 3 AS r1,
+               (sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2
+                OR sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2)
+                   AS r2,
+               (sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+                OR sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 >= 4)
+                   AS r3,
+               (sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 = 8
+                OR sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 = 8)
+                   AS r4
+        FROM z
+        WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w5 AS (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w8 AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(rev, 2) AS revenue, z,
+           r1, r2, r3, r4
+    FROM flags
+    WHERE r1 OR r2 OR r3 OR r4
+    """,
+)
+def dq_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control over the daily-revenue KPI with the
+    WESTERN ELECTRIC rules (1956 handbook; the alarm logic SPC software
+    still ships): R1 one point beyond 3 sigma, R2 two of three
+    consecutive beyond 2 sigma on the same side, R3 four of five
+    beyond 1 sigma same side, R4 eight consecutive on one side of the
+    center line. Where [[window_bollinger_breach]] flags single-point
+    excursions, the run-based rules catch small sustained shifts a
+    3-sigma test misses — the monitoring layer a 100-TB ingest pipeline
+    points at its daily volume/revenue KPIs.
+
+    Engine parity: z-scores are ROUNDED to 6 decimals before every
+    rule comparison in both engines, so partial-aggregation wobble in
+    mu/sigma cannot flip a rule at a boundary. Scale shape: the fact
+    table collapses to calendar grain in one aggregate; all four rules
+    are rolling counts over that tiny series (the calendar-grain
+    window precedent); the baseline mu/sigma is a broadcast 1-row
+    aggregate."""
+    t = tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    stats = daily.agg(
+        F.avg("rev").alias("mu"), F.stddev_pop("rev").alias("sigma")
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "rev",
+        rnd((F.col("rev") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    w3 = Window.orderBy("d").rowsBetween(-2, 0)
+    w5 = Window.orderBy("d").rowsBetween(-4, 0)
+    w8 = Window.orderBy("d").rowsBetween(-7, 0)
+
+    def _cnt(cond, w):
+        return F.sum(F.when(cond, 1).otherwise(0)).over(w)
+
+    zc = F.col("z")
+    flags = z.select(
+        "d",
+        "rev",
+        "z",
+        (F.abs(zc) > 3).alias("r1"),
+        ((_cnt(zc > 2, w3) >= 2) | (_cnt(zc < -2, w3) >= 2)).alias("r2"),
+        ((_cnt(zc > 1, w5) >= 4) | (_cnt(zc < -1, w5) >= 4)).alias("r3"),
+        ((_cnt(zc > 0, w8) == 8) | (_cnt(zc < 0, w8) == 8)).alias("r4"),
+    )
+    return flags.filter(
+        F.col("r1") | F.col("r2") | F.col("r3") | F.col("r4")
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        rnd("rev", 2).alias("revenue"),
+        "z",
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+    )

@@ -412,6 +412,8 @@ EXTENDED_PROBE = [
     "set_symmetric_diff_all",
     "sketch_ddsketch_quantiles",
     "orders_littles_law_audit",
+    "corpus_bpe_compression_by_lang",
+    "dq_spc_western_electric",
 ]
 
 

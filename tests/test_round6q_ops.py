@@ -625,3 +625,68 @@ def test_littles_law_identity_holds(run, sf_dir):
     assert got["horizon_days"] == horizon
     assert abs(got["w_days"] - round(w, 6)) < 2e-6
     assert abs(got["lambda_per_day"] - round(len(oc) / horizon, 6)) < 2e-6
+
+
+def test_bpe_compression_by_lang_matches_python(run, sf_dir):
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        vocab.update(_words(t))
+    rules = _bpe_rules(vocab)
+    ntok = {w: len(_bpe_encode(w, rules)) for w in vocab}
+    per_lang: dict = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        a = per_lang.setdefault(lang, [0, 0, 0])  # words, chars, tokens
+        for w in _words(text):
+            a[0] += 1
+            a[1] += len(w)
+            a[2] += ntok[w]
+    got = run("corpus_bpe_compression_by_lang").set_index("lang")
+    assert set(got.index) == set(per_lang)
+    for lang, (nw, nc, nt) in per_lang.items():
+        row = got.loc[lang]
+        assert row["n_words"] == nw
+        assert row["n_chars"] == nc
+        assert row["n_bpe_tokens"] == nt
+        assert abs(row["tokens_per_word"] - round(nt / nw, 6)) < 1e-9
+        assert abs(row["chars_per_token"] - round(nc / nt, 6)) < 1e-9
+        # BPE must compress: strictly fewer tokens than chars
+        assert nt < nc
+
+
+def test_spc_western_electric_rules_match_pandas(run, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    daily = (
+        orders.assign(d=pd.to_datetime(orders["o_orderdate"]).dt.normalize())
+        .groupby("d")["o_totalprice"]
+        .sum()
+        .sort_index()
+    )
+    mu, sigma = daily.mean(), daily.std(ddof=0)
+    z = np.round((daily - mu) / sigma, 6)
+    rows = {}
+    zv = z.to_numpy()
+    for i, d in enumerate(z.index):
+        w3 = zv[max(0, i - 2) : i + 1]
+        w5 = zv[max(0, i - 4) : i + 1]
+        w8 = zv[max(0, i - 7) : i + 1]
+        r1 = abs(zv[i]) > 3
+        r2 = (w3 > 2).sum() >= 2 or (w3 < -2).sum() >= 2
+        r3 = (w5 > 1).sum() >= 4 or (w5 < -1).sum() >= 4
+        r4 = (w8 > 0).sum() == 8 or (w8 < 0).sum() == 8
+        if r1 or r2 or r3 or r4:
+            rows[d.strftime("%Y-%m-%d")] = (r1, r2, r3, r4, zv[i])
+    got = run("dq_spc_western_electric").set_index("day")
+    assert set(got.index) == set(rows)
+    for day, (r1, r2, r3, r4, zval) in rows.items():
+        g = got.loc[day]
+        assert (bool(g["r1"]), bool(g["r2"]), bool(g["r3"]), bool(g["r4"])) == (
+            bool(r1), bool(r2), bool(r3), bool(r4)), day
+        assert abs(g["z"] - zval) < 2e-6
