@@ -434,6 +434,7 @@ _ROUND10_WINDOW = [
     "orders_littles_law_audit",
     "corpus_bpe_compression_by_lang",
     "dq_spc_western_electric",
+    "dedup_content_defined_chunks",
 ]
 
 

@@ -1673,3 +1673,132 @@ def dedup_url_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hosts"),
         F.min("min_doc").alias("keeper_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (LBFS/FastCDC shape, word grain)
+# --------------------------------------------------------------------------
+
+_CDC_MOD = 16  # expected chunk length in words
+
+
+@query(
+    "dedup_content_defined_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, w, p,
+               CASE WHEN CAST(('0x' || substring(md5(w), 1, 4))::BIGINT
+                         % {_CDC_MOD} AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM (
+            SELECT doc_id, unnest({WORDS_SQL}) AS w,
+                   unnest(range(1, 1 + len({WORDS_SQL}))) AS p
+            FROM documents
+        )
+    ),
+    chunked AS (
+        SELECT doc_id, w, p,
+               coalesce(sum(is_boundary) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(w, ' ' ORDER BY p)) AS ch,
+               count(*) AS n_words
+        FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    freq AS (SELECT ch, count(*) AS n_inst FROM chunks GROUP BY ch)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.n_words) AS BIGINT) AS n_words,
+           round(avg(c.n_words), 4) AS avg_chunk_words,
+           CAST(sum(CASE WHEN f.n_inst > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           round(sum(CASE WHEN f.n_inst > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_ratio
+    FROM chunks c JOIN freq f USING (ch)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_content_defined_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING — the LBFS (Muthitacharoen et al. 2001)
+    / FastCDC primitive behind every dedup storage system (borg,
+    restic, data-lake block dedup): chunk boundaries are placed where a
+    rolling fingerprint hits a modulus (here: md5 bucket of the word %
+    {m} == 0, expected chunk = {m} words), so an insertion early in a
+    document shifts only ONE chunk's hash instead of re-aligning every
+    fixed-width block — the property that makes chunk-grain dedup
+    edit-stable. Chunks are hashed and counted corpus-wide; each doc
+    reports its chunk stats and how much of it duplicates chunks seen
+    anywhere else (the storage-dedup ratio, and for training data the
+    sub-document near-dup signal that survives doc-level dedup).
+
+    Scale shape: boundary flags are a map-side expression; chunk ids
+    are ONE per-doc cumulative window (keyed by doc, not global); chunk
+    assembly and the corpus-wide frequency are two keyed aggregates on
+    (doc, chunk) and chunk-hash; the dup join is hash-grain. At 100 TB
+    the chunk-hash table IS the dedup index a content store maintains;
+    word-grain here stands in for the byte-grain rolling hash (Rabin/
+    Gear) the same plan runs on binary payloads."""
+    t = tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.posexplode(words()).alias("p", "w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+        % _CDC_MOD
+    )
+    flagged = toks.select(
+        "doc_id",
+        "w",
+        "p",
+        F.when(bucket == 0, 1).otherwise(0).alias("is_boundary"),
+    )
+    wchunk = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "w",
+        "p",
+        F.coalesce(F.sum("is_boundary").over(wchunk), F.lit(0)).alias(
+            "chunk_id"
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("ch"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    freq = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_inst"))
+    dup = F.when(F.col("n_inst") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            rnd(F.avg("n_words"), 4).alias("avg_chunk_words"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            rnd(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )
+
+
+dedup_content_defined_chunks.__doc__ = (
+    dedup_content_defined_chunks.__doc__.replace("{m}", str(_CDC_MOD))
+)

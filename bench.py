@@ -414,6 +414,7 @@ EXTENDED_PROBE = [
     "orders_littles_law_audit",
     "corpus_bpe_compression_by_lang",
     "dq_spc_western_electric",
+    "dedup_content_defined_chunks",
 ]
 
 

@@ -690,3 +690,40 @@ def test_spc_western_electric_rules_match_pandas(run, sf_dir):
         assert (bool(g["r1"]), bool(g["r2"]), bool(g["r3"]), bool(g["r4"])) == (
             bool(r1), bool(r2), bool(r3), bool(r4)), day
         assert abs(g["z"] - zval) < 2e-6
+
+
+def test_content_defined_chunks_matches_python(run, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    per_doc = {}
+    chunk_freq: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = _words(text)
+        if not ws:
+            continue
+        chunks, cur = [], []
+        for w in ws:
+            cur.append(w)
+            if _md5_bucket(w, 16) == 0:  # boundary word closes its chunk
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        hs = [hashlib.md5(" ".join(c).encode()).hexdigest() for c in chunks]
+        per_doc[doc_id] = (chunks, hs)
+        chunk_freq.update(hs)
+    got = run("dedup_content_defined_chunks").set_index("doc_id")
+    assert set(got.index) == set(per_doc)
+    # edit-stability: CDC boundaries are position-independent, so a
+    # shared word sequence yields shared chunk hashes; dup chunks exist
+    # on this repetitive corpus
+    assert (got["n_dup_chunks"] > 0).any()
+    for doc_id, (chunks, hs) in per_doc.items():
+        row = got.loc[doc_id]
+        assert row["n_chunks"] == len(chunks)
+        assert row["n_words"] == sum(len(c) for c in chunks)
+        ndup = sum(1 for h in hs if chunk_freq[h] > 1)
+        assert row["n_dup_chunks"] == ndup, doc_id
+        assert abs(row["dup_ratio"] - round(ndup / len(chunks), 6)) < 1e-9
