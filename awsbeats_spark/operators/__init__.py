@@ -435,6 +435,7 @@ _ROUND10_WINDOW = [
     "corpus_bpe_compression_by_lang",
     "dq_spc_western_electric",
     "dedup_content_defined_chunks",
+    "embed_isotropy_audit",
 ]
 
 

@@ -2442,3 +2442,81 @@ eval_pq_rank_quality.__doc__ = (
     .replace("{k}", str(TOP_K))
     .replace("{n_q}", str(N_QUERIES))
 )
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy audit (moment identities, one pass)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embed_isotropy_audit",
+    oracle="""
+    WITH v AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings),
+    dims AS (
+        SELECT unnest(ev) AS x, unnest(range(1, 1 + len(ev))) AS d
+        FROM v
+    ),
+    per_dim AS (SELECT d, avg(x) AS mu, avg(x * x) AS m2 FROM dims GROUP BY d),
+    agg AS (
+        SELECT sum(mu * mu) AS norm_mean_sq,
+               sum(m2) AS mean_sq_norm,
+               max(m2 - mu * mu) AS top_var,
+               sum(m2 - mu * mu) AS tot_var,
+               count(*) AS dim
+        FROM per_dim
+    ),
+    n AS (SELECT count(*) AS n_vectors FROM v)
+    SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(dim AS BIGINT) AS dim,
+           round(mean_sq_norm, 6) AS mean_sq_norm,
+           round(norm_mean_sq, 6) AS norm_mean_sq,
+           round(norm_mean_sq / mean_sq_norm, 6) AS isotropy_proxy,
+           round(top_var / tot_var, 6) AS top_var_share
+    FROM agg CROSS JOIN n
+    """,
+)
+def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ISOTROPY audit (Ethayarajh 2019 / Mu & Viswanath
+    2018 — "all-but-the-top"): anisotropic embeddings (a dominant
+    common direction) inflate every cosine similarity and poison ANN
+    thresholds, so this is the health gate run BEFORE trusting
+    [[dedup_embedding_cosine]] or [[sim_search_topk]] cutoffs. The
+    expected pairwise cosine is estimated WITHOUT sampling pairs via
+    the moment identity E[<x,y>] = ||E[x]||² (independent x, y):
+    ``isotropy_proxy`` = ||μ||² / E||x||² ≈ mean pairwise cosine for
+    unit-ish norms (0 = perfectly isotropic, 1 = all vectors
+    identical), and ``top_var_share`` = the largest per-dimension
+    variance share flags a rogue coordinate. A mean-centering fix
+    ("all-but-the-top") drives the proxy to ~0; re-running this audit
+    after it is the verification.
+
+    Scale shape: ONE pass — per-dimension first/second moments via
+    posexplode + (dim) aggregate (shuffle volume O(dim), not
+    O(rows·dim)), then driver-free scalar algebra on the dim-grain
+    table. No pair sampling, no cross join, exact at any corpus
+    size."""
+    t = tables(spark, sf_dir)
+    v = t.embeddings.select(as_double(F.col("embedding")).alias("ev"))
+    dims = v.select(F.posexplode("ev").alias("d", "x"))
+    per_dim = dims.groupBy("d").agg(
+        F.avg("x").alias("mu"), F.avg(F.col("x") * F.col("x")).alias("m2")
+    )
+    agg = per_dim.agg(
+        F.sum(F.col("mu") * F.col("mu")).alias("norm_mean_sq"),
+        F.sum("m2").alias("mean_sq_norm"),
+        F.max(F.col("m2") - F.col("mu") * F.col("mu")).alias("top_var"),
+        F.sum(F.col("m2") - F.col("mu") * F.col("mu")).alias("tot_var"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+    n = v.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("dim").cast("long").alias("dim"),
+        rnd("mean_sq_norm", 6).alias("mean_sq_norm"),
+        rnd("norm_mean_sq", 6).alias("norm_mean_sq"),
+        rnd(F.col("norm_mean_sq") / F.col("mean_sq_norm"), 6).alias(
+            "isotropy_proxy"
+        ),
+        rnd(F.col("top_var") / F.col("tot_var"), 6).alias("top_var_share"),
+    )

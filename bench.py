@@ -415,6 +415,7 @@ EXTENDED_PROBE = [
     "corpus_bpe_compression_by_lang",
     "dq_spc_western_electric",
     "dedup_content_defined_chunks",
+    "embed_isotropy_audit",
 ]
 
 

@@ -727,3 +727,32 @@ def test_content_defined_chunks_matches_python(run, sf_dir):
         ndup = sum(1 for h in hs if chunk_freq[h] > 1)
         assert row["n_dup_chunks"] == ndup, doc_id
         assert abs(row["dup_ratio"] - round(ndup / len(chunks), 6)) < 1e-9
+
+
+def test_isotropy_audit_matches_numpy(run, sf_dir):
+    import numpy as np
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    mu = X.mean(axis=0)
+    m2 = (X * X).mean(axis=0)
+    var = m2 - mu * mu
+    got = run("embed_isotropy_audit").iloc[0]
+    assert got["n_vectors"] == len(X)
+    assert got["dim"] == X.shape[1]
+    assert abs(got["mean_sq_norm"] - round(float(m2.sum()), 6)) < 2e-6
+    assert abs(got["norm_mean_sq"] - round(float((mu * mu).sum()), 6)) < 2e-6
+    assert (
+        abs(got["isotropy_proxy"] - round(float((mu * mu).sum() / m2.sum()), 6))
+        < 2e-6
+    )
+    assert abs(got["top_var_share"] - round(float(var.max() / var.sum()), 6)) < 2e-6
+    # the moment identity IS the mean pairwise dot product: check it
+    # against a direct (small-n) computation
+    G = X @ X.T
+    n = len(X)
+    mean_cross = (G.sum() - np.trace(G)) / (n * (n - 1))
+    # E[<x,y>] over distinct pairs ~ ||mu||^2 up to O(1/n)
+    assert abs(mean_cross - (mu * mu).sum()) < 0.05 * max(
+        1.0, abs((mu * mu).sum())
+    ) + 0.05
