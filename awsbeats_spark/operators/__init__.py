@@ -436,6 +436,7 @@ _ROUND10_WINDOW = [
     "dq_spc_western_electric",
     "dedup_content_defined_chunks",
     "embed_isotropy_audit",
+    "embed_kcenter_coreset",
 ]
 
 

@@ -2520,3 +2520,142 @@ def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rnd(F.col("top_var") / F.col("tot_var"), 6).alias("top_var_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center coreset selection (fixed rounds, unrolled oracle)
+# --------------------------------------------------------------------------
+
+_KC_K = 8  # selected coreset size
+
+_KC_D2 = (
+    "list_sum(list_transform(list_zip(v.ev, s.ev), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _kc_round_sql(r: int) -> str:
+    """One greedy round: every point's min squared distance to the
+    current selection, argmax picks the farthest point ((d2 DESC,
+    vec_id ASC) tie-break — distances are sequential folds, so the
+    comparison is bit-identical cross-engine)."""
+    return f"""
+    cand{r} AS (
+        SELECT v.vec_id, min({_KC_D2}) AS d2
+        FROM kcv v JOIN kcv s ON s.vec_id IN (SELECT vec_id FROM sel{r - 1})
+        WHERE v.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY v.vec_id
+    ),
+    pick{r} AS (
+        SELECT {r} AS ord, vec_id, d2 FROM cand{r}
+        ORDER BY d2 DESC, vec_id LIMIT 1
+    ),
+    sel{r} AS (
+        SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM pick{r}
+    )"""
+
+
+@query(
+    "embed_kcenter_coreset",
+    oracle=f"""
+    WITH kcv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ),
+    sel1 AS (SELECT min(vec_id) AS vec_id FROM kcv),
+    {",".join(_kc_round_sql(r) for r in range(2, _KC_K + 1))},
+    picks AS (
+        SELECT 1 AS ord, vec_id, 0.0 AS d2 FROM sel1
+        {" ".join(f"UNION ALL SELECT ord, vec_id, d2 FROM pick{r}"
+                  for r in range(2, _KC_K + 1))}
+    ),
+    cover AS (
+        SELECT max(md) AS radius FROM (
+            SELECT v.vec_id, min({_KC_D2}) AS md
+            FROM kcv v JOIN kcv s
+              ON s.vec_id IN (SELECT vec_id FROM sel{_KC_K})
+            GROUP BY v.vec_id
+        )
+    )
+    SELECT CAST(ord AS INT) AS ord, CAST(vec_id AS BIGINT) AS vec_id,
+           round(d2, 6) AS d2_at_pick,
+           round(cover.radius, 6) AS coverage_radius_sq
+    FROM picks CROSS JOIN cover
+    """,
+)
+def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez 1985; Sener &
+    Savarese 2018's active-learning coreset): start from the min-id
+    point, then {k}-1 times pick the point FARTHEST from the current
+    selection — the classic 2-approximation to the k-center cover, and
+    the diversity-first data-pruning rule ("cover the embedding space,
+    don't oversample dense modes") used to curate training subsets.
+    Emits the selection order, each pick's distance-at-selection (a
+    monotone non-increasing sequence — pinned in tests), and the final
+    coverage radius (max over the corpus of distance to the selected
+    set — THE quantity k-center bounds within 2x of optimal).
+
+    Fully hash-checked: the greedy loop is deterministic (min-id seed;
+    (d2 DESC, vec_id ASC) tie-break) and every distance is the
+    sequential zip-fold both engines compute bit-identically (the
+    sim_search_pq parity), so the unrolled {k}-round DuckDB oracle
+    walks the same trajectory with NO quantization needed.
+
+    Scale shape: each round is one broadcast join of the (<= {k}-row)
+    selection against the corpus + a 1-row argmax reduce — k scans
+    total, the canonical distributed greedy-k-center cost (an
+    incremental running-min column trades the rescans for state at
+    larger k). Nothing ever pairs corpus with corpus; the coverage
+    audit is one more broadcast pass."""
+    t = tables(spark, sf_dir)
+    vecs = t.embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("ev")
+    )
+    first = vecs.agg(F.min("vec_id").alias("vec_id")).collect()[0]["vec_id"]
+    picks = [(1, first, 0.0)]
+    sel_ids = [first]
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for r in range(2, _KC_K + 1):
+        sel = vecs.filter(F.col("vec_id").isin(sel_ids)).select(
+            F.col("ev").alias("sv")
+        )
+        cand = (
+            vecs.filter(~F.col("vec_id").isin(sel_ids))
+            .crossJoin(F.broadcast(sel))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("d2"))
+        )
+        # 1-row argmax reduce to the driver — the selection IS driver
+        # state in greedy k-center (k rows total, like the k-means
+        # centroid step)
+        top = cand.orderBy(F.desc("d2"), F.asc("vec_id")).limit(1).collect()[0]
+        picks.append((r, top["vec_id"], float(top["d2"])))
+        sel_ids.append(top["vec_id"])
+    sel = vecs.filter(F.col("vec_id").isin(sel_ids)).select(
+        F.col("ev").alias("sv")
+    )
+    cover = (
+        vecs.crossJoin(F.broadcast(sel))
+        .select("vec_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("md"))
+        .agg(F.max("md").alias("radius"))
+    )
+    picks_df = spark.createDataFrame(
+        picks, "ord int, vec_id long, d2_at_pick double"
+    )
+    return picks_df.crossJoin(F.broadcast(cover)).select(
+        "ord",
+        "vec_id",
+        rnd("d2_at_pick", 6).alias("d2_at_pick"),
+        rnd("radius", 6).alias("coverage_radius_sq"),
+    )
+
+
+embed_kcenter_coreset.__doc__ = embed_kcenter_coreset.__doc__.replace(
+    "{k}", str(_KC_K)
+)

@@ -416,6 +416,7 @@ EXTENDED_PROBE = [
     "dq_spc_western_electric",
     "dedup_content_defined_chunks",
     "embed_isotropy_audit",
+    "embed_kcenter_coreset",
 ]
 
 

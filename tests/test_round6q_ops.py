@@ -756,3 +756,41 @@ def test_isotropy_audit_matches_numpy(run, sf_dir):
     assert abs(mean_cross - (mu * mu).sum()) < 0.05 * max(
         1.0, abs((mu * mu).sum())
     ) + 0.05
+
+
+def test_kcenter_coreset_matches_numpy(run, sf_dir):
+    import numpy as np
+
+    emb = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    sel = [0]  # index of min vec_id (sorted)
+    picks = [(1, ids[0], 0.0)]
+    min_d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for r in range(2, 9):
+        min_d2[sel] = -1.0  # exclude selected
+        # argmax with min-vec_id tie-break (ids sorted => first argmax)
+        i = int(np.argmax(min_d2))
+        picks.append((r, ids[i], float(min_d2[i])))
+        sel.append(i)
+        min_d2 = np.minimum(min_d2, ((X - X[i]) ** 2).sum(axis=1))
+    cover = float(
+        np.min(
+            ((X[:, None, :] - X[sel][None, :, :]) ** 2).sum(axis=2), axis=1
+        ).max()
+    )
+    got = run("embed_kcenter_coreset").sort_values("ord").reset_index(drop=True)
+    assert list(got["vec_id"]) == [v for _, v, _ in picks]
+    for (o, v, d), row in zip(picks, got.itertuples()):
+        assert abs(row.d2_at_pick - round(d, 6)) < 1e-6, o
+    assert abs(got["coverage_radius_sq"].iloc[0] - round(cover, 6)) < 1e-6
+    # greedy k-center property: pick distances are non-increasing, and
+    # the coverage radius is bounded by the last pick's distance
+    d2s = got["d2_at_pick"].tolist()[1:]
+    assert all(a >= b - 1e-9 for a, b in zip(d2s, d2s[1:]))
+    assert got["coverage_radius_sq"].iloc[0] <= d2s[-1] + 1e-9
