@@ -437,6 +437,8 @@ _ROUND10_WINDOW = [
     "dedup_content_defined_chunks",
     "embed_isotropy_audit",
     "embed_kcenter_coreset",
+    "agg_huber_m_location",
+    "graph_hits_hubs_authorities",
 ]
 
 

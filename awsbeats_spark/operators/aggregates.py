@@ -2391,3 +2391,147 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.sum(1.0 / F.col("value")), 4
         ).alias("mean_harm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Huber M-estimator of location (fixed IRLS rounds, unrolled oracle)
+# --------------------------------------------------------------------------
+
+_HUBER_C = 1.345  # 95% efficiency at the Gaussian
+_HUBER_ITERS = 3
+_HUBER_ROUND = 6
+
+
+def _huber_round_sql(t: int) -> str:
+    """One IRLS round: Huber weights against mu{t-1}, re-weighted mean,
+    ROUNDED (the kmeans float-portability pattern)."""
+    return f"""
+    mu{t} AS (
+        SELECT v.l_returnflag,
+               round(sum(CASE WHEN abs(v.x - m.mu) <= {_HUBER_C} * sc.s
+                              THEN v.x
+                              ELSE v.x * ({_HUBER_C} * sc.s) / abs(v.x - m.mu)
+                         END)
+                     / sum(CASE WHEN abs(v.x - m.mu) <= {_HUBER_C} * sc.s
+                                THEN 1.0
+                                ELSE ({_HUBER_C} * sc.s) / abs(v.x - m.mu)
+                           END), {_HUBER_ROUND}) AS mu
+        FROM hv v
+        JOIN mu{t - 1} m USING (l_returnflag)
+        JOIN hscale sc USING (l_returnflag)
+        GROUP BY v.l_returnflag
+    )"""
+
+
+@query(
+    "agg_huber_m_location",
+    oracle=f"""
+    WITH hv AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+        FROM hv GROUP BY l_returnflag
+    ),
+    hscale AS (
+        SELECT v.l_returnflag,
+               round(1.4826 * quantile_cont(abs(v.x - m.med), 0.5),
+                     {_HUBER_ROUND}) AS s,
+               any_value(m.med) AS med
+        FROM hv v JOIN med m USING (l_returnflag)
+        GROUP BY v.l_returnflag
+    ),
+    mu0 AS (
+        SELECT l_returnflag, round(med, {_HUBER_ROUND}) AS mu FROM hscale
+    ),
+    {",".join(_huber_round_sql(t) for t in range(1, _HUBER_ITERS + 1))},
+    plain AS (
+        SELECT l_returnflag, count(*) AS n, avg(x) AS mean_x
+        FROM hv GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag,
+           CAST(p.n AS BIGINT) AS n,
+           round(sc.med, 4) AS median_x,
+           round(sc.s, 4) AS mad_scale,
+           round(p.mean_x, 4) AS mean_x,
+           round(f.mu, 4) AS huber_mu
+    FROM plain p
+    JOIN hscale sc USING (l_returnflag)
+    JOIN mu{_HUBER_ITERS} f USING (l_returnflag)
+    """,
+)
+def agg_huber_m_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location (Huber 1964, c={c} for 95%
+    Gaussian efficiency) per group via {it} unrolled IRLS rounds — the
+    ROBUST mean that ignores heavy tails without throwing data away
+    (between the mean and the median; the estimator behind robust KPI
+    baselines). Scale is the MAD x 1.4826 consistency constant;
+    iteration starts at the median; Huber weights clamp each point's
+    influence at c*s. Per-round means are ROUNDED to {r} decimals
+    ([[embed_kmeans_cluster]]'s float-portability pattern), so both
+    engines walk identical trajectories and the whole fit — an
+    iterative numeric — is hash-checked with no rows-only escape.
+
+    Scale shape: the exact medians are the only holistic step (same
+    cost class as [[agg_percentile_exact]]; at 100 TB swap in the
+    DDSketch/approx median and keep the IRLS shape); each IRLS round
+    is ONE keyed aggregate over the fact table with the tiny
+    (group, mu) state broadcast back — k rounds = k scans, map-side
+    combined, no collect."""
+    t = tables(spark, sf_dir)
+    hv = t.lineitem.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    med = hv.groupBy("l_returnflag").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    hscale = (
+        hv.join(med, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            rnd(
+                1.4826
+                * F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5)),
+                _HUBER_ROUND,
+            ).alias("s"),
+            F.any_value("med").alias("med"),
+        )
+    )
+    mu = hscale.select(
+        "l_returnflag", rnd(F.col("med"), _HUBER_ROUND).alias("mu")
+    )
+    for _ in range(_HUBER_ITERS):
+        joined = hv.join(F.broadcast(mu), "l_returnflag").join(
+            F.broadcast(hscale.select("l_returnflag", "s")), "l_returnflag"
+        )
+        dev = F.abs(F.col("x") - F.col("mu"))
+        cs = _HUBER_C * F.col("s")
+        w = F.when(dev <= cs, F.lit(1.0)).otherwise(cs / dev)
+        mu = joined.groupBy("l_returnflag").agg(
+            rnd(
+                F.sum(F.col("x") * w) / F.sum(w), _HUBER_ROUND
+            ).alias("mu")
+        )
+    plain = hv.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean_x")
+    )
+    return (
+        plain.join(hscale, "l_returnflag")
+        .join(mu, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            rnd("med", 4).alias("median_x"),
+            rnd("s", 4).alias("mad_scale"),
+            rnd("mean_x", 4).alias("mean_x"),
+            rnd("mu", 4).alias("huber_mu"),
+        )
+    )
+
+
+agg_huber_m_location.__doc__ = (
+    agg_huber_m_location.__doc__.replace("{c}", str(_HUBER_C))
+    .replace("{it}", str(_HUBER_ITERS))
+    .replace("{r}", str(_HUBER_ROUND))
+)

@@ -1818,3 +1818,125 @@ def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_adamic_adar_topk.__doc__ = graph_adamic_adar_topk.__doc__.replace(
     "{k}", str(_AA_TOPK)
 ).replace("{cap}", str(_AA_HUB_CAP))
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (fixed rounds, max-normalized, unrolled)
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_TOPK = 10
+_HITS_ROUND = 8
+
+
+def _hits_round_sql(t: int) -> str:
+    """One synchronous HITS round: authority = sum of in-hub scores,
+    hub = sum of out-authority scores, each max-normalized and ROUNDED
+    (float-portability quantization)."""
+    return f"""
+    ar{t} AS (
+        SELECT e.part, sum(h.h) AS raw
+        FROM he e JOIN h{t - 1} h USING (supp) GROUP BY e.part
+    ),
+    an{t} AS (
+        SELECT part, round(raw / (SELECT max(raw) FROM ar{t}),
+                           {_HITS_ROUND}) AS a
+        FROM ar{t}
+    ),
+    hr{t} AS (
+        SELECT e.supp, sum(an.a) AS raw
+        FROM he e JOIN an{t} an USING (part) GROUP BY e.supp
+    ),
+    h{t} AS (
+        SELECT supp, round(raw / (SELECT max(raw) FROM hr{t}),
+                           {_HITS_ROUND}) AS h
+        FROM hr{t}
+    )"""
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle=f"""
+    WITH he AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    h0 AS (SELECT DISTINCT supp, CAST(1.0 AS DOUBLE) AS h FROM he),
+    {",".join(_hits_round_sql(t) for t in range(1, _HITS_ITERS + 1))},
+    ranked AS (
+        SELECT 'hub' AS node_type, supp AS node_id, h AS score,
+               row_number() OVER (ORDER BY h DESC, supp) AS rnk
+        FROM h{_HITS_ITERS}
+        UNION ALL
+        SELECT 'authority', part, a,
+               row_number() OVER (ORDER BY a DESC, part)
+        FROM an{_HITS_ITERS}
+    )
+    SELECT node_type, CAST(node_id AS BIGINT) AS node_id,
+           round(score, 6) AS score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_HITS_TOPK}
+    """,
+    tags=("graph",),
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the directed supplier→part bipartite
+    graph: {it} synchronous rounds of the mutual-reinforcement
+    recurrence — a part's AUTHORITY is the sum of the hub scores
+    pointing at it; a supplier's HUB score the sum of the authorities
+    it points at — each side max-normalized per round. The named
+    sibling of [[graph_pagerank_transitions]]: PageRank ranks by random
+    walks on ONE score, HITS separates "good source" from "good
+    destination", the distinction catalog-quality ranking wants (a
+    supplier stocking all the central parts vs a part stocked by all
+    the central suppliers). Top-{k} of each side.
+
+    Per-round scores are ROUNDED to {r} decimals in BOTH engines (the
+    fixed-rounds float pattern), making the whole power iteration
+    hash-checked; final ranks order by the rounded score so summation
+    wobble cannot flip a tie. Scale shape: each half-round is one
+    keyed aggregate over the edge list (map-side combined) plus a
+    1-row max broadcast — identical cost to a pagerank round; {it}
+    rounds = {it2} edge scans, no collect."""
+    li = tables(spark, sf_dir).lineitem
+    he = li.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    h = he.select("supp").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = he.join(h, "supp").groupBy("part").agg(F.sum("h").alias("raw"))
+        amax = ar.agg(F.max("raw").alias("mx"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "part", rnd(F.col("raw") / F.col("mx"), _HITS_ROUND).alias("a")
+        )
+        hr = he.join(a, "part").groupBy("supp").agg(F.sum("a").alias("raw"))
+        hmax = hr.agg(F.max("raw").alias("mx"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "supp", rnd(F.col("raw") / F.col("mx"), _HITS_ROUND).alias("h")
+        )
+    hubs = h.select(
+        F.lit("hub").alias("node_type"),
+        F.col("supp").cast("long").alias("node_id"),
+        F.col("h").alias("score"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("node_type"),
+        F.col("part").cast("long").alias("node_id"),
+        F.col("a").alias("score"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("node_type").orderBy(F.desc("score"), F.asc("node_id"))
+    )
+    return (
+        hubs.unionAll(auths)
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _HITS_TOPK)
+        .select("node_type", "node_id", rnd("score", 6).alias("score"), "rnk")
+    )
+
+
+graph_hits_hubs_authorities.__doc__ = (
+    graph_hits_hubs_authorities.__doc__.replace("{it2}", str(2 * _HITS_ITERS))
+    .replace("{it}", str(_HITS_ITERS))
+    .replace("{k}", str(_HITS_TOPK))
+    .replace("{r}", str(_HITS_ROUND))
+)

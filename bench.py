@@ -417,6 +417,8 @@ EXTENDED_PROBE = [
     "dedup_content_defined_chunks",
     "embed_isotropy_audit",
     "embed_kcenter_coreset",
+    "agg_huber_m_location",
+    "graph_hits_hubs_authorities",
 ]
 
 

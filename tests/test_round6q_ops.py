@@ -794,3 +794,67 @@ def test_kcenter_coreset_matches_numpy(run, sf_dir):
     d2s = got["d2_at_pick"].tolist()[1:]
     assert all(a >= b - 1e-9 for a, b in zip(d2s, d2s[1:]))
     assert got["coverage_radius_sq"].iloc[0] <= d2s[-1] + 1e-9
+
+
+def test_huber_m_location_matches_numpy(run, sf_dir):
+    import numpy as np
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    got = run("agg_huber_m_location").set_index("l_returnflag")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].astype(float).to_numpy()
+        med = np.quantile(x, 0.5)  # linear interpolation == percentile()
+        s = round(1.4826 * np.quantile(np.abs(x - med), 0.5), 6)
+        mu = round(med, 6)
+        for _ in range(3):
+            dev = np.abs(x - mu)
+            w = np.where(dev <= 1.345 * s, 1.0, (1.345 * s) / dev)
+            mu = round(float((x * w).sum() / w.sum()), 6)
+        row = got.loc[flag]
+        assert row["n"] == len(x)
+        assert abs(row["median_x"] - round(med, 4)) < 2e-4
+        assert abs(row["huber_mu"] - round(mu, 4)) < 2e-4
+        # robustness direction: huber sits between median and mean
+        lo, hi = sorted([row["median_x"], row["mean_x"]])
+        assert lo - 1e-3 <= row["huber_mu"] <= hi + 1e-3
+
+
+def test_hits_matches_numpy_power_iteration(run, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    e = li.drop_duplicates()
+    supps = np.sort(e["l_suppkey"].unique())
+    parts = np.sort(e["l_partkey"].unique())
+    si = {s: i for i, s in enumerate(supps)}
+    pi = {p: i for i, p in enumerate(parts)}
+    M = np.zeros((len(supps), len(parts)))
+    for s, p in zip(e["l_suppkey"], e["l_partkey"]):
+        M[si[s], pi[p]] = 1.0
+    h = np.ones(len(supps))
+    for _ in range(3):
+        a = M.T @ h
+        a = np.round(a / a.max(), 8)
+        h = M @ a
+        h = np.round(h / h.max(), 8)
+    got = run("graph_hits_hubs_authorities")
+    hub_rows = got[got["node_type"] == "hub"].sort_values("rnk")
+    auth_rows = got[got["node_type"] == "authority"].sort_values("rnk")
+    hub_ref = sorted(
+        zip(np.round(h, 6), supps), key=lambda t: (-t[0], t[1])
+    )[:10]
+    for row, (score, nid) in zip(hub_rows.itertuples(), hub_ref):
+        assert row.node_id == nid
+        assert abs(row.score - score) < 2e-6
+    auth_ref = sorted(
+        zip(np.round(a, 6), parts), key=lambda t: (-t[0], t[1])
+    )[:10]
+    for row, (score, nid) in zip(auth_rows.itertuples(), auth_ref):
+        assert row.node_id == nid
+        assert abs(row.score - score) < 2e-6
