@@ -439,6 +439,8 @@ _ROUND10_WINDOW = [
     "embed_kcenter_coreset",
     "agg_huber_m_location",
     "graph_hits_hubs_authorities",
+    "orders_weibull_fit_interpurchase",
+    "ts_page_hinkley_drift",
 ]
 
 

@@ -419,6 +419,8 @@ EXTENDED_PROBE = [
     "embed_kcenter_coreset",
     "agg_huber_m_location",
     "graph_hits_hubs_authorities",
+    "orders_weibull_fit_interpurchase",
+    "ts_page_hinkley_drift",
 ]
 
 

@@ -858,3 +858,81 @@ def test_hits_matches_numpy_power_iteration(run, sf_dir):
     for row, (score, nid) in zip(auth_rows.itertuples(), auth_ref):
         assert row.node_id == nid
         assert abs(row.score - score) < 2e-6
+
+
+def test_weibull_fit_matches_numpy(run, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    ).to_pandas()
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"])
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    gaps = (
+        orders.groupby("o_custkey")["o_orderdate"].diff().shift(-1)
+    )
+    # per-customer lead: recompute directly
+    gap_days = []
+    for _, grp in orders.groupby("o_custkey"):
+        d = grp["o_orderdate"].to_numpy()
+        for i in range(len(d) - 1):
+            g = (d[i + 1] - d[i]).astype("timedelta64[D]").astype(int)
+            if g > 0:
+                gap_days.append(float(g))
+    x_sorted = np.sort(np.array(gap_days))
+    n = len(x_sorted)
+    i = np.arange(1, n + 1)
+    xs = np.log(x_sorted)
+    ys = np.log(-np.log(1 - (i - 0.3) / (n + 0.4)))
+    k = ((xs * ys).mean() - xs.mean() * ys.mean()) / (
+        (xs * xs).mean() - xs.mean() ** 2
+    )
+    lam = np.exp(xs.mean() - ys.mean() / k)
+    got = run("orders_weibull_fit_interpurchase").iloc[0]
+    assert got["n_gaps"] == n
+    assert abs(got["shape_k"] - round(float(k), 4)) < 2e-3
+    assert abs(got["scale_days"] - round(float(lam), 4)) < max(
+        2e-3, 1e-4 * lam
+    )
+    assert 0 <= got["r2"] <= 1
+    # a Weibull scale should sit in the same ballpark as the mean gap
+    assert 0.3 * got["mean_gap"] <= got["scale_days"] <= 3 * got["mean_gap"]
+
+
+def test_page_hinkley_matches_numpy(run, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    daily = (
+        orders.assign(d=pd.to_datetime(orders["o_orderdate"]).dt.normalize())
+        .groupby("d")["o_totalprice"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    mu, sigma = daily.mean(), daily.std(ddof=0)
+    delta = 0.005 * mu
+    lam = round(5.0 * sigma, 4)
+    expected = {}
+    for name, m in (
+        ("up", np.cumsum(daily - mu - delta)),
+        ("down", np.cumsum(mu - daily - delta)),
+    ):
+        ph = np.round(m - np.minimum.accumulate(m), 4)
+        alarm = ph > lam
+        if alarm.any():
+            first = int(np.argmax(alarm))
+            expected[name] = (int(alarm.sum()), ph[first], round(float(ph.max()), 4))
+    got = run("ts_page_hinkley_drift").set_index("direction")
+    assert set(got.index) == set(expected)
+    for name, (n_days, ph_first, ph_max) in expected.items():
+        row = got.loc[name]
+        assert row["n_alarm_days"] == n_days, name
+        assert abs(row["ph_at_first_alarm"] - ph_first) < 2e-3
+        assert abs(row["ph_max"] - ph_max) < 2e-3
+        assert abs(row["threshold"] - lam) < 2e-3
