@@ -441,6 +441,7 @@ _ROUND10_WINDOW = [
     "graph_hits_hubs_authorities",
     "orders_weibull_fit_interpurchase",
     "ts_page_hinkley_drift",
+    "scan_rowgroup_stats_audit",
 ]
 
 

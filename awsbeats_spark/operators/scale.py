@@ -2593,3 +2593,104 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_ddsketch_quantiles.__doc__ = sketch_ddsketch_quantiles.__doc__.replace(
     "{g}", str(_DD_GAMMA)
 )
+
+
+# --------------------------------------------------------------------------
+# Parquet row-group statistics audit (footer stats vs data)
+# --------------------------------------------------------------------------
+
+_RG_AUDIT_COLS = ("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "scan_rowgroup_stats_audit",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS column_name,
+               CAST(min({c}) AS DOUBLE) AS data_min,
+               CAST(max({c}) AS DOUBLE) AS data_max,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS footer_min_matches,
+               TRUE AS footer_max_matches,
+               TRUE AS footer_rowcount_matches,
+               TRUE AS rg_stats_bracketed
+        FROM lineitem''' for c in _RG_AUDIT_COLS)}
+    """,
+)
+def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER-STATISTICS audit: read the file's row-group
+    min/max/num_values from the footer metadata (pyarrow, driver-side
+    — kilobytes, the manifest precedent) and verify them against the
+    data itself: min-of-rg-mins == true min, max-of-rg-maxes == true
+    max, sum of row-group counts == count(*), and every row group's
+    stats bracketed by the file range. These statistics are what
+    min/max scan pruning TRUSTS — a writer bug or bit rot here makes
+    pruning silently drop matching rows, which is why table formats
+    (Iceberg/Delta) checksum them; this audit is the plain-parquet
+    version, the verification sibling of [[scale_zorder_clustering_audit]]
+    (which measures how USEFUL the stats are; this one checks they are
+    TRUE). Footer facts fold into verdict booleans so the DuckDB
+    oracle pins them against pure data aggregates (the sandwich
+    pattern).
+
+    Scale shape: footers are metadata — reading a million of them is a
+    driver/manifest-service job, not a table scan; the data-side check
+    is ONE aggregate per column. At lake scale you audit a sampled or
+    recently-written file set with the same plan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    path = f"{sf_dir}/lineitem.parquet"
+    # a "table" is one file at the test SFs and a DIRECTORY of part
+    # files when written by an engine — the realistic lake layout; the
+    # footer walk covers every row group of every part either way
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    mds = [papq.ParquetFile(f).metadata for f in files]
+    names = mds[0].schema.names
+    footer_rows = []
+    for col in _RG_AUDIT_COLS:
+        ci = names.index(col)
+        mins, maxes, nvals = [], [], 0
+        for md in mds:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(float(st.min))
+                maxes.append(float(st.max))
+                nvals += md.row_group(rg).num_rows
+        footer_rows.append(
+            (col, min(mins), max(maxes), nvals, max(mins), min(maxes))
+        )
+    footer = spark.createDataFrame(
+        footer_rows,
+        "column_name string, f_min double, f_max double, f_rows long,"
+        " f_rg_min_hi double, f_rg_max_lo double",
+    )
+    t = tables(spark, sf_dir)
+    stats = None
+    for col in _RG_AUDIT_COLS:
+        s = t.lineitem.agg(
+            F.lit(col).alias("column_name"),
+            F.min(col).cast("double").alias("data_min"),
+            F.max(col).cast("double").alias("data_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        stats = s if stats is None else stats.unionAll(s)
+    return stats.join(F.broadcast(footer), "column_name").select(
+        "column_name",
+        "data_min",
+        "data_max",
+        "n_rows",
+        (F.col("f_min") == F.col("data_min")).alias("footer_min_matches"),
+        (F.col("f_max") == F.col("data_max")).alias("footer_max_matches"),
+        (F.col("f_rows") == F.col("n_rows")).alias("footer_rowcount_matches"),
+        (
+            (F.col("f_rg_min_hi") >= F.col("data_min"))
+            & (F.col("f_rg_max_lo") <= F.col("data_max"))
+        ).alias("rg_stats_bracketed"),
+    )

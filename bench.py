@@ -421,6 +421,7 @@ EXTENDED_PROBE = [
     "graph_hits_hubs_authorities",
     "orders_weibull_fit_interpurchase",
     "ts_page_hinkley_drift",
+    "scan_rowgroup_stats_audit",
 ]
 
 

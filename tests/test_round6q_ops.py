@@ -936,3 +936,31 @@ def test_page_hinkley_matches_numpy(run, sf_dir):
         assert abs(row["ph_at_first_alarm"] - ph_first) < 2e-3
         assert abs(row["ph_max"] - ph_max) < 2e-3
         assert abs(row["threshold"] - lam) < 2e-3
+
+
+def test_rowgroup_stats_audit_verdicts_true(run, sf_dir):
+    import pyarrow.parquet as papq
+
+    got = run("scan_rowgroup_stats_audit").set_index("column_name")
+    assert set(got.index) == {"l_orderkey", "l_extendedprice"}
+    for col in got.index:
+        row = got.loc[col]
+        for v in (
+            "footer_min_matches",
+            "footer_max_matches",
+            "footer_rowcount_matches",
+            "rg_stats_bracketed",
+        ):
+            assert bool(row[v]) is True, (col, v)
+    # independent pyarrow check of one column's footer facts
+    md = papq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    ci = md.schema.names.index("l_orderkey")
+    mins = [
+        md.row_group(i).column(ci).statistics.min
+        for i in range(md.num_row_groups)
+    ]
+    assert float(min(mins)) == got.loc["l_orderkey", "data_min"]
+    assert (
+        sum(md.row_group(i).num_rows for i in range(md.num_row_groups))
+        == got.loc["l_orderkey", "n_rows"]
+    )
