@@ -442,6 +442,8 @@ _ROUND10_WINDOW = [
     "orders_weibull_fit_interpurchase",
     "ts_page_hinkley_drift",
     "scan_rowgroup_stats_audit",
+    "ts_gumbel_block_maxima",
+    "events_mannwhitney_u",
 ]
 
 

@@ -2436,3 +2436,132 @@ def dq_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r3",
         "r4",
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U test (value-grain midranks, tie-corrected normal approx)
+# --------------------------------------------------------------------------
+
+_MWU_A = "click"
+_MWU_B = "purchase"
+
+
+@query(
+    "events_mannwhitney_u",
+    oracle=f"""
+    WITH v AS (
+        SELECT value,
+               sum(CASE WHEN event_type = '{_MWU_A}' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN event_type = '{_MWU_B}' THEN 1 ELSE 0 END) AS nb
+        FROM events
+        WHERE event_type IN ('{_MWU_A}', '{_MWU_B}')
+        GROUP BY value
+    ),
+    ranked AS (
+        SELECT value, na, nb, na + nb AS t,
+               sum(na + nb) OVER (ORDER BY value) - (na + nb) AS cnt_lt
+        FROM v
+    ),
+    agg AS (
+        SELECT sum(na) AS n1, sum(nb) AS n2,
+               sum(na * (cnt_lt + (t + 1) / 2.0)) AS r1,
+               sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+        FROM ranked
+    ),
+    stat AS (
+        SELECT n1, n2,
+               r1 - n1 * (n1 + 1) / 2.0 AS u1,
+               n1 * n2 / 2.0 AS mu_u,
+               sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tie_term / ((n1 + n2) * (n1 + n2 - 1.0))))
+                   AS sigma_u
+        FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(u1, 1) AS u_statistic,
+           round((u1 - mu_u) / sigma_u, 4) AS z,
+           abs(round((u1 - mu_u) / sigma_u, 4)) > 1.96 AS significant_95,
+           round(1 - 2 * u1 / (n1 * n2), 6) AS rank_biserial
+    FROM stat
+    """,
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum): does the '{a}' value
+    distribution stochastically dominate '{b}'? — the nonparametric
+    two-sample location test that needs no normality, completing the
+    testing shelf next to the parametric [[events_ab_welch_ttest]] and
+    the distribution-shape [[dq_ks_test_two_sample]]. Tie-corrected
+    normal approximation (no continuity correction, pinned) plus the
+    rank-biserial effect size 1 - 2U/(n1*n2) (the readable number:
+    P(X>Y) - P(Y>X)).
+
+    Engine-parity AND scale shape come from the same trick: midranks
+    are computed at VALUE grain — midrank(v) = #less + (#equal+1)/2
+    via one cumulative window over the DISTINCT-value relation (values
+    are 2-decimal-bounded, so that relation is bounded regardless of
+    corpus size — no global row sort, the rank arithmetic is exact
+    integer-and-halves). The rank-sum and tie term are exact sums;
+    only the final z touches irrational arithmetic, rounded at 4
+    before the significance comparison."""
+    t = tables(spark, sf_dir)
+    v = (
+        t.events.filter(F.col("event_type").isin(_MWU_A, _MWU_B))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == _MWU_A, 1).otherwise(0)
+            ).alias("na"),
+            F.sum(
+                F.when(F.col("event_type") == _MWU_B, 1).otherwise(0)
+            ).alias("nb"),
+        )
+    )
+    wv = Window.orderBy("value")
+    ranked = v.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("t"),
+        (
+            F.sum(F.col("na") + F.col("nb")).over(wv)
+            - (F.col("na") + F.col("nb"))
+        ).alias("cnt_lt"),
+    )
+    agg = ranked.agg(
+        F.sum("na").alias("n1"),
+        F.sum("nb").alias("n2"),
+        F.sum(
+            F.col("na") * (F.col("cnt_lt") + (F.col("t") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu_u = F.col("n1") * F.col("n2") / 2.0
+    sigma_u = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie_term")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1.0))
+        )
+    )
+    z = rnd((u1 - mu_u) / sigma_u, 4)
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        rnd(u1, 1).alias("u_statistic"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+        rnd(1 - 2 * u1 / (F.col("n1") * F.col("n2")), 6).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+events_mannwhitney_u.__doc__ = events_mannwhitney_u.__doc__.replace(
+    "{a}", _MWU_A
+).replace("{b}", _MWU_B)

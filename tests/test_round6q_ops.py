@@ -964,3 +964,72 @@ def test_rowgroup_stats_audit_verdicts_true(run, sf_dir):
         sum(md.row_group(i).num_rows for i in range(md.num_row_groups))
         == got.loc["l_orderkey", "n_rows"]
     )
+
+
+def test_gumbel_block_maxima_matches_numpy(run, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    daily = (
+        orders.assign(d=pd.to_datetime(orders["o_orderdate"]).dt.normalize())
+        .groupby("d")["o_totalprice"]
+        .sum()
+    )
+    blocks = daily.groupby(daily.index.to_period("M")).max().to_numpy()
+    mean, sd = blocks.mean(), blocks.std(ddof=0)
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    got = run("ts_gumbel_block_maxima").iloc[0]
+    assert got["n_blocks"] == len(blocks)
+    assert abs(got["mean_max"] - round(mean, 4)) < 1e-2
+    assert abs(got["location_mu"] - round(mu, 4)) < 1e-2
+    assert abs(got["scale_beta"] - round(beta, 4)) < 1e-2
+    for t in (12, 60):
+        rl = mu - beta * math.log(-math.log(1 - 1.0 / t))
+        assert abs(got[f"rl_{t}"] - round(rl, 4)) < 1e-2
+    # return levels increase with horizon and exceed the typical max
+    assert got["rl_60"] > got["rl_12"] > got["location_mu"]
+
+
+def test_mannwhitney_matches_scipy_formula(run, sf_dir):
+    import numpy as np
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    a = ev[ev["event_type"] == "click"]["value"].to_numpy()
+    b = ev[ev["event_type"] == "purchase"]["value"].to_numpy()
+    combined = np.concatenate([a, b])
+    order = combined.argsort(kind="mergesort")
+    ranks = np.empty(len(combined))
+    # midranks
+    sorted_vals = combined[order]
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j + 1 < len(sorted_vals) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    r1 = ranks[: len(a)].sum()
+    n1, n2 = len(a), len(b)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    mu_u = n1 * n2 / 2
+    _, counts = np.unique(combined, return_counts=True)
+    tie = float((counts.astype(np.float64) ** 3 - counts).sum())
+    n = n1 + n2
+    sigma = math_sqrt = (
+        (n1 * n2 / 12) * ((n + 1) - tie / (n * (n - 1)))
+    ) ** 0.5
+    z = round((u1 - mu_u) / sigma, 4)
+    got = run("events_mannwhitney_u").iloc[0]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert abs(got["u_statistic"] - round(u1, 1)) < 1e-6
+    assert abs(got["z"] - z) < 2e-4
+    assert bool(got["significant_95"]) == (abs(z) > 1.96)
+    assert abs(got["rank_biserial"] - round(1 - 2 * u1 / (n1 * n2), 6)) < 1e-6
