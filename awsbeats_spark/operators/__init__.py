@@ -444,6 +444,8 @@ _ROUND10_WINDOW = [
     "scan_rowgroup_stats_audit",
     "ts_gumbel_block_maxima",
     "events_mannwhitney_u",
+    "dq_mahalanobis_outliers",
+    "geo_geometric_median_weiszfeld",
 ]
 
 

@@ -992,3 +992,180 @@ def geo_bbox_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 geo_bbox_assign.__doc__ = geo_bbox_assign.__doc__.replace(
     "{dlat}", str(int(_BBOX_DLAT))
 ).replace("{dlon}", str(int(_BBOX_DLON)))
+
+
+# --------------------------------------------------------------------------
+# Weiszfeld geometric median per region (fixed rounds)
+# --------------------------------------------------------------------------
+
+_WZ_ITERS = 3
+_WZ_ROUND = 6
+_WZ_EPS = 1e-9  # distance floor (Weiszfeld's singularity guard)
+
+
+def _wz_round_sql(t: int) -> str:
+    """One Weiszfeld round: inverse-distance-weighted mean against the
+    previous iterate, both coordinates ROUNDED (float-portability)."""
+    return f"""
+    wz{t} AS (
+        SELECT p.r_name,
+               round(sum(p.lat / greatest(sqrt((p.lat - m.mlat) * (p.lat - m.mlat)
+                         + (p.lon - m.mlon) * (p.lon - m.mlon)), {_WZ_EPS!r}))
+                     / sum(1.0 / greatest(sqrt((p.lat - m.mlat) * (p.lat - m.mlat)
+                         + (p.lon - m.mlon) * (p.lon - m.mlon)), {_WZ_EPS!r})),
+                     {_WZ_ROUND}) AS mlat,
+               round(sum(p.lon / greatest(sqrt((p.lat - m.mlat) * (p.lat - m.mlat)
+                         + (p.lon - m.mlon) * (p.lon - m.mlon)), {_WZ_EPS!r}))
+                     / sum(1.0 / greatest(sqrt((p.lat - m.mlat) * (p.lat - m.mlat)
+                         + (p.lon - m.mlon) * (p.lon - m.mlon)), {_WZ_EPS!r})),
+                     {_WZ_ROUND}) AS mlon
+        FROM wpts p JOIN wz{t - 1} m USING (r_name)
+        GROUP BY p.r_name
+    )"""
+
+
+@query(
+    "geo_geometric_median_weiszfeld",
+    oracle=f"""
+    WITH wpts AS (
+        SELECT r.r_name,
+               {_lat_sql('c.c_custkey')} AS lat,
+               {_lon_sql('c.c_custkey')} AS lon
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    wz0 AS (
+        SELECT r_name, round(avg(lat), {_WZ_ROUND}) AS mlat,
+               round(avg(lon), {_WZ_ROUND}) AS mlon
+        FROM wpts GROUP BY r_name
+    ),
+    {",".join(_wz_round_sql(t) for t in range(1, _WZ_ITERS + 1))},
+    gain AS (
+        SELECT p.r_name,
+               count(*) AS n_points,
+               avg(sqrt((p.lat - c0.mlat) * (p.lat - c0.mlat)
+                        + (p.lon - c0.mlon) * (p.lon - c0.mlon)))
+                   AS mean_d_centroid,
+               avg(sqrt((p.lat - cf.mlat) * (p.lat - cf.mlat)
+                        + (p.lon - cf.mlon) * (p.lon - cf.mlon)))
+                   AS mean_d_gmedian
+        FROM wpts p
+        JOIN wz0 c0 USING (r_name)
+        JOIN wz{_WZ_ITERS} cf USING (r_name)
+        GROUP BY p.r_name
+    )
+    SELECT g.r_name,
+           CAST(g.n_points AS BIGINT) AS n_points,
+           round(c0.mlat, 4) AS centroid_lat,
+           round(c0.mlon, 4) AS centroid_lon,
+           round(cf.mlat, 4) AS gmedian_lat,
+           round(cf.mlon, 4) AS gmedian_lon,
+           round(g.mean_d_centroid, 4) AS mean_d_centroid,
+           round(g.mean_d_gmedian, 4) AS mean_d_gmedian
+    FROM gain g
+    JOIN wz0 c0 USING (r_name)
+    JOIN wz{_WZ_ITERS} cf USING (r_name)
+    """,
+)
+def geo_geometric_median_weiszfeld(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GEOMETRIC MEDIAN of each region's customer point cloud by
+    Weiszfeld's algorithm (1937; the classic facility-location
+    iterate): {it} rounds of inverse-distance-weighted means starting
+    from the centroid, with the standard distance-floor singularity
+    guard. The geometric median is the ROBUST center — the point
+    minimizing total distance, immune to a far-flung customer dragging
+    the depot location the way the centroid is (the 2-D sibling of
+    [[agg_huber_m_location]]); `mean_d_*` columns report the objective
+    at the centroid vs the fitted median (median ≤ centroid by
+    definition of the minimizer, pinned in tests). Planar degrees —
+    the algorithm demo; a production siting job feeds projected
+    coordinates.
+
+    Per-round coordinates ROUND to {r} decimals in both engines (the
+    fixed-rounds float pattern), so the whole iterate is hash-checked.
+    Scale shape: each round is ONE keyed aggregate over the points
+    with the tiny (region, iterate) state broadcast back — k rounds =
+    k scans, map-side combined, no collect."""
+    t = tables(spark, sf_dir)
+    pts = (
+        t.customer.join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "r_name",
+            _lat(F.col("c_custkey")).alias("lat"),
+            _lon(F.col("c_custkey")).alias("lon"),
+        )
+    )
+    wz = pts.groupBy("r_name").agg(
+        rnd(F.avg("lat"), _WZ_ROUND).alias("mlat"),
+        rnd(F.avg("lon"), _WZ_ROUND).alias("mlon"),
+    )
+    wz0 = wz
+    for _ in range(_WZ_ITERS):
+        j = pts.join(F.broadcast(wz), "r_name")
+        dist = F.greatest(
+            F.sqrt(
+                (F.col("lat") - F.col("mlat")) * (F.col("lat") - F.col("mlat"))
+                + (F.col("lon") - F.col("mlon"))
+                * (F.col("lon") - F.col("mlon"))
+            ),
+            F.lit(_WZ_EPS),
+        )
+        wz = j.groupBy("r_name").agg(
+            rnd(
+                F.sum(F.col("lat") / dist) / F.sum(1.0 / dist), _WZ_ROUND
+            ).alias("mlat"),
+            rnd(
+                F.sum(F.col("lon") / dist) / F.sum(1.0 / dist), _WZ_ROUND
+            ).alias("mlon"),
+        )
+    c0 = wz0.select(
+        "r_name",
+        F.col("mlat").alias("c0lat"),
+        F.col("mlon").alias("c0lon"),
+    )
+    cf = wz.select(
+        "r_name", F.col("mlat").alias("cflat"), F.col("mlon").alias("cflon")
+    )
+    both = pts.join(F.broadcast(c0), "r_name").join(F.broadcast(cf), "r_name")
+
+    def _d(latc, lonc):
+        return F.sqrt(
+            (F.col("lat") - F.col(latc)) * (F.col("lat") - F.col(latc))
+            + (F.col("lon") - F.col(lonc)) * (F.col("lon") - F.col(lonc))
+        )
+
+    gain = both.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg(_d("c0lat", "c0lon")).alias("mean_d_centroid"),
+        F.avg(_d("cflat", "cflon")).alias("mean_d_gmedian"),
+        F.any_value("c0lat").alias("c0lat"),
+        F.any_value("c0lon").alias("c0lon"),
+        F.any_value("cflat").alias("cflat"),
+        F.any_value("cflon").alias("cflon"),
+    )
+    return gain.select(
+        "r_name",
+        F.col("n_points").cast("long").alias("n_points"),
+        rnd("c0lat", 4).alias("centroid_lat"),
+        rnd("c0lon", 4).alias("centroid_lon"),
+        rnd("cflat", 4).alias("gmedian_lat"),
+        rnd("cflon", 4).alias("gmedian_lon"),
+        rnd("mean_d_centroid", 4).alias("mean_d_centroid"),
+        rnd("mean_d_gmedian", 4).alias("mean_d_gmedian"),
+    )
+
+
+geo_geometric_median_weiszfeld.__doc__ = (
+    geo_geometric_median_weiszfeld.__doc__.replace("{it}", str(_WZ_ITERS))
+    .replace("{r}", str(_WZ_ROUND))
+)

@@ -2565,3 +2565,115 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_mannwhitney_u.__doc__ = events_mannwhitney_u.__doc__.replace(
     "{a}", _MWU_A
 ).replace("{b}", _MWU_B)
+
+
+# --------------------------------------------------------------------------
+# Bivariate Mahalanobis outliers (closed-form 2x2 inverse)
+# --------------------------------------------------------------------------
+
+_MAHA_CHI2_95_2DF = 5.991464547107979  # chi^2 0.95 quantile, 2 df
+_MAHA_TOPK = 20
+
+
+@query(
+    "dq_mahalanobis_outliers",
+    oracle=f"""
+    WITH per AS (
+        SELECT o.o_orderkey, o.o_totalprice AS x,
+               CAST(c.n AS DOUBLE) AS y
+        FROM orders o
+        JOIN (SELECT l_orderkey, count(*) AS n
+              FROM lineitem GROUP BY l_orderkey) c
+          ON c.l_orderkey = o.o_orderkey
+    ),
+    mom AS (
+        SELECT avg(x) AS mx, avg(y) AS my,
+               avg(x * x) - avg(x) * avg(x) AS vx,
+               avg(y * y) - avg(y) * avg(y) AS vy,
+               avg(x * y) - avg(x) * avg(y) AS cxy
+        FROM per
+    ),
+    d AS (
+        SELECT o_orderkey, x, y,
+               round(((x - mx) * (x - mx) * vy
+                      - 2 * (x - mx) * (y - my) * cxy
+                      + (y - my) * (y - my) * vx)
+                     / (vx * vy - cxy * cxy), 4) AS d2
+        FROM per CROSS JOIN mom
+    )
+    SELECT o_orderkey, round(x, 2) AS totalprice,
+           CAST(y AS BIGINT) AS n_items, d2,
+           row_number() OVER (ORDER BY d2 DESC, o_orderkey) AS rn
+    FROM d
+    WHERE d2 > {_MAHA_CHI2_95_2DF!r}
+    QUALIFY rn <= {_MAHA_TOPK}
+    """,
+)
+def dq_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE outlier detection by Mahalanobis distance on the
+    (order value, line count) plane — the joint-distribution check the
+    univariate [[dq_outlier_iqr]] cannot express: a $180k order is
+    normal and a 7-line order is normal, but a $180k SINGLE-LINE order
+    is exactly what fraud/DQ review wants surfaced. d² against the
+    2x2 covariance (closed-form inverse — no linear algebra library),
+    flagged above the chi²(2df, 95%) quantile, top-{k} reported.
+    d² rounds to 4 before both the threshold and the rank, so moment
+    wobble cannot flip boundaries.
+
+    Scale shape: one per-order count aggregate + one moment reduce
+    (broadcast 1-row); the distance is a map-side expression; top-k is
+    a rank over the flagged subset. The same closed form covers any
+    fixed small feature pair; beyond ~5 features you'd move to a
+    driver-side inverse (the k-means O(d²) precedent)."""
+    t = tables(spark, sf_dir)
+    cnt = t.lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    per = t.orders.join(
+        cnt, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    mom = per.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias("vx"),
+        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("vy"),
+        (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")).alias(
+            "cxy"
+        ),
+    )
+    dx, dy = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
+    det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
+    d2 = rnd(
+        (
+            dx * dx * F.col("vy")
+            - 2 * dx * dy * F.col("cxy")
+            + dy * dy * F.col("vx")
+        )
+        / det,
+        4,
+    )
+    d = per.crossJoin(F.broadcast(mom)).select(
+        "o_orderkey", "x", "y", d2.alias("d2")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.desc("d2"), F.asc("o_orderkey"))
+    )
+    return (
+        d.filter(F.col("d2") > _MAHA_CHI2_95_2DF)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _MAHA_TOPK)
+        .select(
+            "o_orderkey",
+            rnd("x", 2).alias("totalprice"),
+            F.col("y").cast("long").alias("n_items"),
+            "d2",
+            "rn",
+        )
+    )
+
+
+dq_mahalanobis_outliers.__doc__ = dq_mahalanobis_outliers.__doc__.replace(
+    "{k}", str(_MAHA_TOPK)
+)

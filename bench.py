@@ -424,6 +424,8 @@ EXTENDED_PROBE = [
     "scan_rowgroup_stats_audit",
     "ts_gumbel_block_maxima",
     "events_mannwhitney_u",
+    "dq_mahalanobis_outliers",
+    "geo_geometric_median_weiszfeld",
 ]
 
 

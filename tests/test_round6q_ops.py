@@ -1033,3 +1033,76 @@ def test_mannwhitney_matches_scipy_formula(run, sf_dir):
     assert abs(got["z"] - z) < 2e-4
     assert bool(got["significant_95"]) == (abs(z) > 1.96)
     assert abs(got["rank_biserial"] - round(1 - 2 * u1 / (n1 * n2), 6)) < 1e-6
+
+
+def test_mahalanobis_outliers_matches_numpy(run, sf_dir):
+    import numpy as np
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).to_pandas()
+    cnt = li.groupby("l_orderkey").size()
+    per = orders.set_index("o_orderkey").join(
+        cnt.rename("n"), how="inner"
+    )
+    x = per["o_totalprice"].to_numpy(dtype=float)
+    y = per["n"].to_numpy(dtype=float)
+    mx, my = x.mean(), y.mean()
+    vx, vy = (x * x).mean() - mx * mx, (y * y).mean() - my * my
+    cxy = (x * y).mean() - mx * my
+    det = vx * vy - cxy * cxy
+    d2 = np.round(
+        ((x - mx) ** 2 * vy - 2 * (x - mx) * (y - my) * cxy
+         + (y - my) ** 2 * vx) / det,
+        4,
+    )
+    keys = per.index.to_numpy()
+    flagged = sorted(
+        [(d, k) for d, k in zip(d2, keys) if d > 5.991464547107979],
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = run("dq_mahalanobis_outliers").sort_values("rn")
+    assert list(got["o_orderkey"]) == [k for _, k in flagged]
+    for (d, _), g in zip(flagged, got["d2"]):
+        assert abs(g - d) < 2e-3
+    # cross-check against numpy's actual matrix inverse on one point
+    S = np.array([[vx, cxy], [cxy, vy]])
+    v0 = np.array([x[0] - mx, y[0] - my])
+    ref = float(v0 @ np.linalg.inv(S) @ v0)
+    assert abs(ref - d2[0]) < 1e-2
+
+
+def test_weiszfeld_matches_numpy_and_improves_objective(run, sf_dir):
+    import numpy as np
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    j = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    M = 233280
+    j["lat"] = ((j["c_custkey"] * 9301 + 49297) % M) / M * 170.0 - 85.0
+    j["lon"] = ((j["c_custkey"] * 49297 + 9301) % M) / M * 360.0 - 180.0
+    got = run("geo_geometric_median_weiszfeld").set_index("r_name")
+    for rname, grp in j.groupby("r_name"):
+        P = grp[["lat", "lon"]].to_numpy()
+        m = np.round(P.mean(axis=0), 6)
+        for _ in range(3):
+            d = np.maximum(np.sqrt(((P - m) ** 2).sum(axis=1)), 1e-9)
+            m = np.round((P / d[:, None]).sum(axis=0) / (1.0 / d).sum(), 6)
+        row = got.loc[rname]
+        assert row["n_points"] == len(P)
+        assert abs(row["gmedian_lat"] - round(float(m[0]), 4)) < 2e-3
+        assert abs(row["gmedian_lon"] - round(float(m[1]), 4)) < 2e-3
+        # the median's objective must not exceed the centroid's
+        assert row["mean_d_gmedian"] <= row["mean_d_centroid"] + 1e-6
