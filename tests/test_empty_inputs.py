@@ -34,6 +34,10 @@ GLOBAL_AGG = {
     "ts_theil_sen_slope",
     "join_keyhash_sample_estimate",
     "orders_littles_law_audit",
+    "embed_isotropy_audit",
+    "orders_weibull_fit_interpurchase",
+    "ts_gumbel_block_maxima",
+    "events_mannwhitney_u",
 }
 
 # operators with a fixed output shape regardless of input rows
@@ -261,8 +265,20 @@ SAMPLE = [
     "text_winnowing_fingerprints",
     "multimodal_video_scene_cuts",
     "set_symmetric_diff_all",
-    "sketch_ddsketch_quantiles",
     "orders_littles_law_audit",
+    "sketch_ddsketch_quantiles",
+    "corpus_bpe_compression_by_lang",
+    "dq_spc_western_electric",
+    "dedup_content_defined_chunks",
+    "embed_isotropy_audit",
+    "agg_huber_m_location",
+    "graph_hits_hubs_authorities",
+    "orders_weibull_fit_interpurchase",
+    "ts_page_hinkley_drift",
+    "ts_gumbel_block_maxima",
+    "events_mannwhitney_u",
+    "dq_mahalanobis_outliers",
+    "geo_geometric_median_weiszfeld",
 ]
 
 
