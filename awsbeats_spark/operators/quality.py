@@ -2677,3 +2677,248 @@ def dq_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 dq_mahalanobis_outliers.__doc__ = dq_mahalanobis_outliers.__doc__.replace(
     "{k}", str(_MAHA_TOPK)
 )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H across all event types (ranks ANOVA, tie-corrected)
+# --------------------------------------------------------------------------
+
+_KW_CHI2_95_4DF = 9.487729036781154  # chi^2 0.95 quantile, 4 df
+
+
+@query(
+    "events_kruskal_wallis_h",
+    oracle=f"""
+    WITH vt AS (
+        SELECT value, event_type, count(*) AS ngv
+        FROM events GROUP BY value, event_type
+    ),
+    vtot AS (SELECT value, sum(ngv) AS t FROM vt GROUP BY value),
+    mr AS (
+        SELECT value, t,
+               sum(t) OVER (ORDER BY value) - t + (t + 1) / 2.0 AS midrank
+        FROM vtot
+    ),
+    pg AS (
+        SELECT vt.event_type,
+               sum(vt.ngv) AS ng,
+               sum(vt.ngv * mr.midrank) AS rg
+        FROM vt JOIN mr USING (value)
+        GROUP BY vt.event_type
+    ),
+    gl AS (
+        SELECT sum(ng) AS n, count(*) AS k,
+               sum(rg * rg / ng) AS sr2
+        FROM pg
+    ),
+    tie AS (
+        SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tt FROM vtot
+    ),
+    h AS (
+        SELECT gl.n, gl.k,
+               (12.0 / (gl.n * (gl.n + 1)) * gl.sr2 - 3 * (gl.n + 1))
+               / (1 - tie.tt / (CAST(gl.n AS DOUBLE) * gl.n * gl.n - gl.n))
+                   AS hc
+        FROM gl CROSS JOIN tie
+    )
+    SELECT pg.event_type,
+           CAST(pg.ng AS BIGINT) AS n_g,
+           round(pg.rg / pg.ng, 4) AS mean_rank,
+           round(h.hc, 4) AS h_corrected,
+           round(h.hc, 4) > {_KW_CHI2_95_4DF!r} AS significant_95
+    FROM pg CROSS JOIN h
+    """,
+)
+def events_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H — one-way ANOVA on ranks across ALL event
+    types at once, the k-group extension of [[events_mannwhitney_u]]
+    (pairwise tests across 5 groups inflate alpha; KW is the single
+    omnibus gate run first). Tie-corrected H against chi²(k-1 df,
+    95%); per-group mean ranks show WHERE the separation is.
+
+    Same engine-parity-and-scale trick as the U test: midranks at
+    VALUE grain (#less + (#equal+1)/2 via one cumulative window over
+    the bounded distinct-value relation — exact integer-and-halves, no
+    global row sort), rank sums as exact products, only the final H
+    irrational and rounded at 4 before the significance compare."""
+    t = tables(spark, sf_dir)
+    vt = t.events.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("ngv")
+    )
+    vtot = vt.groupBy("value").agg(F.sum("ngv").alias("t"))
+    wv = Window.orderBy("value")
+    mr = vtot.select(
+        "value",
+        "t",
+        (
+            F.sum("t").over(wv) - F.col("t") + (F.col("t") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    pg = (
+        vt.join(mr, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ngv").alias("ng"),
+            F.sum(F.col("ngv") * F.col("midrank")).alias("rg"),
+        )
+    )
+    gl = pg.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("sr2"),
+    )
+    tie = vtot.agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tt")
+    )
+    hc = (
+        12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("sr2")
+        - 3 * (F.col("n") + 1)
+    ) / (
+        1
+        - F.col("tt")
+        / (F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n"))
+    )
+    h = gl.crossJoin(F.broadcast(tie)).select(rnd(hc, 4).alias("hc"))
+    return pg.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        F.col("ng").cast("long").alias("n_g"),
+        rnd(F.col("rg") / F.col("ng"), 4).alias("mean_rank"),
+        F.col("hc").alias("h_corrected"),
+        (F.col("hc") > _KW_CHI2_95_4DF).alias("significant_95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Luhn checksum validation (the checksum-DQ primitive)
+# --------------------------------------------------------------------------
+
+_LUHN_LEN = 13  # '4' + 11 digits + check digit
+
+
+@query(
+    "dq_luhn_checksum_validate",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               '4' || lpad(CAST(o_orderkey % 100000000000 AS VARCHAR),
+                           11, '0') AS b
+        FROM orders
+    ),
+    chk AS (
+        SELECT o_orderkey, b,
+               -- Luhn sum of the 12 base digits as if a check digit
+               -- follows (so position i from the right of the FULL
+               -- number is i+1): double the odd positions of b-from-
+               -- right
+               CAST(list_sum(list_transform(generate_series(1, 12),
+                   i -> CASE WHEN i % 2 = 1
+                        THEN CASE WHEN 2 * CAST(substring(b, 13 - i, 1)
+                                           AS INT) > 9
+                             THEN 2 * CAST(substring(b, 13 - i, 1) AS INT) - 9
+                             ELSE 2 * CAST(substring(b, 13 - i, 1) AS INT)
+                             END
+                        ELSE CAST(substring(b, 13 - i, 1) AS INT)
+                        END)) AS BIGINT) AS s
+        FROM base
+    ),
+    full_num AS (
+        SELECT o_orderkey,
+               b || CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN (10 - s % 10) % 10
+                         ELSE ((10 - s % 10) % 10 + 5) % 10
+                         END AS VARCHAR) AS num
+        FROM chk
+    ),
+    validated AS (
+        SELECT o_orderkey, num,
+               CAST(list_sum(list_transform(generate_series(1, {_LUHN_LEN}),
+                   i -> CASE WHEN i % 2 = 0
+                        THEN CASE WHEN 2 * CAST(substring(num,
+                                  {_LUHN_LEN + 1} - i, 1) AS INT) > 9
+                             THEN 2 * CAST(substring(num,
+                                  {_LUHN_LEN + 1} - i, 1) AS INT) - 9
+                             ELSE 2 * CAST(substring(num,
+                                  {_LUHN_LEN + 1} - i, 1) AS INT)
+                             END
+                        ELSE CAST(substring(num,
+                                  {_LUHN_LEN + 1} - i, 1) AS INT)
+                        END)) AS BIGINT) % 10 = 0 AS ok,
+               o_orderkey % 2 = 0 AS should_be_ok
+        FROM full_num
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_numbers,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           round(avg(CASE WHEN ok THEN 1.0 ELSE 0.0 END), 6) AS valid_rate,
+           bool_and(ok = should_be_ok) AS checksum_logic_consistent
+    FROM validated
+    """,
+)
+def dq_luhn_checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN checksum validation (ISO/IEC 7812 — card numbers, IMEIs,
+    provider ids): the checksum-DQ primitive an ingest pipeline runs on
+    identifier columns to catch truncation/transposition corruption
+    before it joins anything. The testdata carries no card-like
+    column, so one is DERIVED per order ('4' + 11 digits of the key)
+    with a REAL Luhn check digit appended for even keys and a
+    deliberately wrong one for odd keys — validating both the
+    accept and the reject path; `checksum_logic_consistent` asserts
+    the validator agrees with the construction on every row (a single
+    digit-doubling or position-parity bug flips it red).
+
+    Pure integer digit-fold arithmetic in both engines (no floats
+    anywhere until the rate). Scale shape: map-side expression over
+    the scan + one global count reduce — embarrassingly parallel."""
+    t = tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("4"),
+            F.lpad((F.col("o_orderkey") % 100000000000).cast("string"), 11, "0"),
+        ).alias("b"),
+    )
+
+    def _luhn_sum(col_name: str, length: int, double_odd: bool):
+        # position i counts from the RIGHT of the string
+        parity = 1 if double_odd else 0
+
+        def term(i):
+            d = F.substring(F.col(col_name), length + 1 - i, 1).cast("int")
+            dd = 2 * d
+            doubled = F.when(dd > 9, dd - 9).otherwise(dd)
+            return doubled if i % 2 == parity else d
+
+        return sum((term(i) for i in range(1, length + 1)), start=F.lit(0))
+
+    chk = base.select(
+        "o_orderkey", "b", _luhn_sum("b", 12, True).alias("s")
+    )
+    check_digit = (10 - F.col("s") % 10) % 10
+    full_num = chk.select(
+        "o_orderkey",
+        F.concat(
+            F.col("b"),
+            F.when(F.col("o_orderkey") % 2 == 0, check_digit)
+            .otherwise((check_digit + 5) % 10)
+            .cast("int")
+            .cast("string"),
+        ).alias("num"),
+    )
+    validated = full_num.select(
+        "o_orderkey",
+        (_luhn_sum("num", _LUHN_LEN, False) % 10 == 0).alias("ok"),
+        (F.col("o_orderkey") % 2 == 0).alias("should_be_ok"),
+    )
+    return validated.agg(
+        F.count(F.lit(1)).alias("n_numbers"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        rnd(F.avg(F.when(F.col("ok"), 1.0).otherwise(0.0)), 6).alias(
+            "valid_rate"
+        ),
+        F.bool_and(F.col("ok") == F.col("should_be_ok")).alias(
+            "checksum_logic_consistent"
+        ),
+    )

@@ -426,6 +426,8 @@ EXTENDED_PROBE = [
     "events_mannwhitney_u",
     "dq_mahalanobis_outliers",
     "geo_geometric_median_weiszfeld",
+    "events_kruskal_wallis_h",
+    "dq_luhn_checksum_validate",
 ]
 
 

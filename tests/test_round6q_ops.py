@@ -1106,3 +1106,67 @@ def test_weiszfeld_matches_numpy_and_improves_objective(run, sf_dir):
         assert abs(row["gmedian_lon"] - round(float(m[1]), 4)) < 2e-3
         # the median's objective must not exceed the centroid's
         assert row["mean_d_gmedian"] <= row["mean_d_centroid"] + 1e-6
+
+
+def test_kruskal_wallis_matches_scipy_formula(run, sf_dir):
+    import numpy as np
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    vals = ev["value"].to_numpy()
+    order = vals.argsort(kind="mergesort")
+    ranks = np.empty(len(vals))
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n = len(vals)
+    groups = ev["event_type"].to_numpy()
+    sr2 = 0.0
+    per_group = {}
+    for g in np.unique(groups):
+        r = ranks[groups == g]
+        per_group[g] = (len(r), r.mean())
+        sr2 += r.sum() ** 2 / len(r)
+    h = 12.0 / (n * (n + 1)) * sr2 - 3 * (n + 1)
+    _, counts = np.unique(vals, return_counts=True)
+    c = 1 - float((counts.astype(float) ** 3 - counts).sum()) / (
+        n**3 - n
+    )
+    hc = round(h / c, 4)
+    got = run("events_kruskal_wallis_h").set_index("event_type")
+    assert set(got.index) == set(per_group)
+    for g, (ng, mr) in per_group.items():
+        row = got.loc[g]
+        assert row["n_g"] == ng
+        assert abs(row["mean_rank"] - round(mr, 4)) < 2e-3
+        assert abs(row["h_corrected"] - hc) < 2e-3
+        assert bool(row["significant_95"]) == (hc > 9.487729036781154)
+
+
+def test_luhn_validator_against_reference_impl(run):
+    def luhn_ok(num: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(num), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    # known-good card test numbers for the reference implementation
+    assert luhn_ok("4532015112830366")
+    assert luhn_ok("79927398713")
+    assert not luhn_ok("79927398714")
+    got = run("dq_luhn_checksum_validate").iloc[0]
+    # even keys get a true check digit, odd a corrupted one
+    assert bool(got["checksum_logic_consistent"]) is True
+    assert 0.4 < got["valid_rate"] < 0.6
+    assert got["n_valid"] < got["n_numbers"]
