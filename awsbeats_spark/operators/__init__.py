@@ -25,26 +25,26 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   CORRECTNESS_r05): the remaining 9 of the old round-5 front, then
   corpus/similarity/text/quality/scalar/window/sketch keys in
   registry order. After round 5: 242/450 (the catalog grew to 478 in
-  round 6; denominators below use 484).
+  round 6; denominators below use 485).
 * **Round 6** (``_ROUND6_WINDOW``, exactly 50, NOW FRONTED): the
   remaining timeseries/events/geo/graph tail plus the first 13
-  operators added in round 4. After round 6: 292/484.
+  operators added in round 4. After round 6: 292/485.
 * **Round 7** (``_ROUND7_WINDOW``, exactly 50): the 12 round-4
   additions that overflow round 6's budget plus the earliest 38
-  round-5 additions. After round 7: 342/484.
+  round-5 additions. After round 7: 342/485.
 * **Round 8** (``_ROUND8_WINDOW``, exactly 50): the later round-5
   additions that overflow round 7's budget. After round 8: 392
   driver-evidenced.
 * **Round 9** (``_ROUND9_WINDOW``, exactly 50): round-5 late
-  additions (442/484 after round 9). **Round 10**
-  (``_ROUND10_WINDOW``, currently 42): the overflow past round 9's
-  budget plus the 34 round-6 additions; new keys append here. Once
+  additions (442/485 after round 9). **Round 10**
+  (``_ROUND10_WINDOW``, currently 43): the overflow past round 9's
+  budget plus the 35 round-6 additions; new keys append here. Once
   every window drains the full catalog is driver-evidenced and spare
   slots recheck round-1/2 greens on a rolling basis.
 
 The window lists partition the keys that had no driver row as of
 CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
-round 5, 34 in round 6); a test in tests/test_rotation.py pins this against the
+round 5, 35 in round 6); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
 order is r6, r7, r8, r9, r10, r5, r4 — never-driver-checked keys
@@ -448,6 +448,7 @@ _ROUND10_WINDOW = [
     "geo_geometric_median_weiszfeld",
     "events_kruskal_wallis_h",
     "dq_luhn_checksum_validate",
+    "dedup_idf_weighted_jaccard",
 ]
 
 

@@ -1802,3 +1802,102 @@ def dedup_content_defined_chunks(
 dedup_content_defined_chunks.__doc__ = (
     dedup_content_defined_chunks.__doc__.replace("{m}", str(_CDC_MOD))
 )
+
+
+# --------------------------------------------------------------------------
+# IDF-weighted Jaccard near-dup pairs (rare shingles count more)
+# --------------------------------------------------------------------------
+
+_WJACCARD_THRESHOLD = 0.2
+
+
+@query(
+    "dedup_idf_weighted_jaccard",
+    oracle=f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s0
+        FROM documents
+    ),
+    exploded0 AS (SELECT doc_id, unnest(s0) AS sh FROM shs),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    dfw AS (
+        SELECT sh, ln((SELECT n FROM ndocs) * 1.0 / count(*)) AS w
+        FROM exploded0 GROUP BY sh
+        HAVING count(*) <= {DF_CAP}
+    ),
+    ex AS (
+        SELECT e.doc_id, e.sh, dfw.w
+        FROM exploded0 e JOIN dfw USING (sh)
+    ),
+    totw AS (SELECT doc_id, sum(w) AS tw FROM ex GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(a.w) AS shared_w
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared_w / (ta.tw + tb.tw - shared_w), 6)
+               AS weighted_jaccard
+    FROM pairs
+    JOIN totw ta ON doc_a = ta.doc_id
+    JOIN totw tb ON doc_b = tb.doc_id
+    WHERE shared_w / (ta.tw + tb.tw - shared_w) >= {_WJACCARD_THRESHOLD}
+    """,
+)
+def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup pairs over the DF-capped shingle
+    universe: each shingle contributes ln(N/df) instead of 1, so two
+    docs sharing RARE shingles score far higher than two sharing
+    near-boilerplate — the refinement that separates "same template"
+    from "same content" where the unweighted [[dedup_ngram_df_capped]]
+    scores them alike. For binary shingle sets the weighted-Jaccard
+    min/max form reduces exactly to shared_weight / union_weight, so
+    the plan is the SAME capped equi-join shape with one weight column
+    riding along: the df aggregate (which the cap needs anyway) also
+    yields the idf, per-doc weight totals ride as a keyed aggregate,
+    and the pair join carries one double.
+
+    Scale shape identical to the capped ngram family (the df cap
+    bounds every shingle's pair contribution at DF_CAP²); the weighted
+    score changes WHICH pairs clear the threshold, not the cost. At
+    100 TB the idf table is the same vocabulary-grain relation BM25
+    maintains — one index serving retrieval AND dedup."""
+    t = tables(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded0 = sets.select(
+        "doc_id", F.explode("shs").alias("sh")
+    ).hint("shuffle_hash")
+    ndocs = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    dfw = (
+        exploded0.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .crossJoin(F.broadcast(ndocs))
+        .select("sh", F.log(F.col("n") / F.col("df")).alias("w"))
+        .hint("shuffle_hash")
+    )
+    ex = exploded0.join(dfw, "sh")
+    totw = ex.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum("a.w").alias("shared_w"))
+    )
+    ta = totw.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta"))
+    tb = totw.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb"))
+    wj = F.col("shared_w") / (F.col("ta") + F.col("tb") - F.col("shared_w"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(wj >= _WJACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", rnd(wj, 6).alias("weighted_jaccard"))
+    )

@@ -428,6 +428,7 @@ EXTENDED_PROBE = [
     "geo_geometric_median_weiszfeld",
     "events_kruskal_wallis_h",
     "dq_luhn_checksum_validate",
+    "dedup_idf_weighted_jaccard",
 ]
 
 

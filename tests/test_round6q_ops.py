@@ -1170,3 +1170,40 @@ def test_luhn_validator_against_reference_impl(run):
     assert bool(got["checksum_logic_consistent"]) is True
     assert 0.4 < got["valid_rate"] < 0.6
     assert got["n_valid"] < got["n_numbers"]
+
+
+def test_idf_weighted_jaccard_matches_python(run, sf_dir):
+    import math
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    n_docs = len(docs)
+    doc_shs = {}
+    df: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = _words(text)
+        shs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        doc_shs[doc_id] = shs
+        df.update(shs)
+    w = {s: math.log(n_docs / c) for s, c in df.items() if c <= 100}
+    ids = sorted(doc_shs)
+    expected = {}
+    for i, a in enumerate(ids):
+        sa = {s for s in doc_shs[a] if s in w}
+        wa = sum(w[s] for s in sa)
+        for b in ids[i + 1 :]:
+            sb = {s for s in doc_shs[b] if s in w}
+            shared = sa & sb
+            if not shared:
+                continue
+            sw = sum(w[s] for s in shared)
+            wj = sw / (wa + sum(w[s] for s in sb) - sw)
+            if wj >= 0.2:
+                expected[(a, b)] = round(wj, 6)
+    got = run("dedup_idf_weighted_jaccard")
+    pairs = {
+        (r.doc_a, r.doc_b): r.weighted_jaccard for r in got.itertuples()
+    }
+    assert set(pairs) == set(expected)
+    for k, v in expected.items():
+        assert abs(pairs[k] - v) < 2e-6, k
