@@ -26,12 +26,13 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   corpus/similarity/text/quality/scalar/window/sketch keys in
   registry order. After round 5: 242/450 (the catalog grew to 478 in
   round 6; denominators below use 485).
-* **Round 6** (``_ROUND6_WINDOW``, exactly 50, NOW FRONTED): the
-  remaining timeseries/events/geo/graph tail plus the first 13
-  operators added in round 4. After round 6: 292/485.
-* **Round 7** (``_ROUND7_WINDOW``, exactly 50): the 12 round-4
-  additions that overflow round 6's budget plus the earliest 38
-  round-5 additions. After round 7: 342/485.
+* **Round 6** (``_ROUND6_WINDOW``, exactly 50, all driver-green in
+  CORRECTNESS_r06): the remaining timeseries/events/geo/graph tail
+  plus the first 13 operators added in round 4. After round 6:
+  292/485.
+* **Round 7** (``_ROUND7_WINDOW``, exactly 50, NOW FRONTED): the 12
+  round-4 additions that overflow round 6's budget plus the earliest
+  38 round-5 additions. After round 7: 342/485.
 * **Round 8** (``_ROUND8_WINDOW``, exactly 50): the later round-5
   additions that overflow round 7's budget. After round 8: 392
   driver-evidenced.
@@ -47,8 +48,8 @@ CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
 round 5, 35 in round 6); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
-order is r6, r7, r8, r9, r10, r5, r4 — never-driver-checked keys
-queue ahead of the already-green r5/r4 blocks.
+order is r7, r8, r9, r10, r6, r5, r4 — never-driver-checked keys
+queue ahead of the already-green r6/r5/r4 blocks.
 """
 
 from awsbeats_spark import registry
@@ -452,13 +453,29 @@ _ROUND10_WINDOW = [
 ]
 
 
+# Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were
+# converted from rows-only to hash-checked in r5/r6 but their latest
+# driver row still predates the conversion (stale ``no_oracle``). They
+# queue immediately after _ROUND10_WINDOW so round 10's spare driver
+# budget (50 - len(_ROUND10_WINDOW)) produces fresh green rows for the
+# converted oracles. The overlap tripwire in tests/test_rotation.py
+# whitelists exactly this list.
+_DELIBERATE_RECHECKS = [
+    "agg_percentile_approx",
+    "agg_approx_distinct",
+    "agg_hll_sketch_union",
+    "embed_kmeans_cluster",
+]
+
+
 def _reorder() -> None:
     priority = (
-        _ROUND6_WINDOW
-        + _ROUND7_WINDOW
+        _ROUND7_WINDOW
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
+        + _DELIBERATE_RECHECKS
+        + _ROUND6_WINDOW
         + _ROUND5_WINDOW
         + _ROUND4_WINDOW
     )

@@ -8,6 +8,7 @@ import json
 import pathlib
 
 from awsbeats_spark.operators import (
+    _DELIBERATE_RECHECKS,
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
     _ROUND6_WINDOW,
@@ -21,24 +22,26 @@ from awsbeats_spark.registry import load_all
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def test_round6_window_registers_first():
-    assert len(_ROUND6_WINDOW) == 50
-    keys = list(load_all())
-    assert keys[: len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
-
-
-def test_round7_through_round4_follow():
-    keys = list(load_all())
-    s = len(_ROUND6_WINDOW)
+def test_round7_window_registers_first():
     assert len(_ROUND7_WINDOW) == 50
-    assert keys[s : s + len(_ROUND7_WINDOW)] == _ROUND7_WINDOW
-    s += len(_ROUND7_WINDOW)
+    keys = list(load_all())
+    assert keys[: len(_ROUND7_WINDOW)] == _ROUND7_WINDOW
+
+
+def test_round8_through_round4_follow():
+    keys = list(load_all())
+    s = len(_ROUND7_WINDOW)
     assert keys[s : s + len(_ROUND8_WINDOW)] == _ROUND8_WINDOW
     s += len(_ROUND8_WINDOW)
     assert keys[s : s + len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
     s += len(_ROUND9_WINDOW)
     assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
     s += len(_ROUND10_WINDOW)
+    assert keys[s : s + len(_DELIBERATE_RECHECKS)] == _DELIBERATE_RECHECKS
+    s += len(_DELIBERATE_RECHECKS)
+    assert len(_ROUND6_WINDOW) == 50
+    assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
+    s += len(_ROUND6_WINDOW)
     assert len(_ROUND5_WINDOW) == 50
     assert keys[s : s + len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
     s += len(_ROUND5_WINDOW)
@@ -55,8 +58,22 @@ def test_upcoming_window_has_no_driver_checked_overlap():
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         checked |= set(json.loads(path.read_text()))
     fronted = list(load_all())[:50]
-    overlap = sorted(set(fronted) & checked)
+    overlap = sorted(set(fronted) & checked - set(_DELIBERATE_RECHECKS))
     assert overlap == [], f"fronted window re-checks driver-green keys: {overlap}"
+
+
+def test_deliberate_rechecks_fit_round10_budget():
+    """VERDICT r6 item 3: the stale-`no_oracle` converted keys must sit
+    inside round 10's 50-key driver budget so the conversion finally gets
+    driver-grade evidence. New keys append to _ROUND10_WINDOW, so this
+    bounds how far that window may grow."""
+    assert len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) <= 50, (
+        "round-10 window overflow: deliberate re-checks would fall outside "
+        "the driver's 50-key budget — move new keys to a _ROUND11_WINDOW"
+    )
+    keys = list(load_all())
+    start = keys.index(_ROUND10_WINDOW[0])
+    assert start + len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) <= start + 50
 
 
 def test_rotation_names_unique_and_registered():
