@@ -2655,7 +2655,7 @@ def _bt_iter_sql(t: int) -> str:
     bt0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM items),
     {",".join(_bt_iter_sql(t) for t in range(1, _BT_ITERS + 1))},
     compn AS (
-        SELECT i, CAST(sum(n) / 2 AS BIGINT) AS n_comparisons
+        SELECT i, CAST(sum(n) AS BIGINT) AS n_comparisons
         FROM (SELECT i, n FROM mat) GROUP BY i
     )
     SELECT b.i AS source,
@@ -2769,7 +2769,10 @@ def corpus_bt_source_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _BT_ROUND,
             ).alias("s"),
         )
-    compn = mat.groupBy("i").agg((F.sum("n") / 2).cast("long").alias("n_comparisons"))
+    # per-source sum(n) over the symmetrized matrix counts each of i's
+    # comparisons exactly once (ADVICE r6: the old /2 halved it and hit
+    # the Spark-truncate vs DuckDB-round-half-even integer-division trap)
+    compn = mat.groupBy("i").agg(F.sum("n").cast("long").alias("n_comparisons"))
     rank = F.row_number().over(
         Window.partitionBy(F.lit(1)).orderBy(F.desc("s"), F.asc("i"))
     )

@@ -1836,13 +1836,16 @@ _WJACCARD_THRESHOLD = 0.2
         FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b,
-           round(shared_w / (ta.tw + tb.tw - shared_w), 6)
-               AS weighted_jaccard
-    FROM pairs
-    JOIN totw ta ON doc_a = ta.doc_id
-    JOIN totw tb ON doc_b = tb.doc_id
-    WHERE shared_w / (ta.tw + tb.tw - shared_w) >= {_WJACCARD_THRESHOLD}
+    SELECT doc_a, doc_b, weighted_jaccard
+    FROM (
+        SELECT doc_a, doc_b,
+               round(shared_w / (ta.tw + tb.tw - shared_w), 6)
+                   AS weighted_jaccard
+        FROM pairs
+        JOIN totw ta ON doc_a = ta.doc_id
+        JOIN totw tb ON doc_b = tb.doc_id
+    )
+    WHERE weighted_jaccard >= {_WJACCARD_THRESHOLD}
     """,
 )
 def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,10 +1897,15 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = totw.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta"))
     tb = totw.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb"))
-    wj = F.col("shared_w") / (F.col("ta") + F.col("tb") - F.col("shared_w"))
+    # threshold on the ROUNDED score (ADVICE r6): the raw ratio is built
+    # from engine-order-dependent double sums, so a boundary pair could
+    # pass in one engine and fail in the other
+    wj = rnd(
+        F.col("shared_w") / (F.col("ta") + F.col("tb") - F.col("shared_w")), 6
+    )
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(wj >= _WJACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", rnd(wj, 6).alias("weighted_jaccard"))
+        .select("doc_a", "doc_b", wj.alias("weighted_jaccard"))
+        .filter(F.col("weighted_jaccard") >= _WJACCARD_THRESHOLD)
     )

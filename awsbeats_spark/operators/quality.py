@@ -2683,7 +2683,27 @@ dq_mahalanobis_outliers.__doc__ = dq_mahalanobis_outliers.__doc__.replace(
 # Kruskal-Wallis H across all event types (ranks ANOVA, tie-corrected)
 # --------------------------------------------------------------------------
 
-_KW_CHI2_95_4DF = 9.487729036781154  # chi^2 0.95 quantile, 4 df
+# chi^2 0.95 quantiles keyed by df = k-1 (ADVICE r6: derive the critical
+# value from the OBSERVED group count instead of hardcoding 4 df — a
+# fixture with != 5 event types would silently test at the wrong df)
+_KW_CHI2_95 = {
+    1: 3.841458820694124,
+    2: 5.991464547107979,
+    3: 7.814727903251179,
+    4: 9.487729036781154,
+    5: 11.070497693516351,
+    6: 12.591587243743977,
+    7: 14.067140449340169,
+    8: 15.50731305586545,
+    9: 16.918977604620448,
+    10: 18.307038053275146,
+    11: 19.67513757268249,
+    12: 21.02606981748307,
+}
+
+_KW_CRIT_SQL = "CASE " + " ".join(
+    f"WHEN k = {df + 1} THEN {q!r}" for df, q in _KW_CHI2_95.items()
+) + " END"
 
 
 @query(
@@ -2718,14 +2738,15 @@ _KW_CHI2_95_4DF = 9.487729036781154  # chi^2 0.95 quantile, 4 df
         SELECT gl.n, gl.k,
                (12.0 / (gl.n * (gl.n + 1)) * gl.sr2 - 3 * (gl.n + 1))
                / (1 - tie.tt / (CAST(gl.n AS DOUBLE) * gl.n * gl.n - gl.n))
-                   AS hc
+                   AS hc,
+               {_KW_CRIT_SQL} AS crit
         FROM gl CROSS JOIN tie
     )
     SELECT pg.event_type,
            CAST(pg.ng AS BIGINT) AS n_g,
            round(pg.rg / pg.ng, 4) AS mean_rank,
            round(h.hc, 4) AS h_corrected,
-           round(h.hc, 4) > {_KW_CHI2_95_4DF!r} AS significant_95
+           round(h.hc, 4) > h.crit AS significant_95
     FROM pg CROSS JOIN h
     """,
 )
@@ -2780,13 +2801,18 @@ def events_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("tt")
         / (F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n"))
     )
-    h = gl.crossJoin(F.broadcast(tie)).select(rnd(hc, 4).alias("hc"))
+    crit = F.lit(None).cast("double")
+    for df, q in _KW_CHI2_95.items():
+        crit = F.when(F.col("k") == df + 1, F.lit(q)).otherwise(crit)
+    h = gl.crossJoin(F.broadcast(tie)).select(
+        rnd(hc, 4).alias("hc"), crit.alias("crit")
+    )
     return pg.crossJoin(F.broadcast(h)).select(
         "event_type",
         F.col("ng").cast("long").alias("n_g"),
         rnd(F.col("rg") / F.col("ng"), 4).alias("mean_rank"),
         F.col("hc").alias("h_corrected"),
-        (F.col("hc") > _KW_CHI2_95_4DF).alias("significant_95"),
+        (F.col("hc") > F.col("crit")).alias("significant_95"),
     )
 
 

@@ -2623,7 +2623,9 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — kilobytes, the manifest precedent) and verify them against the
     data itself: min-of-rg-mins == true min, max-of-rg-maxes == true
     max, sum of row-group counts == count(*), and every row group's
-    stats bracketed by the file range. These statistics are what
+    stats contained inside the true data range (min-of-rg-mins >=
+    data_min, max-of-rg-maxes <= data_max — a corrupt stat outside
+    the range fails the verdict). These statistics are what
     min/max scan pruning TRUSTS — a writer bug or bit rot here makes
     pruning silently drop matching rows, which is why table formats
     (Iceberg/Delta) checksum them; this audit is the plain-parquet
@@ -2663,13 +2665,10 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mins.append(float(st.min))
                 maxes.append(float(st.max))
                 nvals += md.row_group(rg).num_rows
-        footer_rows.append(
-            (col, min(mins), max(maxes), nvals, max(mins), min(maxes))
-        )
+        footer_rows.append((col, min(mins), max(maxes), nvals))
     footer = spark.createDataFrame(
         footer_rows,
-        "column_name string, f_min double, f_max double, f_rows long,"
-        " f_rg_min_hi double, f_rg_max_lo double",
+        "column_name string, f_min double, f_max double, f_rows long",
     )
     t = tables(spark, sf_dir)
     stats = None
@@ -2689,8 +2688,12 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("f_min") == F.col("data_min")).alias("footer_min_matches"),
         (F.col("f_max") == F.col("data_max")).alias("footer_max_matches"),
         (F.col("f_rows") == F.col("n_rows")).alias("footer_rowcount_matches"),
+        # every row group's stats must lie INSIDE the true data range:
+        # min-of-rg-mins >= data_min and max-of-rg-maxes <= data_max
+        # (ADVICE r6: the old max(mins)/min(maxes) form was trivially
+        # true and could never catch a corrupt row-group stat)
         (
-            (F.col("f_rg_min_hi") >= F.col("data_min"))
-            & (F.col("f_rg_max_lo") <= F.col("data_max"))
+            (F.col("f_min") >= F.col("data_min"))
+            & (F.col("f_max") <= F.col("data_max"))
         ).alias("rg_stats_bracketed"),
     )

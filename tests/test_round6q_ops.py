@@ -251,6 +251,9 @@ def test_bt_source_strength_matches_numpy(run, sf_dir):
     for src in items:
         i = idx[src]
         assert got.loc[src, "n_wins"] == W[i]
+        # per-source comparisons = sum_j n_ij (each comparison involving
+        # i counted once — ADVICE r6 dropped the erroneous /2)
+        assert got.loc[src, "n_comparisons"] == n[i, :].sum()
         assert abs(got.loc[src, "bt_strength"] - round(s[i], 6)) < 2e-6, src
     # strength must order consistently with a sanity signal: the top
     # source by strength should have an above-average win rate
@@ -1146,7 +1149,11 @@ def test_kruskal_wallis_matches_scipy_formula(run, sf_dir):
         assert row["n_g"] == ng
         assert abs(row["mean_rank"] - round(mr, 4)) < 2e-3
         assert abs(row["h_corrected"] - hc) < 2e-3
-        assert bool(row["significant_95"]) == (hc > 9.487729036781154)
+        # critical value derived from the observed group count (df = k-1)
+        from awsbeats_spark.operators.quality import _KW_CHI2_95
+
+        crit = _KW_CHI2_95[len(per_group) - 1]
+        assert bool(row["significant_95"]) == (hc > crit)
 
 
 def test_luhn_validator_against_reference_impl(run):
@@ -1197,9 +1204,11 @@ def test_idf_weighted_jaccard_matches_python(run, sf_dir):
             if not shared:
                 continue
             sw = sum(w[s] for s in shared)
-            wj = sw / (wa + sum(w[s] for s in sb) - sw)
+            # threshold on the ROUNDED score, matching the operator's
+            # engine-portable boundary rule (ADVICE r6)
+            wj = round(sw / (wa + sum(w[s] for s in sb) - sw), 6)
             if wj >= 0.2:
-                expected[(a, b)] = round(wj, 6)
+                expected[(a, b)] = wj
     got = run("dedup_idf_weighted_jaccard")
     pairs = {
         (r.doc_a, r.doc_b): r.weighted_jaccard for r in got.itertuples()
