@@ -366,23 +366,55 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_freq_items_approx", oracle=None, tags=("rows-only",))
+@query(
+    "agg_freq_items_approx",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM orders)
+    SELECT o_orderpriority AS item,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS freq_share,
+           TRUE AS in_sketch
+    FROM orders GROUP BY 1
+    HAVING count(*) * 10 > (SELECT n FROM tot)
+    """,
+)
 def agg_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries-style heavy hitters (`df.stat.freqItems`,
-    support=0.05) over events.event_type: single-pass, fixed-memory,
-    mergeable per partition — the sketch that answers "which keys are
-    hot" BEFORE a 100-TB job picks salting factors or a skew-join
-    strategy, without a full groupBy shuffle. Contract is
-    superset-with-false-positives (no SQL oracle, hence rows-only);
-    tests/test_entry.py bounds it: every value whose true frequency
-    exceeds the support threshold must appear."""
+    support=0.10) over orders.o_orderpriority: single-pass,
+    fixed-memory, mergeable per partition — the sketch that answers
+    "which keys are hot" BEFORE a 100-TB job picks salting factors or
+    a skew-join strategy, without a full groupBy shuffle.
+
+    Hash-checked since round 7 (rows-only before; VERDICT r6 item 4,
+    the exact-count sandwich of [[agg_approx_distinct]]): the sketch's
+    contract is superset-with-false-positives, so the row set is the
+    EXACT heavy hitters (freq > support, integer arithmetic: count*10
+    > n so no float boundary) with exact counts and shares, and the
+    sketch's health reduces to ``in_sketch`` = membership of each true
+    heavy hitter in the freqItems array, asserted TRUE by the oracle —
+    a dropped heavy hitter (the failure mode that mis-sizes a salting
+    factor) turns the driver row red. The events.event_type grain
+    lives on in [[eval_freq_items_vs_exact]]; production reads the
+    sketch alone — the exact side exists only for the verdict."""
     t = tables(spark, sf_dir)
-    fi = t.events.select("event_type").stat.freqItems(
-        ["event_type"], support=0.05
+    tot = t.orders.agg(F.count(F.lit(1)).alias("tot"))
+    exact = (
+        t.orders.groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .join(F.broadcast(tot))
+        .filter(F.col("exact_count") * 10 > F.col("tot"))
     )
-    return fi.select(
-        F.explode("event_type_freqItems").alias("item")
-    ).orderBy("item")
+    fi = t.orders.select("o_orderpriority").stat.freqItems(
+        ["o_orderpriority"], support=0.10
+    )
+    return exact.join(F.broadcast(fi)).select(
+        "item",
+        "exact_count",
+        rnd(F.col("exact_count") / F.col("tot"), 6).alias("freq_share"),
+        F.array_contains(
+            F.col("o_orderpriority_freqItems"), F.col("item")
+        ).alias("in_sketch"),
+    )
 
 
 @query(

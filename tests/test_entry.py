@@ -51,13 +51,20 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
     from awsbeats_spark.catalog import tables
 
     qs = E.queries()
-    items = {r["item"] for r in qs["agg_freq_items_approx"](spark, sf_dir).collect()}
-    ev = tables(spark, sf_dir).events
-    n = ev.count()
+    rows = qs["agg_freq_items_approx"](spark, sf_dir).collect()
+    items = {r["item"] for r in rows}
+    od = tables(spark, sf_dir).orders
+    n = od.count()
     counts = {
-        r["event_type"]: r["count"]
-        for r in ev.groupBy("event_type").count().collect()
+        r["o_orderpriority"]: r["count"]
+        for r in od.groupBy("o_orderpriority").count().collect()
     }
-    heavy = {k for k, c in counts.items() if c / n > 0.05}
-    assert heavy, "fixture should have heavy event types"
-    assert heavy <= items  # freqItems may over-report, never under
+    heavy = {k for k, c in counts.items() if c * 10 > n}
+    assert heavy, "fixture should have heavy order priorities"
+    # the operator's row set IS the exact heavy hitters; the sketch's
+    # superset guarantee (may over-report, never under) is the
+    # in_sketch verdict column
+    assert items == heavy
+    for r in rows:
+        assert r["in_sketch"] is True
+        assert r["exact_count"] == counts[r["item"]]

