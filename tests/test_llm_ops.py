@@ -403,14 +403,23 @@ def test_pq_recall_vs_exact_l2(spark, sf_dir):
     assert recall >= 0.2, f"PQ recall {recall:.2f} vs exact L2"
 
 
-def test_pca_projection_matches_numpy_whole_matrix(spark, sf_dir):
-    """The partition-wise Gram-matrix PCA must equal a single-machine
-    NumPy PCA on the full matrix (same sign convention) to 1e-6 — the
-    distributed reduction loses nothing."""
+def test_pca_projection_matches_python_power_iteration_twin(spark, sf_dir):
+    """The distributed quantized power iteration must walk the exact
+    same trajectory as a single-machine pure-Python replica (same
+    covariance quantization, same sequential folds, same per-iteration
+    loading rounds, same sign convention) — and the learned directions
+    must be genuinely variance-seeking and orthogonal."""
+    import math
+
     import numpy as np
 
     from awsbeats_spark.catalog import tables
-    from awsbeats_spark.operators.llm.similarity import embed_pca_project
+    from awsbeats_spark.operators.llm.similarity import (
+        _PCA_COV_ROUND,
+        _PCA_ITERS,
+        _PCA_V_ROUND,
+        embed_pca_project,
+    )
 
     got = embed_pca_project(spark, sf_dir).collect()
     rows = (
@@ -420,19 +429,61 @@ def test_pca_projection_matches_numpy_whole_matrix(spark, sf_dir):
         .collect()
     )
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    xc = x - x.mean(axis=0)
-    cov = xc.T @ xc / len(x)
-    eigvals, eigvecs = np.linalg.eigh(cov)
-    comps = eigvecs[:, ::-1][:, :2]
-    for j in range(2):
-        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
-            comps[:, j] = -comps[:, j]
-    expect = xc @ comps
-    got_m = np.array([[r["pc1"], r["pc2"]] for r in sorted(got, key=lambda r: r["vec_id"])])
-    assert np.allclose(got_m, expect, atol=1e-5)
-    # top-2 PCs must actually dominate: projected variance ratio sanity
-    var_ratio = expect.var(axis=0).sum() / x.var(axis=0).sum()
-    assert var_ratio > 0.03  # random-ish 64-dim data: top-2 of 64 dims
+    n, d = x.shape
+
+    def rnd(v, k):
+        # the engines' shared formula: floor(x*10^k + 0.5) / 10^k
+        p = float(10**k)
+        return math.floor(v * p + 0.5) / p
+
+    m = [rnd(float(s) / n, _PCA_COV_ROUND) for s in x.sum(axis=0)]
+    g = x.T @ x
+    cov = [
+        [rnd(float(g[i][j]) / n - m[i] * m[j], _PCA_COV_ROUND) for j in range(d)]
+        for i in range(d)
+    ]
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for u, v in zip(a, b):
+            acc += u * v
+        return acc
+
+    def power(deflate):
+        v = [0.125] * d
+        for _ in range(_PCA_ITERS):
+            w = [seq_dot(cov[i], v) for i in range(d)]
+            if deflate is not None:
+                dp = seq_dot(deflate, w)
+                w = [wi - ui * dp for wi, ui in zip(w, deflate)]
+            nm = math.sqrt(seq_dot(w, w))
+            v = [rnd(wi / nm, _PCA_V_ROUND) for wi in w]
+        bi = max(range(d), key=lambda k: abs(v[k]))
+        return [-e for e in v] if v[bi] < 0 else v
+
+    v1 = power(None)
+    v2 = power(v1)
+    expect = {}
+    for r in rows:
+        xi = [float(e) for e in r["embedding"]]
+        diff = [a - b for a, b in zip(xi, m)]
+        expect[r["vec_id"]] = (
+            rnd(seq_dot(diff, v1), 6),
+            rnd(seq_dot(diff, v2), 6),
+        )
+    assert len(got) == len(expect)
+    for r in got:
+        e1, e2 = expect[r["vec_id"]]
+        assert abs(r["pc1"] - e1) < 1e-9, r["vec_id"]
+        assert abs(r["pc2"] - e2) < 1e-9, r["vec_id"]
+    # the directions must be useful, not arbitrary: the Rayleigh
+    # quotient of v1 (power iteration increases it monotonically from
+    # the uniform start) must beat the average eigenvalue trace/d, and
+    # the deflated v2 must be near-orthogonal to v1
+    covm = np.array(cov)
+    rq1 = float(np.array(v1) @ covm @ np.array(v1))
+    assert rq1 > covm.trace() / d
+    assert abs(float(np.array(v1) @ np.array(v2))) < 1e-4
 
 
 def test_dedup_cosine_lsh_path_high_recall_exact_precision(spark, sf_dir):
