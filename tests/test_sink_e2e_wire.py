@@ -196,6 +196,35 @@ def test_streams_gives_up_after_max_retries(aws_server):
     assert len(aws_server.requests) == 3
 
 
+def test_streams_throttling_backoff_is_capped_doubling(aws_server):
+    """VERDICT r6 item 8: the endpoint throttles
+    (ProvisionedThroughputExceededException) the first 7 attempts; the
+    observed sleep sequence must be the reference's capped doubling
+    1 -> 60 s (streams/config.go:34-37 / outputs.WithBackoff: init *
+    2^(n-1), capped at max), and every record must still deliver."""
+    aws_server.script[:] = ["fail:2"] * 7 + ["ok"]
+    cfg = _cfg(
+        aws_server,
+        batch_size=10,
+        max_retries=10,
+        backoff_init_s=1.0,
+        backoff_max_s=60.0,
+    )
+    sleeps: list[float] = []
+    counters = publish_records(
+        make_boto3_client(cfg), _records(6), cfg, sleep=sleeps.append
+    )
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 60.0]
+    assert counters.acked == 6
+    # 4 records acked on attempt 1; the 2 throttled ones ride 7 retries
+    assert counters.retried == 14
+    assert len(aws_server.requests) == 8
+    # throttled entries are never delivered server-side, so no dupes
+    assert sorted(aws_server.delivered) == sorted(
+        f"evt-{i}".encode() for i in range(6)
+    )
+
+
 def test_firehose_mode_speaks_put_record_batch(aws_server):
     aws_server.script[:] = ["fail:1", "ok"]
     cfg = _cfg(aws_server, mode="firehose", partition_key=None, batch_size=10)
