@@ -450,6 +450,12 @@ _ROUND10_WINDOW = [
     "events_kruskal_wallis_h",
     "dq_luhn_checksum_validate",
     "dedup_idf_weighted_jaccard",
+    # round-7 additions (window now 46 + 4 deliberate re-checks = the
+    # full 50-key round-10 driver budget; round-8+ additions open
+    # _ROUND11_WINDOW)
+    "udtf_markdown_sections",
+    "profile_daily_column_stats",
+    "set_multiset_compare",
 ]
 
 

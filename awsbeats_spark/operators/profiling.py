@@ -352,3 +352,97 @@ def profile_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 profile_value_topk.__doc__ = profile_value_topk.__doc__.replace(
     "{k}", str(_PROFILE_TOPK)
 )
+
+
+# --------------------------------------------------------------------------
+# Per-day x per-column profile heatmap (partition-grain column stats)
+# --------------------------------------------------------------------------
+
+_DAILY_PROFILE_COLS = (
+    ("value", "value"),
+    ("user_id", "CAST(user_id AS DOUBLE)"),
+    ("props_k", "CAST(get_json_object(props, '$.k') AS DOUBLE)"),
+)
+
+
+@query(
+    "profile_daily_column_stats",
+    oracle=f"""
+    WITH unp AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               column_name, v
+        FROM (
+            SELECT ts,
+                   unnest(['value', 'user_id', 'props_k']) AS column_name,
+                   unnest([value, CAST(user_id AS DOUBLE),
+                           CAST(json_extract_string(props::JSON, '$.k')
+                                AS DOUBLE)]) AS v
+            FROM events
+        )
+    )
+    SELECT day, column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+           round((count(*) - count(v)) * 1.0 / count(*), 6) AS null_rate,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           round(min(v), 4) AS vmin,
+           round(max(v), 4) AS vmax,
+           round(avg(v), 4) AS vavg
+    FROM unp GROUP BY day, column_name
+    """,
+)
+def profile_daily_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY x per-COLUMN profile heatmap over the event stream: one
+    row per (ingest day, numeric column) with row/null counts, null
+    rate, exact distinct count, and min/max/mean — the partition-grain
+    statistics a lake manifest stores per file/partition, and the
+    heatmap a DQ dashboard renders to spot "column went dark on
+    Tuesday" (a null-rate or distinct-count cliff localizes both the
+    day and the column in one scan). Covers a plain column (value), a
+    cast dimension key (user_id), and a PROMOTED semi-structured field
+    (props.k via get_json_object) — the heatmap is exactly how a
+    promotion's completeness is audited over time. The fixture has no
+    missing values (null_rate 0 — asserted, not assumed, by the hash
+    compare); the varying per-day stats carry the signal here.
+
+    Scale shape: stack() unpivots the scan map-side (rows x 3 narrow
+    tuples, ONE pass over the fact table for every column's profile);
+    plain stats are a single hash aggregate with map-side combine, and
+    the exact distinct count rides a SEPARATE single-distinct aggregate
+    joined on the tiny (day, column) key — mixing count_distinct into
+    the main aggregate would force the Catalyst Expand rewrite (every
+    row replicated per aggregate class, the EXTRAPOLATION.md 60x
+    lesson), and a lone distinct plans as two-phase partial-distinct
+    with no Expand anywhere."""
+    ev = tables(spark, sf_dir).events
+    stack_args = ", ".join(f"'{n}', {e}" for n, e in _DAILY_PROFILE_COLS)
+    unp = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.expr(
+            f"stack({len(_DAILY_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, v)"
+        ),
+    )
+    keys = ["day", "column_name"]
+    basic = unp.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+        rnd(F.min("v"), 4).alias("vmin"),
+        rnd(F.max("v"), 4).alias("vmax"),
+        rnd(F.avg("v"), 4).alias("vavg"),
+    )
+    distinct = (
+        unp.filter(F.col("v").isNotNull())
+        .groupBy(*keys)
+        .agg(F.count_distinct("v").alias("n_distinct"))
+    )
+    return basic.join(distinct, keys).select(
+        *keys,
+        "n_rows",
+        "n_nulls",
+        rnd(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
+        "n_distinct",
+        "vmin",
+        "vmax",
+        "vavg",
+    )

@@ -183,3 +183,85 @@ def set_symmetric_diff_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_left") != F.col("n_right"))
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset snapshot reconciliation (full compare report, all statuses)
+# --------------------------------------------------------------------------
+
+_MSC_SPLIT_DAY = "2024-01-16"  # first vs second half of the event month
+
+
+@query(
+    "set_multiset_compare",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, count(*) AS n_left FROM events
+        WHERE date_trunc('day', ts) < DATE '{_MSC_SPLIT_DAY}'
+        GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, count(*) AS n_right FROM events
+        WHERE date_trunc('day', ts) >= DATE '{_MSC_SPLIT_DAY}'
+        GROUP BY user_id
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CAST(coalesce(a.n_left, 0) AS BIGINT) AS n_left,
+           CAST(coalesce(b.n_right, 0) AS BIGINT) AS n_right,
+           CAST(coalesce(b.n_right, 0) - coalesce(a.n_left, 0) AS BIGINT)
+               AS delta,
+           CASE WHEN a.user_id IS NULL THEN 'right_only'
+                WHEN b.user_id IS NULL THEN 'left_only'
+                WHEN a.n_left = b.n_right THEN 'equal'
+                WHEN b.n_right > a.n_left THEN 'count_up'
+                ELSE 'count_down' END AS status
+    FROM a FULL JOIN b ON a.user_id = b.user_id
+    """,
+)
+def set_multiset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multiset RECONCILIATION report between two snapshots — here
+    the per-user event multiset of the first vs second half of the
+    month — one row per key with both multiplicities, the signed delta,
+    and a status taxonomy (left_only / right_only / equal / count_up /
+    count_down). The complete-compare sibling of
+    [[set_symmetric_diff_all]] (which emits only the mismatched keys):
+    reconciliation jobs need the EQUAL rows too, because "n keys
+    compared, k equal" is the audit headline, and the signed delta
+    (not |delta|) says which snapshot gained.
+
+    Scale shape: each side collapses to (key, count) with map-side
+    combine before ONE full outer join on the key — multiplicities
+    travel as a long per key, never as repeated rows; at 100 TB this
+    is the snapshot-diff plan for any two table versions (swap the
+    date predicate for version predicates)."""
+    t = tables(spark, sf_dir)
+    split = F.lit(_MSC_SPLIT_DAY).cast("date")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    a = (
+        t.events.filter(day < split)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    b = (
+        t.events.filter(day >= split)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    joined = aa.join(bb, F.col("a.user_id") == F.col("b.user_id"), "full")
+    nl = F.coalesce(F.col("n_left"), F.lit(0))
+    nr = F.coalesce(F.col("n_right"), F.lit(0))
+    status = (
+        F.when(F.col("a.user_id").isNull(), F.lit("right_only"))
+        .when(F.col("b.user_id").isNull(), F.lit("left_only"))
+        .when(F.col("n_left") == F.col("n_right"), F.lit("equal"))
+        .when(F.col("n_right") > F.col("n_left"), F.lit("count_up"))
+        .otherwise(F.lit("count_down"))
+    )
+    return joined.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        (nr - nl).alias("delta"),
+        status.alias("status"),
+    )

@@ -272,3 +272,149 @@ def udtf_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 udtf_pcm_frames.__doc__ = udtf_pcm_frames.__doc__.replace(
     "{frame}", str(_PCM_FRAME)
 ).replace("{maxf}", str(_PCM_MAX_FRAMES))
+
+
+# --------------------------------------------------------------------------
+# Markdown section splitter UDTF: header-aware RAG chunking
+# --------------------------------------------------------------------------
+
+_MD_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@query(
+    "udtf_markdown_sections",
+    oracle=f"""
+    WITH wl AS (
+        SELECT doc_id, {_MD_WORDS} AS ws FROM documents
+    ),
+    wd AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+        FROM wl
+    ),
+    kinds AS (
+        SELECT doc_id, i, w,
+               CASE WHEN length(w) % 7 = 0 THEN 'h1'
+                    WHEN length(w) % 7 = 3 THEN 'h2'
+                    ELSE 'b' END AS kind
+        FROM wd
+    ),
+    g1 AS (
+        SELECT *,
+               sum(CASE WHEN kind = 'h1' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS h1g
+        FROM kinds
+    ),
+    g2 AS (
+        SELECT *,
+               sum(CASE WHEN kind = 'h2' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id, h1g ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS h2g
+        FROM g1
+    ),
+    h1v AS (SELECT doc_id, h1g, w AS h1 FROM g2 WHERE kind = 'h1'),
+    h2v AS (
+        SELECT doc_id, h1g, h2g, w AS h2 FROM g2 WHERE kind = 'h2'
+    ),
+    body AS (
+        SELECT doc_id, h1g, h2g,
+               CAST(count(*) AS BIGINT) AS n_words,
+               arg_min(w, i) AS first_word,
+               arg_max(w, i) AS last_word,
+               min(i) AS start_i
+        FROM g2 WHERE kind = 'b'
+        GROUP BY 1, 2, 3
+    )
+    SELECT b.doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY b.doc_id ORDER BY b.start_i) - 1 AS BIGINT)
+               AS section_idx,
+           h1v.h1, h2v.h2, b.n_words, b.first_word, b.last_word
+    FROM body b
+    LEFT JOIN h1v USING (doc_id, h1g)
+    LEFT JOIN h2v USING (doc_id, h1g, h2g)
+    """,
+)
+def udtf_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-aware markdown section splitter as the fourth Python
+    UDTF — the RAG chunker that cuts documents at HEADER boundaries
+    instead of fixed windows (the chunking that keeps retrieval context
+    coherent; the fixed-window sibling is corpus_chunk_overlap_windows).
+    The parse is genuinely STATEFUL — a header stack where an `# h1`
+    resets the current `## h2` — which no built-in generator expresses.
+
+    The corpus is plain words, so a deterministic markdown view is
+    synthesized JVM-side first (word length % 7 == 0 -> `# w` line,
+    % 7 == 3 -> `## w` line, else a body line), the UDTF then parses
+    the REAL markdown string: splits lines, classifies by `# `/`## `
+    prefix, maintains the header stack, and emits one row per maximal
+    body run with its (h1, h2) path, word count, and first/last word
+    (preamble sections carry NULL headers). The DuckDB oracle replays
+    the same segmentation relationally (cumulative header-count
+    grouping windows), so a parser drift — a dropped reset, an
+    off-by-one at a section boundary — goes hash-red.
+
+    Scale shape: the UDTF eval is per-row Python over Arrow batches,
+    stateful only WITHIN a document — embarrassingly parallel, no
+    shuffle; output is bounded by header count + 1 per doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    t = tables(spark, sf_dir)
+    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    lines = F.transform(
+        w,
+        lambda x: F.when(F.length(x) % 7 == 0, F.concat(F.lit("# "), x))
+        .when(F.length(x) % 7 == 3, F.concat(F.lit("## "), x))
+        .otherwise(x),
+    )
+    t.documents.select(
+        "doc_id", F.array_join(lines, "\n").alias("md")
+    ).createOrReplaceTempView("md_udtf_src")
+
+    @udtf(
+        returnType="doc_id bigint, section_idx bigint, h1 string,"
+        " h2 string, n_words bigint, first_word string, last_word string"
+    )
+    class MarkdownSections:
+        def eval(self, doc_id: int, md: str):
+            h1 = h2 = None
+            cur: list[str] = []
+            idx = 0
+
+            def flush():
+                nonlocal idx
+                if cur:
+                    yield (
+                        doc_id,
+                        idx,
+                        h1,
+                        h2,
+                        len(cur),
+                        cur[0],
+                        cur[-1],
+                    )
+                    idx += 1
+                    cur.clear()
+
+            for line in (md or "").split("\n"):
+                if line.startswith("## "):
+                    yield from flush()
+                    h2 = line[3:]
+                elif line.startswith("# "):
+                    yield from flush()
+                    h1, h2 = line[2:], None
+                elif line:
+                    cur.append(line)
+            yield from flush()
+
+    spark.udtf.register("markdown_sections", MarkdownSections)
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.section_idx, s.h1, s.h2, s.n_words,
+               s.first_word, s.last_word
+        FROM md_udtf_src d, LATERAL markdown_sections(d.doc_id, d.md) s
+        """
+    )

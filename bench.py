@@ -429,6 +429,10 @@ EXTENDED_PROBE = [
     "events_kruskal_wallis_h",
     "dq_luhn_checksum_validate",
     "dedup_idf_weighted_jaccard",
+    # round 7 additions
+    "udtf_markdown_sections",
+    "profile_daily_column_stats",
+    "set_multiset_compare",
 ]
 
 
