@@ -459,6 +459,14 @@ _ROUND10_WINDOW = [
 ]
 
 
+# Round-8+ driver window: _ROUND10_WINDOW + _DELIBERATE_RECHECKS is
+# exactly the 50-key round-10 budget, so operators added past that
+# point queue here (checked round 11 onward; new keys ALWAYS append to
+# the last window).
+_ROUND11_WINDOW = [
+    "embed_semdedup_prune",
+]
+
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were
 # converted from rows-only to hash-checked in r5/r6 but their latest
 # driver row still predates the conversion (stale ``no_oracle``). They
@@ -481,6 +489,7 @@ def _reorder() -> None:
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
         + _DELIBERATE_RECHECKS
+        + _ROUND11_WINDOW
         + _ROUND6_WINDOW
         + _ROUND5_WINDOW
         + _ROUND4_WINDOW

@@ -667,17 +667,75 @@ def _kmeans_iter_sql(i: int) -> str:
     )"""
 
 
-@query(
-    "embed_kmeans_cluster",
-    oracle=f"""
+def _kmeans_final_assignments(
+    spark: SparkSession, sf_dir: str, capped: bool = True
+) -> DataFrame:
+    """Run the full quantized Lloyd loop and return the final
+    assignment relation (vec_id, cluster_id, d2, ev) — shared by
+    embed_kmeans_cluster and embed_semdedup_prune so both pin the SAME
+    engine-portable trajectory (see embed_kmeans_cluster docstring).
+
+    ``capped=True`` bounds k at the SAMPLE_ID_CAP prefix (fixed model
+    size — the kmeans summary's contract); ``capped=False`` lets k grow
+    with the corpus (init = every 64th vec id), which keeps CLUSTER
+    SIZES bounded instead — the contract SemDeDup needs, because its
+    within-cluster pair cost is sum(cluster_size²)."""
+    t = tables(spark, sf_dir)
+    vecs = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("ev"))
+    init = F.col("vec_id") % 64 == 0
+    if capped:
+        init = init & (F.col("vec_id") < SAMPLE_ID_CAP)
+    cents = vecs.filter(init).select(
+        F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(vecs, cents)
+        # element-wise mean per cluster; re-key cent_id to the cluster id
+        new_cents = (
+            assigned.select("cluster_id", F.posexplode("ev").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(rnd(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster_id").alias("cent_id"), "cv")
+        )
+        # k rows × dim doubles — driver-side materialization by design
+        cents = spark.createDataFrame(
+            [(r["cent_id"], list(r["cv"])) for r in new_cents.collect()],
+            "cent_id long, cv array<double>",
+        )
+    return _kmeans_assign(vecs, cents)
+
+
+def _kmeans_oracle_ctes(capped: bool = True) -> str:
+    """Shared oracle prelude: the unrolled quantized Lloyd trajectory
+    whose final assignment relation is a{KMEANS_ITERS + 1}; ``capped``
+    mirrors _kmeans_final_assignments' init rule."""
+    cap = f" AND vec_id < {SAMPLE_ID_CAP}" if capped else ""
+    return f"""
     WITH kvecs AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
     ),
     c0 AS (
         SELECT vec_id AS cent_id, ev AS cv FROM kvecs
-        WHERE vec_id % 64 = 0 AND vec_id < {SAMPLE_ID_CAP}
+        WHERE vec_id % 64 = 0{cap}
     ),
     {",".join(_kmeans_iter_sql(i) for i in range(1, KMEANS_ITERS + 2))}
+"""
+
+
+_KMEANS_ORACLE_CTES = _kmeans_oracle_ctes(capped=True)
+
+
+@query(
+    "embed_kmeans_cluster",
+    oracle=f"""
+    {_KMEANS_ORACLE_CTES}
     SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
            round(sum(d2), 4) AS inertia
     FROM a{KMEANS_ITERS + 1}
@@ -718,34 +776,7 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Checked against a NumPy reference implementation in
     tests/test_llm_ops.py (same init, same iteration count).
     """
-    t = tables(spark, sf_dir)
-    vecs = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("ev"))
-    cents = (
-        vecs.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < SAMPLE_ID_CAP))
-        .select(F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv"))
-    )
-    for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(vecs, cents)
-        # element-wise mean per cluster; re-key cent_id to the cluster id
-        new_cents = (
-            assigned.select("cluster_id", F.posexplode("ev").alias("pos", "x"))
-            .groupBy("cluster_id", "pos")
-            .agg(rnd(F.avg("x"), 6).alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .select(F.col("cluster_id").alias("cent_id"), "cv")
-        )
-        # k rows × dim doubles — driver-side materialization by design
-        cents = spark.createDataFrame(
-            [(r["cent_id"], list(r["cv"])) for r in new_cents.collect()],
-            "cent_id long, cv array<double>",
-        )
-    final = _kmeans_assign(vecs, cents)
+    final = _kmeans_final_assignments(spark, sf_dir)
     return (
         final.groupBy("cluster_id")
         .agg(
@@ -754,6 +785,90 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "embed_semdedup_prune",
+    oracle=f"""
+    {_kmeans_oracle_ctes(capped=False)}
+    SELECT a.cluster_id,
+           a.vec_id AS keep_id,
+           b.vec_id AS prune_id,
+           round({cosine_sql('a.ev', 'b.ev')}, 6) AS cosine
+    FROM a{KMEANS_ITERS + 1} a
+    JOIN a{KMEANS_ITERS + 1} b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE round({cosine_sql('a.ev', 'b.ev')}, 6) >= {_SEMDEDUP_TAU}
+    """,
+)
+def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    WITHIN-CLUSTER cosine — k-means first, then pairwise cosine only
+    inside each cluster; pairs above tau={tau} are semantic duplicates
+    and the higher vec_id is pruned (keep_id = the min-id canonical,
+    the paper's keep-one rule made deterministic). This is the dedup
+    layer ABOVE lexical near-dup ([[dedup_minhash]] catches shared
+    text; this catches paraphrases that share no shingles), the
+    technique measured to cut LAION/C4 30-50% with no quality loss.
+
+    Composes the engine's own machinery: the cluster assignment IS the
+    [[embed_kmeans_cluster]] quantized Lloyd trajectory (shared helper
+    + shared oracle CTEs, so both operators pin the same clustering),
+    cosines are sequential folds (engine-identical), and the threshold
+    compares the ROUNDED score (the round-before-compare contract).
+
+    Scale shape: clustering bounds the quadratic — the pair join is an
+    equi-join on cluster_id, O(sum of cluster_size²) not O(n²). k must
+    GROW with the corpus for that bound to hold (SemDeDup uses ~100k
+    clusters for 5B docs), so this operator runs the shared trajectory
+    UNCAPPED (init = every 64th vec id → k ∝ n, cluster sizes ~64
+    bounded) — the capped k=8 summary contract of
+    [[embed_kmeans_cluster]] would make pairs quadratic, the defect the
+    10x probe caught at alpha 1.01 (EXTRAPOLATION.md batch 80). The
+    between-iteration centroid materialization is k×dim (n/64 doubles —
+    ~50 MB at SemDeDup's published scale, still broadcastable); at
+    extreme scale the assignment step swaps in the [[sim_search_ivf]]
+    cell-pruned path instead of the dense broadcast."""
+    final = _kmeans_final_assignments(spark, sf_dir, capped=False).select(
+        "cluster_id", "vec_id", "ev"
+    )
+    a = final.select(
+        "cluster_id",
+        F.col("vec_id").alias("keep_id"),
+        F.col("ev").alias("ea"),
+        norm(F.col("ev")).alias("na"),
+    ).hint("shuffle_hash")
+    b = final.select(
+        "cluster_id",
+        F.col("vec_id").alias("prune_id"),
+        F.col("ev").alias("eb"),
+        norm(F.col("ev")).alias("nb"),
+    ).hint("shuffle_hash")
+    cos = rnd(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(
+            b,
+            (a["cluster_id"] == b["cluster_id"])
+            & (F.col("keep_id") < F.col("prune_id")),
+        )
+        .select(
+            a["cluster_id"].alias("cluster_id"),
+            "keep_id",
+            "prune_id",
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+    )
+
+
+embed_semdedup_prune.__doc__ = embed_semdedup_prune.__doc__.replace(
+    "{tau}", str(_SEMDEDUP_TAU)
+)
 
 
 PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)

@@ -433,6 +433,7 @@ EXTENDED_PROBE = [
     "udtf_markdown_sections",
     "profile_daily_column_stats",
     "set_multiset_compare",
+    "embed_semdedup_prune",
 ]
 
 

@@ -372,6 +372,54 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     assert abs(spark_inertia - ref_inertia) / ref_inertia < 1e-6
 
 
+def test_semdedup_matches_numpy_reference(spark, sf_dir):
+    """The within-cluster prune pairs must equal a NumPy replay: same
+    quantized Lloyd assignment (as the kmeans twin), then all
+    within-cluster pairs with rounded cosine >= tau."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.operators.llm.similarity import (
+        KMEANS_ITERS,
+        _SEMDEDUP_TAU,
+        embed_semdedup_prune,
+    )
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tab = tab.sort_values("vec_id").reset_index(drop=True)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
+    ids = tab["vec_id"].to_numpy()
+    # semdedup runs the UNCAPPED trajectory (k grows with the corpus)
+    cents = X[ids % 64 == 0]
+    for _ in range(KMEANS_ITERS):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        cents = np.stack(
+            [np.round(X[assign == c].mean(axis=0), 6)
+             if (assign == c).any() else cents[c]
+             for c in range(len(cents))]
+        )
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    norms = np.sqrt((X * X).sum(axis=1))
+    expected = {}
+    for c in set(assign):
+        members = np.where(assign == c)[0]
+        for ii, i in enumerate(members):
+            for j in members[ii + 1 :]:
+                cos = round(
+                    float(X[i] @ X[j]) / float(norms[i] * norms[j]), 6
+                )
+                if cos >= _SEMDEDUP_TAU:
+                    expected[(int(ids[i]), int(ids[j]))] = cos
+    got = embed_semdedup_prune(spark, sf_dir).collect()
+    pairs = {(r["keep_id"], r["prune_id"]): r["cosine"] for r in got}
+    assert set(pairs) == set(expected)
+    for k, v in expected.items():
+        assert abs(pairs[k] - v) < 2e-6, k
+    assert expected, "fixture should produce semantic-dup pairs"
+
+
 def test_pq_recall_vs_exact_l2(spark, sf_dir):
     """PQ/ADC with a 32-entry sampled codebook must recover a meaningful
     share of the exact L2 top-k (way above the ~2% random baseline) —

@@ -9,6 +9,7 @@ import pathlib
 
 from awsbeats_spark.operators import (
     _DELIBERATE_RECHECKS,
+    _ROUND11_WINDOW,
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
     _ROUND6_WINDOW,
@@ -39,6 +40,8 @@ def test_round8_through_round4_follow():
     s += len(_ROUND10_WINDOW)
     assert keys[s : s + len(_DELIBERATE_RECHECKS)] == _DELIBERATE_RECHECKS
     s += len(_DELIBERATE_RECHECKS)
+    assert keys[s : s + len(_ROUND11_WINDOW)] == _ROUND11_WINDOW
+    s += len(_ROUND11_WINDOW)
     assert len(_ROUND6_WINDOW) == 50
     assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
     s += len(_ROUND6_WINDOW)
@@ -86,6 +89,7 @@ def test_rotation_names_unique_and_registered():
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
+        + _ROUND11_WINDOW
     )
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
@@ -108,6 +112,7 @@ def test_windows_partition_never_driver_checked_keys():
         + _ROUND8_WINDOW
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
+        + _ROUND11_WINDOW
     )
     assert set(rotation) == set(never), (
         f"missing from rotation: {sorted(set(never) - set(rotation))}; "
