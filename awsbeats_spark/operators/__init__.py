@@ -465,6 +465,7 @@ _ROUND10_WINDOW = [
 # the last window).
 _ROUND11_WINDOW = [
     "embed_semdedup_prune",
+    "eval_semdedup_lexical_overlap",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -871,6 +871,90 @@ embed_semdedup_prune.__doc__ = embed_semdedup_prune.__doc__.replace(
 )
 
 
+def _semdedup_lexical_oracle() -> str:
+    from awsbeats_spark.operators.llm.dedup import (
+        _SHINGLES_SQL,
+        JACCARD_THRESHOLD,
+    )
+
+    inter = "len(list_intersect(sa.s, sb.s))"
+    uni = "len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))"
+    return f"""
+    {_kmeans_oracle_ctes(capped=False)},
+    sd_pairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS prune_id,
+               round({cosine_sql('a.ev', 'b.ev')}, 6) AS cosine
+        FROM a{KMEANS_ITERS + 1} a
+        JOIN a{KMEANS_ITERS + 1} b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE round({cosine_sql('a.ev', 'b.ev')}, 6) >= {_SEMDEDUP_TAU}
+    ),
+    shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    )
+    SELECT p.keep_id, p.prune_id, p.cosine,
+           CASE WHEN {uni} > 0
+                THEN round({inter} * 1.0 / ({uni}), 6)
+                ELSE 0.0 END AS jaccard,
+           CASE WHEN {uni} > 0
+                THEN round({inter} * 1.0 / ({uni}), 6)
+                ELSE 0.0 END >= {JACCARD_THRESHOLD} AS lexical_dup
+    FROM sd_pairs p
+    JOIN shs sa ON p.keep_id = sa.doc_id
+    JOIN shs sb ON p.prune_id = sb.doc_id
+    """
+
+
+@query("eval_semdedup_lexical_overlap", oracle=_semdedup_lexical_oracle())
+def eval_semdedup_lexical_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-honesty twin for [[embed_semdedup_prune]]: every
+    semantic-dup pair annotated with its exact shingle JACCARD and a
+    ``lexical_dup`` flag (jaccard >= the [[dedup_ngram_jaccard]]
+    threshold) — quantifying the question that justifies running
+    SemDeDup at all: how many semantic duplicates would the LEXICAL
+    dedup stack have missed? Pairs with lexical_dup = false are the
+    paraphrase class only the embedding layer catches; if (on a real
+    corpus) ~all pairs were lexical too, the cheaper minhash pass
+    already covers them and the cluster-pairwise stage is wasted
+    compute. Documents join embeddings 1:1 on doc_id = vec_id.
+
+    Scale shape: the pair set is [[embed_semdedup_prune]]'s output
+    (bounded by true semantic dups); the shingle arrays join it on the
+    pair ids — two hash joins at pair grain, never all-pairs."""
+    from awsbeats_spark.operators.llm.dedup import (
+        _doc_shingle_sets,
+        JACCARD_THRESHOLD,
+    )
+
+    pairs = embed_semdedup_prune(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sa = sets.select(
+        F.col("doc_id").alias("keep_id"),
+        F.col("shs").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("prune_id"),
+        F.col("shs").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.col("na") + F.col("nb") - shared
+    jac = F.when(union > 0, rnd(shared / union, 6)).otherwise(F.lit(0.0))
+    return (
+        pairs.join(sa, "keep_id")
+        .join(sb, "prune_id")
+        .select(
+            "keep_id",
+            "prune_id",
+            "cosine",
+            jac.alias("jaccard"),
+            (jac >= JACCARD_THRESHOLD).alias("lexical_dup"),
+        )
+    )
+
+
 PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
 PQ_SUBDIM = 8
 PQ_CODEBOOK_MOD = 16  # vec_id % 16 == 0 -> 32 sampled codebook entries/subspace

@@ -434,6 +434,7 @@ EXTENDED_PROBE = [
     "profile_daily_column_stats",
     "set_multiset_compare",
     "embed_semdedup_prune",
+    "eval_semdedup_lexical_overlap",
 ]
 
 

@@ -147,3 +147,26 @@ def test_multiset_compare_matches_counter(run, sf_dir):
         assert row["status"] == expect
     # the reconciliation must actually discriminate on this fixture
     assert got["status"].nunique() >= 2
+
+
+def test_semdedup_lexical_overlap_jaccard_matches_python(run, sf_dir):
+    """Every annotated pair's jaccard must equal a pure-Python shingle
+    recompute, and the pair set must equal embed_semdedup_prune's."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    shs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = _words(text)
+        shs[doc_id] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+    got = run("eval_semdedup_lexical_overlap")
+    prune = run("embed_semdedup_prune")
+    assert {(r.keep_id, r.prune_id) for r in got.itertuples()} == {
+        (r.keep_id, r.prune_id) for r in prune.itertuples()
+    }
+    for r in got.itertuples():
+        sa, sb = shs[r.keep_id], shs[r.prune_id]
+        union = len(sa) + len(sb) - len(sa & sb)
+        jac = round(len(sa & sb) / union, 6) if union else 0.0
+        assert abs(r.jaccard - jac) < 2e-6, (r.keep_id, r.prune_id)
+        assert r.lexical_dup == (jac >= 0.2)
