@@ -466,6 +466,9 @@ _ROUND10_WINDOW = [
 _ROUND11_WINDOW = [
     "embed_semdedup_prune",
     "eval_semdedup_lexical_overlap",
+    "retrieval_prf_rm3",
+    "text_unigram_perplexity",
+    "corpus_epoch_shard_plan",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

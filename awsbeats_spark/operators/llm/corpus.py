@@ -3282,3 +3282,95 @@ def corpus_bpe_compression_by_lang(
             ).alias("chars_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch shard plan: the deterministic global shuffle a data loader consumes
+# --------------------------------------------------------------------------
+
+_SHARD_N_EPOCHS = 2
+_SHARD_N_SHARDS = 8
+
+
+@query(
+    "corpus_epoch_shard_plan",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id, d.n_chars,
+               ('0x' || substring(md5(
+                    CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)
+               ), 1, 8))::BIGINT AS h
+        FROM documents d
+        CROSS JOIN (
+            SELECT unnest(generate_series(0, {_SHARD_N_EPOCHS - 1})) AS epoch
+        ) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           h % {_SHARD_N_SHARDS} AS shard,
+           doc_id,
+           n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, h % {_SHARD_N_SHARDS}
+               ORDER BY h, doc_id
+           ) AS BIGINT) AS position
+    FROM keyed
+    """,
+    tags=("corpus", "scale"),
+)
+def corpus_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training shard plan — the deterministic global shuffle
+    a multi-epoch data loader consumes: every (doc, epoch) gets a
+    content-addressed md5 key, shard = key mod N, and a within-shard
+    position ordered by the key, so epoch 0 and epoch 1 see the corpus
+    in independent pseudo-random orders WITHOUT any RNG state, seed
+    file, or driver-side permutation. Re-running the plan on any
+    engine, any partitioning, any day reproduces the same manifest —
+    the property that makes training jobs resumable and shard files
+    cacheable. Same hash idiom as [[sample_hash_deterministic]] /
+    [[sample_md5_threshold]]; this is their epoch/order completion.
+
+    Scale shape: the key and shard are row-local (map-side, no
+    shuffle); the position is a row_number per (epoch, shard) — on a
+    cluster that is exactly `repartition(epoch, shard) +
+    sortWithinPartitions(h)`, i.e. one shuffle whose reduce side IS
+    the shard files being written, parallel in the number of shards
+    (you'd size N_SHARDS to the cluster, not 8). No global sort, no
+    driver collect, no skew (md5 is uniform).
+    """
+    t = tables(spark, sf_dir)
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_SHARD_N_EPOCHS - 1))
+    ).alias("epoch")
+    keyed = t.documents.select("doc_id", "n_chars", epochs).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    shard = (F.col("h") % _SHARD_N_SHARDS).alias("shard")
+    w = Window.partitionBy("epoch", F.col("h") % _SHARD_N_SHARDS).orderBy(
+        "h", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        shard,
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("position"),
+    )

@@ -1382,3 +1382,215 @@ def retrieval_crossencoder_rerank(
             (F.col("bm25_rn").cast("int") - F.col("rn")).alias("rank_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback (two-round retrieval with query expansion)
+# --------------------------------------------------------------------------
+
+PRF_FB_DOCS = 5  # feedback depth: top-k docs of the first round
+PRF_FB_TERMS = 8  # expansion width: top-m terms from the feedback docs
+PRF_LAMBDA = 0.6  # weight kept on the original query (RM3 interpolation)
+
+
+def _prf_oracle() -> str:
+    return f"""
+    WITH qt AS (
+        SELECT query_id, term FROM {_query_terms_sql()}
+    ),
+    tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id, tf.term,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / stats.avgdl)) AS c
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    base AS (
+        SELECT qt.query_id, contrib.doc_id, sum(contrib.c) AS bm25
+        FROM qt JOIN contrib USING (term)
+        GROUP BY 1, 2
+    ),
+    fb AS (
+        SELECT query_id, doc_id
+        FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(bm25, 6) DESC, doc_id
+                   ) AS fb_rn
+            FROM base
+        ) WHERE fb_rn <= {PRF_FB_DOCS}
+    ),
+    relw AS (
+        SELECT fb.query_id, tf.term,
+               sum(tf.tf * 1.0 / dl.dl) AS rel_w
+        FROM fb
+        JOIN tf USING (doc_id)
+        JOIN dl USING (doc_id)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM qt
+            WHERE qt.query_id = fb.query_id AND qt.term = tf.term
+        )
+        GROUP BY 1, 2
+    ),
+    sel AS (
+        SELECT query_id, term, rel_w
+        FROM (
+            SELECT query_id, term, rel_w,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(rel_w, 8) DESC, term
+                   ) AS term_rn
+            FROM relw
+        ) WHERE term_rn <= {PRF_FB_TERMS}
+    ),
+    wsum AS (SELECT query_id, sum(rel_w) AS wsum FROM sel GROUP BY query_id),
+    allw AS (
+        SELECT qt.query_id, qt.term,
+               {PRF_LAMBDA} / nq.n AS w
+        FROM qt
+        JOIN (SELECT query_id, count(*) AS n FROM qt GROUP BY query_id) nq
+            USING (query_id)
+        UNION ALL
+        SELECT sel.query_id, sel.term,
+               (1.0 - {PRF_LAMBDA}) * sel.rel_w / wsum.wsum AS w
+        FROM sel JOIN wsum USING (query_id)
+    ),
+    rescored AS (
+        SELECT allw.query_id, contrib.doc_id,
+               sum(allw.w * contrib.c) AS score
+        FROM allw JOIN contrib USING (term)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, round(score, 6) AS rm3_score, rn
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(score, 6) DESC, doc_id
+               ) AS rn
+        FROM rescored
+    ) WHERE rn <= {RETR_TOP_K}
+    """
+
+
+@query("retrieval_prf_rm3", oracle=_prf_oracle(), tags=("retrieval",))
+def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback: retrieve with BM25, treat
+    the top PRF_FB_DOCS results as relevant, mine PRF_FB_TERMS
+    expansion terms from them (weight = Σ tf/dl over the feedback set,
+    the relevance-model estimate with uniform doc priors), interpolate
+    with the original query (λ on the original terms, 1-λ spread over
+    the normalized expansion weights), and rescore the corpus with the
+    weighted query. The classic two-round retrieval loop (Lavrenko &
+    Croft relevance models; Abdul-Jalil et al.'s RM3 variant) that a
+    RAG pipeline runs when the first-round recall is thin — no analog
+    in the reference (delivery-only, SURVEY.md §0); engine extension.
+
+    Scale shape: both rounds are the BM25 scoring plan — the
+    (query_id, term) weight tables are tiny and BROADCAST into the
+    per-(doc, term) contribution table; the corpus-statistics
+    aggregates (df, dl, avgdl) are |vocab|- or |docs|-bounded; the
+    only corpus-sized shuffles are the two per-(query, doc) score
+    folds. The feedback mining step runs on PRF_FB_DOCS × |queries|
+    rows — driver-scale metadata. As with [[retrieval_bm25_topk]], at
+    100 TB the TF table is a persisted inverted index; Catalyst
+    re-instantiates it per statistic on the cold plan here.
+
+    Float parity: every per-(doc, term) contribution is a pure
+    function of integer-exact (tf, df, dl) and the shared avgdl;
+    per-(query, doc) sums have ≤|q| (first round) / ≤|q|+PRF_FB_TERMS
+    (second round) addends, and all ranks order by ROUNDED scores with
+    id tiebreaks (6 dp for scores, 8 dp for the expansion weights), so
+    engine summation order can't reorder a selection except on a
+    sub-1e-8 knife edge.
+    """
+    t = tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(words()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    c = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "dl", c.alias("c"))
+    )
+    qt = _query_terms_df(spark)
+
+    base = (
+        contrib.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("bm25"))
+    )
+    fb_win = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd("bm25", 6)), F.asc("doc_id")
+    )
+    fb = (
+        base.withColumn("fb_rn", F.row_number().over(fb_win))
+        .filter(F.col("fb_rn") <= PRF_FB_DOCS)
+        .select("query_id", "doc_id")
+    )
+
+    relw = (
+        fb.join(tf, "doc_id")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("tf") / F.col("dl")).alias("rel_w"))
+        .join(F.broadcast(qt), ["query_id", "term"], "left_anti")
+    )
+    sel_win = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd("rel_w", 8)), F.asc("term")
+    )
+    sel = (
+        relw.withColumn("term_rn", F.row_number().over(sel_win))
+        .filter(F.col("term_rn") <= PRF_FB_TERMS)
+        .select("query_id", "term", "rel_w")
+    )
+    wsum = sel.groupBy("query_id").agg(F.sum("rel_w").alias("wsum"))
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    origw = qt.join(nq, "query_id").select(
+        "query_id", "term", (F.lit(PRF_LAMBDA) / F.col("n")).alias("w")
+    )
+    expw = sel.join(wsum, "query_id").select(
+        "query_id",
+        "term",
+        ((1.0 - PRF_LAMBDA) * F.col("rel_w") / F.col("wsum")).alias("w"),
+    )
+    allw = origw.unionByName(expw)
+
+    rescored = (
+        contrib.join(F.broadcast(allw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("score"))
+    )
+    rn_win = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd("score", 6)), F.asc("doc_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(rn_win))
+        .filter(F.col("rn") <= RETR_TOP_K)
+        .select("query_id", "doc_id", rnd("score", 6).alias("rm3_score"), "rn")
+    )

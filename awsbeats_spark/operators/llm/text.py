@@ -1279,3 +1279,105 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_winnowing_fingerprints.__doc__ = (
     text_winnowing_fingerprints.__doc__.replace("{w}", str(_WINNOW_W))
 )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM perplexity filter (CCNet-style head/middle/tail buckets)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    coll AS (SELECT sum(ctf) AS coll_len FROM ctf),
+    perdoc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(exp(-sum(tf.tf * ln(ctf.ctf * 1.0 / coll.coll_len))
+                         / sum(tf.tf)), 6) AS ppl
+        FROM tf JOIN ctf USING (term) CROSS JOIN coll
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, ppl,
+               row_number() OVER (ORDER BY ppl, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM perdoc
+    )
+    SELECT doc_id, n_tokens, ppl,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    tags=("text", "quality"),
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus unigram language model —
+    the SQL-expressible proxy for CCNet's KenLM perplexity filter
+    (Wenzek et al. 2020): ppl(d) = exp(-(1/|d|) Σ_w tf(w,d)·ln p(w)),
+    p(w) the corpus MLE, then docs split into head/middle/tail
+    perplexity terciles exactly as CCNet shards its output. Low-ppl
+    docs look like the corpus (keep), high-ppl docs are outliers
+    (review/drop). No reference analog (delivery-only); engine
+    extension in the brief's text-quality lane alongside
+    [[text_quality_score]] and [[text_repetition_gopher]].
+
+    Scale shape: two |vocab|-bounded aggregates (ctf, coll_len,
+    broadcast back) and one per-doc fold over its DISTINCT terms —
+    the sum has ≤|vocab ∩ doc| addends, not |d|, because tf·ln(p)
+    groups repeated tokens. The tercile split here is a global rank
+    window (fixture-exact); at 100 TB you'd take CCNet's own route —
+    fit thresholds on a [[sample_md5_threshold]] sample, broadcast the
+    two cut values, and bucket map-side — the per-doc ppl column this
+    op computes is unchanged by that swap.
+
+    Float parity: ln/exp on identical doubles, ≤|vocab| addends per
+    doc, 6-dp round before both output and the tercile ranking (ties
+    broken by doc_id in both engines).
+    """
+    t = tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(words()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    coll = ctf.agg(F.sum("ctf").alias("coll_len"))
+    perdoc = (
+        tf.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            rnd(
+                F.exp(
+                    -F.sum(
+                        F.col("tf")
+                        * F.log(F.col("ctf") / F.col("coll_len"))
+                    )
+                    / F.sum("tf")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )
+    w = Window.orderBy(F.asc("ppl"), F.asc("doc_id"))
+    ranked = perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "ppl",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("r") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "n_tokens", "ppl", bucket.alias("ppl_bucket")
+    )
