@@ -469,6 +469,9 @@ _ROUND11_WINDOW = [
     "retrieval_prf_rm3",
     "text_unigram_perplexity",
     "corpus_epoch_shard_plan",
+    "scale_compaction_binpack",
+    "stream_hopping_topk",
+    "ts_holt_winters_additive",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -2697,3 +2697,97 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("f_max") <= F.col("data_max"))
         ).alias("rg_stats_bracketed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction bin-packing plan (the OPTIMIZE small-files planner)
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET_BYTES = 8192  # target compacted file size for the fixture
+
+
+@query(
+    "scale_compaction_binpack",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS file_key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(strlen(props)) + 24 * count(*) AS BIGINT)
+                   AS size_bytes
+        FROM events
+        GROUP BY 1
+    ),
+    packed AS (
+        SELECT file_key, n_rows, size_bytes,
+               CAST(floor(
+                   (sum(size_bytes) OVER (
+                        ORDER BY file_key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - size_bytes) * 1.0 / {_COMPACT_TARGET_BYTES}
+               ) AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           min(file_key) AS first_key,
+           max(file_key) AS last_key,
+           round(sum(size_bytes) * 1.0 / {_COMPACT_TARGET_BYTES}, 6)
+               AS fill_ratio
+    FROM packed
+    GROUP BY bin_id
+    """,
+    tags=("scale",),
+)
+def scale_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/auto-compact
+    planner every lakehouse table needs: streaming ingest leaves one
+    file per micro-batch (here: one manifest row per ingest hour,
+    sized from the rows it holds), and the planner packs consecutive
+    files into target-sized compaction groups by running-sum binning —
+    bin = floor(cum_bytes_before / target) — the same
+    sequential-greedy shape Delta/Iceberg compaction uses so each
+    output file rewrites a CONTIGUOUS key range (preserving clustering
+    and letting each bin rewrite independently). Bins may overshoot
+    the target by at most one input file; fill_ratio reports it.
+
+    Scale shape: the manifest is metadata — one row per FILE, not per
+    data row (at 100 TB: millions of rows, not trillions), which is
+    why the single running-sum window over it is the right plan; the
+    per-file stats aggregate is the only corpus-sized pass and it is
+    one keyed fold. The rewrite jobs the plan describes are
+    embarrassingly parallel per bin.
+    """
+    t = tables(spark, sf_dir)
+    files = t.events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("file_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(F.octet_length("props")) + 24 * F.count(F.lit(1)))
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    cum_before = (
+        F.sum("size_bytes").over(
+            Window.orderBy("file_key").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        - F.col("size_bytes")
+    )
+    packed = files.withColumn(
+        "bin_id",
+        F.floor(cum_before * 1.0 / _COMPACT_TARGET_BYTES).cast("long"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("size_bytes").cast("long").alias("total_bytes"),
+        F.min("file_key").alias("first_key"),
+        F.max("file_key").alias("last_key"),
+        rnd(
+            F.sum("size_bytes") * 1.0 / _COMPACT_TARGET_BYTES, 6
+        ).alias("fill_ratio"),
+    )

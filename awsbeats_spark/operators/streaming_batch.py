@@ -163,3 +163,76 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     ev = t.events.select("event_id", "user_id", "event_type")
     return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+_HOP_TOP_N = 3
+
+
+@query(
+    "stream_hopping_topk",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - offs AS window_start,
+               event_type, value
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 3600]) AS offs)
+    ),
+    agg AS (
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM expanded
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type
+               ) AS INT) AS rank
+        FROM agg
+    ) WHERE rank <= {_HOP_TOP_N}
+    """,
+)
+def stream_hopping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N event types per HOPPING window (2h length, 1h slide) — the
+    reference pipeline's top-N metric selection (SURVEY.md §2.B B7,
+    the example configs' "top N processes by CPU") under streaming
+    window semantics rather than a static group: each event lands in
+    length/slide = 2 windows, counts aggregate per (window, type), and
+    the rank is per window. Uses F.window (streaming-identical), so
+    the same expression runs under readStream; the oracle expands the
+    two hop offsets explicitly like [[stream_sliding_agg]].
+
+    Scale shape: the hop multiplies rows by length/slide (2 here — keep
+    that ratio small at scale) before one keyed fold on the bounded
+    (window, event_type) key set; the rank window partitions by
+    window_start, |types|-bounded per partition. In a live stream the
+    rank runs on the windowed aggregate state, which a watermark
+    bounds.
+    """
+    t = tables(spark, sf_dir)
+    agg = (
+        t.events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return agg.withColumn("rank", rank).filter(
+        F.col("rank") <= _HOP_TOP_N
+    )
