@@ -472,6 +472,8 @@ _ROUND11_WINDOW = [
     "scale_compaction_binpack",
     "stream_hopping_topk",
     "ts_holt_winters_additive",
+    "udtf_run_length_encode",
+    "eval_prf_rank_shift",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -1594,3 +1594,75 @@ def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RETR_TOP_K)
         .select("query_id", "doc_id", rnd("score", 6).alias("rm3_score"), "rn")
     )
+
+
+def _prf_shift_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    bm25 = QUERIES["retrieval_bm25_topk"].oracle
+    rm3 = QUERIES["retrieval_prf_rm3"].oracle
+    return f"""
+    WITH b AS ({bm25}),
+    r AS ({rm3}),
+    j AS (
+        SELECT coalesce(b.query_id, r.query_id) AS query_id,
+               b.rn AS rn_b, r.rn AS rn_r
+        FROM b FULL JOIN r
+          ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (rn_b IS NOT NULL AND rn_r IS NOT NULL)
+                AS BIGINT) AS overlap_at_k,
+           CAST(count(*) FILTER (rn_b IS NULL) AS BIGINT) AS n_promoted,
+           CAST(count(*) FILTER (rn_r IS NULL) AS BIGINT) AS n_dropped,
+           round(avg(abs(rn_b - rn_r))
+                 FILTER (rn_b IS NOT NULL AND rn_r IS NOT NULL), 4)
+               AS mean_abs_rank_shift
+    FROM j
+    GROUP BY query_id
+    """
+
+
+@query("eval_prf_rank_shift", oracle=_prf_shift_oracle(), tags=("retrieval", "eval"))
+def eval_prf_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty twin for [[retrieval_prf_rm3]]: per query, how much did
+    pseudo-relevance feedback actually change the top-{RETR_TOP_K}? —
+    overlap with the plain-BM25 list, documents promoted INTO the list
+    by the expansion (the recall PRF is run for), documents it pushed
+    out, and the mean absolute rank shift among survivors. PRF is a
+    recall/robustness lever with a known failure mode (query drift:
+    expansion terms from off-topic feedback docs); this measures the
+    movement so the knob is tuned on evidence, matching the house rule
+    that every approximate/second-guess component ships with a
+    measured-effect twin ([[eval_minhash_vs_exact]],
+    [[eval_ann_recall_ivf]]).
+
+    Scale shape: both input rankings are top-k per query — the join
+    and the fold run on |queries| x k rows, driver-scale metadata; the
+    corpus-sized work lives in the two operators being compared.
+    """
+    b = retrieval_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rn").alias("rn_b")
+    )
+    r = retrieval_prf_rm3(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rn").alias("rn_r")
+    )
+    j = b.join(r, ["query_id", "doc_id"], "full_outer")
+    both = F.col("rn_b").isNotNull() & F.col("rn_r").isNotNull()
+    return j.groupBy("query_id").agg(
+        F.count(F.when(both, 1)).cast("long").alias("overlap_at_k"),
+        F.count(F.when(F.col("rn_b").isNull(), 1))
+        .cast("long")
+        .alias("n_promoted"),
+        F.count(F.when(F.col("rn_r").isNull(), 1))
+        .cast("long")
+        .alias("n_dropped"),
+        rnd(
+            F.avg(F.when(both, F.abs(F.col("rn_b") - F.col("rn_r")))), 4
+        ).alias("mean_abs_rank_shift"),
+    )
+
+
+eval_prf_rank_shift.__doc__ = eval_prf_rank_shift.__doc__.replace(
+    "{RETR_TOP_K}", str(RETR_TOP_K)
+)

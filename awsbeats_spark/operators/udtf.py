@@ -418,3 +418,95 @@ def udtf_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM md_udtf_src d, LATERAL markdown_sections(d.doc_id, d.md) s
         """
     )
+
+
+@query(
+    "udtf_run_length_encode",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, i AS pos, words[i] AS word
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), unnest(generate_series(1, len(words))) AS t(i)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS DISTINCT FROM word
+                    THEN 1 ELSE 0 END AS is_new
+        FROM w
+    ),
+    runs AS (
+        SELECT doc_id, pos, word,
+               sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(run_id - 1 AS INT) AS run_idx,
+           word,
+           CAST(count(*) AS INT) AS run_len,
+           CAST(min(pos) AS INT) AS start_pos
+    FROM runs
+    GROUP BY doc_id, run_id, word
+    HAVING count(*) >= 2
+    """,
+)
+def udtf_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each document's token stream as the 5th
+    Python UDTF — emits every run of >= 2 consecutive identical tokens
+    with its position, the primitive behind stutter/boilerplate
+    repetition detection ([[text_repetition_gopher]] scores repetition
+    in aggregate; this one LOCATES the runs) and the simplest honest
+    example of a genuinely STATEFUL row parser: the run accumulator
+    carries across tokens inside eval, which no posexplode/window-free
+    built-in chain expresses in one pass. The oracle replays the
+    semantics relationally (gaps-and-islands: change flag -> running
+    sum -> group), which is also the plan you'd prefer at scale where
+    the tokens are already exploded — the UDTF form wins when the
+    parse state is richer than equality-of-neighbor (real tokenizers,
+    escape sequences), and this key keeps that seam tested end-to-end.
+
+    Scale shape: map-side only — the UDTF eval is per document row, no
+    shuffle, no cross-row state; output is bounded by the number of
+    runs. 1-indexed positions, matching the oracle's generate_series.
+    """
+    from pyspark.sql.functions import udtf
+
+    t = tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents_rle_src")
+
+    @udtf(
+        returnType="doc_id bigint, run_idx int, word string,"
+        " run_len int, start_pos int"
+    )
+    class RunLengthEncode:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            words = [w for w in re.split(r"\s+", (text or "").lower()) if w]
+            run_idx = 0
+            i = 0
+            n = len(words)
+            while i < n:
+                j = i
+                while j < n and words[j] == words[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield doc_id, run_idx, words[i], j - i, i + 1
+                run_idx += 1
+                i = j
+
+    spark.udtf.register("run_length_encode", RunLengthEncode)
+    return spark.sql(
+        """
+        SELECT r.doc_id, r.run_idx, r.word, r.run_len, r.start_pos
+        FROM documents_rle_src d,
+             LATERAL run_length_encode(d.doc_id, d.text) r
+        """
+    )
