@@ -474,6 +474,8 @@ _ROUND11_WINDOW = [
     "ts_holt_winters_additive",
     "udtf_run_length_encode",
     "eval_prf_rank_shift",
+    "dq_levene_variance_homogeneity",
+    "embed_cosine_pair_histogram",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -3082,3 +3082,111 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 embed_kcenter_coreset.__doc__ = embed_kcenter_coreset.__doc__.replace(
     "{k}", str(_KC_K)
 )
+
+
+# --------------------------------------------------------------------------
+# Cosine-similarity calibration histogram over a deterministic pair sample
+# --------------------------------------------------------------------------
+
+_CAL_SAMPLE_FRAC = 0.2  # ceiling on the md5-deterministic vector sample
+_CAL_TARGET_VECS = 400.0  # audit budget: expected sample size cap
+_CAL_N_BINS = 20  # histogram bins over [-1, 1]
+
+
+@query(
+    "embed_cosine_pair_histogram",
+    oracle=f"""
+    WITH frac AS (
+        SELECT least({_CAL_SAMPLE_FRAC},
+                     {_CAL_TARGET_VECS} / count(*)) AS f
+        FROM embeddings
+    ),
+    sampled AS (
+        SELECT vec_id, embedding
+        FROM embeddings CROSS JOIN frac
+        WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  ::BIGINT / 4294967296.0 < frac.f
+    ),
+    pairs AS (
+        SELECT least({_CAL_N_BINS - 1}, CAST(floor(
+                   (round({cosine_sql('a.embedding', 'b.embedding')}, 6)
+                    + 1.0) * {_CAL_N_BINS / 2.0}) AS BIGINT)) AS bin
+        FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+    ),
+    tot AS (SELECT count(*) AS n FROM pairs)
+    SELECT bin,
+           round(bin * {2.0 / _CAL_N_BINS} - 1.0, 6) AS lo,
+           round((bin + 1) * {2.0 / _CAL_N_BINS} - 1.0, 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) * 1.0 / max(tot.n), 6) AS share
+    FROM pairs CROSS JOIN tot
+    GROUP BY bin
+    """,
+    tags=("similarity", "eval"),
+)
+def embed_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine calibration histogram — the distribution every
+    similarity THRESHOLD in this engine ([[dedup_embedding_cosine]]'s
+    cutoff, [[embed_semdedup_prune]]'s epsilon, [[sim_search_lsh_bucketed]]'s
+    band design) should be picked against: sample vectors with the
+    content-addressed md5 predicate ([[sample_md5_threshold]] — same
+    rows on every engine/run), compute all pairwise cosines WITHIN the
+    sample, and bin them over [-1, 1]. A threshold chosen without this
+    curve is a guess; the histogram shows where the background mass
+    ends and the near-dup tail begins.
+
+    Scale shape: the quadratic lives on the SAMPLE, and the sample is
+    BUDGETED, not proportional — frac = min(0.2, 400/n), so the
+    expected pair count plateaus at ~400²/2 regardless of corpus size
+    (the curve's
+    fidelity depends on pair count, not corpus coverage; the
+    first probe of the proportional version measured alpha 1.94 at
+    10x, which is exactly the blowup the cap removes). The sampled set
+    broadcasts to one scan of itself; the cosine is the house
+    sequential fold (bit-identical engines), and binning rounds at
+    6 dp before the floor so a boundary cosine can't straddle engines.
+    """
+    t = tables(spark, sf_dir)
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / 4294967296.0
+    )
+    frac = t.embeddings.agg(
+        F.least(
+            F.lit(_CAL_SAMPLE_FRAC),
+            F.lit(_CAL_TARGET_VECS) / F.count(F.lit(1)),
+        ).alias("f")
+    )
+    sampled = (
+        t.embeddings.crossJoin(F.broadcast(frac))
+        .filter(unif < F.col("f"))
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(
+        F.least(
+            F.lit(_CAL_N_BINS - 1),
+            F.floor((rnd(cos, 6) + 1.0) * (_CAL_N_BINS / 2.0)).cast("long"),
+        ).alias("bin")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            rnd(F.col("bin") * (2.0 / _CAL_N_BINS) - 1.0, 6).alias("lo"),
+            rnd((F.col("bin") + 1) * (2.0 / _CAL_N_BINS) - 1.0, 6).alias(
+                "hi"
+            ),
+            "n_pairs",
+            rnd(F.col("n_pairs") * 1.0 / F.col("n"), 6).alias("share"),
+        )
+    )

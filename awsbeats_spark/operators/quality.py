@@ -2948,3 +2948,176 @@ def dq_luhn_checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum_logic_consistent"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Levene / Brown-Forsythe variance-homogeneity test across groups
+# --------------------------------------------------------------------------
+
+# Large-sample 95% critical values for F(df1, inf) = chi2_95(df1)/df1.
+# With df2 = N - k in the thousands the finite-df2 correction is < 0.5%,
+# which is the documented approximation (this is a data-quality gate,
+# not an inference engine).
+_LEVENE_F95_INF = {
+    1: 3.8415, 2: 2.9957, 3: 2.6049, 4: 2.3719, 5: 2.2141,
+    6: 2.0986, 7: 2.0096, 8: 1.9384, 9: 1.8799, 10: 1.8307,
+}
+
+
+def _levene_crit_values_sql() -> str:
+    rows = ", ".join(f"({k}, {v})" for k, v in _LEVENE_F95_INF.items())
+    return f"(VALUES {rows}) AS crit(df1, f95)"
+
+
+@query(
+    "dq_levene_variance_homogeneity",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id
+               ) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    med AS (
+        SELECT event_type, cents AS med_c
+        FROM rk WHERE r = (n + 1) // 2
+    ),
+    z AS (
+        SELECT c.event_type, abs(c.cents - med.med_c) AS z
+        FROM c JOIN med USING (event_type)
+    ),
+    per_g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(z) AS BIGINT) AS s1,
+               CAST(sum(z * z) AS BIGINT) AS s2
+        FROM z GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s1) AS BIGINT) AS s1_all
+        FROM per_g
+    ),
+    stat AS (
+        SELECT tot.k, tot.n,
+               sum(per_g.n_g
+                   * pow(per_g.s1 * 1.0 / per_g.n_g
+                         - tot.s1_all * 1.0 / tot.n, 2)) AS num,
+               sum(per_g.s2 - per_g.s1 * 1.0 * per_g.s1 / per_g.n_g)
+                   AS den
+        FROM per_g CROSS JOIN tot
+        GROUP BY tot.k, tot.n
+    )
+    SELECT stat.k AS k_groups, stat.n AS n_total,
+           stat.k - 1 AS df1, stat.n - stat.k AS df2,
+           round((stat.n - stat.k) * 1.0 / (stat.k - 1)
+                 * stat.num / stat.den, 6) AS w_stat,
+           crit.f95 AS crit_f_95,
+           (stat.n - stat.k) * 1.0 / (stat.k - 1) * stat.num / stat.den
+               > crit.f95 AS significant_95
+    FROM stat JOIN {_levene_crit_values_sql()}
+        ON crit.df1 = stat.k - 1
+    """,
+    tags=("quality",),
+)
+def dq_levene_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene's test with the
+    median center — the robust form) across event types on `value`:
+    W = ((N-k)/(k-1)) * Σ n_g (z̄_g - z̄)² / Σ Σ (z - z̄_g)² with
+    z = |x - median_g|. The pre-check every pooled analysis
+    ([[ts_dow_anova]], [[events_ab_welch_ttest]]'s equal-variance
+    cousin) should run first: heteroscedastic groups silently break
+    pooled variance estimates, and this is the gate that says so.
+
+    Engine parity (the [[ts_gumbel_block_maxima]] integer-cents chain):
+    values are exact 2-decimal doubles, so everything up to the final
+    ratio — the per-group DISCRETE median (rank-picked at (n+1)//2
+    with (cents, event_id) ordering, no interpolation), every |x-med|
+    deviation, and the moment sums S1/S2 — is exact BIGINT arithmetic;
+    both engines then evaluate the identical pure function of those
+    integers. The critical value is derived from the OBSERVED group
+    count via a broadcast df1→F(df1, inf) lookup (the ADVICE r6 rule:
+    never hardcode a df), exact to <0.5% at df2 in the thousands.
+
+    Scale shape: one per-group sort for the rank-picked median (the
+    exact-median cost — at extreme scale swap for approx_percentile
+    and the test remains valid as plain Levene-with-a-robust-center),
+    then two keyed folds down to k rows and a k-row reduction.
+    """
+    t = tables(spark, sf_dir)
+    c = t.events.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    rk = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    med = rk.filter(
+        F.col("r") == F.floor((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("cents").alias("med_c"))
+    z = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med_c")).alias("z")
+    )
+    per_g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1_all"),
+    )
+    joined = per_g.crossJoin(F.broadcast(tot))
+    stat = joined.groupBy("k", "n").agg(
+        F.sum(
+            F.col("n_g")
+            * F.pow(
+                F.col("s1") * 1.0 / F.col("n_g")
+                - F.col("s1_all") * 1.0 / F.col("n"),
+                2,
+            )
+        ).alias("num"),
+        F.sum(
+            F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n_g")
+        ).alias("den"),
+    )
+    crit = spark.createDataFrame(
+        [(k, v) for k, v in _LEVENE_F95_INF.items()], "df1 long, f95 double"
+    )
+    wstat = (
+        (F.col("n") - F.col("k"))
+        * 1.0
+        / (F.col("k") - 1)
+        * F.col("num")
+        / F.col("den")
+    )
+    return (
+        stat.withColumn("df1", (F.col("k") - 1).cast("long"))
+        .join(F.broadcast(crit), "df1")
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_total"),
+            "df1",
+            (F.col("n") - F.col("k")).alias("df2"),
+            rnd(wstat, 6).alias("w_stat"),
+            F.col("f95").alias("crit_f_95"),
+            (wstat > F.col("f95")).alias("significant_95"),
+        )
+    )
