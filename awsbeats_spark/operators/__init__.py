@@ -476,6 +476,8 @@ _ROUND11_WINDOW = [
     "eval_prf_rank_shift",
     "dq_levene_variance_homogeneity",
     "embed_cosine_pair_histogram",
+    "dedup_edit_distance_verify",
+    "corpus_dsir_ess",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -3374,3 +3374,124 @@ def corpus_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+# --------------------------------------------------------------------------
+# Effective sample size of the DSIR importance weights
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dsir_ess",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, lang, unnest({WORDS_SQL}) AS w FROM documents)
+    ),
+    db AS (
+        SELECT doc_id, any_value(lang) AS lang, b, count(*) AS c
+        FROM toks GROUP BY doc_id, b
+    ),
+    tcnt AS (
+        SELECT b, count(*) AS ct FROM toks
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    rcnt AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+    tot AS (
+        SELECT (SELECT count(*) FROM toks
+                WHERE lang = '{_DSIR_TARGET_LANG}') AS nt,
+               (SELECT count(*) FROM toks) AS nr
+    ),
+    ratio AS (
+        SELECT r.b,
+               ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+               - ln((r.cr + 1.0) / (tot.nr + {_DSIR_BUCKETS})) AS lr
+        FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+    ),
+    docw AS (
+        SELECT d.doc_id, any_value(d.lang) AS lang,
+               round(sum(d.c * ratio.lr), 8) AS logw
+        FROM db d JOIN ratio USING (b)
+        GROUP BY d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(pow(sum(exp(logw)), 2) / sum(exp(logw) * exp(logw)), 4)
+               AS ess,
+           round(pow(sum(exp(logw)), 2) / sum(exp(logw) * exp(logw))
+                 / count(*), 6) AS ess_share,
+           round(max(exp(logw)) / sum(exp(logw)), 6) AS max_w_share
+    FROM docw GROUP BY lang
+    """,
+)
+def corpus_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the [[corpus_dsir_importance]] weights,
+    per language: ESS = (Σw)²/Σw² with w = exp(logw) — the honesty
+    metric every importance-resampling pipeline must report before
+    trusting its tilted sample (Kong 1992's classic diagnostic; DSIR's
+    own paper resamples by these weights). A language slice whose ESS
+    collapses toward 1 is dominated by a handful of documents — the
+    resample would be those documents repeated, not a distribution
+    shift — and max_w_share names the dominance directly. Shares the
+    per-doc logw computation (8-dp quantized, identical CTE chain)
+    with the importance op it audits.
+
+    Scale shape: identical to the DSIR op — two token-projection
+    passes, a bucket-marginal broadcast, then one keyed fold per
+    language; the ESS arithmetic is three aggregates over the same
+    per-doc rows. Exp-sums are order-dependent doubles over ≤n_docs
+    O(1)-magnitude addends; outputs round at 4/6 dp and nothing
+    selects on them.
+    """
+    docs = tables(spark, sf_dir).documents
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(words()).alias("w")
+    ).select("doc_id", "lang", bucket.alias("b"))
+    db = toks.groupBy("doc_id", "b").agg(
+        F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("c")
+    )
+    tcnt = (
+        toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rcnt = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = toks.agg(
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + _DSIR_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            rnd(F.sum(F.col("c") * F.col("lr")), 8).alias("logw"),
+        )
+    )
+    w = F.exp(F.col("logw"))
+    return docw.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        rnd(F.pow(F.sum(w), 2) / F.sum(w * w), 4).alias("ess"),
+        rnd(
+            F.pow(F.sum(w), 2) / F.sum(w * w) / F.count(F.lit(1)), 6
+        ).alias("ess_share"),
+        rnd(F.max(w) / F.sum(w), 6).alias("max_w_share"),
+    )

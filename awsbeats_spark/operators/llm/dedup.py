@@ -1934,3 +1934,85 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", wj.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= _WJACCARD_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verification of LSH candidate pairs
+# --------------------------------------------------------------------------
+
+_EDIT_VERIFY_THRESHOLD = 0.3  # normalized edit similarity to confirm a dup
+
+
+def _edit_verify_oracle() -> str:
+    minhash = QUERIES["dedup_minhash"].oracle
+    return f"""
+    WITH pairs AS ({minhash})
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+           round(1.0 - levenshtein(da.text, db.text) * 1.0
+                 / greatest(length(da.text), length(db.text)), 6)
+               AS lev_sim,
+           1.0 - levenshtein(da.text, db.text) * 1.0
+                 / greatest(length(da.text), length(db.text))
+               >= {_EDIT_VERIFY_THRESHOLD} AS verified
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=_edit_verify_oracle(),
+    tags=("dedup",),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance verification of the [[dedup_minhash]]
+    candidate pairs — the character-level confirm stage a production
+    dedup chain runs AFTER set-similarity candidates: shingle Jaccard
+    is insensitive to within-shingle edits and word order at the
+    3-gram boundary, so each LSH pair gets Levenshtein distance on the
+    raw text and a normalized similarity 1 - d/max(len); pairs below
+    {thr} are banding coincidences, not near-dups. The metric is a
+    pure INTEGER dynamic program in both engines (Spark F.levenshtein,
+    DuckDB levenshtein) — zero float-parity surface until the final
+    normalization, which rounds at 6 dp.
+
+    Scale shape: O(len²) per pair is the reason this is a VERIFY
+    stage, never a candidate generator — it runs on the LSH output
+    (pairs, not corpus²), and each pair is one row-local computation
+    after two doc-table hash joins. At 100 TB the pair set is the
+    near-dup population, linear-ish in docs; the quadratic stays in
+    the per-pair string lengths, bounded by chunking upstream.
+    """
+    pairs = dedup_minhash(spark, sf_dir)
+    docs = tables(spark, sf_dir).documents.select("doc_id", "text")
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+            ),
+            "doc_b",
+        )
+    )
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    sim = 1.0 - lev * 1.0 / F.greatest(F.length("ta"), F.length("tb"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        lev.cast("long").alias("lev_dist"),
+        rnd(sim, 6).alias("lev_sim"),
+        (sim >= _EDIT_VERIFY_THRESHOLD).alias("verified"),
+    )
+
+
+dedup_edit_distance_verify.__doc__ = dedup_edit_distance_verify.__doc__.replace(
+    "{thr}", str(_EDIT_VERIFY_THRESHOLD)
+)
