@@ -478,6 +478,7 @@ _ROUND11_WINDOW = [
     "embed_cosine_pair_histogram",
     "dedup_edit_distance_verify",
     "corpus_dsir_ess",
+    "multimodal_video_keyframe_per_shot",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -2541,3 +2541,167 @@ multimodal_video_scene_cuts.__doc__ = (
     multimodal_video_scene_cuts.__doc__.replace("{th}", str(_CUT_THRESHOLD))
     .replace("{mf}", str(_CUT_MAX_FRAMES))
 )
+
+
+# --------------------------------------------------------------------------
+# Keyframe selection: one representative frame per detected shot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_video_keyframe_per_shot",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               10 + 2 * (octet_length(encode(text)) % 7) AS wd,
+               10 + 2 * ((7 * octet_length(encode(text))) % 5) AS ht,
+               1 + octet_length(encode(text)) % 24 AS n_frames
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 2
+    ),
+    fr AS (
+        SELECT doc_id, h, n, wd, ht, n_frames,
+               unnest(generate_series(
+                   0, least(n_frames, {_CUT_MAX_FRAMES}) - 1)) AS f
+        FROM p
+    ),
+    sums AS (
+        SELECT doc_id, wd, ht, f,
+               CAST(list_sum(list_transform(
+                   generate_series(1, wd * ht),
+                   j -> CASE WHEN f % 4 = 3
+                        THEN 255 - CAST({_BYTE_SQL.format(k=f"f * {_CUT_ROTATE} + j - 1")} AS BIGINT)
+                        ELSE CAST({_BYTE_SQL.format(k=f"f * {_CUT_ROTATE} + j - 1")} AS BIGINT)
+                        END)) AS BIGINT)
+                   AS s
+        FROM fr
+    ),
+    shots AS (
+        SELECT doc_id, wd, ht, f, s,
+               sum(CASE WHEN d IS NOT NULL AND d > {_CUT_THRESHOLD}
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY f
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS shot_idx
+        FROM (
+            SELECT *, abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f))
+                          * 1.0 / (wd * ht) AS d
+            FROM sums
+        )
+    ),
+    stats AS (
+        SELECT doc_id, shot_idx, wd, ht, f, s,
+               count(*) OVER w AS len_shot,
+               sum(s) OVER w AS tot_s,
+               min(f) OVER w AS start_f,
+               max(f) OVER w AS end_f
+        FROM shots
+        WINDOW w AS (PARTITION BY doc_id, shot_idx)
+    )
+    SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+           CAST(start_f AS BIGINT) AS start_frame,
+           CAST(end_f AS BIGINT) AS end_frame,
+           CAST(len_shot AS BIGINT) AS n_frames_shot,
+           CAST(f AS BIGINT) AS keyframe,
+           round(s * 1.0 / (wd * ht), 4) AS keyframe_mean_luma
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id, shot_idx
+                   ORDER BY abs(s * len_shot - tot_s), f
+               ) AS pick
+        FROM stats
+    ) WHERE pick = 1
+    """,
+)
+def multimodal_video_keyframe_per_shot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyframe selection — one REPRESENTATIVE frame per detected shot,
+    the sampling policy [[multimodal_video_scene_cuts]]'s docstring
+    argues for (a frame per shot, not per fixed stride, is what stops
+    a 24-frame clip contributing 24 near-identical training images):
+    frames segment into shots at the same mean-luma-jump cuts, and
+    each shot's keyframe is the frame whose luma mass is closest to
+    the shot's own mean — the medoid-style pick, computed EXACTLY as
+    argmin |s_f * len_shot - Σ s| over integers (no division, no
+    float), frame-index tiebreak.
+
+    Parity: per-frame luma sums are exact BIGINTs from the hex-nibble
+    replay; the shot segmentation reuses the integer-exact cut
+    predicate; the argmin compares integers — the only float in the
+    row is the final reported mean luma, rounded at 4 dp.
+
+    Scale shape: identical to the cut detector — embarrassingly
+    parallel mapInPandas per clip, no shuffle (the oracle's windows
+    replay the same per-clip logic relationally); output is one row
+    per shot, bounded by probed frames per clip."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 2)
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                y4m = synthesize_y4m_motion(bytes(raw))
+                meta = decode_media(y4m)
+                wd, ht = meta["width"], meta["height"]
+                frame_bytes = wd * ht * 3 // 2
+                probed = min(meta["n_frames"], _CUT_MAX_FRAMES)
+                area = wd * ht
+                sums = []
+                for i in range(probed):
+                    off = 37 + i * (6 + frame_bytes) + 6
+                    plane = np.frombuffer(
+                        y4m, dtype=np.uint8, count=area, offset=off
+                    ).astype(np.int64)
+                    sums.append(int(plane.sum()))
+                # integer-exact cut predicate: |ds| / area > thr
+                shot_of = [0] * probed
+                shot = 0
+                for i in range(1, probed):
+                    if abs(sums[i] - sums[i - 1]) / area > _CUT_THRESHOLD:
+                        shot += 1
+                    shot_of[i] = shot
+                for sh in range(shot + 1):
+                    fs = [i for i in range(probed) if shot_of[i] == sh]
+                    tot = sum(sums[i] for i in fs)
+                    key = min(
+                        fs, key=lambda i: (abs(sums[i] * len(fs) - tot), i)
+                    )
+                    rows.append(
+                        (
+                            doc_id,
+                            sh,
+                            fs[0],
+                            fs[-1],
+                            len(fs),
+                            key,
+                            sums[key] / area,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "shot_idx", "start_frame", "end_frame",
+                    "n_frames_shot", "keyframe", "keyframe_mean_luma",
+                ],
+            )
+
+    raw = src.mapInPandas(
+        keyframes,
+        "doc_id bigint, shot_idx bigint, start_frame bigint,"
+        " end_frame bigint, n_frames_shot bigint, keyframe bigint,"
+        " keyframe_mean_luma double",
+    )
+    return raw.select(
+        "doc_id",
+        "shot_idx",
+        "start_frame",
+        "end_frame",
+        "n_frames_shot",
+        "keyframe",
+        rnd("keyframe_mean_luma", 4).alias("keyframe_mean_luma"),
+    )
