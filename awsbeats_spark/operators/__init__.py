@@ -479,6 +479,7 @@ _ROUND11_WINDOW = [
     "dedup_edit_distance_verify",
     "corpus_dsir_ess",
     "multimodal_video_keyframe_per_shot",
+    "graph_markov_absorption_time",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

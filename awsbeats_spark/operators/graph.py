@@ -1940,3 +1940,120 @@ graph_hits_hubs_authorities.__doc__ = (
     .replace("{k}", str(_HITS_TOPK))
     .replace("{r}", str(_HITS_ROUND))
 )
+
+
+# --------------------------------------------------------------------------
+# Absorbing-chain expected steps to absorption (funnel distance-to-outcome)
+# --------------------------------------------------------------------------
+
+_ABSORBING_TYPES = ("purchase", "error")
+_ABS_ITERS = 16
+
+
+def _absorption_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of graph_markov_absorption_time."""
+    absorbing = ", ".join(f"'{t}'" for t in _ABSORBING_TYPES)
+    parts = [
+        f"trans AS ({_TRANS_SQL})",
+        f"""q AS (
+            SELECT src_type, dst_type, prob FROM trans
+            WHERE src_type NOT IN ({absorbing})
+              AND dst_type NOT IN ({absorbing})
+        )""",
+        f"""nodes AS (
+            SELECT DISTINCT src_type AS node FROM trans
+            WHERE src_type NOT IN ({absorbing})
+        )""",
+        "t0 AS (SELECT node, 0.0 AS t FROM nodes)",
+    ]
+    for i in range(1, _ABS_ITERS + 1):
+        parts.append(
+            f"""t{i} AS (
+            SELECT n.node,
+                   round(1.0 + coalesce(sum(p.t * q.prob), 0.0), 12) AS t
+            FROM nodes n
+            LEFT JOIN q ON q.src_type = n.node
+            LEFT JOIN t{i - 1} p ON p.node = q.dst_type
+            GROUP BY n.node
+        )"""
+        )
+    last, prev = f"t{_ABS_ITERS}", f"t{_ABS_ITERS - 1}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT a.node AS src_type,
+               round(a.t, 6) AS expected_steps,
+               round(a.t - b.t, 6) AS last_round_delta
+        FROM {last} a JOIN {prev} b USING (node)"""
+    )
+
+
+@query("graph_markov_absorption_time", oracle=_absorption_oracle())
+def graph_markov_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to absorption for each transient event type —
+    the absorbing-Markov-chain read of the funnel: with
+    {abs} as absorbing outcomes, T(s) = 1 + Σ_t Q(s,t)·T(t) over the
+    transient block Q of [[events_markov_transitions]], iterated
+    {it} rounds from T=0 (the truncated-horizon form of the
+    fundamental-matrix solve (I-Q)⁻¹·1 — each round k yields the exact
+    expected steps capped at horizon k, so the sequence is monotone
+    and its tail increment is the truncation error). The product
+    question it answers: "from a click, how many more events until
+    this user converts or errors out?" last_round_delta is the
+    built-in honesty column — a state with no path to absorption
+    diverges at +1/round and says so instead of hiding it.
+
+    Parity & scale: same discipline as [[graph_pagerank_transitions]]
+    — ONE distributed pass reduces the fact table to the |types|²
+    transition matrix; the iteration is |transient|-sized broadcast
+    joins over quantized (12 dp/round) state, never rescanning events;
+    outputs round at 6.
+    """
+    trans = _transitions(spark, sf_dir).select("src_type", "dst_type", "prob")
+    trans = trans.localCheckpoint(eager=True)
+    absorbing = list(_ABSORBING_TYPES)
+    q = trans.filter(
+        ~F.col("src_type").isin(absorbing)
+        & ~F.col("dst_type").isin(absorbing)
+    )
+    nodes = (
+        trans.filter(~F.col("src_type").isin(absorbing))
+        .select(F.col("src_type").alias("node"))
+        .distinct()
+    )
+    t = nodes.withColumn("t", F.lit(0.0))
+    prev = None
+    for _ in range(_ABS_ITERS):
+        prev = t
+        t = (
+            nodes.join(q, nodes["node"] == q["src_type"], "left")
+            .join(
+                F.broadcast(prev.select(F.col("node").alias("pn"), F.col("t").alias("pt"))),
+                F.col("dst_type") == F.col("pn"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                rnd(
+                    F.lit(1.0)
+                    + F.coalesce(F.sum(F.col("pt") * F.col("prob")), F.lit(0.0)),
+                    12,
+                ).alias("t")
+            )
+        )
+    return (
+        t.join(prev.select(F.col("node").alias("node"), F.col("t").alias("t_prev")), "node")
+        .select(
+            F.col("node").alias("src_type"),
+            rnd(F.col("t"), 6).alias("expected_steps"),
+            rnd(F.col("t") - F.col("t_prev"), 6).alias("last_round_delta"),
+        )
+    )
+
+
+graph_markov_absorption_time.__doc__ = (
+    graph_markov_absorption_time.__doc__
+    .replace("{abs}", " + ".join(_ABSORBING_TYPES))
+    .replace("{it}", str(_ABS_ITERS))
+)
