@@ -480,6 +480,8 @@ _ROUND11_WINDOW = [
     "corpus_dsir_ess",
     "multimodal_video_keyframe_per_shot",
     "graph_markov_absorption_time",
+    "eval_lsh_band_tradeoff",
+    "corpus_interleave_sources_roundrobin",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -3495,3 +3495,92 @@ def corpus_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ess_share"),
         rnd(F.max(w) / F.sum(w), 6).alias("max_w_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-robin source interleave (balanced multi-source training order)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_interleave_sources_roundrobin",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                            doc_id
+               ) AS r
+        FROM documents
+    ),
+    counts AS (SELECT source AS s2, count(*) AS n FROM ranked GROUP BY source)
+    SELECT source, doc_id, n_chars,
+           CAST(r AS BIGINT) AS rank_in_source,
+           CAST(sum(least(n, r - 1))
+                + sum(CASE WHEN s2 < source AND n >= r THEN 1 ELSE 0 END)
+                + 1 AS BIGINT) AS position
+    FROM ranked CROSS JOIN counts
+    GROUP BY source, doc_id, n_chars, r
+    """,
+)
+def corpus_interleave_sources_roundrobin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balanced round-robin interleave of sources — the training order a
+    multi-source mix actually streams (one doc per source per cycle,
+    so no source ever monopolizes a contiguous window of steps; the
+    within-source order is the content-addressed md5 shuffle of
+    [[corpus_epoch_shard_plan]]): every doc gets its global position
+    in the interleaved sequence. The interleave complements the epoch
+    plan's uniform global shuffle with the BALANCED policy (uniform
+    shuffle leaves source runs of geometric length; round-robin bounds
+    every source's gap at the source count).
+
+    Scale shape — the reason this is closed-form, not a sort: the
+    global position of (rank r, source s) is computable from the
+    per-source COUNTS alone — docs from earlier cycles contribute
+    Σ min(n_s', r-1), same-cycle earlier sources contribute
+    |{s' < s : n_s' ≥ r}| — so the plan is one per-source rank window
+    (parallel by source) plus a k-row broadcast and a doc-grain fold.
+    No global row_number, no single-partition funnel; exhausted
+    sources drop out of later cycles exactly as the formula's min()
+    encodes.
+    """
+    t = tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = t.documents.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("r")
+    )
+    counts = ranked.groupBy(F.col("source").alias("s2")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .groupBy("source", "doc_id", "n_chars", "r")
+        .agg(
+            (
+                F.sum(F.least(F.col("n"), F.col("r") - 1))
+                + F.sum(
+                    F.when(
+                        (F.col("s2") < F.col("source"))
+                        & (F.col("n") >= F.col("r")),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("position")
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.col("r").cast("long").alias("rank_in_source"),
+            "position",
+        )
+    )

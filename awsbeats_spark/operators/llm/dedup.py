@@ -2016,3 +2016,170 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_edit_distance_verify.__doc__ = dedup_edit_distance_verify.__doc__.replace(
     "{thr}", str(_EDIT_VERIFY_THRESHOLD)
 )
+
+
+# --------------------------------------------------------------------------
+# LSH band-count tradeoff curve (the tuning evidence behind 4x2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_lsh_band_tradeoff",
+    oracle=f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    mh AS (
+        SELECT doc_id, i,
+               min(substring(md5(sh) || md5('x:' || sh), i * 8 + 1, 8)) AS m
+        FROM exploded
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, {_SIGS} FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, j, CASE j {_BANDS} END AS bv
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS j)
+    ),
+    firstband AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               min(a.j) AS first_band
+        FROM bands a
+        JOIN bands b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b, fb.first_band
+        FROM ({_NGRAM_ORACLE}) e
+        LEFT JOIN firstband fb USING (doc_a, doc_b)
+    ),
+    cfg AS (SELECT unnest(generate_series(1, {N_BANDS})) AS n_bands)
+    SELECT cfg.n_bands,
+           (SELECT CAST(count(*) AS BIGINT) FROM firstband
+            WHERE first_band < cfg.n_bands) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact
+            WHERE first_band < cfg.n_bands) AS n_hits,
+           round((SELECT count(*) FROM exact WHERE first_band < cfg.n_bands)
+                 * 1.0 / greatest((SELECT count(*) FROM exact), 1), 6)
+               AS recall,
+           round((SELECT count(*) FROM exact WHERE first_band < cfg.n_bands)
+                 * 1.0
+                 / greatest((SELECT count(*) FROM firstband
+                             WHERE first_band < cfg.n_bands), 1), 6)
+               AS precision
+    FROM cfg
+    """,
+    tags=("dedup", "eval"),
+)
+def eval_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning curve behind [[dedup_minhash]]'s 4x2 choice,
+    measured instead of asserted: for every band count b = 1..4 (bands
+    of 2 from the same 8-hash family), the PRE-FILTER candidate count
+    (the work a config buys) and the recall/precision of those
+    candidates against the exact shingle-Jaccard truth. One band-join
+    computes it for all configs at once — each candidate pair carries
+    the MIN band index at which it first collides, so config b's
+    candidate set is `first_band < b` and the curve is four filtered
+    counts over one pair table, not four reruns ([[eval_minhash_vs_exact]]
+    scores only the shipped config; this is the knob's full response
+    surface, the evidence a 100-TB tuning decision actually needs —
+    more bands buy recall linearly in P(collide) = 1-(1-J²)^b but pay
+    in candidate volume).
+
+    Scale shape: the band join is the minhash candidate generator
+    itself (hash join, linear in docs + colliding pairs); the config
+    expansion multiplies a PAIR-grain table by 4, and the exact-truth
+    join is pair-grain — production would sample the truth set
+    exactly as [[eval_minhash_vs_exact]] documents.
+    """
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
+    uni = (
+        exploded.select("sh")
+        .distinct()
+        .select(
+            "sh",
+            F.concat(
+                F.md5("sh"), F.md5(F.concat(F.lit("x:"), F.col("sh")))
+            ).alias("h"),
+        )
+    )
+    sig = (
+        exploded.join(uni.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+    )
+    band_vals = F.array(
+        *[
+            F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")))
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_vals).alias("j", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    firstband = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.min(F.col("a.j")).alias("first_band"))
+    )
+    exact = (
+        QUERIES["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(F.broadcast(firstband), ["doc_a", "doc_b"], "left")
+    )
+    cfg = spark.range(1, N_BANDS + 1).select(
+        F.col("id").cast("int").alias("n_bands")
+    )
+    cand_counts = (
+        firstband.crossJoin(F.broadcast(cfg))
+        .filter(F.col("first_band") < F.col("n_bands"))
+        .groupBy("n_bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    exact_counts = (
+        exact.crossJoin(F.broadcast(cfg))
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count(F.when(F.col("first_band") < F.col("n_bands"), 1))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return (
+        cfg.join(F.broadcast(cand_counts), "n_bands", "left")
+        .join(F.broadcast(exact_counts), "n_bands", "left")
+        .select(
+            "n_bands",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            rnd(
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(F.coalesce("n_exact", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("recall"),
+            rnd(
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(F.coalesce("n_candidates", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )
