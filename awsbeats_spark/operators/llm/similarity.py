@@ -3098,7 +3098,7 @@ _CAL_N_BINS = 20  # histogram bins over [-1, 1]
     oracle=f"""
     WITH frac AS (
         SELECT least({_CAL_SAMPLE_FRAC},
-                     {_CAL_TARGET_VECS} / count(*)) AS f
+                     {_CAL_TARGET_VECS} / greatest(count(*), 1)) AS f
         FROM embeddings
     ),
     sampled AS (
@@ -3156,7 +3156,9 @@ def embed_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = t.embeddings.agg(
         F.least(
             F.lit(_CAL_SAMPLE_FRAC),
-            F.lit(_CAL_TARGET_VECS) / F.count(F.lit(1)),
+            # greatest(n, 1): ANSI mode makes n=0 a DIVIDE_BY_ZERO error
+            # on an empty table instead of an empty result
+            F.lit(_CAL_TARGET_VECS) / F.greatest(F.count(F.lit(1)), F.lit(1)),
         ).alias("f")
     )
     sampled = (
