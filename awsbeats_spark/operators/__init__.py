@@ -482,6 +482,7 @@ _ROUND11_WINDOW = [
     "graph_markov_absorption_time",
     "eval_lsh_band_tradeoff",
     "corpus_interleave_sources_roundrobin",
+    "ts_intervention_its",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were
