@@ -483,6 +483,8 @@ _ROUND11_WINDOW = [
     "eval_lsh_band_tradeoff",
     "corpus_interleave_sources_roundrobin",
     "ts_intervention_its",
+    "graph_first_passage_cdf",
+    "set_relational_division",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -2057,3 +2057,112 @@ graph_markov_absorption_time.__doc__ = (
     .replace("{abs}", " + ".join(_ABSORBING_TYPES))
     .replace("{it}", str(_ABS_ITERS))
 )
+
+
+# --------------------------------------------------------------------------
+# First-passage CDF: P(reach purchase within k steps) per starting type
+# --------------------------------------------------------------------------
+
+_FP_TARGET = "purchase"
+_FP_MAX_K = 8
+
+
+def _first_passage_oracle() -> str:
+    parts = [
+        f"trans AS ({_TRANS_SQL})",
+        f"""nodes AS (
+            SELECT DISTINCT src_type AS node FROM trans
+            WHERE src_type <> '{_FP_TARGET}'
+        )""",
+        "f0 AS (SELECT node, 0.0 AS p FROM nodes)",
+    ]
+    for k in range(1, _FP_MAX_K + 1):
+        parts.append(
+            f"""f{k} AS (
+            SELECT n.node,
+                   round(coalesce(sum(t.prob * CASE
+                       WHEN t.dst_type = '{_FP_TARGET}' THEN 1.0
+                       ELSE coalesce(p.p, 0.0) END), 0.0), 12) AS p
+            FROM nodes n
+            LEFT JOIN trans t ON t.src_type = n.node
+            LEFT JOIN f{k - 1} p ON p.node = t.dst_type
+            GROUP BY n.node
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT node AS src_type, {k} AS k, round(p, 6) AS p_reach FROM f{k}"
+        for k in range(1, _FP_MAX_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({selects})"
+
+
+@query("graph_first_passage_cdf", oracle=_first_passage_oracle())
+def graph_first_passage_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-passage CDF to '{tgt}' on the event-type transition chain:
+    for every non-target starting type and horizon k = 1..{mk},
+    P(first reach the target within k steps) via the standard
+    first-passage recursion f_k(s) = Σ_t P(s,t)·[t = target ? 1 :
+    f_{{k-1}}(t)] — the DISTRIBUTION whose mean-time summary
+    [[graph_markov_absorption_time]] reports (that op answers "how
+    many steps on average"; this one answers "what fraction of users
+    convert within k events", the curve a funnel review actually
+    plots). Monotone in k by construction — pinned in the twin test.
+
+    Parity & scale: the [[graph_pagerank_transitions]] discipline —
+    one pass to the |types|² matrix, then {mk} broadcast-join rounds
+    over |types|-sized state quantized at 12 dp/round; output is
+    |types| x {mk} rows, rounded at 6.
+    """
+    trans = _transitions(spark, sf_dir).select("src_type", "dst_type", "prob")
+    trans = trans.localCheckpoint(eager=True)
+    nodes = (
+        trans.filter(F.col("src_type") != _FP_TARGET)
+        .select(F.col("src_type").alias("node"))
+        .distinct()
+    )
+    f = nodes.withColumn("p", F.lit(0.0))
+    out = []
+    for k in range(1, _FP_MAX_K + 1):
+        f = (
+            nodes.join(trans, nodes["node"] == trans["src_type"], "left")
+            .join(
+                F.broadcast(
+                    f.select(F.col("node").alias("pn"), F.col("p").alias("pp"))
+                ),
+                F.col("dst_type") == F.col("pn"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                rnd(
+                    F.coalesce(
+                        F.sum(
+                            F.col("prob")
+                            * F.when(
+                                F.col("dst_type") == _FP_TARGET, F.lit(1.0)
+                            ).otherwise(F.coalesce(F.col("pp"), F.lit(0.0)))
+                        ),
+                        F.lit(0.0),
+                    ),
+                    12,
+                ).alias("p")
+            )
+        )
+        out.append(
+            f.select(
+                F.col("node").alias("src_type"),
+                F.lit(k).cast("int").alias("k"),
+                rnd(F.col("p"), 6).alias("p_reach"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+graph_first_passage_cdf.__doc__ = (
+    graph_first_passage_cdf.__doc__
+    .replace("{tgt}", _FP_TARGET)
+    .replace("{mk}", str(_FP_MAX_K))
+)

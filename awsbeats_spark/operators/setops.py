@@ -265,3 +265,73 @@ def set_multiset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nr - nl).alias("delta"),
         status.alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# Relational division (÷): users who performed ALL event types
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_relational_division",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    k AS (SELECT count(*) AS n_types FROM types),
+    per_user AS (
+        SELECT user_id,
+               count(DISTINCT event_type) AS n_distinct,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_distinct AS BIGINT) AS n_distinct_types,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM per_user CROSS JOIN k
+    WHERE n_distinct = k.n_types
+    """,
+)
+def set_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (Codd's ÷, the eighth classic operator and
+    the one SQL never got a keyword for): the users who performed
+    EVERY event type in the corpus — divide(events[user, type],
+    types[type]). Implemented as the standard count-comparison
+    rewrite: a user qualifies iff their distinct-type count equals the
+    divisor's cardinality, which turns the double-negation
+    (NOT EXISTS ... NOT EXISTS) textbook form into two keyed
+    aggregates and a broadcast scalar — the shape that scales
+    (the NOT EXISTS form is a correlated anti-join per divisor row;
+    [[join_not_in_vs_not_exists]] covers that family's semantics).
+    Completes the setops module: union/intersect/except handle
+    rows-as-sets, [[set_multiset_compare]] handles bags, division
+    handles the for-all quantifier.
+
+    Scale shape: one distinct-aggregate per user (map-side partial on
+    (user, type) first), a |types|-row divisor reduced to one scalar,
+    broadcast; no shuffle beyond the user-keyed fold.
+    """
+    t = tables(spark, sf_dir)
+    k = t.events.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    # distinct-count and plain count as SEPARATE aggregates joined on
+    # the key: mixing them in one agg forces an Expand (the documented
+    # 60x-at-10x anti-pattern; see agg_median_two_pass_binned note)
+    distinct_types = (
+        t.events.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    totals = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    per_user = distinct_types.join(totals, "user_id")
+    return (
+        per_user.crossJoin(F.broadcast(k))
+        .filter(F.col("n_distinct") == F.col("n_types"))
+        .select(
+            "user_id",
+            F.col("n_distinct").cast("long").alias("n_distinct_types"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
