@@ -485,6 +485,7 @@ _ROUND11_WINDOW = [
     "ts_intervention_its",
     "graph_first_passage_cdf",
     "set_relational_division",
+    "stream_watermark_lateness_curve",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -236,3 +236,113 @@ def stream_hopping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rank", rank).filter(
         F.col("rank") <= _HOP_TOP_N
     )
+
+
+_WM_BLOCK = 1024  # arrival-order block size for the distributed prefix max
+_WM_DELAYS = (60, 300, 900, 3600)  # candidate watermark delays (seconds)
+
+
+@query(
+    "stream_watermark_lateness_curve",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_id,
+               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS es
+        FROM events
+    ),
+    runmax AS (
+        SELECT event_id, es,
+               max(es) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS high_water
+        FROM arr
+    ),
+    lat AS (SELECT high_water - es AS lateness FROM runmax),
+    d AS (SELECT unnest([{", ".join(str(d) for d in _WM_DELAYS)}]) AS delay_s)
+    SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+           CAST(count(*) FILTER (lat.lateness > d.delay_s) AS BIGINT)
+               AS n_dropped,
+           round(count(*) FILTER (lat.lateness > d.delay_s)
+                 * 1.0 / count(*), 6) AS frac_dropped
+    FROM lat CROSS JOIN d
+    GROUP BY d.delay_s
+    """,
+)
+def stream_watermark_lateness_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark tuning curve: for each candidate delay, the fraction
+    of the historical stream a `withWatermark(ts, delay)` would have
+    DROPPED — each event's lateness is high_water - ts where
+    high_water is the running max event time in ARRIVAL order
+    (event_id), exactly the quantity Structured Streaming's watermark
+    tracks. [[events_lateness_stats]] describes the lateness
+    distribution; this op answers the design question directly
+    ("what delay keeps 99.99% of events?") as a measured
+    drop-rate-vs-delay curve, the evidence behind every
+    [[stream_watermark_dedup]] / windowed-agg watermark choice.
+
+    Scale shape — the reason this isn't the oracle's global window:
+    the running max over arrival order is computed as a DISTRIBUTED
+    PREFIX SCAN — per-block cumulative max inside each {blk}-event
+    arrival block (a window partitioned BY BLOCK, parallel), combined
+    with the exclusive prefix max OVER block maxima (a |blocks|-sized
+    table, broadcast back). max() is associative, so the decomposition
+    is exact; no single-partition funnel touches event grain. The
+    oracle replays the same semantics with DuckDB's global window,
+    which is fine at oracle scale.
+    """
+    t = tables(spark, sf_dir)
+    arr = t.events.select(
+        "event_id",
+        F.unix_timestamp(F.col("ts")).alias("es"),
+        (F.col("event_id") / _WM_BLOCK).cast("long").alias("blk"),
+    )
+    in_block = F.max("es").over(
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = arr.groupBy("blk").agg(F.max("es").alias("bmax"))
+    # exclusive prefix max over the (tiny) block-max table
+    prefix = blocks.withColumn(
+        "pmax",
+        F.max("bmax").over(
+            Window.orderBy("blk").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+    ).select("blk", "pmax")
+    lat = (
+        arr.withColumn("inb", in_block)
+        .join(F.broadcast(prefix), "blk")
+        .select(
+            (
+                F.greatest(F.col("inb"), F.coalesce(F.col("pmax"), F.col("inb")))
+                - F.col("es")
+            ).alias("lateness")
+        )
+    )
+    delays = spark.createDataFrame(
+        [(d,) for d in _WM_DELAYS], "delay_s long"
+    )
+    return (
+        lat.crossJoin(F.broadcast(delays))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.when(F.col("lateness") > F.col("delay_s"), 1))
+            .cast("long")
+            .alias("n_dropped"),
+            rnd(
+                F.count(F.when(F.col("lateness") > F.col("delay_s"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_dropped"),
+        )
+    )
+
+
+stream_watermark_lateness_curve.__doc__ = (
+    stream_watermark_lateness_curve.__doc__.replace("{blk}", str(_WM_BLOCK))
+)
