@@ -486,6 +486,7 @@ _ROUND11_WINDOW = [
     "graph_first_passage_cdf",
     "set_relational_division",
     "stream_watermark_lateness_curve",
+    "eval_ivf_nprobe_curve",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

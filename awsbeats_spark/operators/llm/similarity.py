@@ -3192,3 +3192,204 @@ def embed_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n_pairs") * 1.0 / F.col("n"), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe response curve (recall vs probed cells, one assignment pass)
+# --------------------------------------------------------------------------
+
+_NPROBE_MAX = 4
+
+#: exact-truth CTE — the registered sim_search_topk oracle verbatim
+_TOPK_ORACLE = QUERIES["sim_search_topk"].oracle
+
+
+@query(
+    "eval_ivf_nprobe_curve",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings
+        WHERE vec_id % {CENTROID_MOD} = 0 AND vec_id < {CENTROID_ID_CAP}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS arn
+        FROM embeddings e CROSS JOIN centroids c
+        QUALIFY arn = 1
+    ),
+    proberanks AS (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'c.cv')} DESC, c.cent_id
+               ) AS prn
+        FROM embeddings q CROSS JOIN centroids c
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.prn,
+               round({cosine_sql('q.embedding', 'a.embedding')}, 6) AS cosine
+        FROM proberanks p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.prn <= {_NPROBE_MAX}
+    ),
+    cfg AS (SELECT unnest(generate_series(1, {_NPROBE_MAX})) AS n_probe),
+    ranked AS (
+        SELECT cfg.n_probe, c.query_id, c.neighbor_id, c.prn,
+               row_number() OVER (
+                   PARTITION BY cfg.n_probe, c.query_id
+                   ORDER BY c.cosine DESC, c.neighbor_id
+               ) AS rn
+        FROM cand c JOIN cfg ON c.prn <= cfg.n_probe
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id
+        FROM ({_TOPK_ORACLE}) x
+    ),
+    counts AS (
+        SELECT n_probe,
+               CAST(count(*) AS BIGINT) AS n_candidates
+        FROM (SELECT cfg.n_probe, c.query_id, c.neighbor_id
+              FROM cand c JOIN cfg ON c.prn <= cfg.n_probe)
+        GROUP BY n_probe
+    ),
+    hits AS (
+        SELECT r.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+        FROM ranked r
+        JOIN truth t
+          ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        WHERE r.rn <= {TOP_K}
+        GROUP BY r.n_probe
+    ),
+    nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS q FROM truth)
+    SELECT counts.n_probe, counts.n_candidates,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           round(coalesce(hits.n_hits, 0) * 1.0 / (nq.q * {TOP_K}), 6)
+               AS recall_at_k
+    FROM counts
+    LEFT JOIN hits ON hits.n_probe = counts.n_probe
+    CROSS JOIN nq
+    """,
+    tags=("similarity", "eval"),
+)
+def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe response curve — recall@{k} and candidate volume
+    for every probe depth 1..{np}, from ONE cell-assignment pass: each
+    candidate carries the rank of its cell in the query's probe order
+    (the [[eval_lsh_band_tradeoff]] min-first-band move applied to
+    IVF), so config p's candidate set is `prn <= p` and the whole
+    curve is filtered ranks over one candidate table.
+    [[eval_ann_recall_ivf]] scores only the shipped nprobe={np0}; this
+    is the knob's full response surface against the exact
+    [[sim_search_topk]] truth — the recall-vs-scan-cost evidence an
+    IVF deployment tunes against (each +1 probe buys recall and pays
+    ~1/cells more corpus scanned).
+
+    Scale shape: assignment and probe ranking are broadcast-centroid
+    scans (|cells| per row); the config expansion multiplies the
+    CANDIDATE table (post-pruning, not the corpus) by {np}; truth is
+    |queries| x k. Same production caveat as every recall eval here:
+    at 100 TB the exact truth is computed on a sampled query shard.
+    """
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == 0)
+        & (F.col("vec_id") < CENTROID_ID_CAP)
+    ).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("cv")
+    )
+    e = emb.select("vec_id", as_double("embedding").alias("ev"))
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("acos"), F.asc("cent_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "ev",
+            "cent_id",
+            cosine(F.col("ev"), F.col("cv")).alias("acos"),
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", F.col("ev").alias("av"), "cent_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("cent_id")
+    )
+    proberanks = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "cent_id",
+            cosine(F.col("qv"), F.col("cv")).alias("pcos"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= _NPROBE_MAX)
+        .select("query_id", "qv", "cent_id", "prn")
+    )
+    cand = (
+        proberanks.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "prn",
+            rnd(cosine(F.col("qv"), F.col("av")), 6).alias("cosine"),
+        )
+    )
+    cfg = spark.range(1, _NPROBE_MAX + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    expanded = cand.join(
+        F.broadcast(cfg), F.col("prn") <= F.col("n_probe")
+    )
+    rank_w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = expanded.withColumn("rn", F.row_number().over(rank_w))
+    truth = sim_search_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    counts = expanded.groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hits = (
+        ranked.filter(F.col("rn") <= TOP_K)
+        .join(F.broadcast(truth), ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    nq = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("q")
+    )
+    return (
+        counts.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "n_probe",
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            rnd(
+                F.coalesce("n_hits", F.lit(0))
+                / (F.col("q") * float(TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+eval_ivf_nprobe_curve.__doc__ = (
+    eval_ivf_nprobe_curve.__doc__
+    .replace("{k}", str(TOP_K))
+    .replace("{np0}", str(N_PROBE))
+    .replace("{np}", str(_NPROBE_MAX))
+)
