@@ -435,6 +435,27 @@ EXTENDED_PROBE = [
     "set_multiset_compare",
     "embed_semdedup_prune",
     "eval_semdedup_lexical_overlap",
+    "retrieval_prf_rm3",
+    "text_unigram_perplexity",
+    "corpus_epoch_shard_plan",
+    "scale_compaction_binpack",
+    "stream_hopping_topk",
+    "ts_holt_winters_additive",
+    "udtf_run_length_encode",
+    "eval_prf_rank_shift",
+    "dq_levene_variance_homogeneity",
+    "embed_cosine_pair_histogram",
+    "dedup_edit_distance_verify",
+    "corpus_dsir_ess",
+    "multimodal_video_keyframe_per_shot",
+    "graph_markov_absorption_time",
+    "eval_lsh_band_tradeoff",
+    "corpus_interleave_sources_roundrobin",
+    "ts_intervention_its",
+    "graph_first_passage_cdf",
+    "set_relational_division",
+    "stream_watermark_lateness_curve",
+    "eval_ivf_nprobe_curve",
 ]
 
 
