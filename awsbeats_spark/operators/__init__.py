@@ -487,6 +487,8 @@ _ROUND11_WINDOW = [
     "set_relational_division",
     "stream_watermark_lateness_curve",
     "eval_ivf_nprobe_curve",
+    "corpus_canary_scan",
+    "events_session_gap_sensitivity",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -3584,3 +3584,87 @@ def corpus_interleave_sources_roundrobin(
             "position",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Canary-string scan (memorization audit: exact planted-sequence hits)
+# --------------------------------------------------------------------------
+
+# Fixed canary phrases (word 3-grams in the synthetic OLAP vocabulary —
+# TESTDATA.md): the audit is the MECHANISM; real deployments broadcast
+# their secret canary table instead.
+_CANARIES = (
+    "table scan filter",
+    "stream batch window",
+    "hash join merge",
+    "query plan cost",
+)
+
+
+def _canaries_sql() -> str:
+    rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(_CANARIES))
+    return f"(VALUES {rows}) AS canary(canary_id, phrase)"
+
+
+@query(
+    "corpus_canary_scan",
+    oracle=f"""
+    WITH shs AS (
+        SELECT doc_id, unnest(list_distinct({shingles_sql(WORDS_SQL, 3)})) AS sh
+        FROM documents
+    ),
+    hits AS (
+        SELECT canary.canary_id, canary.phrase, s.doc_id
+        FROM {_canaries_sql()}
+        JOIN shs s ON s.sh = canary.phrase
+    ),
+    c2 AS (SELECT * FROM {_canaries_sql().replace("canary(", "canary2(")})
+    SELECT c2.canary_id, c2.phrase,
+           CAST(coalesce(count(h.doc_id), 0) AS BIGINT) AS n_docs,
+           coalesce(min(h.doc_id), -1) AS first_doc_id
+    FROM c2
+    LEFT JOIN hits h ON h.canary_id = c2.canary_id
+    GROUP BY c2.canary_id, c2.phrase
+    """,
+)
+def corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-string scan — the memorization audit (Carlini et al.'s
+    secret-sharer protocol): a broadcast table of planted canary
+    phrases is matched EXACTLY against every document's word 3-gram
+    set, reporting how many training docs contain each canary and
+    where it first appears. [[corpus_decontaminate]] removes overlap
+    with an eval SLICE of the corpus itself; this scans for a known
+    EXTERNAL list — the before-training check that canaries are
+    where you planted them (and nowhere else), and the
+    incident-response query when a secret leaks into a crawl.
+
+    Scale shape: the canary table is tiny and BROADCAST into one
+    corpus scan's exploded distinct-shingle stream (the same shingle
+    layout the dedup family shares); every canary reports a row even
+    at zero hits (LEFT JOIN — silence must be a measured zero, not a
+    missing row). Match is exact string equality on the normalized
+    3-gram, so there is no float surface at all.
+    """
+    t = tables(spark, sf_dir)
+    canaries = spark.createDataFrame(
+        list(enumerate(_CANARIES)), "canary_id int, phrase string"
+    )
+    shs = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words()))).alias("sh"),
+    )
+    hits = shs.join(
+        F.broadcast(canaries), F.col("sh") == F.col("phrase")
+    ).groupBy("canary_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+    return (
+        canaries.join(F.broadcast(hits), "canary_id", "left")
+        .select(
+            "canary_id",
+            "phrase",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("first_doc_id", F.lit(-1)).alias("first_doc_id"),
+        )
+    )

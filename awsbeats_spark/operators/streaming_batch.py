@@ -346,3 +346,87 @@ def stream_watermark_lateness_curve(
 stream_watermark_lateness_curve.__doc__ = (
     stream_watermark_lateness_curve.__doc__.replace("{blk}", str(_WM_BLOCK))
 )
+
+
+_GAP_CANDIDATES = (900, 1800, 3600)  # candidate session gaps (seconds)
+
+
+@query(
+    "events_session_gap_sensitivity",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               - lag(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap_s
+        FROM events
+    ),
+    users AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    cand AS (
+        SELECT unnest([{", ".join(str(g) for g in _GAP_CANDIDATES)}])
+            AS gap_threshold_s
+    )
+    SELECT CAST(cand.gap_threshold_s AS BIGINT) AS gap_threshold_s,
+           CAST(users.n_users
+                + count(*) FILTER (gaps.gap_s >= cand.gap_threshold_s)
+                AS BIGINT) AS n_sessions,
+           round((users.n_users
+                  + count(*) FILTER (gaps.gap_s >= cand.gap_threshold_s))
+                 * 1.0 / users.n_users, 4) AS sessions_per_user
+    FROM gaps CROSS JOIN cand CROSS JOIN users
+    GROUP BY cand.gap_threshold_s, users.n_users
+    """,
+)
+def events_session_gap_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sessionization sensitivity curve — total session count (and
+    sessions per user) as a function of the inactivity-gap threshold,
+    for the candidate gaps every session-window deployment argues
+    about: a session COUNT needs no session assembly, only boundary
+    counting (sessions = users + boundaries where gap ≥ threshold),
+    so the whole curve is one lag window and conditional counts —
+    the response-surface discipline ([[eval_lsh_band_tradeoff]],
+    [[stream_watermark_lateness_curve]]) applied to
+    [[stream_session_window]]'s 30-minute knob, which sits exactly on
+    this curve.
+
+    Scale shape: one user-partitioned lag window (parallel by user —
+    the same shuffle sessionization itself needs), then a ×|candidates|
+    conditional fold; no session rows are materialized.
+    """
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp(F.col("ts"))
+    gaps = t.events.select(
+        "user_id", (es - F.lag(es).over(w)).alias("gap_s")
+    )
+    n_users = t.events.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    cand = spark.createDataFrame(
+        [(g,) for g in _GAP_CANDIDATES], "gap_threshold_s long"
+    )
+    return (
+        gaps.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(n_users))
+        .groupBy("gap_threshold_s", "n_users")
+        .agg(
+            F.count(
+                F.when(F.col("gap_s") >= F.col("gap_threshold_s"), 1)
+            ).alias("n_boundaries")
+        )
+        .select(
+            "gap_threshold_s",
+            (F.col("n_users") + F.col("n_boundaries"))
+            .cast("long")
+            .alias("n_sessions"),
+            rnd(
+                (F.col("n_users") + F.col("n_boundaries"))
+                * 1.0
+                / F.col("n_users"),
+                4,
+            ).alias("sessions_per_user"),
+        )
+    )

@@ -456,6 +456,8 @@ EXTENDED_PROBE = [
     "set_relational_division",
     "stream_watermark_lateness_curve",
     "eval_ivf_nprobe_curve",
+    "corpus_canary_scan",
+    "events_session_gap_sensitivity",
 ]
 
 
