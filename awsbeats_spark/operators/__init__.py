@@ -30,11 +30,12 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   CORRECTNESS_r06): the remaining timeseries/events/geo/graph tail
   plus the first 13 operators added in round 4. After round 6:
   292/485.
-* **Round 7** (``_ROUND7_WINDOW``, exactly 50, NOW FRONTED): the 12
+* **Round 7** (``_ROUND7_WINDOW``, exactly 50, all driver-green in
+  CORRECTNESS_r07 — 49/49 checkable + 1 declared rows-only): the 12
   round-4 additions that overflow round 6's budget plus the earliest
-  38 round-5 additions. After round 7: 342/485.
-* **Round 8** (``_ROUND8_WINDOW``, exactly 50): the later round-5
-  additions that overflow round 7's budget. After round 8: 392
+  38 round-5 additions. After round 7: 342/513.
+* **Round 8** (``_ROUND8_WINDOW``, exactly 50, NOW FRONTED): the later
+  round-5 additions that overflow round 7's budget. After round 8: 392
   driver-evidenced.
 * **Round 9** (``_ROUND9_WINDOW``, exactly 50): round-5 late
   additions (442/485 after round 9). **Round 10**
@@ -48,8 +49,9 @@ CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
 round 5, 35 in round 6); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
-order is r7, r8, r9, r10, r6, r5, r4 — never-driver-checked keys
-queue ahead of the already-green r6/r5/r4 blocks.
+order is r8, r9, r10, rechecks, r11, rechecks-r11, then the
+already-green r7/r6/r5/r4 blocks — never-driver-checked keys queue
+ahead of everything that already has a green driver row.
 """
 
 from awsbeats_spark import registry
@@ -505,18 +507,39 @@ _DELIBERATE_RECHECKS = [
     "embed_kmeans_cluster",
 ]
 
+# Second deliberate-recheck batch (VERDICT r7 item 3): the three keys
+# converted from rows-only to hash-checked in ROUND 7 (exact-count
+# sandwiches for freq-items/profile, quantized power iteration for
+# PCA). Their latest driver rows still say ``no_oracle`` (r1/r4/r2) and
+# round 10's budget is exactly full (46 + 4 = 50), so they queue in
+# round 11's slack (25 + 3 = 28 <= 50), consumed right after
+# _ROUND11_WINDOW. The overlap tripwire whitelists both recheck lists.
+_DELIBERATE_RECHECKS_R11 = [
+    "agg_freq_items_approx",
+    "profile_columns_approx",
+    "embed_pca_project",
+]
+
 
 def _reorder() -> None:
+    # Re-check keys may legitimately also appear in an old (already
+    # driver-checked) window — e.g. profile_columns_approx sits in
+    # _ROUND4_WINDOW; drop them from the tail so they register exactly
+    # once, at their recheck position.
+    rechecks = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
+    tail = [
+        n
+        for n in _ROUND7_WINDOW + _ROUND6_WINDOW + _ROUND5_WINDOW + _ROUND4_WINDOW
+        if n not in rechecks
+    ]
     priority = (
-        _ROUND7_WINDOW
-        + _ROUND8_WINDOW
+        _ROUND8_WINDOW
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
         + _DELIBERATE_RECHECKS
         + _ROUND11_WINDOW
-        + _ROUND6_WINDOW
-        + _ROUND5_WINDOW
-        + _ROUND4_WINDOW
+        + _DELIBERATE_RECHECKS_R11
+        + tail
     )
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})

@@ -9,6 +9,7 @@ import pathlib
 
 from awsbeats_spark.operators import (
     _DELIBERATE_RECHECKS,
+    _DELIBERATE_RECHECKS_R11,
     _ROUND11_WINDOW,
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
@@ -22,18 +23,18 @@ from awsbeats_spark.registry import load_all
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
+_ALL_RECHECKS = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
 
-def test_round7_window_registers_first():
-    assert len(_ROUND7_WINDOW) == 50
+
+def test_round8_window_registers_first():
+    assert len(_ROUND8_WINDOW) == 50
     keys = list(load_all())
-    assert keys[: len(_ROUND7_WINDOW)] == _ROUND7_WINDOW
+    assert keys[: len(_ROUND8_WINDOW)] == _ROUND8_WINDOW
 
 
-def test_round8_through_round4_follow():
+def test_round9_through_round4_follow():
     keys = list(load_all())
-    s = len(_ROUND7_WINDOW)
-    assert keys[s : s + len(_ROUND8_WINDOW)] == _ROUND8_WINDOW
-    s += len(_ROUND8_WINDOW)
+    s = len(_ROUND8_WINDOW)
     assert keys[s : s + len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
     s += len(_ROUND9_WINDOW)
     assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
@@ -42,14 +43,20 @@ def test_round8_through_round4_follow():
     s += len(_DELIBERATE_RECHECKS)
     assert keys[s : s + len(_ROUND11_WINDOW)] == _ROUND11_WINDOW
     s += len(_ROUND11_WINDOW)
-    assert len(_ROUND6_WINDOW) == 50
-    assert keys[s : s + len(_ROUND6_WINDOW)] == _ROUND6_WINDOW
-    s += len(_ROUND6_WINDOW)
-    assert len(_ROUND5_WINDOW) == 50
-    assert keys[s : s + len(_ROUND5_WINDOW)] == _ROUND5_WINDOW
-    s += len(_ROUND5_WINDOW)
-    assert len(_ROUND4_WINDOW) == 50
-    assert keys[s : s + len(_ROUND4_WINDOW)] == _ROUND4_WINDOW
+    assert keys[s : s + len(_DELIBERATE_RECHECKS_R11)] == _DELIBERATE_RECHECKS_R11
+    s += len(_DELIBERATE_RECHECKS_R11)
+    # Tail windows register with recheck keys filtered out (they already
+    # registered at their recheck position above).
+    for window, full_len in (
+        (_ROUND7_WINDOW, 50),
+        (_ROUND6_WINDOW, 50),
+        (_ROUND5_WINDOW, 50),
+        (_ROUND4_WINDOW, 50),
+    ):
+        assert len(window) == full_len
+        expect = [k for k in window if k not in _ALL_RECHECKS]
+        assert keys[s : s + len(expect)] == expect
+        s += len(expect)
 
 
 def test_upcoming_window_has_no_driver_checked_overlap():
@@ -61,22 +68,58 @@ def test_upcoming_window_has_no_driver_checked_overlap():
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         checked |= set(json.loads(path.read_text()))
     fronted = list(load_all())[:50]
-    overlap = sorted(set(fronted) & checked - set(_DELIBERATE_RECHECKS))
+    overlap = sorted(set(fronted) & checked - _ALL_RECHECKS)
     assert overlap == [], f"fronted window re-checks driver-green keys: {overlap}"
 
 
 def test_deliberate_rechecks_fit_round10_budget():
     """VERDICT r6 item 3: the stale-`no_oracle` converted keys must sit
     inside round 10's 50-key driver budget so the conversion finally gets
-    driver-grade evidence. New keys append to _ROUND10_WINDOW, so this
+    driver-grade evidence. New keys append past _ROUND10_WINDOW, so this
     bounds how far that window may grow."""
     assert len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) <= 50, (
         "round-10 window overflow: deliberate re-checks would fall outside "
-        "the driver's 50-key budget — move new keys to a _ROUND11_WINDOW"
+        "the driver's 50-key budget — move new keys to _ROUND11_WINDOW"
     )
+    # The rechecks must actually occupy the registry slots right after
+    # _ROUND10_WINDOW (ADVICE r7: the old `start + a + b <= start + 50`
+    # form was a tautology that never checked positions).
     keys = list(load_all())
     start = keys.index(_ROUND10_WINDOW[0])
-    assert start + len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) <= start + 50
+    assert keys[start : start + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
+    assert (
+        keys[
+            start
+            + len(_ROUND10_WINDOW) : start
+            + len(_ROUND10_WINDOW)
+            + len(_DELIBERATE_RECHECKS)
+        ]
+        == _DELIBERATE_RECHECKS
+    )
+
+
+def test_deliberate_rechecks_r11_fit_round11_budget():
+    """VERDICT r7 item 3: the three round-7 oracle conversions
+    (agg_freq_items_approx, profile_columns_approx, embed_pca_project)
+    queue in round 11's slack so the driver finally sees the converted
+    oracles. Round-8+ additions append to _ROUND11_WINDOW, so this bounds
+    its growth too."""
+    assert len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11) <= 50, (
+        "round-11 window overflow: the r11 deliberate re-checks would fall "
+        "outside the driver's 50-key budget — open a _ROUND12_WINDOW"
+    )
+    keys = list(load_all())
+    start = keys.index(_ROUND11_WINDOW[0])
+    assert keys[start : start + len(_ROUND11_WINDOW)] == _ROUND11_WINDOW
+    assert (
+        keys[
+            start
+            + len(_ROUND11_WINDOW) : start
+            + len(_ROUND11_WINDOW)
+            + len(_DELIBERATE_RECHECKS_R11)
+        ]
+        == _DELIBERATE_RECHECKS_R11
+    )
 
 
 def test_rotation_names_unique_and_registered():
