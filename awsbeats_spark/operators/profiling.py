@@ -436,12 +436,16 @@ def profile_daily_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(*keys)
         .agg(F.count_distinct("v").alias("n_distinct"))
     )
-    return basic.join(distinct, keys).select(
+    # LEFT join: a (day, column) group whose value is entirely NULL has no
+    # row on the exact-distinct side (it filters isNotNull), but the oracle
+    # keeps the group with n_distinct=0 / null_rate=1 — an inner join would
+    # silently drop it (ADVICE r7; same case profile_columns_approx handles).
+    return basic.join(distinct, keys, "left").select(
         *keys,
         "n_rows",
         "n_nulls",
         rnd(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
-        "n_distinct",
+        F.coalesce(F.col("n_distinct"), F.lit(0).cast("long")).alias("n_distinct"),
         "vmin",
         "vmax",
         "vavg",

@@ -3022,8 +3022,8 @@ def _levene_crit_values_sql() -> str:
            round((stat.n - stat.k) * 1.0 / (stat.k - 1)
                  * stat.num / stat.den, 6) AS w_stat,
            crit.f95 AS crit_f_95,
-           (stat.n - stat.k) * 1.0 / (stat.k - 1) * stat.num / stat.den
-               > crit.f95 AS significant_95
+           round((stat.n - stat.k) * 1.0 / (stat.k - 1)
+                 * stat.num / stat.den, 6) > crit.f95 AS significant_95
     FROM stat JOIN {_levene_crit_values_sql()}
         ON crit.df1 = stat.k - 1
     """,
@@ -3118,6 +3118,10 @@ def dq_levene_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("n") - F.col("k")).alias("df2"),
             rnd(wstat, 6).alias("w_stat"),
             F.col("f95").alias("crit_f_95"),
-            (wstat > F.col("f95")).alias("significant_95"),
+            # Compare the ROUNDED statistic in both engines: num/den are
+            # double sums whose summation order differs across engines, so
+            # an unrounded knife-edge W could flip the flag (ADVICE r7 —
+            # the round-before-compare rule from dedup_idf_weighted_jaccard).
+            (rnd(wstat, 6) > F.col("f95")).alias("significant_95"),
         )
     )

@@ -351,11 +351,17 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     for _ in range(KMEANS_ITERS):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        # the engine drops an emptied cluster from the next iteration's
+        # centroid set; this twin would instead pin its stale centroid, so
+        # fail LOUDLY if a fixture ever empties one (ADVICE r7)
+        assert all((assign == c).any() for c in range(len(cents))), (
+            "cluster emptied mid-trajectory: the NumPy twin diverges from "
+            "the engine here — rebuild cents from non-empty clusters only"
+        )
         # the operator rounds each centroid mean to 6 decimals (engine
         # portability — see the operator docstring); mirror it here
         cents = np.stack(
             [np.round(X[assign == c].mean(axis=0), 6)
-             if (assign == c).any() else cents[c]
              for c in range(len(cents))]
         )
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -394,9 +400,12 @@ def test_semdedup_matches_numpy_reference(spark, sf_dir):
     for _ in range(KMEANS_ITERS):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        assert all((assign == c).any() for c in range(len(cents))), (
+            "cluster emptied mid-trajectory: the NumPy twin diverges from "
+            "the engine here — rebuild cents from non-empty clusters only"
+        )
         cents = np.stack(
             [np.round(X[assign == c].mean(axis=0), 6)
-             if (assign == c).any() else cents[c]
              for c in range(len(cents))]
         )
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
