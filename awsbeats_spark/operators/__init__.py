@@ -491,6 +491,8 @@ _ROUND11_WINDOW = [
     "eval_ivf_nprobe_curve",
     "corpus_canary_scan",
     "events_session_gap_sensitivity",
+    # round-8 additions
+    "embed_semdedup_prune_ivf",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -458,6 +458,8 @@ EXTENDED_PROBE = [
     "eval_ivf_nprobe_curve",
     "corpus_canary_scan",
     "events_session_gap_sensitivity",
+    # round 8 additions
+    "embed_semdedup_prune_ivf",
 ]
 
 

@@ -581,3 +581,78 @@ def test_dedup_cosine_plan_has_no_cartesian_at_scale_path(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_ivf_matches_numpy_reference(spark, sf_dir):
+    """The cell-pruned SemDeDup variant must equal a NumPy replay of the
+    two-level assignment: argmax-cosine coarse cell per vector, fine
+    centroids multi-registered into their top-N_PROBE cells, cell-local
+    argmin-L2 fine assignment, then all within-cluster pairs with rounded
+    cosine >= tau."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.operators.llm.similarity import (
+        CENTROID_ID_CAP,
+        CENTROID_MOD,
+        N_PROBE,
+        _SEMDEDUP_FINE_MOD,
+        _SEMDEDUP_TAU,
+        embed_semdedup_prune_ivf,
+    )
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tab = tab.sort_values("vec_id").reset_index(drop=True)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
+    ids = tab["vec_id"].to_numpy()
+    norms = np.sqrt((X * X).sum(axis=1))
+
+    coarse_mask = (ids % CENTROID_MOD == 0) & (ids < CENTROID_ID_CAP)
+    C, c_ids = X[coarse_mask], ids[coarse_mask]
+    c_norms = norms[coarse_mask]
+    fine_mask = ids % _SEMDEDUP_FINE_MOD == 0
+    Fv, f_ids = X[fine_mask], ids[fine_mask]
+
+    def top_cells(v, nv, k):
+        cos = (C @ v) / (c_norms * nv)
+        # ORDER BY cosine DESC, cell_id ASC
+        order = sorted(range(len(c_ids)), key=lambda i: (-cos[i], c_ids[i]))
+        return [int(c_ids[i]) for i in order[:k]]
+
+    # fine centroids register into their top-N_PROBE cells
+    cell_members: dict[int, list[int]] = {int(c): [] for c in c_ids}
+    for fi in range(len(f_ids)):
+        for cell in top_cells(Fv[fi], np.sqrt(Fv[fi] @ Fv[fi]), N_PROBE):
+            cell_members[cell].append(fi)
+
+    assign: dict[int, int] = {}
+    for vi in range(len(ids)):
+        [cell] = top_cells(X[vi], norms[vi], 1)
+        cands = cell_members[cell]
+        if not cands:
+            continue  # conservatively kept — no prune pairs
+        d2 = [((X[vi] - Fv[fi]) ** 2).sum() for fi in cands]
+        best = min(range(len(cands)), key=lambda i: (d2[i], f_ids[cands[i]]))
+        assign[int(ids[vi])] = int(f_ids[cands[best]])
+
+    expected = {}
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cl in assign.items():
+        by_cluster.setdefault(cl, []).append(vid)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    for cl, members in by_cluster.items():
+        members = sorted(members)
+        for ii, a in enumerate(members):
+            for b in members[ii + 1 :]:
+                i, j = id_to_row[a], id_to_row[b]
+                cos = round(float(X[i] @ X[j]) / float(norms[i] * norms[j]), 6)
+                if cos >= _SEMDEDUP_TAU:
+                    expected[(a, b)] = (cl, cos)
+
+    got = embed_semdedup_prune_ivf(spark, sf_dir).collect()
+    pairs = {(r["keep_id"], r["prune_id"]): (r["cluster_id"], r["cosine"]) for r in got}
+    assert set(pairs) == set(expected)
+    for k, (cl, cos) in expected.items():
+        assert pairs[k][0] == cl, k
+        assert abs(pairs[k][1] - cos) < 2e-6, k
+    assert expected, "fixture should produce semantic-dup pairs"
