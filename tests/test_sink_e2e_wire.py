@@ -38,7 +38,9 @@ class _FakeAWS(BaseHTTPRequestHandler):
     """Minimal AWS-JSON 1.1 endpoint for Kinesis PutRecords and Firehose
     PutRecordBatch. Behavior is driven by the server's ``script`` list:
     each entry handles one request — "ok", "fail:<n>" (first n records
-    get ErrorCode), or "http500". When the script is exhausted, "ok"."""
+    get ErrorCode), "http500", or "tcp_drop_after_accept" (records land
+    server-side, then the connection dies before the response — the
+    mid-stream flap). When the script is exhausted, "ok"."""
 
     def do_POST(self) -> None:  # noqa: N802 - http.server API
         body = self.rfile.read(int(self.headers["Content-Length"]))
@@ -46,6 +48,20 @@ class _FakeAWS(BaseHTTPRequestHandler):
         target = self.headers.get("X-Amz-Target", "")
         mode = self.server.script.pop(0) if self.server.script else "ok"
         self.server.requests.append((target, req, mode))
+
+        if mode == "tcp_drop_after_accept":
+            # The endpoint PROCESSES the records (they land server-side),
+            # then the TCP connection dies before any response bytes reach
+            # the client — the classic mid-stream flap. The client cannot
+            # know the records landed, so the whole-request-failure path
+            # (A18, streams/client.go:100-102) must retry them ALL, and
+            # the resulting server-side duplicates are the at-least-once
+            # contract made visible.
+            if target.startswith("Kinesis_20131202.PutRecords"):
+                for r in req["Records"]:
+                    self.server.delivered.append(base64.b64decode(r["Data"]))
+            self.connection.close()
+            return
 
         if mode == "http500":
             payload = json.dumps(
@@ -265,3 +281,63 @@ def test_spark_foreach_partition_to_wire(spark, aws_server):
     assert sorted(aws_server.delivered) == sorted(
         f"payload-{i}".encode() for i in range(23)
     )
+
+
+def test_streams_midstream_connection_flap_retries_all(aws_server):
+    """VERDICT r7 item 8 (wire half): the endpoint accepts a chunk, then
+    drops the TCP connection before the response — the client must treat
+    it as a whole-request failure and retry the FULL chunk (A18), so the
+    server sees every record twice (at-least-once duplication, the same
+    behavior the reference documents for whole-request retry,
+    streams/client.go:72-80)."""
+    aws_server.script[:] = ["tcp_drop_after_accept", "ok"]
+    cfg = _cfg(aws_server, batch_size=10)
+    counters = publish_records(make_boto3_client(cfg), _records(5), cfg)
+    assert counters.acked == 5 and counters.retried == 5
+    assert len(aws_server.requests) == 2
+    # both wire attempts carried the full record set
+    assert [len(r[1]["Records"]) for r in aws_server.requests] == [5, 5]
+    # the flap made the duplication visible: each byte landed twice
+    assert sorted(aws_server.delivered) == sorted(
+        f"evt-{i}".encode() for i in range(5) for _ in range(2)
+    )
+
+
+def test_epoch_guard_blocks_redelivery_after_flap(spark, aws_server, tmp_path):
+    """VERDICT r7 item 8 (epoch half): run the full foreach_batch_writer
+    path through a mid-stream flap + recovery, then redeliver the SAME
+    epoch (the post-crash restart scenario) — the epoch-idempotency
+    marker must turn the redelivery into a no-op: zero new wire requests,
+    zero new server-side records."""
+    aws_server.script[:] = ["tcp_drop_after_accept", "ok"]
+    cfg = _cfg(aws_server, batch_size=10)
+    from awsbeats_spark.sinks.kinesis import foreach_batch_writer
+
+    def client_factory(c):
+        # executor python workers never saw the monkeypatched driver env
+        import os
+
+        os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+        os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+        return make_boto3_client(c)
+
+    write_batch = foreach_batch_writer(
+        cfg, client_factory=client_factory, idempotent_dir=str(tmp_path)
+    )
+    rows = [(f"flap-{i}", f"pk{i % 3}") for i in range(5)]
+    df = spark.createDataFrame(rows, "data string, partition_key string").coalesce(1)
+    # records are str here (the Spark path sends str payloads); the wire
+    # layer base64s them either way
+    write_batch(df.selectExpr("cast(data as binary) as data", "partition_key"), 7)
+    assert (tmp_path / "epoch-7.done").exists()
+    n_requests = len(aws_server.requests)
+    n_delivered = len(aws_server.delivered)
+    assert n_requests == 2  # flap + successful retry
+    assert sorted(aws_server.delivered) == sorted(
+        f"flap-{i}".encode() for i in range(5) for _ in range(2)
+    )
+    # post-crash redelivery of the same epoch: a committed marker makes it
+    # a no-op — no duplicate ACK manifest rows
+    write_batch(df, 7)
+    assert len(aws_server.requests) == n_requests
+    assert len(aws_server.delivered) == n_delivered
