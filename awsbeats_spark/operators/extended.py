@@ -98,9 +98,12 @@ def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     records = project_records(t.events, cfg)
     deliver = arrow_batch_writer(cfg, client_factory=lambda _c: FileDumpClient(out_dir))
-    records.mapInArrow(deliver, "n_published long").agg(
-        F.sum("n_published")
-    ).collect()
+    # one row per partition: collect the <=n_partitions counts and sum
+    # driver-side instead of paying an exchange+agg stage for 32 longs
+    sum(
+        r.n_published
+        for r in records.mapInArrow(deliver, "n_published long").collect()
+    )
     # explicit schema: inference would read every delivered file twice
     delivered = (
         spark.read.schema("data string, partition_key string")
