@@ -493,6 +493,8 @@ _ROUND11_WINDOW = [
     "events_session_gap_sensitivity",
     # round-8 additions
     "embed_semdedup_prune_ivf",
+    "udtf_ndjson_repair",
+    "profile_parquet_footer_drift",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -450,3 +450,130 @@ def profile_daily_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmax",
         "vavg",
     )
+
+
+# --------------------------------------------------------------------------
+# Parquet footer drift over write time (lake-layout audit)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "profile_parquet_footer_drift",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               min(value) AS data_min,
+               max(value) AS data_max,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT day, data_min, data_max, n_rows,
+               lag(data_min) OVER (ORDER BY day) AS pmin,
+               lag(data_max) OVER (ORDER BY day) AS pmax
+        FROM d
+    )
+    SELECT day, data_min, data_max, n_rows,
+           TRUE AS footer_min_matches,
+           TRUE AS footer_max_matches,
+           TRUE AS footer_rows_match,
+           CASE WHEN pmin IS NULL THEN NULL
+                WHEN greatest(data_max, pmax) - least(data_min, pmin) = 0
+                THEN 1.0
+                ELSE round(
+                    greatest(0,
+                             least(data_max, pmax) - greatest(data_min, pmin))
+                    / (greatest(data_max, pmax) - least(data_min, pmin)), 6)
+           END AS range_overlap_prev
+    FROM w
+    """,
+)
+def profile_parquet_footer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER statistics vs data OVER WRITE TIME: materialize the
+    events stream as the realistic day-partitioned lake layout
+    (``write.partitionBy(day)``), read every partition file's footer
+    min/max/num_values driver-side (pyarrow — metadata kilobytes, the
+    manifest precedent of [[scan_rowgroup_stats_audit]], which audits one
+    static file; this one audits the layout a CONTINUOUS writer produces),
+    then verify each day's footer against per-day data aggregates and
+    measure day-over-day drift: the interval-Jaccard overlap of
+    consecutive days' [min, max] value ranges. Footer==data catches
+    writer/stat corruption before min-max pruning trusts it; the overlap
+    trend is the signal a lake compactor uses to decide whether
+    time-partitioned files are still value-clustered (overlap ~1: value
+    pruning across days is useless; overlap ->0: day files are also
+    value-disjoint and min/max pruning pays). Footer facts fold into
+    verdict booleans so the DuckDB oracle pins them against pure data
+    aggregates (the sandwich pattern).
+
+    Scale shape: the write is one shuffle on day; footers are metadata
+    (a million footers is a driver/manifest-service job, not a scan);
+    the data-side check is one aggregate per day partition pushed to the
+    parquet scan. The drift window runs over one row per day — years of
+    history fit one driver page; partition it by (table, year) when it
+    doesn't."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    t = tables(spark, sf_dir)
+    by_day = t.events.select(
+        F.to_date("ts").alias("day"), F.col("value")
+    )
+    out = tempfile.mkdtemp(prefix="footer_drift_")
+    try:
+        # repartition on day so each day directory gets one writer task
+        by_day.repartition(F.col("day")).write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(out)
+        footer_rows = []
+        for day_dir in sorted(glob.glob(os.path.join(out, "day=*"))):
+            day = day_dir.rsplit("=", 1)[1]
+            mins, maxes, nrows = [], [], 0
+            for f in glob.glob(os.path.join(day_dir, "*.parquet")):
+                md = papq.ParquetFile(f).metadata
+                ci = md.schema.names.index("value")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    mins.append(float(st.min))
+                    maxes.append(float(st.max))
+                    nrows += md.row_group(rg).num_rows
+            footer_rows.append((day, min(mins), max(maxes), nrows))
+        footer = spark.createDataFrame(
+            footer_rows, "day string, f_min double, f_max double, f_rows long"
+        ).select(F.to_date("day").alias("day"), "f_min", "f_max", "f_rows")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    data = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min("value").alias("data_min"),
+        F.max("value").alias("data_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    w = Window.orderBy("day")  # one row per day: driver-page sized
+    joined = (
+        data.join(F.broadcast(footer), "day")
+        .withColumn("pmin", F.lag("data_min").over(w))
+        .withColumn("pmax", F.lag("data_max").over(w))
+    )
+    union_w = F.greatest("data_max", "pmax") - F.least("data_min", "pmin")
+    overlap = F.greatest(
+        F.lit(0.0),
+        F.least("data_max", "pmax") - F.greatest("data_min", "pmin"),
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "data_min",
+        "data_max",
+        "n_rows",
+        (F.col("f_min") == F.col("data_min")).alias("footer_min_matches"),
+        (F.col("f_max") == F.col("data_max")).alias("footer_max_matches"),
+        (F.col("f_rows") == F.col("n_rows")).alias("footer_rows_match"),
+        F.when(F.col("pmin").isNull(), F.lit(None).cast("double"))
+        .when(union_w == 0, F.lit(1.0))
+        .otherwise(rnd(overlap / union_w, 6))
+        .alias("range_overlap_prev"),
+    )

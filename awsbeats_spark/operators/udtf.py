@@ -13,7 +13,8 @@ key keeps the seam tested end-to-end including SQL LATERAL invocation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
 from awsbeats_spark.registry import query
@@ -508,5 +509,151 @@ def udtf_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.doc_id, r.run_idx, r.word, r.run_len, r.start_pos
         FROM documents_rle_src d,
              LATERAL run_length_encode(d.doc_id, d.text) r
+        """
+    )
+
+
+_NDJSON_W = 16  # transport line width the corruption model splits records at
+
+
+@query(
+    "udtf_ndjson_repair",
+    oracle=f"""
+    WITH recs AS (
+        SELECT user_id, event_id,
+               '{{"event_id":' || CAST(event_id AS VARCHAR)
+                   || ',"event_type":"' || event_type
+                   || '","user_id":' || CAST(user_id AS VARCHAR) || '}}' AS rec
+        FROM events
+    ),
+    sized AS (
+        SELECT user_id, rec,
+               CAST((length(rec) + {_NDJSON_W - 1}) // {_NDJSON_W} AS INT)
+                   AS n_lines,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                    - 1 AS INT) AS rec_idx,
+               event_id = max(event_id) OVER (PARTITION BY user_id) AS is_last
+        FROM recs
+    )
+    SELECT user_id, rec_idx,
+           CASE WHEN is_last AND n_lines >= 2
+                THEN substring(rec, 1, (n_lines - 1) * {_NDJSON_W})
+                ELSE rec END AS repaired,
+           CAST(CASE WHEN is_last AND n_lines >= 2
+                     THEN n_lines - 1 ELSE n_lines END AS INT) AS n_lines,
+           NOT (is_last AND n_lines >= 2) AS complete
+    FROM sized
+    """,
+)
+def udtf_ndjson_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful truncated-line NDJSON repairer — the corrupt-record twin
+    of [[json_parse_promote]] (B2 parses well-formed records and routes
+    bad ones to an error key; this one RECOVERS records a line-oriented
+    transport broke apart). The corruption model is deterministic so the
+    oracle can replay it relationally: each event's compact JSON record
+    (the [[project_record]] byte layout) is split into fixed-width
+    16-char transport lines, and each stream's (user_id's) final record
+    loses its last line when it spans >= 2 — the classic tail truncation
+    a file rotation leaves behind (the reference's filebeat source ships
+    exactly such partial lines; harvester behavior in its example
+    configs). The repairer is a Python UDTF over
+    ``TABLE(...) PARTITION BY user_id ORDER BY (event_id, line_idx)``:
+    it buffers lines until the accumulator parses as complete JSON
+    (``json.loads`` — a proper prefix of a flat JSON object never
+    parses), emits the repaired record with its consumed line count,
+    and ``terminate`` flushes the unfinished tail as ``complete=false``
+    — B2's error-key contract, not a silent drop. Genuinely stateful
+    across rows (buffer + record counter), which no built-in
+    generator/window chain expresses in one pass: THE case the UDTF
+    seam exists for.
+
+    Scale shape: one shuffle on the stream key (the PARTITION BY), then
+    a linear single-pass parse per stream; output is record-bounded.
+    At 100 TB the stream key is (file, rotation epoch), so partitions
+    stay small and the parse state never crosses executors."""
+    from pyspark.sql.functions import udtf
+
+    W = _NDJSON_W
+    t = tables(spark, sf_dir)
+    rec = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('","user_id":'),
+        F.col("user_id").cast("string"),
+        F.lit("}"),
+    )
+    sized = t.events.select(
+        "user_id",
+        "event_id",
+        rec.alias("rec"),
+    ).withColumn("n_lines", F.expr(f"CAST((length(rec) + {W - 1}) DIV {W} AS INT)"))
+    is_last = F.col("event_id") == F.max("event_id").over(
+        Window.partitionBy("user_id")
+    )
+    lines = (
+        sized.withColumn("is_last", is_last)
+        .select(
+            "user_id",
+            "event_id",
+            "rec",
+            "n_lines",
+            "is_last",
+            F.explode(F.sequence(F.lit(0), F.col("n_lines") - 1)).alias("ci"),
+        )
+        # tail truncation: the stream's last record loses its final line
+        .filter(
+            ~(
+                F.col("is_last")
+                & (F.col("n_lines") >= 2)
+                & (F.col("ci") == F.col("n_lines") - 1)
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ci",
+            F.expr(f"substring(rec, ci * {W} + 1, {W})").alias("line"),
+        )
+    )
+    lines.createOrReplaceTempView("ndjson_lines_src")
+
+    @udtf(
+        returnType="user_id bigint, rec_idx int, repaired string,"
+        " n_lines int, complete boolean"
+    )
+    class NdjsonRepair:
+        def __init__(self) -> None:
+            self.uid = None
+            self.buf = ""
+            self.nlines = 0
+            self.idx = 0
+
+        def eval(self, row):
+            import json
+
+            self.uid = row["user_id"]
+            self.buf += row["line"]
+            self.nlines += 1
+            try:
+                json.loads(self.buf)
+            except ValueError:
+                return
+            yield self.uid, self.idx, self.buf, self.nlines, True
+            self.buf = ""
+            self.nlines = 0
+            self.idx += 1
+
+        def terminate(self):
+            if self.buf:
+                yield self.uid, self.idx, self.buf, self.nlines, False
+
+    spark.udtf.register("ndjson_repair", NdjsonRepair)
+    return spark.sql(
+        """
+        SELECT r.user_id, r.rec_idx, r.repaired, r.n_lines, r.complete
+        FROM ndjson_repair(TABLE(ndjson_lines_src)
+                           PARTITION BY user_id ORDER BY (event_id, ci)) r
         """
     )
