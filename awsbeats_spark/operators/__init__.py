@@ -495,6 +495,10 @@ _ROUND11_WINDOW = [
     "embed_semdedup_prune_ivf",
     "udtf_ndjson_repair",
     "profile_parquet_footer_drift",
+    "eval_matryoshka_recall_curve",
+    "dedup_cluster_size_powerlaw",
+    "dedup_source_conflict_audit",
+    "corpus_temperature_sampling_plan",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

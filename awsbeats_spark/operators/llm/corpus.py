@@ -3668,3 +3668,75 @@ def corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("first_doc_id", F.lit(-1)).alias("first_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source sampling plan (mT5/UniMax-style mixing)
+# --------------------------------------------------------------------------
+
+_MIX_TAUS = (0.3, 0.7, 1.0)
+
+
+@query(
+    "corpus_temperature_sampling_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(sum(len({WORDS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM tok),
+    plan AS (
+        SELECT tau, source, n_tokens,
+               pow(n_tokens, tau)
+                   / sum(pow(n_tokens, tau)) OVER (PARTITION BY tau)
+                   AS weight
+        FROM tok CROSS JOIN (SELECT unnest({list(_MIX_TAUS)}) AS tau)
+    )
+    SELECT tau, source, n_tokens,
+           round(weight, 6) AS weight,
+           round(weight * total / n_tokens, 6) AS effective_epochs
+    FROM plan CROSS JOIN tot
+    """,
+)
+def corpus_temperature_sampling_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled source-mixing plan (the mT5/UniMax move):
+    per-source sampling weight w_i = n_i^tau / sum_j n_j^tau for
+    tau in {0.3, 0.7, 1.0}, plus the EFFECTIVE EPOCHS each source
+    sustains when one total-corpus-sized token budget is drawn under
+    those weights (weight * total / n_i) — the number that exposes
+    low-resource over-repetition BEFORE training (tau=0.3 upsamples a
+    tiny source into many epochs; epochs >> 4 is the canonical
+    memorization flag). Pure closed form from per-source token counts
+    — the static-plan sibling of [[corpus_doremi_reweight]] (learned
+    weights) and the input [[corpus_interleave_sources_roundrobin]]
+    realizes as an actual row order.
+
+    Scale shape: one keyed aggregate over the corpus (token counts per
+    source — map-side combinable sums), then arithmetic over
+    |sources| x |taus| rows on a broadcast scalar total. Nothing after
+    the first groupBy grows with corpus size."""
+    t = tables(spark, sf_dir)
+    tok = t.documents.groupBy("source").agg(
+        F.sum(F.size(words())).cast("long").alias("n_tokens")
+    )
+    taus = F.explode(F.array(*[F.lit(x) for x in _MIX_TAUS])).alias("tau")
+    plan = tok.select("source", "n_tokens", taus).withColumn(
+        "weight",
+        F.pow("n_tokens", F.col("tau"))
+        / F.sum(F.pow("n_tokens", F.col("tau"))).over(
+            Window.partitionBy("tau")
+        ),
+    )
+    total = tok.agg(F.sum("n_tokens").alias("total"))
+    return plan.crossJoin(F.broadcast(total)).select(
+        "tau",
+        "source",
+        "n_tokens",
+        rnd("weight", 6).alias("weight"),
+        rnd(F.col("weight") * F.col("total") / F.col("n_tokens"), 6).alias(
+            "effective_epochs"
+        ),
+    )

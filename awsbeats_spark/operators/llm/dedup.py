@@ -2205,3 +2205,204 @@ def eval_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size distribution (power-law audit)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_size_powerlaw",
+    oracle=f"""
+    WITH shs AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    mh AS (
+        SELECT doc_id, i,
+               min(substring(md5(sh) || md5('x:' || sh), i * 8 + 1, 8)) AS m
+        FROM exploded
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (
+        SELECT doc_id, string_agg(m, '' ORDER BY i) AS sig
+        FROM mh GROUP BY doc_id
+    ),
+    clusters AS (
+        SELECT sig, count(*) AS cluster_size FROM sig GROUP BY 1
+    ),
+    hist AS (
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM clusters GROUP BY 1
+    ),
+    pts AS (
+        SELECT cluster_size, n_clusters,
+               ln(cluster_size) AS x, ln(n_clusters) AS y
+        FROM hist
+    ),
+    fit AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM pts
+    )
+    SELECT cluster_size, n_clusters,
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope,
+           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                      THEN NULL
+                      ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM pts CROSS JOIN fit
+    """,
+)
+def dedup_cluster_size_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution with a log-log power-law fit
+    — the CCNet/C4-style curation audit: web-scale corpora show dup
+    cluster sizes following a power law, and the fitted slope is the
+    one-number summary a curation run tracks release-over-release (a
+    flattening slope = boilerplate explosion upstream; r2 says whether
+    the law holds at all). Clusters are FULL-MINHASH-SIGNATURE groups
+    (all 8 [[dedup_minhash]] minima agree — "fingerprint dedup", the
+    coarse near-identical tier between [[dedup_exact]]'s byte equality
+    and the banded candidate search; the testdata has no byte-exact
+    dups, so the exact tier is a degenerate all-size-1 histogram while
+    the signature tier exposes the real near-dup mass). Output is the
+    histogram itself (cluster_size, n_clusters) with the OLS slope/r2
+    of ln(count) ~ ln(size) repeated per row, exact closed-form moments
+    — no iteration.
+
+    Scale shape: the signature is [[dedup_minhash]]'s own two keyed
+    aggregates; then cluster size -> histogram are two more keyed
+    aggregates, and a 1-row moment aggregate broadcasts back onto the
+    size-bounded histogram. Nothing here grows with corpus size except
+    the signature computation itself."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
+    uni = (
+        exploded.select("sh")
+        .distinct()
+        .select(
+            "sh",
+            F.concat(
+                F.md5("sh"), F.md5(F.concat(F.lit("x:"), F.col("sh")))
+            ).alias("h"),
+        )
+    )
+    sig_cols = [f"m{i}" for i in range(N_MINHASH)]
+    hist = (
+        exploded.join(uni.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+        .groupBy(*sig_cols)
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    pts = hist.select(
+        "cluster_size",
+        "n_clusters",
+        F.log("cluster_size").alias("x"),
+        F.log("n_clusters").alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "cluster_size",
+        "n_clusters",
+        rnd(num / F.nullif(den_x, F.lit(0)), 6).alias("slope"),
+        rnd(
+            F.when(den_x * den_y == 0, F.lit(None)).otherwise(
+                (num * num) / (den_x * den_y)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup pairs crossing source/label boundaries (label-noise audit)
+# --------------------------------------------------------------------------
+
+
+def _source_conflict_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    minhash = QUERIES["dedup_minhash"].oracle
+    return f"""
+    WITH pairs AS ({minhash}),
+    lab AS (
+        SELECT p.jaccard, da.source AS sa, db.source AS sb
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT least(sa, sb) AS source_a,
+           greatest(sa, sb) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard,
+           least(sa, sb) <> greatest(sa, sb) AS cross_source
+    FROM lab GROUP BY 1, 2
+    """
+
+
+@query("dedup_source_conflict_audit", oracle=_source_conflict_oracle())
+def dedup_source_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs grouped by the SOURCE pair they straddle —
+    the label-noise/contamination audit a training-data pipeline runs
+    before trusting per-source quality labels: a near-dup pair CROSSING
+    sources means the same content carries two provenance labels (and
+    will leak across any source-stratified split made downstream —
+    [[corpus_stratified_split]] strata, DoReMi domain weights), while
+    heavy within-source pairing is ordinary boilerplate for
+    [[dedup_minhash]] to fold. One row per unordered source pair with
+    its candidate-verified pair count and mean Jaccard.
+
+    Scale shape: the pair set is [[dedup_minhash]]'s banded output
+    (pair-bounded, never all-pairs); attaching the two source labels is
+    two joins against the docs projection keyed on doc_id, and the
+    group-by runs over pairs, not docs."""
+    pairs = dedup_minhash(spark, sf_dir)
+    t = tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    lo, hi = F.least("sa", "sb"), F.greatest("sa", "sb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(lo.alias("source_a"), hi.alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            rnd(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "avg_jaccard",
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+        )
+    )

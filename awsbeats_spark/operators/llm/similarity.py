@@ -3573,3 +3573,137 @@ eval_ivf_nprobe_curve.__doc__ = (
     .replace("{np0}", str(N_PROBE))
     .replace("{np}", str(_NPROBE_MAX))
 )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation vs retrieval quality (rank preservation)
+# --------------------------------------------------------------------------
+
+_MRL_COS = "(list_dot_product(qv[1:d], cv[1:d]) / (sqrt(list_dot_product(qv[1:d], qv[1:d])) * sqrt(list_dot_product(cv[1:d], cv[1:d]))))"
+
+
+@query(
+    "eval_matryoshka_recall_curve",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT query_id, neighbor_id, qv, cv
+        FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id
+                   ) AS rn
+            FROM pairs
+        ) WHERE rn <= {TOP_K}
+    ),
+    trunc AS (
+        SELECT dim, query_id, neighbor_id FROM (
+            SELECT d AS dim, query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY d, query_id
+                       ORDER BY {_MRL_COS} DESC, neighbor_id
+                   ) AS rn
+            FROM pairs CROSS JOIN (SELECT unnest({list(MRL_DIMS)}) AS d)
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT dim,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           round(avg(CASE WHEN t.neighbor_id IS NOT NULL
+                          THEN 1.0 ELSE 0.0 END), 6) AS recall_at_k
+    FROM trunc tr
+    LEFT JOIN truth t USING (query_id, neighbor_id)
+    GROUP BY dim
+    """,
+)
+def eval_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation vs RETRIEVAL quality: recall@k of
+    truncated-dim cosine top-k against the full-dim ground truth, one
+    row per MRL prefix dim. [[embed_matryoshka_energy]] measures how
+    much ENERGY a prefix retains; this one measures what actually
+    decides the production truncation knob — whether the prefix
+    preserves NEIGHBOR RANKINGS (MRL's promise is that it does; a
+    non-MRL-trained embedding typically fails this curve while passing
+    the energy one). The honesty twin of [[sim_search_topk]]'s exact
+    baseline, in the same eval_* pattern as [[eval_ivf_nprobe_curve]]:
+    every design knob ships with its measured quality curve.
+
+    Plan shape: ONE broadcast of the query set against the corpus
+    computes the full-dim AND all prefix cosines per pair in a single
+    scan (the prefix dot products are slices of the same arrays — no
+    extra scan per dim); per-dim ranking is a window over the
+    pair-bounded Q x N rows, and recall is an equi-join of two
+    K-bounded shortlists. At 100 TB the corpus is never shuffled —
+    same contract as sim_search_topk; sample queries per the standing
+    recall-eval caveat."""
+    t = tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    def _cos(qc, cc):
+        return dot(qc, cc) / (norm(qc) * norm(cc))
+
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("qv"), F.col("cv")).alias("cos_full"),
+            F.array(
+                *[
+                    _cos(F.slice("qv", 1, d), F.slice("cv", 1, d))
+                    for d in MRL_DIMS
+                ]
+            ).alias("cos_dims"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(True).alias("in_truth"))
+    )
+    dims_arr = F.array(*[F.lit(d) for d in MRL_DIMS])
+    wd = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos_d"), F.asc("neighbor_id")
+    )
+    trunc = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode("cos_dims").alias("pos", "cos_d"),
+        )
+        .withColumn("dim", F.element_at(dims_arr, F.col("pos") + 1))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    return (
+        trunc.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("in_truth").isNotNull().cast("long")).alias("hits"),
+            rnd(
+                F.avg(F.col("in_truth").isNotNull().cast("double")), 6
+            ).alias("recall_at_k"),
+        )
+    )

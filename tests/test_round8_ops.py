@@ -125,3 +125,141 @@ def test_footer_drift_matches_pandas(run, spark, sf_dir):
             exp = 1.0 if union == 0 else round(inter / union, 6)
             assert row.range_overlap_prev == pytest.approx(exp, abs=1e-9)
         prev = a
+
+
+def test_matryoshka_recall_matches_numpy(run, spark, sf_dir):
+    import numpy as np
+
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.llm.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = tables(spark, sf_dir).embeddings.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    got = run("eval_matryoshka_recall_curve").set_index("dim").sort_index()
+
+    def topk(qid, d):
+        qv = vecs[qid][:d]
+        scored = []
+        for nid, cv in vecs.items():
+            if nid == qid:
+                continue
+            c = cv[:d]
+            cos = float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c)))
+            scored.append((-cos, nid))
+        scored.sort()
+        return {nid for _, nid in scored[:TOP_K]}
+
+    full_dim = len(next(iter(vecs.values())))
+    for d in MRL_DIMS:
+        hits = 0
+        for qid in range(N_QUERIES):
+            truth = topk(qid, full_dim)
+            hits += len(truth & topk(qid, d))
+        assert got.loc[d].hits == hits
+        assert got.loc[d].recall_at_k == round(hits / (N_QUERIES * TOP_K), 6)
+    # the largest MRL dim IS the full dim: recall must be exactly 1
+    assert got.loc[max(MRL_DIMS)].recall_at_k == 1.0
+    # truncation can only be audited if it actually costs something
+    assert got.loc[min(MRL_DIMS)].recall_at_k < 1.0
+
+
+def test_cluster_size_powerlaw_matches_numpy(run, spark, sf_dir):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.llm.dedup import N_MINHASH
+
+    docs = tables(spark, sf_dir).documents.toPandas()
+    sigs = []
+    for text in docs.text:
+        ws = [w for w in re.split(r"\s+", text.lower()) if w]
+        shs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if not shs:
+            continue
+        hs = [
+            hashlib.md5(s.encode()).hexdigest()
+            + hashlib.md5(("x:" + s).encode()).hexdigest()
+            for s in shs
+        ]
+        sigs.append(
+            tuple(min(h[i * 8 : i * 8 + 8] for h in hs) for i in range(N_MINHASH))
+        )
+    hist = Counter(Counter(sigs).values())
+    got = run("dedup_cluster_size_powerlaw").set_index("cluster_size").sort_index()
+    assert dict(zip(got.index, got.n_clusters)) == dict(hist)
+    xs = [math.log(s) for s in hist]
+    ys = [math.log(c) for c in hist.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got.slope.nunique() == 1
+    assert got.slope.iloc[0] == pytest.approx(slope, abs=1e-6)
+    # near-dup mass must exist for the fit to mean anything
+    assert len(hist) >= 2 and max(hist) >= 2
+
+
+def test_source_conflict_matches_pandas(run, spark, sf_dir):
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash"].fn(spark, sf_dir).toPandas()
+    docs = tables(spark, sf_dir).documents.toPandas().set_index("doc_id").source
+    got = run("dedup_source_conflict_audit")
+    pairs["sa"] = pairs.doc_a.map(docs)
+    pairs["sb"] = pairs.doc_b.map(docs)
+    pairs["source_a"] = pairs[["sa", "sb"]].min(axis=1)
+    pairs["source_b"] = pairs[["sa", "sb"]].max(axis=1)
+    exp = (
+        pairs.groupby(["source_a", "source_b"])
+        .agg(n_pairs=("jaccard", "size"), avg_jaccard=("jaccard", "mean"))
+        .reset_index()
+    )
+    assert len(got) == len(exp)
+    m = got.set_index(["source_a", "source_b"]).sort_index()
+    for row in exp.itertuples():
+        g = m.loc[(row.source_a, row.source_b)]
+        assert g.n_pairs == row.n_pairs
+        assert g.avg_jaccard == pytest.approx(row.avg_jaccard, abs=1e-6)
+        assert bool(g.cross_source) == (row.source_a != row.source_b)
+    # the audit only earns its name if some pair actually crosses sources
+    assert got.cross_source.any()
+
+
+def test_temperature_plan_matches_numpy(run, spark, sf_dir):
+    import re
+
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.llm.corpus import _MIX_TAUS
+
+    docs = tables(spark, sf_dir).documents.toPandas()
+    docs["n_tokens"] = docs.text.map(
+        lambda t: len([w for w in re.split(r"\s+", t.lower()) if w])
+    )
+    tok = docs.groupby("source").n_tokens.sum()
+    total = tok.sum()
+    got = run("corpus_temperature_sampling_plan")
+    assert len(got) == len(tok) * len(_MIX_TAUS)
+    for tau in _MIX_TAUS:
+        sub = got[got.tau == tau].set_index("source")
+        w = tok**tau / (tok**tau).sum()
+        for src, wi in w.items():
+            assert sub.loc[src].weight == pytest.approx(wi, abs=1e-6)
+            assert sub.loc[src].effective_epochs == pytest.approx(
+                wi * total / tok[src], abs=1e-6
+            )
+        # weights are a distribution; tau=1 is proportional sampling
+        assert sub.weight.sum() == pytest.approx(1.0, abs=1e-5)
+    t1 = got[got.tau == 1.0].set_index("source")
+    low = got[got.tau == min(_MIX_TAUS)].set_index("source")
+    # low temperature must upsample the smallest source
+    smallest = tok.idxmin()
+    assert low.loc[smallest].weight > t1.loc[smallest].weight
