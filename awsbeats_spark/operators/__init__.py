@@ -499,6 +499,8 @@ _ROUND11_WINDOW = [
     "dedup_cluster_size_powerlaw",
     "dedup_source_conflict_audit",
     "corpus_temperature_sampling_plan",
+    "stream_backpressure_queue_depth",
+    "pipeline_slo_burn_alert",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -9,10 +9,11 @@ twins exist so the DuckDB oracle can check the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.registry import query
 
 
@@ -196,3 +197,87 @@ def observability_observe_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         F.floor(F.col("sum_value") * 1e4 + F.lit(0.5)) / 1e4,
     ).toDF("n_rows", "n_dropped", "sum_value")
+
+
+# --------------------------------------------------------------------------
+# Multiwindow SLO burn-rate alert (SRE-workbook style)
+# --------------------------------------------------------------------------
+
+# error budget 25% (the synthetic stream runs ~20% errors); burn
+# threshold 1.05x budget, compared via exact integer cross-multiply:
+# err/n > 1.05 * 0.25  <=>  10000*err > 2625*n  (no float knife edges)
+_SLO_NUM = 10000
+_SLO_DEN = 2625
+
+
+@query(
+    "pipeline_slo_burn_alert",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT window_start, n, n_err,
+               sum(n) OVER (ORDER BY window_start
+                            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+               sum(n_err) OVER (ORDER BY window_start
+                                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                   AS err6
+        FROM hourly
+    )
+    SELECT window_start, n, n_err,
+           round(n_err * 1.0 / n, 6) AS err_rate,
+           round(err6 * 1.0 / n6, 6) AS err_rate_6h,
+           ({_SLO_NUM} * n_err > {_SLO_DEN} * n
+            AND {_SLO_NUM} * err6 > {_SLO_DEN} * n6) AS fast_burn,
+           ({_SLO_NUM} * err6 > {_SLO_DEN} * n6) AS slow_burn
+    FROM rolled
+    """,
+)
+def pipeline_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alert (the SRE-workbook pattern) over
+    the delivery pipeline's error stream: per hour, the 1-hour and
+    rolling 6-hour error rates against a 25% error budget, paging
+    (``fast_burn``) only when BOTH windows burn >1.05x budget — the
+    short window gives detection latency, the long window suppresses
+    one-bucket blips — and ticketing (``slow_burn``) on the long window
+    alone. This is the alerting layer the reference leaves to
+    CloudWatch on top of [[observability_counters]]' raw acked/failed
+    counts; burn comparisons are exact integer cross-multiplications
+    (10000*err > 2625*n), so no float knife edge can flip an alert
+    between engines.
+
+    Scale shape: one keyed hourly aggregate (map-side combinable),
+    then two stock window sums over one row per hour — the same
+    driver-page-sized series argument as
+    [[stream_backpressure_queue_depth]]; partition by (service, week)
+    at fleet scale."""
+    t = tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    w6 = Window.orderBy("window_start").rowsBetween(-5, 0)
+    rolled = hourly.withColumn("n6", F.sum("n").over(w6)).withColumn(
+        "err6", F.sum("n_err").over(w6)
+    )
+    fast = (_SLO_NUM * F.col("n_err") > _SLO_DEN * F.col("n")) & (
+        _SLO_NUM * F.col("err6") > _SLO_DEN * F.col("n6")
+    )
+    slow = _SLO_NUM * F.col("err6") > _SLO_DEN * F.col("n6")
+    return rolled.select(
+        "window_start",
+        "n",
+        "n_err",
+        rnd(F.col("n_err") / F.col("n"), 6).alias("err_rate"),
+        rnd(F.col("err6") / F.col("n6"), 6).alias("err_rate_6h"),
+        fast.alias("fast_burn"),
+        slow.alias("slow_burn"),
+    )

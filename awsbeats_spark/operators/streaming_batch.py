@@ -430,3 +430,86 @@ def events_session_gap_sensitivity(
             ).alias("sessions_per_user"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Backpressure: queue depth under a fixed-capacity consumer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stream_backpressure_queue_depth",
+    oracle="""
+    WITH arr AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS window_start,
+               CAST(count(*) AS BIGINT) AS arrivals
+        FROM events GROUP BY 1
+    ),
+    cap AS (
+        SELECT CAST(ceil(1.05 * avg(arrivals)) AS BIGINT) AS capacity FROM arr
+    ),
+    pfx AS (
+        SELECT window_start, arrivals, capacity,
+               sum(arrivals - capacity) OVER (
+                   ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pf
+        FROM arr CROSS JOIN cap
+    )
+    SELECT window_start, arrivals, capacity,
+           CAST(greatest(0, pf - least(0, min(pf) OVER (
+               ORDER BY window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ))) AS BIGINT) AS queue_depth
+    FROM pfx
+    """,
+)
+def stream_backpressure_queue_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Queue depth per hour window under a fixed-capacity consumer —
+    the backpressure audit behind sizing the reference's queue.mem
+    (4096 events, example/streams/filebeat.yml:25-28): arrivals above
+    capacity accumulate, spare capacity drains, depth never goes
+    negative. The clipped recurrence
+    ``q_t = max(0, q_{t-1} + arrivals_t - C)`` is NOT a plain window
+    sum, but it has the classic closed form
+    ``q_t = pf_t - min(0, min_{s<t} pf_s)`` over the prefix sums
+    ``pf = cumsum(arrivals - C)`` — so both engines compute it with two
+    stock window functions (cumsum + running min), no recursion, no
+    UDF, no driver loop. Capacity is pinned to ceil(1.05 x mean hourly
+    arrivals) so the audit exposes genuine burst backlogs rather than
+    a constant under/over-provision.
+
+    Scale shape: one keyed aggregate (hour buckets), then windows over
+    one row per hour — years fit a driver page; partition the window
+    by (tenant, week) when they don't. The pattern is the same
+    distributed block-prefix trick as [[stream_watermark_lateness_curve]]
+    when the per-window series itself is too large for one partition."""
+    t = tables(spark, sf_dir)
+    arr = t.events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("arrivals"))
+    cap = arr.agg(
+        F.ceil(1.05 * F.avg("arrivals")).cast("long").alias("capacity")
+    )
+    w = Window.orderBy("window_start")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    pfx = arr.crossJoin(F.broadcast(cap)).withColumn(
+        "pf",
+        F.sum(F.col("arrivals") - F.col("capacity")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return pfx.select(
+        "window_start",
+        "arrivals",
+        "capacity",
+        F.greatest(
+            F.lit(0),
+            F.col("pf") - F.least(F.lit(0), F.min("pf").over(wprev)),
+        )
+        .cast("long")
+        .alias("queue_depth"),
+    )

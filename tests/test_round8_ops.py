@@ -263,3 +263,52 @@ def test_temperature_plan_matches_numpy(run, spark, sf_dir):
     # low temperature must upsample the smallest source
     smallest = tok.idxmin()
     assert low.loc[smallest].weight > t1.loc[smallest].weight
+
+
+def test_backpressure_matches_literal_recurrence(run, spark, sf_dir):
+    import math
+
+    ev = _events(spark, sf_dir)
+    got = run("stream_backpressure_queue_depth").sort_values("window_start")
+    arr = (
+        ev.assign(h=ev.ts.dt.floor("h"))
+        .groupby("h")
+        .size()
+        .sort_index()
+    )
+    cap = math.ceil(1.05 * arr.mean())
+    assert (got.capacity == cap).all()
+    q = 0
+    depths = []
+    for a in arr:
+        q = max(0, q + a - cap)
+        depths.append(q)
+    assert list(got.arrivals) == list(arr)
+    assert list(got.queue_depth) == depths
+    # the audit must exhibit both congestion and drain on this stream
+    assert max(depths) > 0
+    assert 0 in depths
+
+
+def test_slo_burn_matches_pandas(run, spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    got = run("pipeline_slo_burn_alert").sort_values("window_start")
+    hourly = (
+        ev.assign(h=ev.ts.dt.floor("h"), err=(ev.event_type == "error"))
+        .groupby("h")
+        .agg(n=("err", "size"), n_err=("err", "sum"))
+        .sort_index()
+    )
+    n6 = hourly.n.rolling(6, min_periods=1).sum().astype(int)
+    e6 = hourly.n_err.rolling(6, min_periods=1).sum().astype(int)
+    fast = (10000 * hourly.n_err > 2625 * hourly.n) & (10000 * e6 > 2625 * n6)
+    slow = 10000 * e6 > 2625 * n6
+    assert list(got.n) == list(hourly.n)
+    assert list(got.n_err) == list(hourly.n_err)
+    assert list(got.fast_burn) == list(fast)
+    assert list(got.slow_burn) == list(slow)
+    for row, (e, nn) in zip(got.itertuples(), zip(e6, n6)):
+        assert row.err_rate_6h == round(e / nn, 6)
+    # both alert states must occur, and fast implies slow by construction
+    assert got.fast_burn.any() and (~got.fast_burn).any()
+    assert (~got.fast_burn | got.slow_burn).all()
