@@ -501,6 +501,7 @@ _ROUND11_WINDOW = [
     "corpus_temperature_sampling_plan",
     "stream_backpressure_queue_depth",
     "pipeline_slo_burn_alert",
+    "udtf_seq_pack_nextfit",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

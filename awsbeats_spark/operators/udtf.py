@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.textfns import WORDS_SQL, words
 from awsbeats_spark.registry import query
 
 
@@ -655,5 +656,95 @@ def udtf_ndjson_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.user_id, r.rec_idx, r.repaired, r.n_lines, r.complete
         FROM ndjson_repair(TABLE(ndjson_lines_src)
                            PARTITION BY user_id ORDER BY (event_id, ci)) r
+        """
+    )
+
+
+_PACK_L = 2048  # bin capacity, matching corpus_token_pack's budget
+
+
+@query(
+    "udtf_seq_pack_nextfit",
+    oracle=f"""
+    WITH RECURSIVE sized AS (
+        SELECT doc_id, source,
+               CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id,
+               n_tokens AS fill_after
+        FROM sized WHERE rn = 1
+        UNION ALL
+        SELECT s.doc_id, s.source, s.n_tokens, s.rn,
+               CASE WHEN p.fill_after + s.n_tokens <= {_PACK_L}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.fill_after + s.n_tokens <= {_PACK_L}
+                    THEN p.fill_after + s.n_tokens ELSE s.n_tokens END
+        FROM packed p
+        JOIN sized s ON s.source = p.source AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, bin_id, fill_after FROM packed
+    """,
+)
+def udtf_seq_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY next-fit sequence packing — the exact semantics
+    [[corpus_token_pack]]'s docstring deliberately trades away (its
+    offset spec is one window cumsum but lets a pack overflow by one
+    document; next-fit never overflows a bin, at the cost of a
+    sequential scan). The scan state (current bin, current fill) is a
+    true cross-row recurrence with a data-dependent reset, which no
+    window/prefix closed form expresses — THE stateful-parser case the
+    UDTF seam exists for, same shape as [[udtf_ndjson_repair]]:
+    ``TABLE(...) PARTITION BY source ORDER BY doc_id``, one instance
+    per shard. The DuckDB oracle replays the recurrence as a
+    recursive CTE (one row per step per shard), pinning every bin
+    assignment exactly — not just aggregate bin counts.
+
+    Scale shape: one shuffle on the shard key, then a linear
+    single-pass scan per shard — at 100 TB packing always runs
+    per-shard anyway (a global greedy order would serialize the
+    corpus), so the parallelism unit matches production. Docs longer
+    than the budget occupy a bin alone; both engines agree by the same
+    arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    t = tables(spark, sf_dir)
+    sized = t.documents.select(
+        "doc_id", "source", F.size(words()).cast("long").alias("n_tokens")
+    )
+    sized.createOrReplaceTempView("seq_pack_src")
+
+    @udtf(
+        returnType="doc_id bigint, source string, n_tokens bigint,"
+        " bin_id bigint, fill_after bigint"
+    )
+    class NextFitPack:
+        def __init__(self) -> None:
+            self.bin_id = 0
+            self.fill = 0
+            self.first = True
+
+        def eval(self, row):
+            n = row["n_tokens"]
+            if self.first:
+                self.first = False
+                self.fill = n
+            elif self.fill + n <= _PACK_L:
+                self.fill += n
+            else:
+                self.bin_id += 1
+                self.fill = n
+            yield row["doc_id"], row["source"], n, self.bin_id, self.fill
+
+    spark.udtf.register("seq_pack_nextfit", NextFitPack)
+    return spark.sql(
+        """
+        SELECT p.doc_id, p.source, p.n_tokens, p.bin_id, p.fill_after
+        FROM seq_pack_nextfit(TABLE(seq_pack_src)
+                              PARTITION BY source ORDER BY doc_id) p
         """
     )

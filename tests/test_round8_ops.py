@@ -312,3 +312,50 @@ def test_slo_burn_matches_pandas(run, spark, sf_dir):
     # both alert states must occur, and fast implies slow by construction
     assert got.fast_burn.any() and (~got.fast_burn).any()
     assert (~got.fast_burn | got.slow_burn).all()
+
+
+def test_seq_pack_nextfit_matches_replay_and_invariants(run, spark, sf_dir):
+    import math
+    import re
+
+    from awsbeats_spark.catalog import tables
+    from awsbeats_spark.operators.udtf import _PACK_L
+
+    docs = tables(spark, sf_dir).documents.toPandas()
+    docs["n_tokens"] = docs.text.map(
+        lambda t: len([w for w in re.split(r"\s+", t.lower()) if w])
+    )
+    got = run("udtf_seq_pack_nextfit")
+    exp = {}
+    for src, grp in docs.sort_values("doc_id").groupby("source"):
+        bin_id, fill, first = 0, 0, True
+        for r in grp.itertuples():
+            if first:
+                first, fill = False, r.n_tokens
+            elif fill + r.n_tokens <= _PACK_L:
+                fill += r.n_tokens
+            else:
+                bin_id, fill = bin_id + 1, r.n_tokens
+            exp[r.doc_id] = (src, r.n_tokens, bin_id, fill)
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        src, n, b, f = exp[row.doc_id]
+        assert (row.source, row.n_tokens, row.bin_id, row.fill_after) == (
+            src,
+            n,
+            b,
+            f,
+        )
+    # invariants: no bin overfills (unless a single oversized doc),
+    # bin ids are dense per source, and bin count respects the
+    # information-theoretic lower bound ceil(total_tokens / L)
+    per_bin = got.groupby(["source", "bin_id"]).n_tokens.agg(["sum", "size"])
+    over = per_bin[per_bin["sum"] > _PACK_L]
+    assert (over["size"] == 1).all()
+    for src, grp in got.groupby("source"):
+        bins = sorted(grp.bin_id.unique())
+        assert bins == list(range(len(bins)))
+        lower = math.ceil(grp.n_tokens.sum() / _PACK_L)
+        assert len(bins) >= lower
+    # the packing must actually have multi-doc bins to be non-trivial
+    assert (per_bin["size"] >= 2).any()
