@@ -517,6 +517,47 @@ def udtf_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NDJSON_W = 16  # transport line width the corruption model splits records at
 
 
+def _ndjson_repair_cls():
+    """Module-level so the hypothesis properties can drive the same
+    class the operator registers (hidden state: buffer + counters)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, rec_idx int, repaired string,"
+        " n_lines int, complete boolean"
+    )
+    class NdjsonRepair:
+        def __init__(self) -> None:
+            self.uid = None
+            self.buf = ""
+            self.nlines = 0
+            self.idx = 0
+
+        def eval(self, row):
+            import json
+
+            self.uid = row["user_id"]
+            self.buf += row["line"]
+            self.nlines += 1
+            try:
+                json.loads(self.buf)
+            except ValueError:
+                return
+            yield self.uid, self.idx, self.buf, self.nlines, True
+            self.buf = ""
+            self.nlines = 0
+            self.idx += 1
+
+        def terminate(self):
+            if self.buf:
+                yield self.uid, self.idx, self.buf, self.nlines, False
+
+    return NdjsonRepair
+
+
+NdjsonRepair = _ndjson_repair_cls()
+
+
 @query(
     "udtf_ndjson_repair",
     oracle=f"""
@@ -620,36 +661,6 @@ def udtf_ndjson_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines.createOrReplaceTempView("ndjson_lines_src")
 
-    @udtf(
-        returnType="user_id bigint, rec_idx int, repaired string,"
-        " n_lines int, complete boolean"
-    )
-    class NdjsonRepair:
-        def __init__(self) -> None:
-            self.uid = None
-            self.buf = ""
-            self.nlines = 0
-            self.idx = 0
-
-        def eval(self, row):
-            import json
-
-            self.uid = row["user_id"]
-            self.buf += row["line"]
-            self.nlines += 1
-            try:
-                json.loads(self.buf)
-            except ValueError:
-                return
-            yield self.uid, self.idx, self.buf, self.nlines, True
-            self.buf = ""
-            self.nlines = 0
-            self.idx += 1
-
-        def terminate(self):
-            if self.buf:
-                yield self.uid, self.idx, self.buf, self.nlines, False
-
     spark.udtf.register("ndjson_repair", NdjsonRepair)
     return spark.sql(
         """
@@ -661,6 +672,39 @@ def udtf_ndjson_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_L = 2048  # bin capacity, matching corpus_token_pack's budget
+
+
+def _nextfit_pack_cls():
+    """Module-level for the same reason as NdjsonRepair: the hypothesis
+    properties replay the identical class on generated shards."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, source string, n_tokens bigint,"
+        " bin_id bigint, fill_after bigint"
+    )
+    class NextFitPack:
+        def __init__(self) -> None:
+            self.bin_id = 0
+            self.fill = 0
+            self.first = True
+
+        def eval(self, row):
+            n = row["n_tokens"]
+            if self.first:
+                self.first = False
+                self.fill = n
+            elif self.fill + n <= _PACK_L:
+                self.fill += n
+            else:
+                self.bin_id += 1
+                self.fill = n
+            yield row["doc_id"], row["source"], n, self.bin_id, self.fill
+
+    return NextFitPack
+
+
+NextFitPack = _nextfit_pack_cls()
 
 
 @query(
@@ -717,28 +761,6 @@ def udtf_seq_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(words()).cast("long").alias("n_tokens")
     )
     sized.createOrReplaceTempView("seq_pack_src")
-
-    @udtf(
-        returnType="doc_id bigint, source string, n_tokens bigint,"
-        " bin_id bigint, fill_after bigint"
-    )
-    class NextFitPack:
-        def __init__(self) -> None:
-            self.bin_id = 0
-            self.fill = 0
-            self.first = True
-
-        def eval(self, row):
-            n = row["n_tokens"]
-            if self.first:
-                self.first = False
-                self.fill = n
-            elif self.fill + n <= _PACK_L:
-                self.fill += n
-            else:
-                self.bin_id += 1
-                self.fill = n
-            yield row["doc_id"], row["source"], n, self.bin_id, self.fill
 
     spark.udtf.register("seq_pack_nextfit", NextFitPack)
     return spark.sql(

@@ -327,3 +327,137 @@ def test_rewrite_round_sql_nested_matches_python_formula(x, m, n):
     got = duckdb.sql(sql).fetchone()[0]
     want = pyrnd(pyrnd(x, m) + 0.125, n)
     assert got == want or (math.isnan(got) and math.isnan(want)), (sql, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 stateful UDTFs: repair round-trip and next-fit invariants
+# ---------------------------------------------------------------------------
+
+_rec_vals = st.integers(min_value=0, max_value=10**6)
+
+
+@given(
+    streams=st.dictionaries(
+        st.integers(min_value=0, max_value=3),
+        st.lists(_rec_vals, min_size=1, max_size=6),
+        min_size=1,
+        max_size=3,
+    ),
+    width=st.integers(min_value=4, max_value=20),
+    drop_tail=st.booleans(),
+)
+@SET
+def test_ndjson_repair_roundtrip_property(spark, streams, width, drop_tail):
+    """repair(split(records)) round-trips: every complete output record
+    equals its input record, byte conservation holds (the repairer never
+    drops or invents characters), and a truncated tail — and only it —
+    comes back incomplete."""
+    import json
+
+    from awsbeats_spark.operators.udtf import NdjsonRepair
+
+    rows = []
+    expected = {}
+    for sid, vals in streams.items():
+        recs = [json.dumps({"v": v}, separators=(",", ":")) for v in vals]
+        lines_of = [
+            [r[i : i + width] for i in range(0, len(r), width)] for r in recs
+        ]
+        truncated = drop_tail and len(lines_of[-1]) >= 2
+        if truncated:
+            lines_of[-1] = lines_of[-1][:-1]
+        seq = 0
+        for ri, lines in enumerate(lines_of):
+            for ci, line in enumerate(lines):
+                rows.append((sid, ri, ci, line))
+                seq += 1
+        for ri, rec in enumerate(recs):
+            if truncated and ri == len(recs) - 1:
+                expected[(sid, ri)] = ("".join(lines_of[-1]), False)
+            else:
+                expected[(sid, ri)] = (rec, True)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ci int, line string"
+    )
+    df.createOrReplaceTempView("prop_ndjson_lines")
+    spark.udtf.register("prop_ndjson_repair", NdjsonRepair)
+    got = spark.sql(
+        """
+        SELECT r.user_id, r.rec_idx, r.repaired, r.complete
+        FROM prop_ndjson_repair(TABLE(prop_ndjson_lines)
+                                PARTITION BY user_id
+                                ORDER BY (event_id, ci)) r
+        """
+    ).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        rec, complete = expected[(r["user_id"], r["rec_idx"])]
+        assert r["repaired"] == rec
+        assert r["complete"] == complete
+    # byte conservation per stream
+    fed = {sid: "" for sid, *_ in rows}
+    for sid, _ri, _ci, line in rows:
+        fed[sid] += line
+    out = {sid: "" for sid in fed}
+    for r in sorted(got, key=lambda r: (r["user_id"], r["rec_idx"])):
+        out[r["user_id"]] += r["repaired"]
+    assert out == fed
+
+
+@given(
+    shards=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=12),
+        min_size=1,
+        max_size=2,
+    ),
+)
+@SET
+def test_nextfit_pack_property(spark, shards):
+    """The Spark next-fit UDTF equals the literal greedy recurrence on
+    any shard contents, never overfills a bin except for an oversized
+    singleton, and meets the ceil(total/L) lower bound."""
+    import math
+
+    from awsbeats_spark.operators.udtf import _PACK_L, NextFitPack
+
+    rows = []
+    did = 0
+    for src, toks in sorted(shards.items()):
+        for n in toks:
+            rows.append((did, src, n))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    df.createOrReplaceTempView("prop_pack_src")
+    spark.udtf.register("prop_seq_pack", NextFitPack)
+    got = {
+        r["doc_id"]: (r["bin_id"], r["fill_after"])
+        for r in spark.sql(
+            """
+            SELECT p.doc_id, p.bin_id, p.fill_after
+            FROM prop_seq_pack(TABLE(prop_pack_src)
+                               PARTITION BY source ORDER BY doc_id) p
+            """
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    for src, toks in sorted(shards.items()):
+        ids = [d for d, s, _ in rows if s == src]
+        bin_id, fill, first = 0, 0, True
+        fills = {}
+        for d, n in zip(ids, toks):
+            if first:
+                first, fill = False, n
+            elif fill + n <= _PACK_L:
+                fill += n
+            else:
+                bin_id, fill = bin_id + 1, n
+            assert got[d] == (bin_id, fill)
+            fills.setdefault(bin_id, []).append(n)
+        for b, ns in fills.items():
+            assert sum(ns) <= _PACK_L or len(ns) == 1
+        # lower bound on CAPPED mass: a bin holds at most L of
+        # min(n, L) (an oversized singleton contributes exactly L)
+        assert len(fills) >= math.ceil(
+            sum(min(n, _PACK_L) for n in toks) / _PACK_L
+        )
