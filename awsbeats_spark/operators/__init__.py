@@ -502,6 +502,7 @@ _ROUND11_WINDOW = [
     "stream_backpressure_queue_depth",
     "pipeline_slo_burn_alert",
     "udtf_seq_pack_nextfit",
+    "eval_backpressure_capacity_curve",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

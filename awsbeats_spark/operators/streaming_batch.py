@@ -513,3 +513,105 @@ def stream_backpressure_queue_depth(
         .cast("long")
         .alias("queue_depth"),
     )
+
+
+_CAP_FACTORS = (0.95, 1.0, 1.05, 1.2)
+
+
+@query(
+    "eval_backpressure_capacity_curve",
+    oracle=f"""
+    WITH arr AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS window_start,
+               CAST(count(*) AS BIGINT) AS arrivals
+        FROM events GROUP BY 1
+    ),
+    caps AS (
+        SELECT f, CAST(ceil(f * (SELECT avg(arrivals) FROM arr)) AS BIGINT)
+                   AS capacity
+        FROM (SELECT unnest({list(_CAP_FACTORS)}) AS f)
+    ),
+    pfx AS (
+        SELECT f, capacity, window_start, arrivals,
+               sum(arrivals - capacity) OVER (
+                   PARTITION BY f ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pf
+        FROM arr CROSS JOIN caps
+    ),
+    depth AS (
+        SELECT f, capacity, window_start, arrivals,
+               greatest(0, pf - least(0, min(pf) OVER (
+                   PARTITION BY f ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ))) AS q
+        FROM pfx
+    )
+    SELECT f AS capacity_factor, capacity,
+           CAST(max(q) AS BIGINT) AS peak_depth,
+           CAST(sum(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS backlogged_hours,
+           round(avg(q), 6) AS mean_depth
+    FROM depth GROUP BY f, capacity
+    """,
+)
+def eval_backpressure_capacity_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capacity-sizing response curve for
+    [[stream_backpressure_queue_depth]]: the full queue-depth series
+    replayed at capacity factors {0.95, 1.0, 1.05, 1.2} x mean arrival
+    rate, summarized per factor as peak depth / backlogged hours / mean
+    depth — the curve that answers "how much headroom buys how much
+    backlog" BEFORE provisioning (0.95x must show unbounded growth,
+    1.2x near-zero; the knee between them is the sizing answer). Same
+    design-curve contract as [[eval_lsh_band_tradeoff]] and
+    [[stream_watermark_lateness_curve]]: every knob ships its measured
+    response, and all factors come from ONE hourly aggregate — the
+    curve multiplies only the one-row-per-hour series, never the event
+    scan.
+
+    Scale shape: one keyed hourly aggregate, then |factors| x hours
+    window rows — the factor axis rides the tiny series, so cost is
+    identical to the single-capacity audit."""
+    t = tables(spark, sf_dir)
+    arr = t.events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("arrivals"))
+    mean_arr = arr.agg(F.avg("arrivals").alias("mu"))
+    caps = (
+        mean_arr.select(
+            F.explode(
+                F.array(*[F.lit(x) for x in _CAP_FACTORS])
+            ).alias("f"),
+            "mu",
+        )
+        .select("f", F.ceil(F.col("f") * F.col("mu")).cast("long").alias("capacity"))
+    )
+    w = Window.partitionBy("f").orderBy("window_start")
+    pf = F.sum(F.col("arrivals") - F.col("capacity")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    depth = (
+        arr.crossJoin(F.broadcast(caps))
+        .withColumn("pf", pf)
+        .withColumn(
+            "q",
+            F.greatest(
+                F.lit(0),
+                F.col("pf")
+                - F.least(
+                    F.lit(0),
+                    F.min("pf").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                ),
+            ),
+        )
+    )
+    return depth.groupBy(F.col("f").alias("capacity_factor"), "capacity").agg(
+        F.max("q").cast("long").alias("peak_depth"),
+        F.sum((F.col("q") > 0).cast("long")).alias("backlogged_hours"),
+        rnd(F.avg("q"), 6).alias("mean_depth"),
+    )

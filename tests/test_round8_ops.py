@@ -359,3 +359,28 @@ def test_seq_pack_nextfit_matches_replay_and_invariants(run, spark, sf_dir):
         assert len(bins) >= lower
     # the packing must actually have multi-doc bins to be non-trivial
     assert (per_bin["size"] >= 2).any()
+
+
+def test_capacity_curve_matches_replay(run, spark, sf_dir):
+    import math
+
+    ev = _events(spark, sf_dir)
+    got = run("eval_backpressure_capacity_curve").set_index("capacity_factor").sort_index()
+    arr = ev.assign(h=ev.ts.dt.floor("h")).groupby("h").size().sort_index()
+    assert len(got) == 4
+    for f in (0.95, 1.0, 1.05, 1.2):
+        cap = math.ceil(f * arr.mean())
+        q, depths = 0, []
+        for a in arr:
+            q = max(0, q + a - cap)
+            depths.append(q)
+        row = got.loc[f]
+        assert row.capacity == cap
+        assert row.peak_depth == max(depths)
+        assert row.backlogged_hours == sum(1 for d in depths if d > 0)
+        assert row.mean_depth == pytest.approx(
+            round(sum(depths) / len(depths), 6), abs=1e-9
+        )
+    # the curve must be monotone: more capacity, less backlog
+    assert got.peak_depth.is_monotonic_decreasing
+    assert got.loc[0.95].peak_depth > got.loc[1.2].peak_depth
