@@ -503,6 +503,7 @@ _ROUND11_WINDOW = [
     "pipeline_slo_burn_alert",
     "udtf_seq_pack_nextfit",
     "eval_backpressure_capacity_curve",
+    "eval_seq_pack_efficiency",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
+from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.functions.textfns import WORDS_SQL, words
 from awsbeats_spark.registry import query
 
@@ -769,4 +770,100 @@ def udtf_seq_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq_pack_nextfit(TABLE(seq_pack_src)
                               PARTITION BY source ORDER BY doc_id) p
         """
+    )
+
+
+def _pack_efficiency_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    nextfit = QUERIES["udtf_seq_pack_nextfit"].oracle
+    return f"""
+    WITH nf AS (
+        SELECT source,
+               CAST(max(bin_id) + 1 AS BIGINT) AS n_bins_nextfit,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM ({nextfit}) x GROUP BY source
+    ),
+    sized AS (
+        SELECT doc_id, source,
+               CAST(len({WORDS_SQL}) AS BIGINT) AS n
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, n,
+               coalesce(sum(n) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM sized
+    ),
+    packsum AS (
+        SELECT source, CAST(floor(before / {_PACK_L}) AS BIGINT) AS pack_id,
+               sum(n) AS s
+        FROM cum GROUP BY 1, 2
+    ),
+    off AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_packs_offset,
+               CAST(sum(CASE WHEN s > {_PACK_L} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overflow_offset
+        FROM packsum GROUP BY source
+    )
+    SELECT source, n_tokens, n_bins_nextfit,
+           round(n_tokens * 1.0 / (n_bins_nextfit * {_PACK_L}), 6)
+               AS fill_nextfit,
+           n_packs_offset, n_overflow_offset,
+           round(n_tokens * 1.0 / (n_packs_offset * {_PACK_L}), 6)
+               AS fill_offset
+    FROM nf JOIN off USING (source)
+    """
+
+
+@query("eval_seq_pack_efficiency", oracle=_pack_efficiency_oracle())
+def eval_seq_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pair's honesty twin: per source shard, next-fit
+    ([[udtf_seq_pack_nextfit]] — never overflows, may open more bins)
+    versus the offset spec ([[corpus_token_pack]] — one window cumsum,
+    may overflow a pack by one document), reported as bin counts, fill
+    ratios, and the offset spec's actual overflow count. This is the
+    table that justifies choosing one spec per corpus: if overflow
+    packs are rare and fill ratios match, the windowed spec wins on
+    cost; if overflow is common (long-doc corpora) the stateful scan
+    earns its shuffle — measured, not asserted, in the same
+    design-curve contract as [[eval_lsh_band_tradeoff]].
+
+    Scale shape: both sides are per-shard aggregates of layouts this
+    module already computes — one UDTF scan + one window cumsum — then
+    a |sources|-row join."""
+    from awsbeats_spark.registry import QUERIES
+
+    nf = (
+        udtf_seq_pack_nextfit(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            (F.max("bin_id") + 1).alias("n_bins_nextfit"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    packs = QUERIES["corpus_token_pack"].fn(spark, sf_dir)
+    off = (
+        packs.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs_offset"),
+            F.sum((F.col("s") > _PACK_L).cast("long")).alias(
+                "n_overflow_offset"
+            ),
+        )
+    )
+    fill_nf = F.col("n_tokens") / (F.col("n_bins_nextfit") * _PACK_L)
+    fill_off = F.col("n_tokens") / (F.col("n_packs_offset") * _PACK_L)
+    return nf.join(off, "source").select(
+        "source",
+        "n_tokens",
+        "n_bins_nextfit",
+        rnd(fill_nf, 6).alias("fill_nextfit"),
+        "n_packs_offset",
+        "n_overflow_offset",
+        rnd(fill_off, 6).alias("fill_offset"),
     )

@@ -384,3 +384,28 @@ def test_capacity_curve_matches_replay(run, spark, sf_dir):
     # the curve must be monotone: more capacity, less backlog
     assert got.peak_depth.is_monotonic_decreasing
     assert got.loc[0.95].peak_depth > got.loc[1.2].peak_depth
+
+
+def test_pack_efficiency_consistent_with_both_packers(run, spark, sf_dir):
+    from awsbeats_spark.operators.udtf import _PACK_L
+    from awsbeats_spark.registry import QUERIES
+
+    got = run("eval_seq_pack_efficiency").set_index("source")
+    nf = run("udtf_seq_pack_nextfit")
+    packs = QUERIES["corpus_token_pack"].fn(spark, sf_dir).toPandas()
+    for src, grp in nf.groupby("source"):
+        row = got.loc[src]
+        assert row.n_bins_nextfit == grp.bin_id.max() + 1
+        assert row.n_tokens == grp.n_tokens.sum()
+        assert row.fill_nextfit == round(
+            grp.n_tokens.sum() / ((grp.bin_id.max() + 1) * _PACK_L), 6
+        )
+    for src, grp in packs.groupby("source"):
+        row = got.loc[src]
+        assert row.n_packs_offset == grp.pack_id.nunique()
+        per_pack = grp.groupby("pack_id").n_tokens.sum()
+        assert row.n_overflow_offset == int((per_pack > _PACK_L).sum())
+    # structural relations: next-fit never overflows, so it can never
+    # use FEWER bins than the offset spec on the same shard
+    assert (got.n_bins_nextfit >= got.n_packs_offset).all()
+    assert (got.fill_nextfit <= 1.0).all()
