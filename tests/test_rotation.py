@@ -26,17 +26,15 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 _ALL_RECHECKS = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
 
 
-def test_round8_window_registers_first():
-    assert len(_ROUND8_WINDOW) == 50
+def test_round9_window_registers_first():
+    assert len(_ROUND9_WINDOW) == 50
     keys = list(load_all())
-    assert keys[: len(_ROUND8_WINDOW)] == _ROUND8_WINDOW
+    assert keys[: len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
 
 
-def test_round9_through_round4_follow():
+def test_round10_through_round4_follow():
     keys = list(load_all())
-    s = len(_ROUND8_WINDOW)
-    assert keys[s : s + len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
-    s += len(_ROUND9_WINDOW)
+    s = len(_ROUND9_WINDOW)
     assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
     s += len(_ROUND10_WINDOW)
     assert keys[s : s + len(_DELIBERATE_RECHECKS)] == _DELIBERATE_RECHECKS
@@ -48,6 +46,7 @@ def test_round9_through_round4_follow():
     # Tail windows register with recheck keys filtered out (they already
     # registered at their recheck position above).
     for window, full_len in (
+        (_ROUND8_WINDOW, 50),
         (_ROUND7_WINDOW, 50),
         (_ROUND6_WINDOW, 50),
         (_ROUND5_WINDOW, 50),
