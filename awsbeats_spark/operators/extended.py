@@ -98,12 +98,9 @@ def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     records = project_records(t.events, cfg)
     deliver = arrow_batch_writer(cfg, client_factory=lambda _c: FileDumpClient(out_dir))
-    # one row per partition: collect the <=n_partitions counts and sum
-    # driver-side instead of paying an exchange+agg stage for 32 longs
-    sum(
-        r.n_published
-        for r in records.mapInArrow(deliver, "n_published long").collect()
-    )
+    # the collect() is the action that forces delivery; the per-partition
+    # counts themselves are unused (ADVICE r8: no exchange+agg for 32 longs)
+    records.mapInArrow(deliver, "n_published long").collect()
     # explicit schema: inference would read every delivered file twice
     delivered = (
         spark.read.schema("data string, partition_key string")

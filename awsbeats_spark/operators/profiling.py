@@ -512,7 +512,14 @@ def profile_parquet_footer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data-side check is one aggregate per day partition pushed to the
     parquet scan. The drift window runs over one row per day — years of
     history fit one driver page; partition it by (table, year) when it
-    doesn't."""
+    doesn't.
+
+    EAGER contract (ADVICE r8): unlike every other operator, calling
+    this function runs a full write job + driver-side footer scan at
+    DataFrame-CONSTRUCTION time — the audit's subject is the physical
+    layout, which must exist before the returned (lazy) comparison plan
+    means anything. Plan-capture callers pay that write per call; batch
+    repeated audits accordingly."""
     import glob
     import os
     import shutil
@@ -542,6 +549,13 @@ def profile_parquet_footer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mins.append(float(st.min))
                     maxes.append(float(st.max))
                     nrows += md.row_group(rg).num_rows
+            if not mins:
+                # explicit failure mode: a writer that emits row groups
+                # without column statistics breaks the audit's premise
+                raise ValueError(
+                    "footer drift audit: no row-group statistics for "
+                    f"'value' under {day_dir} — writer stats disabled?"
+                )
             footer_rows.append((day, min(mins), max(maxes), nrows))
         footer = spark.createDataFrame(
             footer_rows, "day string, f_min double, f_max double, f_rows long"

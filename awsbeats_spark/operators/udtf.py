@@ -517,6 +517,15 @@ def udtf_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NDJSON_W = 16  # transport line width the corruption model splits records at
 
+# Poison-record guard (ADVICE r8): a record whose JSON can never parse
+# (e.g. an unescaped quote) would otherwise coalesce every subsequent
+# line into one ever-growing buffer and silently swallow the stream's
+# tail. Once the buffer exceeds this bound it is flushed as
+# ``complete=false`` (B2's error-key contract) and parsing restarts at
+# the next line. Far above any legal record in the corruption model
+# (compact event JSON is < 100 bytes), so the oracle is unaffected.
+_NDJSON_MAX_BUF = 1 << 20
+
 
 def _ndjson_repair_cls():
     """Module-level so the hypothesis properties can drive the same
@@ -528,6 +537,8 @@ def _ndjson_repair_cls():
         " n_lines int, complete boolean"
     )
     class NdjsonRepair:
+        MAX_BUF = _NDJSON_MAX_BUF
+
         def __init__(self) -> None:
             self.uid = None
             self.buf = ""
@@ -543,6 +554,13 @@ def _ndjson_repair_cls():
             try:
                 json.loads(self.buf)
             except ValueError:
+                if len(self.buf) > self.MAX_BUF:
+                    # poison record: flush incomplete instead of letting
+                    # one bad record swallow the rest of the stream
+                    yield self.uid, self.idx, self.buf, self.nlines, False
+                    self.buf = ""
+                    self.nlines = 0
+                    self.idx += 1
                 return
             yield self.uid, self.idx, self.buf, self.nlines, True
             self.buf = ""
@@ -614,8 +632,6 @@ def udtf_ndjson_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     a linear single-pass parse per stream; output is record-bounded.
     At 100 TB the stream key is (file, rotation epoch), so partitions
     stay small and the parse state never crosses executors."""
-    from pyspark.sql.functions import udtf
-
     W = _NDJSON_W
     t = tables(spark, sf_dir)
     rec = F.concat(
@@ -755,8 +771,6 @@ def udtf_seq_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), so the parallelism unit matches production. Docs longer
     than the budget occupy a bin alone; both engines agree by the same
     arithmetic."""
-    from pyspark.sql.functions import udtf
-
     t = tables(spark, sf_dir)
     sized = t.documents.select(
         "doc_id", "source", F.size(words()).cast("long").alias("n_tokens")

@@ -461,3 +461,38 @@ def test_nextfit_pack_property(spark, shards):
         assert len(fills) >= math.ceil(
             sum(min(n, _PACK_L) for n in toks) / _PACK_L
         )
+
+
+def test_ndjson_repair_poison_record_is_bounded():
+    """ADVICE r8: a record whose JSON can never parse must not swallow
+    the rest of the stream. Once the buffer exceeds MAX_BUF the repairer
+    flushes it as complete=false and parsing resumes at the next line —
+    the later clean record still comes back complete=true."""
+    from awsbeats_spark.operators.udtf import NdjsonRepair
+
+    inst = NdjsonRepair.func()
+    inst.MAX_BUF = 8  # tiny bound so the guard fires in-test
+    out = []
+    for line in ['{"a": "broke', "n and more junk", '{"v":1}']:
+        out.extend(inst.eval({"user_id": 1, "line": line}) or [])
+    out.extend(inst.terminate() or [])
+    assert out == [
+        (1, 0, '{"a": "broke', 1, False),
+        (1, 1, "n and more junk", 1, False),
+        (1, 2, '{"v":1}', 1, True),
+    ]
+
+
+def test_ndjson_repair_default_bound_never_fires_on_legal_records():
+    """The production MAX_BUF (1 MiB) is far above any record the
+    corruption model emits, so the oracle's complete/incomplete split is
+    untouched: a two-line legal record parses normally."""
+    from awsbeats_spark.operators.udtf import NdjsonRepair, _NDJSON_MAX_BUF
+
+    assert NdjsonRepair.func.MAX_BUF == _NDJSON_MAX_BUF == 1 << 20
+    inst = NdjsonRepair.func()
+    out = []
+    for line in ['{"event_id":1,"e', 'vent_type":"x"}']:
+        out.extend(inst.eval({"user_id": 7, "line": line}) or [])
+    assert out == [(7, 0, '{"event_id":1,"event_type":"x"}', 2, True)]
+    assert list(inst.terminate() or []) == []
