@@ -200,39 +200,15 @@ def _pcm_frames_oracle() -> str:
     """
 
 
-@query("udtf_pcm_frames", oracle=_pcm_frames_oracle())
-def udtf_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WAV PCM frame parser as the third Python UDTF — the case a UDTF
-    genuinely exists for: a STATEFUL BINARY walk (RIFF chunk scan,
-    little-endian size field, numpy PCM view) whose row fan-out depends
-    on the decoded payload, which no built-in generator can express.
-    Each audio document yields one row per {frame}-sample frame (prefix
-    {maxf} frames) with integer frame stats: min/max sample, zero
-    crossings of the 128 center (the cheap pitch/silence feature), and
-    the first-peak offset (argmax |x-128|).
-
-    All emitted stats are INTEGER arithmetic on the PCM bytes, so the
-    DuckDB oracle replays them bit-exactly from the hex-nibble byte
-    decode (the [[multimodal_audio_energy]] machinery) — a UDTF whose
-    Python parse drifts from the container spec goes hash-red, not
-    quietly wrong. Scale shape: the UDTF eval is per-row Python over
-    Arrow batches with no state across rows — embarrassingly parallel,
-    no shuffle, output bounded at {maxf} rows/doc; the WAV subset
-    filter prunes the scan before Python ever runs."""
+def _pcm_frames_cls():
+    """Module-level so the hypothesis properties drive the identical
+    class the operator registers (same pattern as NdjsonRepair)."""
     import struct
 
     import numpy as np
     from pyspark.sql.functions import udtf
 
     from awsbeats_spark.operators.llm.multimodal import synthesize_wav
-
-    from pyspark.sql import functions as F
-
-    t = tables(spark, sf_dir)
-    wav_docs = t.documents.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    ).filter(F.octet_length("payload") % 3 == 1)
-    wav_docs.createOrReplaceTempView("pcm_udtf_src")
 
     @udtf(
         returnType="doc_id bigint, frame_id bigint, n_samples bigint,"
@@ -262,6 +238,39 @@ def udtf_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     peak,
                 )
 
+    return PcmFrames
+
+
+PcmFrames = _pcm_frames_cls()
+
+
+@query("udtf_pcm_frames", oracle=_pcm_frames_oracle())
+def udtf_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV PCM frame parser as the third Python UDTF — the case a UDTF
+    genuinely exists for: a STATEFUL BINARY walk (RIFF chunk scan,
+    little-endian size field, numpy PCM view) whose row fan-out depends
+    on the decoded payload, which no built-in generator can express.
+    Each audio document yields one row per {frame}-sample frame (prefix
+    {maxf} frames) with integer frame stats: min/max sample, zero
+    crossings of the 128 center (the cheap pitch/silence feature), and
+    the first-peak offset (argmax |x-128|).
+
+    All emitted stats are INTEGER arithmetic on the PCM bytes, so the
+    DuckDB oracle replays them bit-exactly from the hex-nibble byte
+    decode (the [[multimodal_audio_energy]] machinery) — a UDTF whose
+    Python parse drifts from the container spec goes hash-red, not
+    quietly wrong. Scale shape: the UDTF eval is per-row Python over
+    Arrow batches with no state across rows — embarrassingly parallel,
+    no shuffle, output bounded at {maxf} rows/doc; the WAV subset
+    filter prunes the scan before Python ever runs."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    wav_docs = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 1)
+    wav_docs.createOrReplaceTempView("pcm_udtf_src")
+
     spark.udtf.register("pcm_frames", PcmFrames)
     return spark.sql(
         """
@@ -282,6 +291,53 @@ udtf_pcm_frames.__doc__ = udtf_pcm_frames.__doc__.replace(
 # --------------------------------------------------------------------------
 
 _MD_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def _markdown_sections_cls():
+    """Module-level so the hypothesis properties drive the identical
+    header-stack parser the operator registers."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, section_idx bigint, h1 string,"
+        " h2 string, n_words bigint, first_word string, last_word string"
+    )
+    class MarkdownSections:
+        def eval(self, doc_id: int, md: str):
+            h1 = h2 = None
+            cur: list[str] = []
+            idx = 0
+
+            def flush():
+                nonlocal idx
+                if cur:
+                    yield (
+                        doc_id,
+                        idx,
+                        h1,
+                        h2,
+                        len(cur),
+                        cur[0],
+                        cur[-1],
+                    )
+                    idx += 1
+                    cur.clear()
+
+            for line in (md or "").split("\n"):
+                if line.startswith("## "):
+                    yield from flush()
+                    h2 = line[3:]
+                elif line.startswith("# "):
+                    yield from flush()
+                    h1, h2 = line[2:], None
+                elif line:
+                    cur.append(line)
+            yield from flush()
+
+    return MarkdownSections
+
+
+MarkdownSections = _markdown_sections_cls()
 
 
 @query(
@@ -363,7 +419,6 @@ def udtf_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful only WITHIN a document — embarrassingly parallel, no
     shuffle; output is bounded by header count + 1 per doc."""
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import udtf
 
     t = tables(spark, sf_dir)
     w = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
@@ -377,42 +432,6 @@ def udtf_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(lines, "\n").alias("md")
     ).createOrReplaceTempView("md_udtf_src")
 
-    @udtf(
-        returnType="doc_id bigint, section_idx bigint, h1 string,"
-        " h2 string, n_words bigint, first_word string, last_word string"
-    )
-    class MarkdownSections:
-        def eval(self, doc_id: int, md: str):
-            h1 = h2 = None
-            cur: list[str] = []
-            idx = 0
-
-            def flush():
-                nonlocal idx
-                if cur:
-                    yield (
-                        doc_id,
-                        idx,
-                        h1,
-                        h2,
-                        len(cur),
-                        cur[0],
-                        cur[-1],
-                    )
-                    idx += 1
-                    cur.clear()
-
-            for line in (md or "").split("\n"):
-                if line.startswith("## "):
-                    yield from flush()
-                    h2 = line[3:]
-                elif line.startswith("# "):
-                    yield from flush()
-                    h1, h2 = line[2:], None
-                elif line:
-                    cur.append(line)
-            yield from flush()
-
     spark.udtf.register("markdown_sections", MarkdownSections)
     return spark.sql(
         """
@@ -421,6 +440,38 @@ def udtf_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM md_udtf_src d, LATERAL markdown_sections(d.doc_id, d.md) s
         """
     )
+
+
+def _run_length_encode_cls():
+    """Module-level so the hypothesis properties drive the identical
+    run accumulator the operator registers."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, run_idx int, word string,"
+        " run_len int, start_pos int"
+    )
+    class RunLengthEncode:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            words = [w for w in re.split(r"\s+", (text or "").lower()) if w]
+            run_idx = 0
+            i = 0
+            n = len(words)
+            while i < n:
+                j = i
+                while j < n and words[j] == words[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield doc_id, run_idx, words[i], j - i, i + 1
+                run_idx += 1
+                i = j
+
+    return RunLengthEncode
+
+
+RunLengthEncode = _run_length_encode_cls()
 
 
 @query(
@@ -479,31 +530,8 @@ def udtf_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no cross-row state; output is bounded by the number of
     runs. 1-indexed positions, matching the oracle's generate_series.
     """
-    from pyspark.sql.functions import udtf
-
     t = tables(spark, sf_dir)
     t.documents.createOrReplaceTempView("documents_rle_src")
-
-    @udtf(
-        returnType="doc_id bigint, run_idx int, word string,"
-        " run_len int, start_pos int"
-    )
-    class RunLengthEncode:
-        def eval(self, doc_id: int, text: str):
-            import re
-
-            words = [w for w in re.split(r"\s+", (text or "").lower()) if w]
-            run_idx = 0
-            i = 0
-            n = len(words)
-            while i < n:
-                j = i
-                while j < n and words[j] == words[i]:
-                    j += 1
-                if j - i >= 2:
-                    yield doc_id, run_idx, words[i], j - i, i + 1
-                run_idx += 1
-                i = j
 
     spark.udtf.register("run_length_encode", RunLengthEncode)
     return spark.sql(

@@ -496,3 +496,133 @@ def test_ndjson_repair_default_bound_never_fires_on_legal_records():
         out.extend(inst.eval({"user_id": 7, "line": line}) or [])
     assert out == [(7, 0, '{"event_id":1,"event_type":"x"}', 2, True)]
     assert list(inst.terminate() or []) == []
+
+
+# --------------------------------------------------------------------------
+# Pre-r8 stateful UDTF properties (VERDICT r8 item 5): drive the exact
+# module-level classes the operators register, pure-Python (no Spark job
+# per example), against independent relational replays of each oracle.
+# --------------------------------------------------------------------------
+
+_pcm_payloads = st.binary(min_size=1, max_size=700)
+
+
+@given(payload=_pcm_payloads)
+@settings(max_examples=60, deadline=None)
+def test_pcm_frames_matches_cycled_byte_model(payload):
+    """Frame partition + every emitted stat must equal a direct replay of
+    the synthesis contract (payload cycled to 600 + n % 500 samples) —
+    independent of the UDTF's RIFF/struct/numpy walk."""
+    from awsbeats_spark.operators.udtf import (
+        _PCM_FRAME,
+        _PCM_MAX_FRAMES,
+        PcmFrames,
+    )
+
+    ns = 600 + len(payload) % 500
+    samples = [payload[i % len(payload)] for i in range(ns)]
+    rows = list(PcmFrames.func().eval(7, payload))
+    assert len(rows) == min(math.ceil(ns / _PCM_FRAME), _PCM_MAX_FRAMES)
+    # byte conservation over the probed prefix
+    assert sum(r[2] for r in rows) == min(ns, _PCM_FRAME * _PCM_MAX_FRAMES)
+    for f, row in enumerate(rows):
+        seg = samples[f * _PCM_FRAME : (f + 1) * _PCM_FRAME]
+        below = [x < 128 for x in seg]
+        zc = sum(1 for a, b in zip(below, below[1:]) if a != b)
+        dev = [abs(x - 128) for x in seg]
+        assert row == (7, f, len(seg), min(seg), max(seg), zc, dev.index(max(dev)))
+
+
+_md_words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=15),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(words=_md_words)
+@settings(max_examples=60, deadline=None)
+def test_markdown_sections_matches_relational_grouping(words):
+    """Header-stack well-formedness: the line parser's sections must equal
+    the oracle's relational formulation — group body words by cumulative
+    (h1-count, h2-count-within-h1) and attach the group's header words —
+    plus body-word conservation."""
+    from awsbeats_spark.operators.udtf import MarkdownSections
+
+    # the operator's JVM-side synthesis rule: len % 7 == 0 -> h1, == 3 -> h2
+    lines, kinds = [], []
+    for w in words:
+        if len(w) % 7 == 0:
+            lines.append("# " + w)
+            kinds.append("h1")
+        elif len(w) % 7 == 3:
+            lines.append("## " + w)
+            kinds.append("h2")
+        else:
+            lines.append(w)
+            kinds.append("b")
+    md = "\n".join(lines)
+
+    # independent relational replay (the DuckDB oracle's shape)
+    h1g = h2g = 0
+    h1_of, h2_of, groups, order = {}, {}, {}, []
+    for w, k in zip(words, kinds):
+        if k == "h1":
+            h1g, h2g = h1g + 1, 0
+            h1_of[h1g] = w
+        elif k == "h2":
+            h2g += 1
+            h2_of[(h1g, h2g)] = w
+        else:
+            key = (h1g, h2g)
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(w)
+    expected = [
+        (
+            3,
+            i,
+            h1_of.get(k[0]),
+            h2_of.get(k),
+            len(groups[k]),
+            groups[k][0],
+            groups[k][-1],
+        )
+        for i, k in enumerate(order)
+    ]
+    got = list(MarkdownSections.func().eval(3, md))
+    assert got == expected
+    assert sum(r[4] for r in got) == sum(1 for k in kinds if k == "b")
+
+
+_rle_words = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba"]), min_size=0, max_size=50
+)
+
+
+@given(words=_rle_words)
+@settings(max_examples=60, deadline=None)
+def test_run_length_encode_round_trips(words):
+    """RLE round-trip: emitted runs must equal itertools.groupby's maximal
+    runs (>= 2 only), cover exactly their positions in the original token
+    stream, and never overlap."""
+    import itertools
+
+    from awsbeats_spark.operators.udtf import RunLengthEncode
+
+    got = list(RunLengthEncode.func().eval(5, " ".join(words)))
+    expected, pos, run_idx = [], 1, 0
+    for w, grp in itertools.groupby(words):
+        n = len(list(grp))
+        if n >= 2:
+            expected.append((5, run_idx, w, n, pos))
+        run_idx += 1
+        pos += n
+    assert got == expected
+    for _, _, w, n, start in got:
+        # positions are 1-indexed; the run's span is all equal to w and
+        # maximal (neighbors differ or are stream edges)
+        assert words[start - 1 : start - 1 + n] == [w] * n
+        assert start == 1 or words[start - 2] != w
+        assert start - 1 + n == len(words) or words[start - 1 + n] != w
