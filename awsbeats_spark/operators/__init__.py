@@ -534,6 +534,10 @@ _DELIBERATE_RECHECKS_R11 = [
     "agg_freq_items_approx",
     "profile_columns_approx",
     "embed_pca_project",
+    # converted from rows-only to hash-checked in ROUND 9 (bit-exact
+    # DuckDB replay of the aHash pipeline incl. signed int64 packing);
+    # its r7 driver row predates the oracle, so re-evidence it
+    "multimodal_image_ahash",
 ]
 
 

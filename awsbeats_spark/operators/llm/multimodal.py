@@ -674,7 +674,53 @@ def bmp_ahash(payload: bytes) -> tuple[int, int, int]:
 AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
 
 
-@query("multimodal_image_ahash", oracle=None, tags=("rows-only",))
+def _ahash_oracle() -> str:
+    """Bit-exact DuckDB replay of bmp_ahash over the synthesis spec
+    (VERDICT r8 item 6 — the former rows-only blocker was the signed
+    64-bit packing, solved the way sim_search_hamming_packed's oracle
+    packs sign bits): geometry is closed-form in n, every sampled pixel
+    byte is the cycled text byte at its bottom-up offset, grayscale is
+    integer (B+G+R)//3, the threshold gray > mean(gray) is exact as
+    64*gray > sum(gray) (64 samples, power of two), and the row-major
+    bit pack handles the sign bit as an explicit -2^63 term."""
+    byte = lambda k: f"CAST({_BYTE_SQL.format(k=k)} AS BIGINT)"  # noqa: E731
+    off = (
+        "((ht - 1 - ((2 * (t // 8) + 1) * ht) // 16) * stride"
+        " + 3 * (((2 * (t % 8) + 1) * w) // 16))"
+    )
+    gray = f"({byte(off)} + {byte(off + ' + 1')} + {byte(off + ' + 2')}) // 3"
+    return f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS w,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+    ),
+    g AS (SELECT *, ((3 * w + 3) // 4) * 4 AS stride FROM p),
+    grays AS (
+        SELECT doc_id, w, ht,
+               list_transform(generate_series(0, 63), t -> {gray}) AS gv
+        FROM g
+    ),
+    bits AS (
+        SELECT doc_id, w, ht,
+               list_transform(gv, x -> CASE WHEN 64 * x > list_sum(gv)
+                                            THEN 1 ELSE 0 END) AS b
+        FROM grays
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+           CAST(CASE WHEN b[1] = 1 THEN -9223372036854775807 - 1 ELSE 0 END
+                + CAST(list_sum(list_transform(generate_series(2, 64),
+                      i -> b[i] * CAST(power(2, 64 - i) AS BIGINT)))
+                      AS BIGINT)
+                AS BIGINT) AS ahash
+    FROM bits
+    """
+
+
+@query("multimodal_image_ahash", oracle=_ahash_oracle())
 def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-level perceptual hash for the image modality: synthesize
     the BMP container from each image-modality document, decode its
@@ -682,11 +728,13 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-side analog of text_fingerprint (identical content -> equal
     hash; near-identical content -> small Hamming distance, so
     sim_search_hamming_packed's XOR+popcount ranking applies to images
-    unchanged). Rows-only: the hash requires pixel decoding, which SQL
-    cannot express; eval_ahash_exact_dup_parity is the hash-checkable
-    honesty twin (identical source text MUST imply identical ahash),
-    and property tests pin determinism + bit-flip locality. Scale
-    shape: embarrassingly parallel Arrow mapInPandas, no shuffle."""
+    unchanged). HASH-CHECKED since round 9: the oracle replays the
+    whole pipeline — cycled-byte pixel array, bottom-up row order, 8x8
+    nearest-neighbor sample grid, integer grayscale, exact mean
+    threshold, signed int64 pack — so a drift in bmp_ahash's container
+    parse goes hash-red; eval_ahash_decode_parity remains the
+    independent double-decode determinism check. Scale shape:
+    embarrassingly parallel Arrow mapInPandas, no shuffle."""
     t = tables(spark, sf_dir)
     payloads = t.documents.filter(
         F.octet_length("text") % 3 == 0
