@@ -507,6 +507,12 @@ _ROUND11_WINDOW = [
     "udtf_seq_pack_nextfit",
     "eval_backpressure_capacity_curve",
     "eval_seq_pack_efficiency",
+    # round-9 additions (cap <= 10, VERDICT r8 item 3; actual +5)
+    "ts_ewma_time_decay",
+    "eval_pack_attention_contamination",
+    "eval_quality_calibration_ece",
+    "eval_blocking_quality",
+    "multimodal_audio_clipping_detect",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

@@ -1168,3 +1168,116 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", F.col("version").cast("int").alias("version"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# Blocking-scheme quality eval (pair completeness vs reduction ratio)
+# --------------------------------------------------------------------------
+
+_BLK_SAMPLE_MOD = 10
+_BLK_SAMPLE_KEEP = 3  # ~30% deterministic name sample for the ground truth
+_BLK_EDIT_MAX = 4  # same match predicate as join_fuzzy_name_blocked
+
+
+@query(
+    "eval_blocking_quality",
+    oracle=f"""
+    WITH names AS (
+        SELECT DISTINCT p_name FROM part
+        WHERE ('0x' || substring(md5(p_name), 1, 4))::BIGINT
+              % {_BLK_SAMPLE_MOD} < {_BLK_SAMPLE_KEEP}
+    ),
+    keyed AS (
+        SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
+    ),
+    pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               a.blk = b.blk AS same_block,
+               levenshtein(a.p_name, b.p_name) <= {_BLK_EDIT_MAX} AS is_true
+        FROM keyed a JOIN keyed b ON a.p_name < b.p_name
+    )
+    SELECT CAST((SELECT count(*) FROM names) AS BIGINT) AS n_names,
+           CAST(count(*) AS BIGINT) AS n_possible_pairs,
+           CAST(sum(CASE WHEN same_block THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs,
+           CAST(sum(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_found,
+           round(sum(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
+                 * 1.0 / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0),
+                 6) AS pair_completeness,
+           round(1.0 - sum(CASE WHEN same_block THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS reduction_ratio
+    FROM pairs
+    """,
+)
+def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking eval — the two numbers that justify (or
+    indict) [[join_fuzzy_name_blocked]]'s first-word blocking key:
+    **pair completeness** (what fraction of true fuzzy matches land in
+    the same block, i.e. recall the blocking can't lose downstream) and
+    **reduction ratio** (what fraction of the O(n^2) comparison space
+    the blocking eliminates) — the standard trade-off pair of the
+    record-linkage literature (Christen, "Data Matching", ch. 7). Ground
+    truth (all Levenshtein <= {em} pairs) requires the full cross
+    product, so it runs on a deterministic ~{pct}% md5 sample of
+    distinct names — exactly how a production linkage pipeline audits
+    its blocking: exhaustively on a sample, never on the corpus. A new
+    blocking key ships when completeness holds near 1.0 and the
+    reduction ratio rises.
+
+    Scale shape: the sample bound makes the truth cross join O(s^2)
+    for s = sampled names (constant in corpus size by choosing the
+    sample budget); candidate counting reuses the same pair relation.
+    The corpus-scale blocked JOIN itself is join_fuzzy_name_blocked;
+    this eval never touches full-corpus pairs."""
+    t = tables(spark, sf_dir)
+    keep = (
+        F.conv(F.substring(F.md5("p_name"), 1, 4), 16, 10).cast("bigint")
+        % _BLK_SAMPLE_MOD
+        < _BLK_SAMPLE_KEEP
+    )
+    names = (
+        t.part.select("p_name")
+        .distinct()
+        .filter(keep)
+        .withColumn("blk", F.split(F.col("p_name"), " ")[0])
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = a.join(b, F.col("a.p_name") < F.col("b.p_name")).select(
+        (F.col("a.blk") == F.col("b.blk")).alias("same_block"),
+        (
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            <= _BLK_EDIT_MAX
+        ).alias("is_true"),
+    )
+    found = F.sum((F.col("is_true") & F.col("same_block")).cast("long"))
+    true_ct = F.sum(F.col("is_true").cast("long"))
+    cand = F.sum(F.col("same_block").cast("long"))
+    nn = names.agg(F.count(F.lit(1)).cast("long").alias("n_names"))
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_possible_pairs"),
+        cand.alias("n_candidates"),
+        true_ct.alias("n_true_pairs"),
+        found.alias("n_true_found"),
+        rnd(found / F.nullif(true_ct, F.lit(0)), 6).alias(
+            "pair_completeness"
+        ),
+        rnd(1.0 - cand / F.count(F.lit(1)), 6).alias("reduction_ratio"),
+    )
+    # lazy 1-row x 1-row join (no eager count at construction time)
+    return F.broadcast(nn).crossJoin(stats).select(
+        "n_names",
+        "n_possible_pairs",
+        "n_candidates",
+        "n_true_pairs",
+        "n_true_found",
+        "pair_completeness",
+        "reduction_ratio",
+    )
+
+
+eval_blocking_quality.__doc__ = eval_blocking_quality.__doc__.replace(
+    "{em}", str(_BLK_EDIT_MAX)
+).replace("{pct}", str(_BLK_SAMPLE_KEEP * 100 // _BLK_SAMPLE_MOD))

@@ -3090,19 +3090,20 @@ corpus_dsir_importance.__doc__ = corpus_dsir_importance.__doc__.replace(
 _QLF_BUCKETS = 64
 _QLF_THRESHOLD = 0.5
 
-
-@query(
-    "corpus_quality_classifier_filter",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, source,
+# shared scored-docs pipeline (doc_id, source, p) — the classifier's
+# serving plan, reused verbatim by eval_quality_calibration_ece so the
+# two oracles cannot drift
+_QLF_SCORED_SQL = f"""
+    toks AS (
+        SELECT doc_id, source, lang,
                CAST(('0x' || substring(md5(w), 1, 4))::BIGINT
                     % {_QLF_BUCKETS} AS BIGINT) AS b
-        FROM (SELECT doc_id, source, unnest({WORDS_SQL}) AS w
+        FROM (SELECT doc_id, source, lang, unnest({WORDS_SQL}) AS w
               FROM documents)
     ),
     feats AS (
-        SELECT doc_id, any_value(source) AS source, b,
+        SELECT doc_id, any_value(source) AS source,
+               any_value(lang) AS lang, b,
                ln(1 + count(*)) AS x
         FROM toks GROUP BY doc_id, b
     ),
@@ -3114,10 +3115,68 @@ _QLF_THRESHOLD = 0.5
     ),
     scored AS (
         SELECT f.doc_id, any_value(f.source) AS source,
+               any_value(f.lang) AS lang,
                round(1.0 / (1.0 + exp(-sum(f.x * w.wt))), 8) AS p
         FROM feats f JOIN wts w USING (b)
         GROUP BY f.doc_id
+    )"""
+
+
+
+
+def _qlf_scored_df(spark: SparkSession, sf_dir: str):
+    """Spark side of _QLF_SCORED_SQL: (doc_id, source, p) — the hashed
+    logistic scorer's serving plan, shared by the filter and its
+    calibration eval."""
+    docs = tables(spark, sf_dir).documents
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+        % _QLF_BUCKETS
     )
+    toks = docs.select(
+        "doc_id", "source", "lang", F.explode(words()).alias("w")
+    ).select("doc_id", "source", "lang", bucket.alias("b"))
+    feats = toks.groupBy("doc_id", "b").agg(
+        F.any_value("source").alias("source"),
+        F.any_value("lang").alias("lang"),
+        F.log(1 + F.count(F.lit(1))).alias("x"),
+    )
+    wts = spark.range(_QLF_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("wt"),
+    )
+    return (
+        feats.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.any_value("lang").alias("lang"),
+            rnd(
+                1.0 / (1.0 + F.exp(-F.sum(F.col("x") * F.col("wt")))), 8
+            ).alias("p"),
+        )
+    )
+
+
+@query(
+    "corpus_quality_classifier_filter",
+    oracle=f"""
+    WITH {_QLF_SCORED_SQL}
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(p), 4) AS mean_score,
@@ -3147,47 +3206,7 @@ def corpus_quality_classifier_filter(
     per-doc keyed aggregate after a broadcast join with the weight
     table; the report is a |sources|-grain rollup. Exactly one
     exchange touches corpus-scale rows."""
-    docs = tables(spark, sf_dir).documents
-    bucket = (
-        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
-        % _QLF_BUCKETS
-    )
-    toks = docs.select(
-        "doc_id", "source", F.explode(words()).alias("w")
-    ).select("doc_id", "source", bucket.alias("b"))
-    feats = toks.groupBy("doc_id", "b").agg(
-        F.any_value("source").alias("source"),
-        F.log(1 + F.count(F.lit(1))).alias("x"),
-    )
-    wts = spark.range(_QLF_BUCKETS).select(
-        F.col("id").alias("b"),
-        (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
-                        1,
-                        4,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2001
-                - 1000
-            )
-            / 1000.0
-        ).alias("wt"),
-    )
-    scored = (
-        feats.join(F.broadcast(wts), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            rnd(
-                1.0 / (1.0 + F.exp(-F.sum(F.col("x") * F.col("wt")))), 8
-            ).alias("p"),
-        )
-    )
+    scored = _qlf_scored_df(spark, sf_dir)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         rnd(F.avg("p"), 4).alias("mean_score"),
@@ -3203,6 +3222,84 @@ def corpus_quality_classifier_filter(
 corpus_quality_classifier_filter.__doc__ = (
     corpus_quality_classifier_filter.__doc__.replace("{nb}", str(_QLF_BUCKETS))
 )
+
+
+@query(
+    "eval_quality_calibration_ece",
+    oracle=f"""
+    WITH {_QLF_SCORED_SQL},
+    binned AS (
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+               p, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(p), 4) AS mean_score,
+               round(sum(y) * 1.0 / count(*), 6) AS label_rate
+        FROM binned GROUP BY bin
+    ),
+    gapped AS (
+        SELECT *, round(abs(mean_score - label_rate), 6) AS gap
+        FROM per_bin
+    )
+    SELECT bin, n_docs, mean_score, label_rate, gap,
+           round(sum(n_docs * gap) OVER () / sum(n_docs) OVER (), 6)
+               AS ece
+    FROM gapped
+    """,
+)
+def eval_quality_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration audit of the quality classifier — the reliability
+    diagram plus Expected Calibration Error that decides whether
+    [[corpus_quality_classifier_filter]]'s scores can be used as
+    PROBABILITIES (sampling weights, soft thresholds, mixture targets)
+    or only as a ranking: scores land in 10 equal-width bins, each bin
+    compares its mean predicted score against the empirical rate of a
+    reference label (here ``lang = 'en'``, the deterministic stand-in
+    for the held-out gold label a production calibration set carries),
+    and ECE is the doc-weighted mean absolute gap (Guo et al. 2017,
+    "On Calibration of Modern Neural Networks" — the standard
+    formulation). A filter that is miscalibrated but well-ranked needs
+    Platt/temperature scaling before its scores feed a sampler; this
+    is the operator that tells you.
+
+    Determinism: label_rate is an exact integer ratio; mean_score
+    rounds at 4 decimals before the gap (the classifier's own avg
+    quantization); gaps and ECE derive from already-rounded values, so
+    both engines agree bit-for-bit. Scale shape: reuses the scorer's
+    single corpus-scale exchange, then a 10-row bin aggregate; the ECE
+    window runs over 10 rows."""
+    scored = _qlf_scored_df(spark, sf_dir)
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("p"), 4).alias("mean_score"),
+        rnd(F.sum("y") / F.count(F.lit(1)), 6).alias("label_rate"),
+    )
+    gapped = per_bin.withColumn(
+        "gap", rnd(F.abs(F.col("mean_score") - F.col("label_rate")), 6)
+    )
+    w = Window.partitionBy()
+    return gapped.select(
+        "bin",
+        "n_docs",
+        "mean_score",
+        "label_rate",
+        "gap",
+        rnd(
+            F.sum(F.col("n_docs") * F.col("gap")).over(w)
+            / F.sum("n_docs").over(w),
+            6,
+        ).alias("ece"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -2753,3 +2753,138 @@ def multimodal_video_keyframe_per_shot(
         "keyframe",
         rnd("keyframe_mean_luma", 4).alias("keyframe_mean_luma"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clipping detection over real PCM samples (rail-proximity QA gate)
+# --------------------------------------------------------------------------
+
+_CLIP_DEV = 90  # clipped when |sample - 128| >= this (8-bit midpoint PCM)
+
+
+@query(
+    "multimodal_audio_clipping_detect",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               600 + octet_length(encode(text)) % 500 AS ns
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
+    ),
+    s AS (
+        SELECT doc_id, ns, j,
+               CASE WHEN abs({_BYTE_SQL.format(k="j - 1")} - 128)
+                         >= {_CLIP_DEV}
+                    THEN 1 ELSE 0 END AS c
+        FROM p, unnest(generate_series(1, CAST(ns AS INT))) AS t(j)
+    ),
+    isl AS (
+        SELECT doc_id, ns, j, c,
+               j - row_number() OVER (PARTITION BY doc_id, c ORDER BY j)
+                   AS grp
+        FROM s
+    ),
+    runs AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+        FROM isl WHERE c = 1 GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_runs,
+               CAST(coalesce(max(run_len), 0) AS BIGINT) AS max_run,
+               CAST(coalesce(sum(run_len), 0) AS BIGINT) AS n_clipped
+        FROM runs GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(p.ns AS BIGINT) AS n_samples,
+           coalesce(d.n_clipped, 0) AS n_clipped,
+           round(coalesce(d.n_clipped, 0) * 1.0 / p.ns, 6) AS clip_rate,
+           coalesce(d.max_run, 0) AS max_run,
+           coalesce(d.n_runs, 0) AS n_clip_runs
+    FROM p LEFT JOIN per_doc d USING (doc_id)
+    """,
+)
+def multimodal_audio_clipping_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clipping QA gate over each audio document's REAL PCM bytes: the
+    fraction of samples pinned near the 8-bit rails (|x - 128| >=
+    {dev}) plus the run structure of the clipped regions — count of
+    maximal clipped runs and the longest one. Rate alone can't
+    distinguish benign transient peaks from a sustained overdriven
+    segment; the longest-run statistic is what an audio ingest
+    pipeline actually gates on before paying for transcription
+    ([[multimodal_audio_dynamic_range]] measures headroom,
+    [[multimodal_audio_silence_gate]] the floor; this is the ceiling).
+    The container is parsed for real (RIFF data-chunk offset + size),
+    and every statistic is integer arithmetic on the sample bytes, so
+    the DuckDB oracle replays them exactly from the hex-nibble byte
+    decode with a gaps-and-islands run grouping.
+
+    Scale shape: embarrassingly parallel Arrow ``mapInPandas``, no
+    shuffle, one output row per clip; runs are found with one
+    vectorized numpy pass per payload, never a Python per-sample
+    loop."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 1)
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(bytes(raw))
+                data_off = wav.index(b"data") + 8
+                data_size = struct.unpack_from("<I", wav, data_off - 4)[0]
+                arr = np.frombuffer(
+                    wav, dtype=np.uint8, count=data_size, offset=data_off
+                ).astype(np.int64)
+                c = (np.abs(arr - 128) >= _CLIP_DEV).astype(np.int8)
+                n_clipped = int(c.sum())
+                # maximal runs of 1s: boundaries where the flag changes
+                d = np.diff(np.concatenate(([0], c, [0])))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                lens = ends - starts
+                rows.append(
+                    (
+                        doc_id,
+                        len(arr),
+                        n_clipped,
+                        int(lens.max()) if lens.size else 0,
+                        int(lens.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_clipped",
+                    "max_run",
+                    "n_clip_runs",
+                ],
+            )
+
+    raw = src.mapInPandas(
+        detect,
+        "doc_id bigint, n_samples bigint, n_clipped bigint,"
+        " max_run bigint, n_clip_runs bigint",
+    )
+    # rate rounds JVM-side with the shared half-up rnd (Python round()
+    # is banker's — a tie at the 6th decimal would diverge from the
+    # oracle)
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        "n_clipped",
+        rnd(F.col("n_clipped") / F.col("n_samples"), 6).alias("clip_rate"),
+        "max_run",
+        "n_clip_runs",
+    )
+
+
+multimodal_audio_clipping_detect.__doc__ = (
+    multimodal_audio_clipping_detect.__doc__.replace("{dev}", str(_CLIP_DEV))
+)

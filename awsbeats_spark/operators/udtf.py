@@ -909,3 +909,68 @@ def eval_seq_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overflow_offset",
         rnd(fill_off, 6).alias("fill_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document attention contamination of packed sequences
+# --------------------------------------------------------------------------
+
+
+def _pack_attention_oracle() -> str:
+    from awsbeats_spark.registry import QUERIES
+
+    nextfit = QUERIES["udtf_seq_pack_nextfit"].oracle
+    return f"""
+    WITH bins AS (
+        SELECT source, bin_id,
+               CAST(sum(n_tokens) AS BIGINT) AS s,
+               CAST(sum(n_tokens * n_tokens) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM ({nextfit}) x GROUP BY source, bin_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(s * (s + 1) // 2) AS BIGINT) AS total_pairs,
+           CAST(sum((s * s - sq) // 2) AS BIGINT) AS cross_pairs,
+           round(sum((s * s - sq) // 2) * 1.0
+                 / sum(s * (s + 1) // 2), 6) AS contamination_rate
+    FROM bins GROUP BY source
+    """
+
+
+@query("eval_pack_attention_contamination", oracle=_pack_attention_oracle())
+def eval_pack_attention_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What sequence packing COSTS the model: when k documents share one
+    packed training sequence without attention masking, every token
+    attends tokens of other documents — the cross-contamination the
+    block-diagonal attention mask exists to remove (and the number that
+    says whether you need it). Per source shard, over the next-fit bins
+    of [[udtf_seq_pack_nextfit]]: causal attention pairs in a bin of
+    length S are S(S+1)/2 (self included); same-document pairs are
+    sum n_i(n_i+1)/2; the cross-document remainder is exactly
+    (S^2 - sum n_i^2)/2. Reported as exact integer pair counts plus the
+    contamination rate — all from the bin layout's (sum, sum-of-
+    squares, count) per bin, no token-level work.
+
+    Scale shape: one aggregate over the pack output (which is one
+    shuffle + linear scan per shard), then a |sources|-row rollup; the
+    quadratic quantities are closed-form in per-bin moments, so nothing
+    token-scale is ever materialized."""
+    packed = udtf_seq_pack_nextfit(spark, sf_dir)
+    bins = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("s"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).alias("sq"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = F.sum((F.col("s") * (F.col("s") + 1) / 2).cast("long"))
+    cross = F.sum(((F.col("s") * F.col("s") - F.col("sq")) / 2).cast("long"))
+    return bins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        total.alias("total_pairs"),
+        cross.alias("cross_pairs"),
+        rnd(cross / total, 6).alias("contamination_rate"),
+    )
