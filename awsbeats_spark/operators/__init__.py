@@ -38,7 +38,9 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   CORRECTNESS_r08): the later round-5 additions that overflow round
   7's budget. After round 8: 392/525 driver-evidenced.
 * **Round 9** (``_ROUND9_WINDOW``, exactly 50, NOW FRONTED): round-5
-  late additions (442/525 after round 9). **Round 10**
+  late additions (442/530 after round 9; the catalog grew to 530 with
+  the five round-9 keys, which queue in ``_ROUND11_WINDOW``).
+  **Round 10**
   (``_ROUND10_WINDOW``, 46 + 4 rechecks = the full 50-key budget):
   the overflow past round 9's budget plus round-6/7 additions.
   **Round 11** (``_ROUND11_WINDOW``, 37 + 3 rechecks): round-7/8

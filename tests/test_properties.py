@@ -626,3 +626,35 @@ def test_run_length_encode_round_trips(words):
         assert words[start - 1 : start - 1 + n] == [w] * n
         assert start == 1 or words[start - 2] != w
         assert start - 1 + n == len(words) or words[start - 1 + n] != w
+
+
+@given(payload=st.binary(min_size=1, max_size=800))
+@settings(max_examples=60, deadline=None)
+def test_bmp_ahash_matches_cycled_byte_model(payload):
+    """The round-9 oracle conversion's claim, generalized to arbitrary
+    payloads: bmp_ahash's real container parse (header offsets,
+    bottom-up rows, numpy grid sample) must equal a direct integer
+    replay of the synthesis spec — geometry closed-form in n, sampled
+    pixel bytes read straight from the cycled payload, 64*gray > sum
+    threshold, signed row-major pack."""
+    from awsbeats_spark.operators.llm.multimodal import (
+        bmp_ahash,
+        synthesize_bmp,
+    )
+
+    n = len(payload)
+    w, h = 4 + n % 29, 4 + (7 * n) % 17
+    stride = ((3 * w + 3) // 4) * 4
+    grays = []
+    for t in range(64):
+        yi = ((2 * (t // 8) + 1) * h) // 16
+        xj = ((2 * (t % 8) + 1) * w) // 16
+        off = (h - 1 - yi) * stride + 3 * xj
+        grays.append(sum(payload[(off + c) % n] for c in range(3)) // 3)
+    total = sum(grays)
+    val = 0
+    for g in grays:
+        val = (val << 1) | (1 if 64 * g > total else 0)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    assert bmp_ahash(synthesize_bmp(payload)) == (w, h, val)
