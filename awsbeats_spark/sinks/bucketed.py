@@ -45,13 +45,20 @@ def write_bucketed(
         # and for a truly orphaned directory only delete what this writer
         # could have produced (unqualified name, parquet/bucket files).
         loc = None
-        try:
-            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-            loc = next(
-                (r[1] for r in rows if r[0] == "Location"), None
-            )
-        except Exception:
-            pass  # table not registered in this session's catalog
+        # probe existence via the catalog API first: DESCRIBE on a
+        # missing table raises AnalysisException, which Spark's query
+        # logger prints as a full ERROR stack trace even when swallowed
+        # — pure log noise on the common (table absent) path
+        if spark.catalog.tableExists(table):
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {table}"
+                ).collect()
+                loc = next(
+                    (r[1] for r in rows if r[0] == "Location"), None
+                )
+            except Exception:
+                pass  # dropped concurrently between probe and describe
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         if loc is not None:
             loc = loc.removeprefix("file:")
