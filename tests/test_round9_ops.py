@@ -185,3 +185,58 @@ def test_audio_clipping_matches_cycled_byte_replay(run, spark, sf_dir):
         assert math.isclose(
             row["clip_rate"], sum(flags) / ns, abs_tol=1e-6
         )
+
+
+def test_ewma_time_decay_long_span_stays_finite(spark, tmp_path):
+    """The anchored-prefix closed form NaNs past ~700 lambda-days (the
+    prefix underflows while the un-anchoring factor overflows); the
+    block-reanchored form must stay finite and match the naive O(n^2)
+    definition over a multi-year span."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import TABLE_NAMES
+    from awsbeats_spark.operators.timeseries import _DECAY_PER_DAY
+    from awsbeats_spark.registry import load_all
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "longspan"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        if t != "events":
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    # one user spanning 8+ years (3000 days), plus a short-span user;
+    # integers are interpreted in the schema's own unit (microseconds)
+    day_us = 86400 * 10**6
+    rows = {
+        "event_id": [1, 2, 3, 4, 10, 11],
+        "ts": [0, 1 * day_us, 1500 * day_us, 3000 * day_us, 5 * day_us, 6 * day_us],
+        "user_id": [7, 7, 7, 7, 8, 8],
+        "event_type": ["a"] * 6,
+        "value": [10.0, 20.0, 30.0, 40.0, 5.0, 6.0],
+        "props": ["{}"] * 6,
+    }
+    schema = pq.read_schema(f"{src}/events.parquet")
+    table = pa.Table.from_pydict(
+        {k: rows[k] for k in schema.names}
+    ).cast(schema)
+    pq.write_table(table, str(d / "events.parquet"))
+
+    got = (
+        load_all()["ts_ewma_time_decay"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("event_id")["decayed_sum"]
+    )
+    assert not got.isna().any(), "NaN leaked from the decay closed form"
+    tds = {1: 0.0, 2: 1.0, 3: 1500.0, 4: 3000.0, 10: 5.0, 11: 6.0}
+    vals = {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0, 10: 5.0, 11: 6.0}
+    users = {1: 7, 2: 7, 3: 7, 4: 7, 10: 8, 11: 8}
+    for eid in tds:
+        truth = sum(
+            vals[j] * math.exp(-_DECAY_PER_DAY * (tds[eid] - tds[j]))
+            for j in tds
+            if users[j] == users[eid] and tds[j] <= tds[eid]
+        )
+        assert math.isclose(got[eid], truth, rel_tol=1e-6, abs_tol=1e-6), eid
