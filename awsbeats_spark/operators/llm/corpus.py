@@ -3510,15 +3510,18 @@ def corpus_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(d.c * ratio.lr), 8) AS logw
         FROM db d JOIN ratio USING (b)
         GROUP BY d.doc_id
+    ),
+    shifted AS (
+        SELECT lang,
+               exp(logw - max(logw) OVER (PARTITION BY lang)) AS w
+        FROM docw
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(pow(sum(exp(logw)), 2) / sum(exp(logw) * exp(logw)), 4)
-               AS ess,
-           round(pow(sum(exp(logw)), 2) / sum(exp(logw) * exp(logw))
-                 / count(*), 6) AS ess_share,
-           round(max(exp(logw)) / sum(exp(logw)), 6) AS max_w_share
-    FROM docw GROUP BY lang
+           round(pow(sum(w), 2) / sum(w * w), 4) AS ess,
+           round(pow(sum(w), 2) / sum(w * w) / count(*), 6) AS ess_share,
+           round(max(w) / sum(w), 6) AS max_w_share
+    FROM shifted GROUP BY lang
     """,
 )
 def corpus_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3539,6 +3542,16 @@ def corpus_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rows. Exp-sums are order-dependent doubles over ≤n_docs
     O(1)-magnitude addends; outputs round at 4/6 dp and nothing
     selects on them.
+
+    Numerical contract (round-9 fix, same failure family as
+    ts_ewma_time_decay): logw scales with DOCUMENT LENGTH (a token-
+    bucket sum), so a long-enough document overflows exp(logw) to inf
+    and ESS becomes inf/inf = NaN. ESS, ess_share, and max_w_share are
+    all INVARIANT to scaling w by a per-group constant, so both engines
+    apply the log-sum-exp shift — w = exp(logw - max(logw) over the
+    language) — which bounds every exponent at <= 0 (underflow to an
+    honest 0 for negligibly-weighted docs) without changing any
+    reported value.
     """
     docs = tables(spark, sf_dir).documents
     bucket = (
@@ -3583,8 +3596,14 @@ def corpus_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum(F.col("c") * F.col("lr")), 8).alias("logw"),
         )
     )
-    w = F.exp(F.col("logw"))
-    return docw.groupBy("lang").agg(
+    shifted = docw.withColumn(
+        "w",
+        F.exp(
+            F.col("logw") - F.max("logw").over(Window.partitionBy("lang"))
+        ),
+    )
+    w = F.col("w")
+    return shifted.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         rnd(F.pow(F.sum(w), 2) / F.sum(w * w), 4).alias("ess"),
         rnd(

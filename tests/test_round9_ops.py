@@ -240,3 +240,49 @@ def test_ewma_time_decay_long_span_stays_finite(spark, tmp_path):
             if users[j] == users[eid] and tds[j] <= tds[eid]
         )
         assert math.isclose(got[eid], truth, rel_tol=1e-6, abs_tol=1e-6), eid
+
+
+def test_dsir_ess_long_doc_stays_finite(spark, tmp_path):
+    """logw scales with document length, so exp(logw) overflows for a
+    long-enough document and unshifted ESS becomes inf/inf = NaN; the
+    log-sum-exp shift must keep every statistic finite and in range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import TABLE_NAMES
+    from awsbeats_spark.registry import load_all
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "longdoc"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        if t != "documents":
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    # one 40k-token doc pushes |logw| far past exp's ~709.78 double
+    # ceiling unless the per-group max shift is applied
+    texts = [
+        "zqx " * 40000,
+        "common words here",
+        "more ordinary english text",
+    ]
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": texts,
+        "lang": ["en", "en", "en"],
+        "source": ["web"] * 3,
+        "n_chars": [len(t) for t in texts],
+    }
+    schema = pq.read_schema(f"{src}/documents.parquet")
+    table = pa.Table.from_pydict(
+        {k: rows[k] for k in schema.names}
+    ).cast(schema)
+    pq.write_table(table, str(d / "documents.parquet"))
+
+    out = load_all()["corpus_dsir_ess"].fn(spark, str(d)).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    for col in ("ess", "ess_share", "max_w_share"):
+        assert np.isfinite(r[col]), col
+    assert 1.0 <= r["ess"] <= 3.0
+    assert 0.0 < r["max_w_share"] <= 1.0
