@@ -658,3 +658,80 @@ def test_bmp_ahash_matches_cycled_byte_model(payload):
     if val >= 1 << 63:
         val -= 1 << 64
     assert bmp_ahash(synthesize_bmp(payload)) == (w, h, val)
+
+
+_decay_streams = st.dictionaries(
+    st.integers(min_value=1, max_value=3),  # user_id
+    st.lists(
+        st.tuples(
+            # gap to the next event, in days — spans several 120-day
+            # blocks and lands exactly on block boundaries sometimes
+            st.sampled_from([0.0, 0.5, 1.0, 7.25, 119.0, 120.0, 240.0, 365.0]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(streams=_decay_streams)
+@SET
+def test_ewma_time_decay_blocked_form_property(spark, tmp_path_factory, streams):
+    """The block-reanchored closed form must equal the naive O(n^2)
+    definition for arbitrary irregular streams, including events exactly
+    ON 120-day block boundaries and empty blocks between events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import TABLE_NAMES
+    from awsbeats_spark.operators.timeseries import _DECAY_PER_DAY
+    from awsbeats_spark.registry import load_all
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("decay_prop")
+    for t in TABLE_NAMES:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        if t != "events":
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+            "value": [], "props": []}
+    eid = 0
+    truth = {}
+    for uid, evs in sorted(streams.items()):
+        td = 0.0
+        tds, vals, eids = [], [], []
+        for gap, v in evs:
+            td += gap
+            eid += 1
+            rows["event_id"].append(eid)
+            rows["ts"].append(int(td * 86400 * 10**6))  # schema unit: us
+            rows["user_id"].append(uid)
+            rows["event_type"].append("a")
+            rows["value"].append(float(v))
+            rows["props"].append("{}")
+            tds.append(td)
+            vals.append(float(v))
+            eids.append(eid)
+        for i in range(len(tds)):
+            truth[eids[i]] = sum(
+                vals[j] * math.exp(-_DECAY_PER_DAY * (tds[i] - tds[j]))
+                for j in range(i + 1)
+            )
+    schema = pq.read_schema(f"{src}/events.parquet")
+    table = pa.Table.from_pydict(
+        {k: rows[k] for k in schema.names}
+    ).cast(schema)
+    pq.write_table(table, str(d / "events.parquet"))
+
+    got = (
+        load_all()["ts_ewma_time_decay"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("event_id")["decayed_sum"]
+    )
+    assert len(got) == len(truth)
+    for e, s in truth.items():
+        assert math.isclose(got[e], s, rel_tol=1e-6, abs_tol=1e-5), e
