@@ -764,7 +764,8 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n,
            round(s1 / n, 4) AS mean,
-           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS pop_std,
+           round(sqrt(greatest(0.0, s2 / n - (s1 / n) * (s1 / n))), 4)
+               AS pop_std,
            round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
                  / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skewness_g1,
            round((s4 / n - 4 * (s1 / n) * (s3 / n)
@@ -809,7 +810,7 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         rnd(mu, 4).alias("mean"),
-        rnd(F.sqrt(m2), 4).alias("pop_std"),
+        rnd(F.sqrt(F.greatest(F.lit(0.0), m2)), 4).alias("pop_std"),
         rnd(m3 / F.pow(m2, 1.5), 4).alias("skewness_g1"),
         rnd(m4 / F.pow(m2, 2) - 3, 4).alias("excess_kurtosis_g2"),
     )
@@ -842,9 +843,9 @@ _N_MERGE_SHARDS = 8
            min(mn) AS min_qty,
            max(mx) AS max_qty,
            round(sum(s) * 1.0 / sum(n), 6) AS mean_qty,
-           round(sqrt(sum(ss) / sum(n)
-                      - (sum(s) * 1.0 / sum(n)) * (sum(s) * 1.0 / sum(n))), 6)
-               AS pop_std_qty
+           round(sqrt(greatest(0.0, sum(ss) / sum(n)
+                      - (sum(s) * 1.0 / sum(n)) * (sum(s) * 1.0 / sum(n)))),
+                 6) AS pop_std_qty
     FROM partials GROUP BY 1
     """,
 )
@@ -881,9 +882,14 @@ def agg_partial_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_qty"),
         F.max("mx").alias("max_qty"),
         rnd(mean, 6).alias("mean_qty"),
-        rnd(F.sqrt(F.sum("ss") / F.sum("n") - mean * mean), 6).alias(
-            "pop_std_qty"
-        ),
+        rnd(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), F.sum("ss") / F.sum("n") - mean * mean
+                )
+            ),
+            6,
+        ).alias("pop_std_qty"),
     )
 
 

@@ -286,3 +286,53 @@ def test_dsir_ess_long_doc_stays_finite(spark, tmp_path):
         assert np.isfinite(r[col]), col
     assert 1.0 <= r["ess"] <= 3.0
     assert 0.0 < r["max_w_share"] <= 1.0
+
+
+def test_variance_sqrt_clamp_on_constant_values(spark, tmp_path):
+    """Constant-valued groups make E[x^2] - E[x]^2 land at -epsilon in
+    floats; DuckDB then ERRORS on sqrt while Spark silently yields NaN.
+    The greatest(0, .) clamp must make pop_std an exact 0 on BOTH
+    engines for degenerate data."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import TABLE_NAMES
+    from awsbeats_spark.registry import load_all
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "constval"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        if t != "events":
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    n = 37
+    # a constant that is NOT exactly representable-squared-friendly
+    rows = {
+        "event_id": list(range(1, n + 1)),
+        "ts": [i * 3600 * 10**6 for i in range(n)],
+        "user_id": [1] * n,
+        "event_type": ["a"] * n,
+        "value": [0.1] * n,  # 0.1 is inexact in binary: cancellation bait
+        "props": ["{}"] * n,
+    }
+    schema = pq.read_schema(f"{src}/events.parquet")
+    table = pa.Table.from_pydict(
+        {k: rows[k] for k in schema.names}
+    ).cast(schema)
+    pq.write_table(table, str(d / "events.parquet"))
+
+    specs = load_all()
+    out = specs["agg_higher_moments"].fn(spark, str(d)).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["pop_std"] == 0.0  # clamped, not NaN
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    # must not raise OutOfRangeException from sqrt(negative)
+    odf = con.sql(specs["agg_higher_moments"].oracle).df()
+    assert odf.iloc[0]["pop_std"] == 0.0
