@@ -57,7 +57,9 @@ class _FakeAWS(BaseHTTPRequestHandler):
             # (A18, streams/client.go:100-102) must retry them ALL, and
             # the resulting server-side duplicates are the at-least-once
             # contract made visible.
-            if target.startswith("Kinesis_20131202.PutRecords"):
+            if target.startswith(
+                ("Kinesis_20131202.PutRecords", "Firehose_20150804.PutRecordBatch")
+            ):
                 for r in req["Records"]:
                     self.server.delivered.append(base64.b64decode(r["Data"]))
             self.connection.close()
@@ -341,3 +343,26 @@ def test_epoch_guard_blocks_redelivery_after_flap(spark, aws_server, tmp_path):
     write_batch(df, 7)
     assert len(aws_server.requests) == n_requests
     assert len(aws_server.delivered) == n_delivered
+
+
+def test_firehose_midstream_connection_flap_retries_all(aws_server):
+    """Firehose twin of the streams flap test: a dropped connection after
+    the endpoint accepted the PutRecordBatch must be treated as a
+    whole-request failure (A18's firehose path, firehose/client.go
+    mirrors streams/client.go:100-102) — the full chunk retries and the
+    duplication is visible server-side."""
+    aws_server.script[:] = ["tcp_drop_after_accept", "ok"]
+    cfg = _cfg(
+        aws_server, mode="firehose", partition_key=None, batch_size=10
+    )
+    counters = publish_records(make_boto3_client(cfg), _records(5), cfg)
+    assert counters.acked == 5 and counters.retried == 5
+    assert len(aws_server.requests) == 2
+    assert all(
+        t == "Firehose_20150804.PutRecordBatch"
+        for t, _, _ in aws_server.requests
+    )
+    assert [len(r[1]["Records"]) for r in aws_server.requests] == [5, 5]
+    assert sorted(aws_server.delivered) == sorted(
+        f"evt-{i}".encode() for i in range(5) for _ in range(2)
+    )
