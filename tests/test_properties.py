@@ -735,3 +735,53 @@ def test_ewma_time_decay_blocked_form_property(spark, tmp_path_factory, streams)
     assert len(got) == len(truth)
     for e, s in truth.items():
         assert math.isclose(got[e], s, rel_tol=1e-6, abs_tol=1e-5), e
+
+
+_pack_shards = st.dictionaries(
+    st.sampled_from(["web", "wiki", "code"]),
+    st.lists(
+        # mostly small docs + an occasional oversized singleton (> _PACK_L)
+        st.one_of(
+            st.integers(min_value=1, max_value=300), st.just(2500)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(shards=_pack_shards)
+@settings(max_examples=25, deadline=None)
+def test_pack_attention_moment_formula_matches_enumeration(shards):
+    """The per-bin moment identities behind
+    eval_pack_attention_contamination — total = S(S+1)/2 and
+    cross = (S^2 - sum n_i^2)/2 — must equal brute-force causal-pair
+    enumeration over next-fit layouts of arbitrary shards (including
+    oversized singleton docs that exceed the bin budget)."""
+    from awsbeats_spark.operators.udtf import _PACK_L, NextFitPack
+
+    for src, toks in sorted(shards.items()):
+        inst = NextFitPack.func()
+        bins: dict[int, list[int]] = {}
+        for i, n in enumerate(toks):
+            for row in inst.eval({"doc_id": i, "source": src, "n_tokens": n}):
+                bins.setdefault(row[3], []).append(row[2])
+        for ns in bins.values():
+            S = sum(ns)
+            total_f = S * (S + 1) // 2
+            cross_f = (S * S - sum(n * n for n in ns)) // 2
+            # brute force: tokens labeled by doc, causal pairs (i <= j)
+            labels = [d for d, n in enumerate(ns) for _ in range(n)]
+            total_e = sum(1 for j in range(S) for i in range(j + 1))
+            cross_e = sum(
+                1
+                for j in range(S)
+                for i in range(j + 1)
+                if labels[i] != labels[j]
+            )
+            assert total_f == total_e
+            assert cross_f == cross_e
+            # next-fit never overflows except oversized singletons
+            assert S <= _PACK_L or len(ns) == 1
