@@ -37,26 +37,27 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
 * **Round 8** (``_ROUND8_WINDOW``, exactly 50, all driver-green in
   CORRECTNESS_r08): the later round-5 additions that overflow round
   7's budget. After round 8: 392/525 driver-evidenced.
-* **Round 9** (``_ROUND9_WINDOW``, exactly 50, NOW FRONTED): round-5
-  late additions (442/530 after round 9; the catalog grew to 530 with
-  the five round-9 keys, which queue in ``_ROUND11_WINDOW``).
-  **Round 10**
-  (``_ROUND10_WINDOW``, 46 + 4 rechecks = the full 50-key budget):
-  the overflow past round 9's budget plus round-6/7 additions.
-  **Round 11** (``_ROUND11_WINDOW``, 37 + 3 rechecks): round-7/8
-  additions; new keys append here (round-9 growth cap: ≤10, VERDICT
-  r8 item 3). Once every window drains the full catalog is
-  driver-evidenced and spare slots recheck round-1/2 greens on a
-  rolling basis.
+* **Round 9** (``_ROUND9_WINDOW``, exactly 50, all driver-green in
+  CORRECTNESS_r09): round-5 late additions (442/530 after round 9; the
+  catalog grew to 530 with the five round-9 keys, which queue in
+  ``_ROUND11_WINDOW``).
+* **Round 10**
+  (``_ROUND10_WINDOW``, 46 + 4 rechecks = the full 50-key budget, NOW
+  FRONTED): the overflow past round 9's budget plus round-6/7
+  additions. **Round 11** (``_ROUND11_WINDOW``, 42 + 4 rechecks):
+  round-7/8/9 additions; new keys append here (round-10 growth cap:
+  ≤4, VERDICT r9 item 4 — exactly the remaining r11 slack). Once every
+  window drains the full catalog is driver-evidenced and spare slots
+  recheck round-1/2 greens on a rolling basis.
 
 The window lists partition the keys that had no driver row as of
 CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
 round 5, 35 in round 6); a test in tests/test_rotation.py pins this against the
 CORRECTNESS_r0{1,2,3} files so the flip cannot silently drift. New
 keys are ALWAYS appended to the last window. Post-flip registration
-order is r9, r10, rechecks, r11, rechecks-r11, then the
-already-green r8/r7/r6/r5/r4 blocks — never-driver-checked keys queue
-ahead of everything that already has a green driver row.
+order is r10, rechecks, r11, rechecks-r11, then the already-green
+r9/r8/r7/r6/r5/r4 blocks — never-driver-checked keys queue ahead of
+everything that already has a green driver row.
 """
 
 from awsbeats_spark import registry
@@ -557,7 +558,8 @@ def _reorder() -> None:
     rechecks = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
     tail = [
         n
-        for n in _ROUND8_WINDOW
+        for n in _ROUND9_WINDOW
+        + _ROUND8_WINDOW
         + _ROUND7_WINDOW
         + _ROUND6_WINDOW
         + _ROUND5_WINDOW
@@ -565,8 +567,7 @@ def _reorder() -> None:
         if n not in rechecks
     ]
     priority = (
-        _ROUND9_WINDOW
-        + _ROUND10_WINDOW
+        _ROUND10_WINDOW
         + _DELIBERATE_RECHECKS
         + _ROUND11_WINDOW
         + _DELIBERATE_RECHECKS_R11

@@ -26,19 +26,16 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 _ALL_RECHECKS = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
 
 
-def test_round9_window_registers_first():
-    assert len(_ROUND9_WINDOW) == 50
+def test_round10_window_registers_first():
+    assert len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) == 50
     keys = list(load_all())
-    assert keys[: len(_ROUND9_WINDOW)] == _ROUND9_WINDOW
+    fronted = _ROUND10_WINDOW + _DELIBERATE_RECHECKS
+    assert keys[: len(fronted)] == fronted
 
 
-def test_round10_through_round4_follow():
+def test_round11_through_round4_follow():
     keys = list(load_all())
-    s = len(_ROUND9_WINDOW)
-    assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
-    s += len(_ROUND10_WINDOW)
-    assert keys[s : s + len(_DELIBERATE_RECHECKS)] == _DELIBERATE_RECHECKS
-    s += len(_DELIBERATE_RECHECKS)
+    s = len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS)
     assert keys[s : s + len(_ROUND11_WINDOW)] == _ROUND11_WINDOW
     s += len(_ROUND11_WINDOW)
     assert keys[s : s + len(_DELIBERATE_RECHECKS_R11)] == _DELIBERATE_RECHECKS_R11
@@ -46,6 +43,7 @@ def test_round10_through_round4_follow():
     # Tail windows register with recheck keys filtered out (they already
     # registered at their recheck position above).
     for window, full_len in (
+        (_ROUND9_WINDOW, 50),
         (_ROUND8_WINDOW, 50),
         (_ROUND7_WINDOW, 50),
         (_ROUND6_WINDOW, 50),
