@@ -1174,8 +1174,15 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocking-scheme quality eval (pair completeness vs reduction ratio)
 # --------------------------------------------------------------------------
 
-_BLK_SAMPLE_MOD = 10
-_BLK_SAMPLE_KEEP = 3  # ~30% deterministic name sample for the ground truth
+# Fixed NAME BUDGET (not a fraction): the ground-truth cross join is
+# O(budget^2) on any schema and any corpus size. A proportional md5
+# sample (the round-9 original) kept ~30% of distinct names, so the
+# truth pair join grew quadratically with distinct-name count — the
+# same trap embed_cosine_pair_histogram hit in round 7 (alpha 1.94 ->
+# fixed audit budget -0.09). Rank-by-md5 keeps the sample deterministic
+# and unbiased; top-K by hash is a TakeOrderedAndProject (per-partition
+# heap + K-row merge), never a full sort.
+_BLK_SAMPLE_BUDGET = 500
 _BLK_EDIT_MAX = 4  # same match predicate as join_fuzzy_name_blocked
 
 
@@ -1184,8 +1191,7 @@ _BLK_EDIT_MAX = 4  # same match predicate as join_fuzzy_name_blocked
     oracle=f"""
     WITH names AS (
         SELECT DISTINCT p_name FROM part
-        WHERE ('0x' || substring(md5(p_name), 1, 4))::BIGINT
-              % {_BLK_SAMPLE_MOD} < {_BLK_SAMPLE_KEEP}
+        ORDER BY md5(p_name), p_name LIMIT {_BLK_SAMPLE_BUDGET}
     ),
     keyed AS (
         SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
@@ -1221,27 +1227,27 @@ def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking eliminates) — the standard trade-off pair of the
     record-linkage literature (Christen, "Data Matching", ch. 7). Ground
     truth (all Levenshtein <= {em} pairs) requires the full cross
-    product, so it runs on a deterministic ~{pct}% md5 sample of
-    distinct names — exactly how a production linkage pipeline audits
-    its blocking: exhaustively on a sample, never on the corpus. A new
-    blocking key ships when completeness holds near 1.0 and the
+    product, so it runs on a FIXED BUDGET of {bud} distinct names —
+    the first {bud} ranked by md5(p_name), a deterministic unbiased
+    draw — exactly how a production linkage pipeline audits its
+    blocking: exhaustively on a bounded sample, never on the corpus.
+    A new blocking key ships when completeness holds near 1.0 and the
     reduction ratio rises.
 
-    Scale shape: the sample bound makes the truth cross join O(s^2)
-    for s = sampled names (constant in corpus size by choosing the
-    sample budget); candidate counting reuses the same pair relation.
-    The corpus-scale blocked JOIN itself is join_fuzzy_name_blocked;
-    this eval never touches full-corpus pairs."""
+    Scale shape: the budget makes the truth cross join O(budget^2) —
+    CONSTANT in corpus size and schema (a fraction-based sample would
+    grow quadratically with distinct-name count; see the
+    embed_cosine_pair_histogram precedent). The rank-by-hash draw is a
+    TakeOrderedAndProject over the distinct names, not a full sort;
+    candidate counting reuses the same pair relation. The corpus-scale
+    blocked JOIN itself is join_fuzzy_name_blocked; this eval never
+    touches full-corpus pairs."""
     t = tables(spark, sf_dir)
-    keep = (
-        F.conv(F.substring(F.md5("p_name"), 1, 4), 16, 10).cast("bigint")
-        % _BLK_SAMPLE_MOD
-        < _BLK_SAMPLE_KEEP
-    )
     names = (
         t.part.select("p_name")
         .distinct()
-        .filter(keep)
+        .orderBy(F.md5("p_name"), F.col("p_name"))
+        .limit(_BLK_SAMPLE_BUDGET)
         .withColumn("blk", F.split(F.col("p_name"), " ")[0])
     )
     a, b = names.alias("a"), names.alias("b")
@@ -1280,4 +1286,4 @@ def eval_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 eval_blocking_quality.__doc__ = eval_blocking_quality.__doc__.replace(
     "{em}", str(_BLK_EDIT_MAX)
-).replace("{pct}", str(_BLK_SAMPLE_KEEP * 100 // _BLK_SAMPLE_MOD))
+).replace("{bud}", str(_BLK_SAMPLE_BUDGET))

@@ -108,8 +108,7 @@ def test_blocking_quality_matches_bruteforce(run, spark, sf_dir):
     from awsbeats_spark.catalog import tables
     from awsbeats_spark.operators.joins import (
         _BLK_EDIT_MAX,
-        _BLK_SAMPLE_KEEP,
-        _BLK_SAMPLE_MOD,
+        _BLK_SAMPLE_BUDGET,
     )
 
     def lev(a, b):
@@ -127,14 +126,9 @@ def test_blocking_quality_matches_bruteforce(run, spark, sf_dir):
 
     parts = tables(spark, sf_dir).part.toPandas()
     names = sorted(
-        {
-            n
-            for n in parts["p_name"].unique()
-            if int(hashlib.md5(n.encode()).hexdigest()[:4], 16)
-            % _BLK_SAMPLE_MOD
-            < _BLK_SAMPLE_KEEP
-        }
-    )
+        set(parts["p_name"].unique()),
+        key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n),
+    )[:_BLK_SAMPLE_BUDGET]
     possible = cands = true = found = 0
     for a, b in itertools.combinations(names, 2):
         possible += 1
