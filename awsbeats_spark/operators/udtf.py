@@ -22,6 +22,30 @@ from awsbeats_spark.functions.textfns import WORDS_SQL, words
 from awsbeats_spark.registry import query
 
 
+def _sentence_split_cls():
+    """Module-level so the hypothesis properties drive the identical
+    class the operator registers (same pattern as NdjsonRepair)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            idx = 0
+            for raw in re.split(r"[.!?]+", text or ""):
+                sent = raw.strip()
+                if not sent:
+                    continue
+                yield doc_id, idx, sent, len(sent)
+                idx += 1
+
+    return SentenceSplit
+
+
+SentenceSplit = _sentence_split_cls()
+
+
 @query(
     "udtf_sentence_split",
     oracle=r"""
@@ -44,23 +68,8 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     its position and length. The UDTF eval is pure per-row (no state,
     no partition assumptions), so Spark parallelizes it like any
     projection; the LATERAL join is the UDTF's native call form."""
-    from pyspark.sql.functions import udtf
-
     t = tables(spark, sf_dir)
     t.documents.createOrReplaceTempView("documents")
-
-    @udtf(returnType="doc_id bigint, sent_idx int, sentence string, n_chars int")
-    class SentenceSplit:
-        def eval(self, doc_id: int, text: str):
-            import re
-
-            idx = 0
-            for raw in re.split(r"[.!?]+", text or ""):
-                sent = raw.strip()
-                if not sent:
-                    continue
-                yield doc_id, idx, sent, len(sent)
-                idx += 1
 
     spark.udtf.register("sentence_split", SentenceSplit)
     return spark.sql(
@@ -69,6 +78,45 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s
         """
     )
+
+
+def _json_flatten_cls():
+    """Module-level so the hypothesis properties drive the identical
+    class the operator registers (same pattern as NdjsonRepair)."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="event_id bigint, key string, value_str string,"
+        " value_type string"
+    )
+    class JsonFlatten:
+        def eval(self, event_id: int, props: str):
+            try:
+                obj = json.loads(props) if props else {}
+            except ValueError:
+                return
+            if not isinstance(obj, dict):
+                return
+            for k, v in obj.items():
+                if v is None:
+                    yield event_id, k, None, "null"
+                elif isinstance(v, bool):
+                    yield event_id, k, "true" if v else "false", "boolean"
+                elif isinstance(v, (int, float)):
+                    yield event_id, k, str(v), "number"
+                elif isinstance(v, str):
+                    yield event_id, k, v, "string"
+                else:
+                    yield event_id, k, json.dumps(
+                        v, separators=(",", ":")
+                    ), "json"
+
+    return JsonFlatten
+
+
+JsonFlatten = _json_flatten_cls()
 
 
 @query(
@@ -104,38 +152,8 @@ def udtf_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-side only — no shuffle, no state; output is
     bounded by total key occurrences. The oracle replays the same
     enumeration via DuckDB's json_keys."""
-    import json
-
-    from pyspark.sql.functions import udtf
-
     t = tables(spark, sf_dir)
     t.events.createOrReplaceTempView("events_udtf_src")
-
-    @udtf(
-        returnType="event_id bigint, key string, value_str string,"
-        " value_type string"
-    )
-    class JsonFlatten:
-        def eval(self, event_id: int, props: str):
-            try:
-                obj = json.loads(props) if props else {}
-            except ValueError:
-                return
-            if not isinstance(obj, dict):
-                return
-            for k, v in obj.items():
-                if v is None:
-                    yield event_id, k, None, "null"
-                elif isinstance(v, bool):
-                    yield event_id, k, "true" if v else "false", "boolean"
-                elif isinstance(v, (int, float)):
-                    yield event_id, k, str(v), "number"
-                elif isinstance(v, str):
-                    yield event_id, k, v, "string"
-                else:
-                    yield event_id, k, json.dumps(
-                        v, separators=(",", ":")
-                    ), "json"
 
     spark.udtf.register("json_flatten", JsonFlatten)
     return spark.sql(
