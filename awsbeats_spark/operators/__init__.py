@@ -516,6 +516,12 @@ _ROUND11_WINDOW = [
     "eval_quality_calibration_ece",
     "eval_blocking_quality",
     "multimodal_audio_clipping_detect",
+    # round-10 additions (cap <= 4, VERDICT r9 item 4; actual +4 — this
+    # exactly fills round 11's 50-key budget: 46 window + 4 rechecks)
+    "dq_k_anonymity",
+    "eval_dedup_cluster_bcubed",
+    "corpus_rho_excess_loss",
+    "multimodal_audio_spectral_centroid",
 ]
 
 # Deliberate driver RE-checks (VERDICT r6 item 3): these four keys were

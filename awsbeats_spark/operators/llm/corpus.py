@@ -3856,3 +3856,193 @@ def corpus_temperature_sampling_plan(
             "effective_epochs"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Excess-loss data selection (RHO-style): reference LM vs contextual LM
+# --------------------------------------------------------------------------
+
+_RHO_KN_D = 0.75  # absolute discount, shared with corpus_bigram_kneser_ney
+_RHO_SELECT_DEN = 4  # keep the top 1/4 by excess loss
+
+
+@query(
+    "corpus_rho_excess_loss",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+        GROUP BY 1, 2
+    ),
+    ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    coll AS (SELECT sum(ctf) AS coll_len FROM ctf),
+    h_uni AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               -sum(tf.tf * ln(ctf.ctf * 1.0 / coll.coll_len))
+                   / sum(tf.tf) AS h_ref
+        FROM tf JOIN ctf USING (term) CROSS JOIN coll
+        GROUP BY tf.doc_id
+    ),
+    bi AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+        GROUP BY 1, 2, 3
+    ),
+    pair AS (
+        SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS n FROM bi GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, sum(n) AS c1, count(*) AS fanout FROM pair GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS n_hist FROM pair GROUP BY w2),
+    types AS (SELECT count(*) AS n_types FROM pair),
+    h_bi AS (
+        SELECT bi.doc_id,
+               -sum(bi.n_occ * ln(
+                    (greatest(pair.n - {_RHO_KN_D}, 0) / ctx.c1)
+                    + ({_RHO_KN_D} * ctx.fanout / ctx.c1)
+                      * (cont.n_hist * 1.0 / types.n_types)))
+                   / sum(bi.n_occ) AS h_model
+        FROM bi
+        JOIN pair ON pair.w1 = bi.w1 AND pair.w2 = bi.w2
+        JOIN ctx ON ctx.w1 = bi.w1
+        JOIN cont ON cont.w2 = bi.w2
+        CROSS JOIN types
+        GROUP BY bi.doc_id
+    ),
+    scored AS (
+        SELECT u.doc_id, u.n_tokens,
+               round(u.h_ref, 6) AS h_ref,
+               round(b.h_model, 6) AS h_model,
+               round(u.h_ref - b.h_model, 6) AS excess_loss
+        FROM h_uni u JOIN h_bi b USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY excess_loss DESC, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, h_ref, h_model, excess_loss,
+           r * {_RHO_SELECT_DEN} <= n AS selected
+    FROM ranked
+    """,
+)
+def corpus_rho_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss data selection — the SQL-expressible proxy for
+    RHO-loss / reducible-holdout selection (Mindermann et al. 2022) and
+    the perplexity-delta filters production corpora use (DCLM, DSIR's
+    cousin): score every document by how much BETTER a context-aware
+    model explains it than a context-free reference, excess(d) =
+    H_ref(d) - H_model(d), where H_ref is cross-entropy under the
+    corpus unigram MLE ([[text_unigram_perplexity]]'s model, in nats)
+    and H_model under the interpolated Kneser-Ney bigram LM
+    ([[corpus_bigram_kneser_ney]]'s exact formula, applied corpus-wide
+    rather than top-k). High excess = documents with real sequential
+    structure the stronger model exploits (learnable signal); excess
+    near zero = bag-of-words noise whose ordering teaches nothing —
+    exactly RHO's "learnable, worth training on" quadrant once noise
+    is filtered. The top 1/{den} by excess (ties by doc_id) are marked
+    selected. Documents without a bigram (< 2 tokens) are unscorable
+    and excluded by construction.
+
+    Scale shape: two corpus-scale explodes (unigram tf, per-doc bigram
+    counts) each partial-aggregated map-side before ONE shuffle; the
+    LM tables (ctf, pair, ctx, cont) are vocabulary- resp.
+    bigram-type-bounded and join the doc-grain relations on their own
+    keys; both per-doc folds run over DISTINCT terms / bigram types
+    (<= |doc vocab| addends, the bounded-summation discipline that
+    keeps double sums order-stable before the 6-dp round). The global
+    selection rank is fixture-exact; at 100 TB the threshold comes
+    from a [[sample_md5_threshold]] sample broadcast back, with the
+    per-doc scores unchanged."""
+    t = tables(spark, sf_dir)
+    ws = t.documents.select("doc_id", words().alias("ws"))
+    # ---- reference: unigram cross-entropy (nats/token) ----
+    tf = (
+        ws.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    coll = ctf.agg(F.sum("ctf").alias("coll_len"))
+    h_uni = (
+        tf.join(ctf, "term")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("tf") * F.log(F.col("ctf") / F.col("coll_len"))
+                )
+                / F.sum("tf")
+            ).alias("h_ref"),
+        )
+    )
+    # ---- model: Kneser-Ney bigram cross-entropy (nats/bigram) ----
+    bi = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    pair = bi.groupBy("w1", "w2").agg(F.sum("n_occ").alias("n"))
+    ctx = pair.groupBy("w1").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = pair.groupBy("w2").agg(F.count(F.lit(1)).alias("n_hist"))
+    types = pair.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("n") - _RHO_KN_D, F.lit(0.0)) / F.col("c1")
+        + (_RHO_KN_D * F.col("fanout") / F.col("c1"))
+        * (F.col("n_hist") / F.col("n_types"))
+    )
+    h_bi = (
+        bi.join(pair, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(F.col("n_occ") * F.log(p_kn)) / F.sum("n_occ")).alias(
+                "h_model"
+            )
+        )
+    )
+    scored = h_uni.join(h_bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        rnd("h_ref", 6).alias("h_ref"),
+        rnd("h_model", 6).alias("h_model"),
+        rnd(F.col("h_ref") - F.col("h_model"), 6).alias("excess_loss"),
+    )
+    w = Window.orderBy(F.desc("excess_loss"), F.asc("doc_id"))
+    return scored.select(
+        "*",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "h_ref",
+        "h_model",
+        "excess_loss",
+        (F.col("r") * _RHO_SELECT_DEN <= F.col("n")).alias("selected"),
+    )
+
+
+corpus_rho_excess_loss.__doc__ = corpus_rho_excess_loss.__doc__.replace(
+    "{den}", str(_RHO_SELECT_DEN)
+)

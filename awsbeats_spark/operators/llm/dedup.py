@@ -2406,3 +2406,117 @@ def dedup_source_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source_a") != F.col("source_b")).alias("cross_source"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B-cubed cluster-quality eval: do the near-dup components over-merge?
+# --------------------------------------------------------------------------
+
+
+def _bcubed_oracle() -> str:
+    return f"""
+    WITH cc AS ({_CC_ORACLE}),
+    assign AS (
+        SELECT d.doc_id,
+               coalesce(cc.cluster_id, d.doc_id) AS cid,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+                   AS tid
+        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    ),
+    cells AS (
+        SELECT cid, tid, CAST(count(*) AS BIGINT) AS n_ij
+        FROM assign GROUP BY 1, 2
+    ),
+    csize AS (SELECT cid, sum(n_ij) AS c_n FROM cells GROUP BY cid),
+    tsize AS (SELECT tid, sum(n_ij) AS t_n FROM cells GROUP BY tid),
+    folded AS (
+        SELECT sum(ce.n_ij) AS n_docs,
+               sum(ce.n_ij * ce.n_ij * 1.0 / cs.c_n) AS p_sum,
+               sum(ce.n_ij * ce.n_ij * 1.0 / ts.t_n) AS r_sum
+        FROM cells ce
+        JOIN csize cs USING (cid)
+        JOIN tsize ts USING (tid)
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM csize) AS BIGINT) AS n_clusters,
+           CAST((SELECT count(*) FROM tsize) AS BIGINT) AS n_classes,
+           round(p_sum / n_docs, 6) AS bcubed_precision,
+           round(r_sum / n_docs, 6) AS bcubed_recall,
+           round(2.0 * (p_sum / n_docs) * (r_sum / n_docs)
+                 / ((p_sum / n_docs) + (r_sum / n_docs)), 6) AS bcubed_f1
+    FROM folded
+    """
+
+
+@query("eval_dedup_cluster_bcubed", oracle=_bcubed_oracle())
+def eval_dedup_cluster_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998; the
+    entity-resolution clustering metric Amigó et al. 2009 showed is the
+    only one satisfying all four cluster-eval constraints) of
+    [[dedup_connected_components]]'s MinHash near-dup clusters against a
+    CANONICAL-FORM truth: documents sharing md5 of their
+    whitespace-collapsed lowercase text belong together. Per document,
+    precision is the fraction of its predicted cluster that shares its
+    truth class and recall the fraction of its truth class it is
+    clustered with; both average pair-free via the cell identity
+    sum n_ij^2 / cluster_size (resp. class_size). Singleton documents
+    (no near-dup edge) are their own cluster. Low B-cubed precision
+    indicts the banding for over-merging (distinct canonical texts in
+    one component); low recall means near-dup detection misses trivial
+    reformattings the canonicalizer catches — the cluster-level
+    companion to [[eval_minhash_vs_exact]]'s pair-level readout.
+
+    Scale shape: the component labels come from the registered CC op
+    (edge-list-bounded iterations); truth ids are one md5 projection.
+    The eval itself is three hash aggregates — (cluster, class) cells,
+    then cluster / class marginals DERIVED from the cell relation
+    (never re-scanning docs), then a one-row fold. Cells are bounded by
+    doc count; everything after the first aggregate is
+    cluster-cardinality-sized. No pair materialization anywhere."""
+    t = tables(spark, sf_dir)
+    cc = QUERIES["dedup_connected_components"].fn(spark, sf_dir)
+    tid = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    assign = (
+        t.documents.select("doc_id", tid.alias("tid"))
+        .join(cc, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
+            "tid",
+        )
+    )
+    cells = assign.groupBy("cid", "tid").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    csize = cells.groupBy("cid").agg(F.sum("n_ij").alias("c_n"))
+    tsize = cells.groupBy("tid").agg(F.sum("n_ij").alias("t_n"))
+    folded = (
+        cells.join(csize, "cid")
+        .join(tsize, "tid")
+        .agg(
+            F.sum("n_ij").alias("n_docs"),
+            F.sum(F.col("n_ij") * F.col("n_ij") / F.col("c_n")).alias(
+                "p_sum"
+            ),
+            F.sum(F.col("n_ij") * F.col("n_ij") / F.col("t_n")).alias(
+                "r_sum"
+            ),
+        )
+    )
+    nclu = csize.agg(F.count(F.lit(1)).alias("n_clusters"))
+    ncls = tsize.agg(F.count(F.lit(1)).alias("n_classes"))
+    p = F.col("p_sum") / F.col("n_docs")
+    r = F.col("r_sum") / F.col("n_docs")
+    return (
+        folded.crossJoin(F.broadcast(nclu))
+        .crossJoin(F.broadcast(ncls))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_clusters",
+            "n_classes",
+            rnd(p, 6).alias("bcubed_precision"),
+            rnd(r, 6).alias("bcubed_recall"),
+            rnd(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
+        )
+    )

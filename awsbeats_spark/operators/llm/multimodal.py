@@ -2888,3 +2888,155 @@ def multimodal_audio_clipping_detect(
 multimodal_audio_clipping_detect.__doc__ = (
     multimodal_audio_clipping_detect.__doc__.replace("{dev}", str(_CLIP_DEV))
 )
+
+
+# --------------------------------------------------------------------------
+# Spectral centroid / bandwidth / rolloff: frequency-domain audio gate
+# --------------------------------------------------------------------------
+
+_SPEC_N = 64  # DFT length (prefix samples; every WAV has >= 600)
+_SPEC_K = 32  # positive-frequency bins probed (N/2, DC excluded)
+_SPEC_ROLL = 0.85  # rolloff energy fraction
+_SPEC_FLOOR = 1e-6  # below this total power the clip is silent/constant
+
+
+@query(
+    "multimodal_audio_spectral_centroid",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 1
+    ),
+    spec AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, {_SPEC_K}), k ->
+                   pow(list_sum(list_transform(
+                       generate_series(0, {_SPEC_N} - 1), j ->
+                       ({_BYTE_SQL.format(k="j")} - 128.0)
+                       * cos(2 * pi() * j * k / {_SPEC_N}.0))), 2)
+                 + pow(list_sum(list_transform(
+                       generate_series(0, {_SPEC_N} - 1), j ->
+                       ({_BYTE_SQL.format(k="j")} - 128.0)
+                       * sin(2 * pi() * j * k / {_SPEC_N}.0))), 2)) AS pw
+        FROM p
+    ),
+    mom AS (
+        SELECT doc_id, pw,
+               list_sum(pw) AS tp,
+               list_sum(list_transform(generate_series(1, {_SPEC_K}),
+                                       k -> k * pw[k])) AS m1,
+               list_sum(list_transform(generate_series(1, {_SPEC_K}),
+                                       k -> k * k * pw[k])) AS m2
+        FROM spec
+    )
+    SELECT doc_id,
+           CASE WHEN tp >= {_SPEC_FLOOR}
+                THEN round(10.0 * log10(tp), 4) END AS power_db,
+           CASE WHEN tp >= {_SPEC_FLOOR}
+                THEN round(m1 / tp, 4) END AS centroid_bin,
+           CASE WHEN tp >= {_SPEC_FLOOR}
+                THEN round(sqrt(greatest(m2 / tp - (m1 / tp) * (m1 / tp),
+                                         0)), 4) END AS bandwidth_bin,
+           CASE WHEN tp >= {_SPEC_FLOOR}
+                THEN list_min(list_transform(
+                         generate_series(1, {_SPEC_K}), k ->
+                         CASE WHEN list_sum(pw[1:k]) >= {_SPEC_ROLL} * tp
+                              THEN k ELSE {_SPEC_K + 1} END))
+           END AS rolloff_bin
+    FROM mom
+    """,
+)
+def multimodal_audio_spectral_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral centroid, bandwidth, and {roll}-rolloff of each audio
+    document's decoded PCM — the frequency-domain brightness features a
+    speech/music pipeline gates on before transcription routing
+    (centroid high = sibilant/noisy, low = voiced/hum; rolloff = the
+    bin below which {roll} of the energy lives), complementing the
+    time-domain [[multimodal_audio_energy]] / [[ts_spectral_peak_dft]]
+    pair. A {n}-point DFT over the clip's first {n} REAL-parsed WAV
+    samples (every synthesized clip has >= 600) yields power
+    P_k = Re^2 + Im^2 for bins k = 1..{kk}; centroid = sum k*P_k / sum
+    P_k (bin units), bandwidth = the power-weighted standard deviation
+    around it, power_db = 10 log10(sum P_k). Constant/silent clips
+    (total power under {floor}) emit NULL features rather than the
+    floating noise floor — the fp-zero spectrum of a constant signal is
+    engine-dependent garbage no threshold should read.
+
+    Parity: both engines evaluate the identical cos/sin moment sums on
+    the identical cycled byte stream (numpy matrix product vs the
+    oracle's hex-nibble nested list folds); sums are {n}-term doubles
+    agreeing to ~1e-12 relative, rounded to 4 dp, with ratios (never
+    raw exact-integer-scale powers) emitted so the round is
+    knife-edge-safe. Scale shape: embarrassingly parallel Arrow
+    mapInPandas, one row per audio clip, no shuffle; the DFT work is a
+    fixed {n}x{kk} matrix product per clip regardless of clip length."""
+    t = tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.octet_length("payload") % 3 == 1)
+
+    jj = np.arange(_SPEC_N)
+    kk = np.arange(1, _SPEC_K + 1)
+    cos_m = np.cos(2.0 * np.pi * np.outer(jj, kk) / _SPEC_N)
+    sin_m = np.sin(2.0 * np.pi * np.outer(jj, kk) / _SPEC_N)
+
+    def spectra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                wav = synthesize_wav(raw)
+                assert decode_media(wav)["decode_status"] == "wav"
+                data_off = wav.index(b"data") + 8
+                arr = np.frombuffer(
+                    wav, dtype=np.uint8, count=_SPEC_N, offset=data_off
+                ).astype(np.float64)
+                x = arr - 128.0
+                re, im = x @ cos_m, x @ sin_m
+                pw = re * re + im * im
+                tp = float(pw.sum())
+                if tp < _SPEC_FLOOR:
+                    rows.append((doc_id, tp, None, None, None))
+                    continue
+                m1 = float((kk * pw).sum())
+                m2 = float((kk * kk * pw).sum())
+                roll = int(kk[np.cumsum(pw) >= _SPEC_ROLL * tp][0])
+                rows.append((doc_id, tp, m1, m2, roll))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tp", "m1", "m2", "roll"]
+            )
+
+    mom = src.mapInPandas(
+        spectra,
+        "doc_id bigint, tp double, m1 double, m2 double, roll int",
+    )
+    live = F.col("tp") >= _SPEC_FLOOR
+    c = F.col("m1") / F.col("tp")
+    return mom.select(
+        "doc_id",
+        F.when(live, rnd(10.0 * F.log10(F.col("tp")), 4)).alias("power_db"),
+        F.when(live, rnd(c, 4)).alias("centroid_bin"),
+        F.when(
+            live,
+            rnd(
+                F.sqrt(
+                    F.greatest(
+                        F.col("m2") / F.col("tp") - c * c, F.lit(0.0)
+                    )
+                ),
+                4,
+            ),
+        ).alias("bandwidth_bin"),
+        F.when(live, F.col("roll")).alias("rolloff_bin"),
+    )
+
+
+multimodal_audio_spectral_centroid.__doc__ = (
+    multimodal_audio_spectral_centroid.__doc__.replace("{n}", str(_SPEC_N))
+    .replace("{kk}", str(_SPEC_K))
+    .replace("{roll}", str(_SPEC_ROLL))
+    .replace("{floor}", str(_SPEC_FLOOR))
+)

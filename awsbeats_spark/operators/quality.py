@@ -3125,3 +3125,111 @@ def dq_levene_variance_homogeneity(spark: SparkSession, sf_dir: str) -> DataFram
             (rnd(wstat, 6) > F.col("f95")).alias("significant_95"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (privacy gate for training-data release)
+# --------------------------------------------------------------------------
+
+_KANON_K = 5  # groups smaller than this are re-identification risks
+_KANON_BAND = 1000.0  # acctbal generalization band width
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH grouped AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS grp_n,
+               CAST(count(DISTINCT CASE WHEN c_acctbal < 0
+                                        THEN 'delinquent'
+                                        ELSE 'current' END) AS BIGINT) AS l_div
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(grp_n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size,
+           round(avg(grp_n), 6) AS avg_group_size,
+           CAST(count(*) FILTER (WHERE grp_n < {_KANON_K}) AS BIGINT)
+               AS groups_below_k,
+           CAST(coalesce(sum(grp_n) FILTER (WHERE grp_n < {_KANON_K}), 0)
+               AS BIGINT) AS rows_below_k,
+           round(coalesce(sum(grp_n) FILTER (WHERE grp_n < {_KANON_K}), 0)
+                 * 1.0 / sum(grp_n), 6) AS pct_rows_below_k,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+           CAST(count(*) FILTER (WHERE l_div < 2) AS BIGINT) AS groups_l1,
+           round(coalesce(sum(grp_n) FILTER (WHERE l_div < 2), 0)
+                 * 1.0 / sum(grp_n), 6) AS pct_rows_l1
+    FROM grouped
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    al. 2007) over the customer table's quasi-identifiers — the privacy
+    gate a training-data release runs AFTER [[corpus_pii_scrub]]'s
+    direct-identifier redaction: scrubbing emails does nothing if the
+    remaining (nation, market segment, balance band) tuple is unique
+    enough to re-identify a row by linkage. Every row is generalized to
+    its QI group (acctbal coarsened to {band}-unit bands); the report
+    counts rows in groups smaller than k={k} (re-identifiable) and
+    groups whose SENSITIVE attribute (delinquency: acctbal < 0) takes a
+    single value (l-diversity 1 — membership alone discloses the
+    sensitive fact even when the group is large). A release ships when
+    pct_rows_below_k and pct_rows_l1 are ~0; otherwise the QI bands
+    widen and the audit reruns.
+
+    Scale shape: ONE hash aggregate at QI grain (count + conditional
+    distinct-of-2 fold map-side), then a second aggregate over the
+    QI-cardinality-bounded group relation to a single report row. No
+    joins, no windows; at 100 TB this is a groupBy whose output is
+    bounded by the generalization lattice, not the row count."""
+    t = tables(spark, sf_dir)
+    grouped = (
+        t.customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / _KANON_BAND)
+            .cast("long")
+            .alias("bal_band"),
+            (F.col("c_acctbal") < 0).cast("int").alias("delinq"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            # distinct count of a BINARY sensitive attribute is
+            # max - min + 1 — one mergeable fold instead of the
+            # countDistinct Expand + extra (QI, sens)-grain exchange
+            (F.max("delinq") - F.min("delinq") + 1).alias("l_div"),
+        )
+    )
+    below = F.col("grp_n") < _KANON_K
+    l1 = F.col("l_div") < 2
+    return grouped.agg(
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+        rnd(F.avg("grp_n"), 6).alias("avg_group_size"),
+        F.count_if(below).alias("groups_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("grp_n"))), F.lit(0))
+        .cast("long")
+        .alias("rows_below_k"),
+        rnd(
+            F.coalesce(F.sum(F.when(below, F.col("grp_n"))), F.lit(0))
+            / F.sum("grp_n"),
+            6,
+        ).alias("pct_rows_below_k"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.count_if(l1).alias("groups_l1"),
+        rnd(
+            F.coalesce(F.sum(F.when(l1, F.col("grp_n"))), F.lit(0))
+            / F.sum("grp_n"),
+            6,
+        ).alias("pct_rows_l1"),
+    )
+
+
+dq_k_anonymity.__doc__ = dq_k_anonymity.__doc__.replace(
+    "{k}", str(_KANON_K)
+).replace("{band}", str(int(_KANON_BAND)))
