@@ -641,7 +641,7 @@ _TRAVEL_MAX_KMH = 900.0  # commercial-flight ceiling
         SELECT user_id, event_id,
                round({_HAVERSINE_SQL.replace('s_lat', 'p_lat').replace('s_lon', 'p_lon')}, 4)
                    AS hop_km,
-               round(epoch(ts - p_ts) / 3600.0, 6) AS gap_h
+               round(epoch_us(ts - p_ts) / 3600000000.0, 6) AS gap_h
         FROM hops WHERE p_lat IS NOT NULL
     )
     SELECT user_id, event_id, hop_km, gap_h,
@@ -696,10 +696,13 @@ def geo_impossible_travel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("hop_km"),
+        # EXACT integer micros difference, then ONE division by the same
+        # constant as the oracle: casting each timestamp to double first
+        # rounds at ~2^-21 s (epoch ~2^31 s eats 31 of the 52 mantissa
+        # bits), and that 1e-10-hour wobble flipped a 6-dp rounding
+        # knife edge at sf0.1 (4.8868135 -> .886813 vs .886814)
         rnd(
-            (
-                F.col("ts").cast("double") - F.col("p_ts").cast("double")
-            ) / 3600.0,
+            (F.unix_micros("ts") - F.unix_micros("p_ts")) / 3.6e9,
             6,
         ).alias("gap_h"),
     )

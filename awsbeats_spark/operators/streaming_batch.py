@@ -247,7 +247,7 @@ _WM_DELAYS = (60, 300, 900, 3600)  # candidate watermark delays (seconds)
     oracle=f"""
     WITH arr AS (
         SELECT event_id,
-               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS es
+               epoch_us(CAST(ts AS TIMESTAMP)) AS es
         FROM events
     ),
     runmax AS (
@@ -258,12 +258,14 @@ _WM_DELAYS = (60, 300, 900, 3600)  # candidate watermark delays (seconds)
                ) AS high_water
         FROM arr
     ),
-    lat AS (SELECT high_water - es AS lateness FROM runmax),
+    lat AS (SELECT high_water - es AS lateness_us FROM runmax),
     d AS (SELECT unnest([{", ".join(str(d) for d in _WM_DELAYS)}]) AS delay_s)
     SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
-           CAST(count(*) FILTER (lat.lateness > d.delay_s) AS BIGINT)
-               AS n_dropped,
-           round(count(*) FILTER (lat.lateness > d.delay_s)
+           CAST(count(*) FILTER (lat.lateness_us
+                                 > CAST(d.delay_s AS BIGINT) * 1000000)
+                AS BIGINT) AS n_dropped,
+           round(count(*) FILTER (lat.lateness_us
+                                  > CAST(d.delay_s AS BIGINT) * 1000000)
                  * 1.0 / count(*), 6) AS frac_dropped
     FROM lat CROSS JOIN d
     GROUP BY d.delay_s
@@ -294,9 +296,13 @@ def stream_watermark_lateness_curve(
     which is fine at oracle scale.
     """
     t = tables(spark, sf_dir)
+    # EXACT integer micros (the events_session_gap_sensitivity fix,
+    # applied to the same latent class): unix_timestamp() FLOORS to
+    # seconds while the old oracle's CAST(epoch() AS BIGINT) ROUNDED,
+    # so a lateness landing exactly on a delay boundary could flip
     arr = t.events.select(
         "event_id",
-        F.unix_timestamp(F.col("ts")).alias("es"),
+        F.unix_micros(F.col("ts")).alias("es"),
         (F.col("event_id") / _WM_BLOCK).cast("long").alias("blk"),
     )
     in_block = F.max("es").over(
@@ -327,16 +333,16 @@ def stream_watermark_lateness_curve(
     delays = spark.createDataFrame(
         [(d,) for d in _WM_DELAYS], "delay_s long"
     )
+    dropped = F.count(
+        F.when(F.col("lateness") > F.col("delay_s") * 1000000, 1)
+    )
     return (
         lat.crossJoin(F.broadcast(delays))
         .groupBy("delay_s")
         .agg(
-            F.count(F.when(F.col("lateness") > F.col("delay_s"), 1))
-            .cast("long")
-            .alias("n_dropped"),
+            dropped.cast("long").alias("n_dropped"),
             rnd(
-                F.count(F.when(F.col("lateness") > F.col("delay_s"), 1))
-                / F.count(F.lit(1)).cast("double"),
+                dropped / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("frac_dropped"),
         )
@@ -356,10 +362,10 @@ _GAP_CANDIDATES = (900, 1800, 3600)  # candidate session gaps (seconds)
     oracle=f"""
     WITH gaps AS (
         SELECT user_id,
-               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
-               - lag(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)) OVER (
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                 ) AS gap_s
+                 ) AS gap_us
         FROM events
     ),
     users AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
@@ -369,10 +375,14 @@ _GAP_CANDIDATES = (900, 1800, 3600)  # candidate session gaps (seconds)
     )
     SELECT CAST(cand.gap_threshold_s AS BIGINT) AS gap_threshold_s,
            CAST(users.n_users
-                + count(*) FILTER (gaps.gap_s >= cand.gap_threshold_s)
+                + count(*) FILTER (gaps.gap_us
+                                   >= CAST(cand.gap_threshold_s AS BIGINT)
+                                      * 1000000)
                 AS BIGINT) AS n_sessions,
            round((users.n_users
-                  + count(*) FILTER (gaps.gap_s >= cand.gap_threshold_s))
+                  + count(*) FILTER (gaps.gap_us
+                                     >= CAST(cand.gap_threshold_s AS BIGINT)
+                                        * 1000000))
                  * 1.0 / users.n_users, 4) AS sessions_per_user
     FROM gaps CROSS JOIN cand CROSS JOIN users
     GROUP BY cand.gap_threshold_s, users.n_users
@@ -398,9 +408,14 @@ def events_session_gap_sensitivity(
     """
     t = tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    es = F.unix_timestamp(F.col("ts"))
+    # EXACT integer micros on both sides: unix_timestamp() FLOORS to
+    # seconds while DuckDB's CAST(epoch() AS BIGINT) ROUNDS, so a gap
+    # whose endpoints straddle a .5s fraction flipped the >= threshold
+    # test between engines (caught by the sf0.1 full sweep, round 10 —
+    # one boundary in 95k sessions)
+    es = F.unix_micros(F.col("ts"))
     gaps = t.events.select(
-        "user_id", (es - F.lag(es).over(w)).alias("gap_s")
+        "user_id", (es - F.lag(es).over(w)).alias("gap_us")
     )
     n_users = t.events.agg(
         F.countDistinct("user_id").alias("n_users")
@@ -414,7 +429,11 @@ def events_session_gap_sensitivity(
         .groupBy("gap_threshold_s", "n_users")
         .agg(
             F.count(
-                F.when(F.col("gap_s") >= F.col("gap_threshold_s"), 1)
+                F.when(
+                    F.col("gap_us")
+                    >= F.col("gap_threshold_s") * 1000000,
+                    1,
+                )
             ).alias("n_boundaries")
         )
         .select(
