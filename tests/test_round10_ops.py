@@ -202,3 +202,101 @@ def test_spectral_centroid_matches_rfft_replay(run, spark, sf_dir):
         assert row["rolloff_bin"] == roll
         checked_live += 1
     assert checked_live > 0  # the corpus must actually exercise the op
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "fracsec"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        if t != "events":
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    schema = pq.read_schema(f"{src}/events.parquet")
+    table = pa.Table.from_pydict(
+        {k: rows[k] for k in schema.names}
+    ).cast(schema)
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_session_gap_boundary_is_microsecond_exact(spark, tmp_path):
+    """The sf0.1 full sweep caught a floor-vs-round epoch knife edge:
+    a gap whose endpoints straddle a .5 s fraction flipped the
+    >= threshold test between engines. Pin the fix with gaps engineered
+    around the 1800 s candidate: exactly 1800.0 s (counts), 1799.8 s
+    with straddling fractions (must NOT count — the old floored
+    seconds said 1800), and 1800.2 s (counts)."""
+    from awsbeats_spark.registry import load_all
+
+    us = 10**6
+    base = 1_000_000 * us
+    rows = {
+        # user 1: gap exactly 1800 s; user 2: 1799.8 s straddling .5
+        # (frac .4 -> .2); user 3: 1800.2 s straddling (.4 -> .6)
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": [
+            base + 400_000,
+            base + 400_000 + 1800 * us,
+            base + 400_000,
+            base + 200_000 + 1800 * us,
+            base + 400_000,
+            base + 600_000 + 1800 * us,
+        ],
+        "user_id": [1, 1, 2, 2, 3, 3],
+        "event_type": ["a"] * 6,
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    }
+    d = _write_events(tmp_path, rows)
+    got = (
+        load_all()["events_session_gap_sensitivity"]
+        .fn(spark, d)
+        .toPandas()
+        .set_index("gap_threshold_s")
+    )
+    # 3 users; at 1800 s the exact and the +0.2 s gaps are boundaries,
+    # the -0.2 s gap is not: 3 users + 2 boundaries = 5 sessions
+    assert got.loc[1800, "n_sessions"] == 5
+    # at 900 s every gap is a boundary; at 3600 s none is
+    assert got.loc[900, "n_sessions"] == 6
+    assert got.loc[3600, "n_sessions"] == 3
+
+
+def test_travel_gap_h_is_single_division_of_exact_micros(spark, tmp_path):
+    """gap_h must equal round(micros / 3.6e9, 6) exactly — not the
+    difference of two per-timestamp double casts, whose ~2^-21 s wobble
+    flipped a 6-dp rounding knife edge at sf0.1."""
+    from awsbeats_spark.functions.rounding import rnd as _  # noqa: F401
+    from awsbeats_spark.registry import load_all
+
+    us = 10**6
+    base = 1_700_000_000 * us  # large epoch: double cast loses micros
+    # craft a gap whose hours value sits ON a 6-dp half boundary:
+    # 4.8868135 h = 17592528600000 us markers; and far-apart locations
+    # so the hop speed exceeds the 900 km/h ceiling (flagged rows only)
+    gap_us = int(round(4.8868135 * 3.6e9))
+    rows = {
+        "event_id": [1, 5001],  # far-apart ids -> far-apart grid points
+        "ts": [base + 700_001, base + 700_001 + gap_us],
+        "user_id": [42, 42],
+        "event_type": ["a", "a"],
+        "value": [1.0, 1.0],
+        "props": ["{}", "{}"],
+    }
+    d = _write_events(tmp_path, rows)
+    got = load_all()["geo_impossible_travel_flags"].fn(spark, d).toPandas()
+    assert len(got) == 1  # the hop must actually clear the 900 km/h gate
+    # bit-exact parity with DuckDB's identical single-division round —
+    # the property the old two-double-casts formulation violated
+    import duckdb
+
+    ora = duckdb.sql(
+        f"SELECT round({gap_us} / 3600000000.0, 6) AS g"
+    ).fetchone()[0]
+    assert float(got["gap_h"].iloc[0]) == ora
