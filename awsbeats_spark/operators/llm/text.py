@@ -203,9 +203,13 @@ _SHINGLES_SQL = shingles_sql(WORDS_SQL)
     oracle=f"""
     SELECT doc_id,
            md5(text) AS full_hash,
-           array_to_string(
+           -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' — bites on docs with < 3 words (no
+           -- shingles); same class the sf0.1 sweep caught on
+           -- scalar_array_setops in round 10
+           coalesce(array_to_string(
                list_sort(list_distinct(list_transform({_SHINGLES_SQL}, s -> md5(s))))[1:5],
-               '|') AS winnow_fp
+               '|'), '') AS winnow_fp
     FROM documents
     """,
 )

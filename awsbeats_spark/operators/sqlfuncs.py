@@ -220,10 +220,13 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_distinct(list_cat(head8, tail8))) AS n_union,
            len(list_intersect(head8, tail8))          AS n_common,
-           array_to_string(
+           -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' (sf0.1 sweep, round 10 — five docs
+           -- whose head vocabulary is fully contained in the tail)
+           coalesce(array_to_string(
                list_sort(list_distinct(
-                   list_filter(head8, t -> NOT list_contains(tail8, t)))), ',')
-               AS head_only
+                   list_filter(head8, t -> NOT list_contains(tail8, t)))), ','),
+               '') AS head_only
     FROM ht
     """,
 )
