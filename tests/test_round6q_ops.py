@@ -918,7 +918,11 @@ def test_page_hinkley_matches_numpy(run, sf_dir):
         .sort_index()
         .to_numpy()
     )
-    mu, sigma = daily.mean(), daily.std(ddof=0)
+    # same grid quantization as the operator (round 10: recurrence
+    # inputs are quantized so both engines fold identical doubles)
+    daily = np.floor(daily * 100.0 + 0.5) / 100.0
+    mu = np.floor(daily.mean() * 10000.0 + 0.5) / 10000.0
+    sigma = np.floor(daily.std(ddof=0) * 10000.0 + 0.5) / 10000.0
     delta = 0.005 * mu
     lam = round(5.0 * sigma, 4)
     expected = {}
