@@ -94,18 +94,27 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        -- tie-break ORDER BY with event_id: duplicate (user, ts) rows
+        -- otherwise get an ARBITRARY order that may DIFFER between this
+        -- window pass and the cumsum pass below, splitting a tie block
+        -- into two sessions (3 phantom sessions in 95k at the sf1
+        -- replica, where timestamps repeat; Spark's session_window is
+        -- merge-based and has no ordering to get wrong)
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
                CASE WHEN CAST(ts AS TIMESTAMP)
-                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL 30 MINUTE
-                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
     ),
     sessions AS (
         SELECT user_id, ts, value,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_seq
         FROM ordered

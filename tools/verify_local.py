@@ -17,6 +17,7 @@ its own session, so operators must be correct without relying on
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -34,7 +35,13 @@ from awsbeats_spark.session import get_spark  # noqa: E402
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written replicas (tools/build_sf1.py) are DIRECTORIES of
+        # part files; the driver's testdata are flat files. Glob the dir
+        # so oracle sweeps run against sf1 too.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
