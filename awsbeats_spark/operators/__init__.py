@@ -41,14 +41,17 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   CORRECTNESS_r09): round-5 late additions (442/530 after round 9; the
   catalog grew to 530 with the five round-9 keys, which queue in
   ``_ROUND11_WINDOW``).
-* **Round 10**
-  (``_ROUND10_WINDOW``, 46 + 4 rechecks = the full 50-key budget, NOW
-  FRONTED): the overflow past round 9's budget plus round-6/7
-  additions. **Round 11** (``_ROUND11_WINDOW``, 42 + 4 rechecks):
-  round-7/8/9 additions; new keys append here (round-10 growth cap:
-  ≤4, VERDICT r9 item 4 — exactly the remaining r11 slack). Once every
-  window drains the full catalog is driver-evidenced and spare slots
-  recheck round-1/2 greens on a rolling basis.
+* **Round 10** (``_ROUND10_WINDOW``, 46 + 4 rechecks, all driver-green
+  in CORRECTNESS_r10 — 50/50 hash-checked): the overflow past round
+  9's budget plus round-6/7 additions. After round 10: 492/534.
+* **Round 11**
+  (``_ROUND11_WINDOW``, 46 + 4 rechecks = the full 50-key budget, NOW
+  FRONTED — round-11 slack is ZERO): round-7/8/9 additions plus the 4
+  round-10 additions. Once this window drains, every key registered
+  through round 10 is driver-evidenced. New keys from round 11 onward
+  MUST open ``_ROUND12_WINDOW`` (appending here would overflow the
+  budget and trip the <=50 guard in tests/test_rotation.py); spare
+  round-12+ slots recheck round-1/2 greens on a rolling basis.
 
 The window lists partition the keys that had no driver row as of
 CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
@@ -467,10 +470,11 @@ _ROUND10_WINDOW = [
 ]
 
 
-# Round-8+ driver window: _ROUND10_WINDOW + _DELIBERATE_RECHECKS is
-# exactly the 50-key round-10 budget, so operators added past that
-# point queue here (checked round 11 onward; new keys ALWAYS append to
-# the last window).
+# Round-11 driver window (NOW FRONTED): _ROUND11_WINDOW +
+# _DELIBERATE_RECHECKS_R11 is exactly the 50-key round-11 budget —
+# zero slack. Keys added in round 11 or later MUST go to
+# _ROUND12_WINDOW below (appending here overflows the budget and the
+# <=50 guard in tests/test_rotation.py fails at add time).
 _ROUND11_WINDOW = [
     "embed_semdedup_prune",
     "eval_semdedup_lexical_overlap",
@@ -545,6 +549,11 @@ _DELIBERATE_RECHECKS = [
 # round 10's budget is exactly full (46 + 4 = 50), so they queue in
 # round 11's slack (25 + 3 = 28 <= 50), consumed right after
 # _ROUND11_WINDOW. The overlap tripwire whitelists both recheck lists.
+# Round-12 driver window: round 11's budget is exactly full (46 + 4),
+# so keys added in round 11+ queue here (checked round 12 onward; new
+# keys ALWAYS append to the last window).
+_ROUND12_WINDOW: list[str] = []
+
 _DELIBERATE_RECHECKS_R11 = [
     "agg_freq_items_approx",
     "profile_columns_approx",
@@ -573,10 +582,11 @@ def _reorder() -> None:
         if n not in rechecks
     ]
     priority = (
-        _ROUND10_WINDOW
-        + _DELIBERATE_RECHECKS
-        + _ROUND11_WINDOW
+        _ROUND11_WINDOW
         + _DELIBERATE_RECHECKS_R11
+        + _ROUND12_WINDOW
+        + _ROUND10_WINDOW
+        + _DELIBERATE_RECHECKS
         + tail
     )
     if len(set(priority)) != len(priority):

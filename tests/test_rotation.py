@@ -11,6 +11,7 @@ from awsbeats_spark.operators import (
     _DELIBERATE_RECHECKS,
     _DELIBERATE_RECHECKS_R11,
     _ROUND11_WINDOW,
+    _ROUND12_WINDOW,
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
     _ROUND6_WINDOW,
@@ -26,20 +27,22 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 _ALL_RECHECKS = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
 
 
-def test_round10_window_registers_first():
-    assert len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) == 50
+def test_round11_window_registers_first():
+    assert len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11) == 50
     keys = list(load_all())
-    fronted = _ROUND10_WINDOW + _DELIBERATE_RECHECKS
+    fronted = _ROUND11_WINDOW + _DELIBERATE_RECHECKS_R11
     assert keys[: len(fronted)] == fronted
 
 
-def test_round11_through_round4_follow():
+def test_round12_through_round4_follow():
     keys = list(load_all())
-    s = len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS)
-    assert keys[s : s + len(_ROUND11_WINDOW)] == _ROUND11_WINDOW
-    s += len(_ROUND11_WINDOW)
-    assert keys[s : s + len(_DELIBERATE_RECHECKS_R11)] == _DELIBERATE_RECHECKS_R11
-    s += len(_DELIBERATE_RECHECKS_R11)
+    s = len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11)
+    assert keys[s : s + len(_ROUND12_WINDOW)] == _ROUND12_WINDOW
+    s += len(_ROUND12_WINDOW)
+    assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
+    s += len(_ROUND10_WINDOW)
+    assert keys[s : s + len(_DELIBERATE_RECHECKS)] == _DELIBERATE_RECHECKS
+    s += len(_DELIBERATE_RECHECKS)
     # Tail windows register with recheck keys filtered out (they already
     # registered at their recheck position above).
     for window, full_len in (
@@ -72,11 +75,11 @@ def test_upcoming_window_has_no_driver_checked_overlap():
 def test_deliberate_rechecks_fit_round10_budget():
     """VERDICT r6 item 3: the stale-`no_oracle` converted keys must sit
     inside round 10's 50-key driver budget so the conversion finally gets
-    driver-grade evidence. New keys append past _ROUND10_WINDOW, so this
-    bounds how far that window may grow."""
+    driver-grade evidence (delivered: CORRECTNESS_r10 is 50/50 green).
+    Kept as a structural pin on the now-tail round-10 block."""
     assert len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) <= 50, (
         "round-10 window overflow: deliberate re-checks would fall outside "
-        "the driver's 50-key budget — move new keys to _ROUND11_WINDOW"
+        "the driver's 50-key budget — move new keys to _ROUND12_WINDOW"
     )
     # The rechecks must actually occupy the registry slots right after
     # _ROUND10_WINDOW (ADVICE r7: the old `start + a + b <= start + 50`
@@ -96,14 +99,15 @@ def test_deliberate_rechecks_fit_round10_budget():
 
 
 def test_deliberate_rechecks_r11_fit_round11_budget():
-    """VERDICT r7 item 3: the three round-7 oracle conversions
-    (agg_freq_items_approx, profile_columns_approx, embed_pca_project)
-    queue in round 11's slack so the driver finally sees the converted
-    oracles. Round-8+ additions append to _ROUND11_WINDOW, so this bounds
-    its growth too."""
+    """VERDICT r7 item 3: the round-7/9 oracle conversions
+    (agg_freq_items_approx, profile_columns_approx, embed_pca_project,
+    multimodal_image_ahash) queue inside round 11's 50-key budget so the
+    driver finally sees the converted oracles. Round 11's budget is
+    exactly full (46 + 4): keys added in round 11+ MUST go to
+    _ROUND12_WINDOW, never appended here."""
     assert len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11) <= 50, (
         "round-11 window overflow: the r11 deliberate re-checks would fall "
-        "outside the driver's 50-key budget — open a _ROUND12_WINDOW"
+        "outside the driver's 50-key budget — new keys go to _ROUND12_WINDOW"
     )
     keys = list(load_all())
     start = keys.index(_ROUND11_WINDOW[0])
@@ -119,6 +123,12 @@ def test_deliberate_rechecks_r11_fit_round11_budget():
     )
 
 
+def test_round12_window_fits_driver_budget():
+    """Round-12 growth cap: the next round's driver budget is ~50 keys;
+    additions past that would push their own evidence out another round."""
+    assert len(_ROUND12_WINDOW) <= 50
+
+
 def test_rotation_names_unique_and_registered():
     keys = set(load_all())
     rotation = (
@@ -130,6 +140,7 @@ def test_rotation_names_unique_and_registered():
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
         + _ROUND11_WINDOW
+        + _ROUND12_WINDOW
     )
     assert len(set(rotation)) == len(rotation)
     assert set(rotation) <= keys
@@ -153,6 +164,7 @@ def test_windows_partition_never_driver_checked_keys():
         + _ROUND9_WINDOW
         + _ROUND10_WINDOW
         + _ROUND11_WINDOW
+        + _ROUND12_WINDOW
     )
     assert set(rotation) == set(never), (
         f"missing from rotation: {sorted(set(never) - set(rotation))}; "
