@@ -2942,7 +2942,8 @@ _SPEC_FLOOR = 1e-6  # below this total power the clip is silent/constant
            CASE WHEN tp >= {_SPEC_FLOOR}
                 THEN list_min(list_transform(
                          generate_series(1, {_SPEC_K}), k ->
-                         CASE WHEN list_sum(pw[1:k]) >= {_SPEC_ROLL} * tp
+                         CASE WHEN round(list_sum(pw[1:k]) / tp, 9)
+                                   >= {_SPEC_ROLL}
                               THEN k ELSE {_SPEC_K + 1} END))
            END AS rolloff_bin
     FROM mom
@@ -2971,7 +2972,9 @@ def multimodal_audio_spectral_centroid(
     oracle's hex-nibble nested list folds); sums are {n}-term doubles
     agreeing to ~1e-12 relative, rounded to 4 dp, with ratios (never
     raw exact-integer-scale powers) emitted so the round is
-    knife-edge-safe. Scale shape: embarrassingly parallel Arrow
+    knife-edge-safe — including rolloff_bin, whose cumulative-energy
+    ratio is quantized to a 9-dp grid on BOTH engines before the
+    {roll} threshold test. Scale shape: embarrassingly parallel Arrow
     mapInPandas, one row per audio clip, no shuffle; the DFT work is a
     fixed {n}x{kk} matrix product per clip regardless of clip length."""
     t = tables(spark, sf_dir)
@@ -3003,7 +3006,14 @@ def multimodal_audio_spectral_centroid(
                     continue
                 m1 = float((kk * pw).sum())
                 m2 = float((kk * kk * pw).sum())
-                roll = int(kk[np.cumsum(pw) >= _SPEC_ROLL * tp][0])
+                # Quantize the cumulative-energy RATIO to a shared 9-dp
+                # grid before thresholding (ADVICE r10): raw
+                # cumsum >= 0.85*tp compares two ~1e-12-divergent
+                # summation orders (numpy matmul cumsum vs the oracle's
+                # sequential prefix folds) and can flip the bin on a
+                # knife edge — the same class as gap_h/Page-Hinkley.
+                ratio = np.round(np.cumsum(pw) / tp, 9)
+                roll = int(kk[ratio >= _SPEC_ROLL][0])
                 rows.append((doc_id, tp, m1, m2, roll))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "tp", "m1", "m2", "roll"]
