@@ -552,7 +552,14 @@ _DELIBERATE_RECHECKS = [
 # Round-12 driver window: round 11's budget is exactly full (46 + 4),
 # so keys added in round 11+ queue here (checked round 12 onward; new
 # keys ALWAYS append to the last window).
-_ROUND12_WINDOW: list[str] = []
+_ROUND12_WINDOW: list[str] = [
+    # round-11 additions (round 11's own budget is full, so these take
+    # the FRONT of the round-12 driver window)
+    "eval_contamination_ngram_overlap",
+    "embed_alignment_uniformity",
+    "dedup_suffix_array_substring",
+    "multimodal_image_dct_phash",
+]
 
 _DELIBERATE_RECHECKS_R11 = [
     "agg_freq_items_approx",

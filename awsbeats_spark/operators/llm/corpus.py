@@ -4046,3 +4046,117 @@ def corpus_rho_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_rho_excess_loss.__doc__ = corpus_rho_excess_loss.__doc__.replace(
     "{den}", str(_RHO_SELECT_DEN)
 )
+
+
+# --------------------------------------------------------------------------
+# Eval-side contamination measurement (per-doc n-gram overlap with train)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_contamination_ngram_overlap",
+    oracle=f"""
+    WITH evsh AS (
+        SELECT DISTINCT doc_id, unnest({shingles_sql(WORDS_SQL, _DECON_N)})
+                   AS sh
+        FROM documents
+        WHERE {_bucket_sql()} IN {_EVAL_BUCKETS}
+    ),
+    evset AS (SELECT DISTINCT sh FROM evsh),
+    trainsh AS (
+        SELECT DISTINCT t.sh
+        FROM (SELECT unnest({shingles_sql(WORDS_SQL, _DECON_N)}) AS sh
+              FROM documents
+              WHERE {_bucket_sql()} NOT IN {_EVAL_BUCKETS}) t
+        JOIN evset USING (sh)
+    ),
+    agg AS (
+        SELECT e.doc_id,
+               count(*) AS n_sh,
+               sum(CASE WHEN m.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM evsh e LEFT JOIN trainsh m ON e.sh = m.sh
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN coalesce(a.n_sh, 0) > 0
+                THEN round(a.n_hit * 1.0 / a.n_sh, 6)
+           END AS contamination_frac,
+           CASE WHEN coalesce(a.n_sh, 0) = 0 THEN 'no_ngrams'
+                WHEN a.n_hit = 0 THEN 'clean'
+                WHEN 2 * a.n_hit < a.n_sh THEN 'partial'
+                ELSE 'dirty' END AS severity
+    FROM (SELECT doc_id FROM documents
+          WHERE {_bucket_sql()} IN {_EVAL_BUCKETS}) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("corpus", "eval"),
+)
+def eval_contamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-side contamination MEASUREMENT (Brown et al. 2020 Appendix C;
+    the "clean vs dirty" analysis every frontier-model card reports):
+    for each held-out eval document, the fraction of its distinct word
+    {_DECON_N}-grams that appear anywhere in the train split, with a
+    severity bucket (clean = zero overlap, partial < 50%, dirty >= 50%,
+    no_ngrams = too short to carry a {_DECON_N}-gram).
+    [[corpus_decontaminate]] is the train-side binary DROP; this is the
+    complementary eval-side audit that quantifies how much benchmark
+    signal survives for the documents a pipeline chooses NOT to drop —
+    the number that decides whether an eval score is trustworthy.
+
+    Parity: the hit ratio divides two exact integers (bit-identical
+    double), and the 50% severity threshold compares 2*n_hit against
+    n_shingles in INTEGER arithmetic — no float crosses a branch.
+
+    Scale shape: the eval split is benchmark-sized by construction, so
+    its distinct shingle set broadcasts; the 100-TB train scan is
+    explode -> broadcast semi-join -> distinct at matched-shingle
+    cardinality (bounded by the EVAL shingle count, not train size).
+    Per-doc tallies then join eval-sized relations only — the train
+    fact never shuffles on shingle text, the same one-pass shape
+    [[corpus_decontaminate]] proves out."""
+    t = tables(spark, sf_dir)
+    is_eval = _bucket_col().isin(*_EVAL_BUCKETS)
+    sh = shingles(words(), _DECON_N)
+    ev_doc_sh = (
+        t.documents.filter(is_eval)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    ev_set = ev_doc_sh.select("sh").distinct()
+    matched = (
+        t.documents.filter(~is_eval)
+        .select(F.explode(sh).alias("sh"))
+        .join(F.broadcast(ev_set), "sh", "left_semi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        ev_doc_sh.join(F.broadcast(matched), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    base = t.documents.filter(is_eval).select("doc_id")
+    n_sh = F.coalesce(F.col("n_sh"), F.lit(0))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    severity = (
+        F.when(n_sh == 0, F.lit("no_ngrams"))
+        .when(n_hit == 0, F.lit("clean"))
+        .when(2 * n_hit < n_sh, F.lit("partial"))
+        .otherwise(F.lit("dirty"))
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        n_sh.cast("long").alias("n_shingles"),
+        n_hit.cast("long").alias("n_contaminated"),
+        F.when(n_sh > 0, rnd(F.col("n_hit") * 1.0 / F.col("n_sh"), 6)).alias(
+            "contamination_frac"
+        ),
+        severity.alias("severity"),
+    )

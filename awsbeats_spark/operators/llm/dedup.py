@@ -2520,3 +2520,133 @@ def eval_dedup_cluster_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact shared-substring spans (the relational form of suffix-array dedup)
+# --------------------------------------------------------------------------
+
+_SUBSTR_N = 5  # seed width: shared spans are detected at >= N tokens
+_SUBSTR_DF_CAP = 20  # seed shingles in more docs than this are boilerplate
+_SUBSTR_MIN_TOKENS = 8  # emit only maximal spans at least this long
+
+
+def _substr_shingle_sql() -> str:
+    return shingles_sql(WORDS_SQL, _SUBSTR_N)
+
+
+@query(
+    "dedup_suffix_array_substring",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_substr_shingle_sql()}) AS sh,
+               unnest(range(1, 1 + len({_substr_shingle_sql()}))) AS pos
+        FROM documents
+    ),
+    ok AS (
+        SELECT sh FROM sh
+        GROUP BY sh HAVING count(DISTINCT doc_id) <= {_SUBSTR_DF_CAP}
+    ),
+    p AS (SELECT s.* FROM sh s JOIN ok USING (sh)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+        FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pa, pb,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM pairs
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT) AS a_start,
+           CAST(min(pb) AS BIGINT) AS b_start,
+           CAST(max(pa) - min(pa) + {_SUBSTR_N} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_seeds
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING max(pa) - min(pa) + {_SUBSTR_N} >= {_SUBSTR_MIN_TOKENS}
+    """,
+    tags=("dedup",),
+)
+def dedup_suffix_array_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHARED-SUBSTRING spans between document pairs — the
+    relational re-expression of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): where [[dedup_minhash]] /
+    [[dedup_ngram_jaccard]] score whole-document set overlap, this
+    finds the copied PASSAGES themselves — every maximal run of >=
+    {min_tok} consecutive tokens shared verbatim between two documents,
+    with both start offsets, exactly what a substring-level deduper
+    cuts out of the training set.
+
+    Algorithm (seed-and-extend, all set arithmetic): positional word
+    {n}-gram seeds; an equi-join on seed text yields matched positions;
+    within a (doc_a, doc_b) pair, matches on the same DIAGONAL (pa - pb
+    constant) at consecutive positions are one shared substring, merged
+    maximally by gaps-and-islands (pa - row_number = island id). A run
+    of L shared tokens produces exactly L - {n} + 1 consecutive seeds,
+    so spans >= {n} tokens are recovered losslessly with their exact
+    length — the suffix array's answer, without the sequential
+    construction a distributed engine can't do. Spans shorter than the
+    seed are invisible BY DESIGN ({n} = the match threshold, as in the
+    paper's 50-token setting).
+
+    Parity: pure integer arithmetic end to end (positions, diagonals,
+    counts) — no float crosses any branch, both engines hash-match
+    bit-exactly.
+
+    Scale shape: the only corpus-scale shuffle is the seed equi-join,
+    hash-partitioned on shingle text; the DF cap (<= {cap} docs per
+    seed, the [[dedup_ngram_df_capped]] boilerplate bound) caps every
+    seed's pair fanout at {cap}^2 while keeping genuine near-dup seeds
+    (low-df by nature). Islands group by (doc_a, doc_b, diag) —
+    pair-set-bounded, orders of magnitude below corpus scale. No
+    suffix array, no sort of the corpus, no driver state."""
+    t = tables(spark, sf_dir)
+    sh_arr = shingles(words(), _SUBSTR_N)
+    posed = t.documents.select(
+        "doc_id", F.posexplode(sh_arr).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    ok = (
+        posed.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _SUBSTR_DF_CAP)
+        .select("sh")
+    )
+    p = posed.join(ok, "sh").hint("shuffle_hash")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    span_tokens = F.max("pa") - F.min("pa") + F.lit(_SUBSTR_N)
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("a_start"),
+            F.min("pb").cast("long").alias("b_start"),
+            span_tokens.cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+        .filter(F.col("span_tokens") >= _SUBSTR_MIN_TOKENS)
+        .select(
+            "doc_a", "doc_b", "a_start", "b_start", "span_tokens", "n_seeds"
+        )
+    )
+
+
+dedup_suffix_array_substring.__doc__ = (
+    dedup_suffix_array_substring.__doc__.replace("{n}", str(_SUBSTR_N))
+    .replace("{cap}", str(_SUBSTR_DF_CAP))
+    .replace("{min_tok}", str(_SUBSTR_MIN_TOKENS))
+)

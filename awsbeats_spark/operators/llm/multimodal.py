@@ -3050,3 +3050,189 @@ multimodal_audio_spectral_centroid.__doc__ = (
     .replace("{roll}", str(_SPEC_ROLL))
     .replace("{floor}", str(_SPEC_FLOOR))
 )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hash (pHash: 2D DCT low-frequency signature)
+# --------------------------------------------------------------------------
+
+_PHASH_G = 16  # grayscale sample grid (G x G)
+_PHASH_K = 4  # low-frequency DCT block kept (K x K, DC dropped -> 15 bits)
+
+
+def bmp_phash(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, phash) from a 24-bpp BMP's actual pixel bytes.
+
+    DCT perceptual hash: sample a {G}x{G} grayscale grid (nearest
+    neighbor, same container walk as bmp_ahash: data offset from the
+    file header, bottom-up rows, 4-byte stride), take the 2D DCT-II of
+    the grid, keep the {K}x{K} lowest-frequency block, drop the DC
+    term, and set bit i iff coefficient i exceeds the MEDIAN of the 15
+    remaining coefficients — 15 bits packed row-major (u-major) into a
+    non-negative int. The cosine tables are quantized to 12 dp and
+    each stage's sums to 6 dp so the oracle's sequential list folds
+    land on the same grid as numpy's blocked matmuls (the
+    spectral-centroid parity discipline).
+    """
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} w={w} h={h}")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((3 * w + 3) // 4) * 4
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    rows = px if top_down else px[::-1]  # normalize to top-down
+    g = _PHASH_G
+    ys = ((2 * np.arange(g) + 1) * h // (2 * g)).astype(np.int64)
+    xs = ((2 * np.arange(g) + 1) * w // (2 * g)).astype(np.int64)
+    sub = rows[ys][:, (3 * xs)[:, None] + np.arange(3)].astype(np.int64)
+    gray = sub.sum(axis=2) // 3
+    # 12-dp-quantized DCT basis, applied in two 6-dp-quantized stages
+    # (rowsums then coefficients) mirrored exactly by the oracle
+    basis = np.round(
+        np.cos(
+            np.pi
+            * (2 * np.arange(g)[None, :] + 1)
+            * np.arange(_PHASH_K)[:, None]
+            / (2 * g)
+        ),
+        12,
+    )
+    rs = np.round(gray.astype(np.float64) @ basis.T, 6)  # (G, K)
+    coef = np.round(basis @ rs, 6).flatten()[1:]  # drop DC -> 15
+    med = np.sort(coef)[len(coef) // 2]
+    bits = coef > med
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return int(w), int(h), int(val)
+
+
+PHASH_SCHEMA = "doc_id bigint, width int, height int, phash int"
+
+
+def _phash_oracle() -> str:
+    """Bit-exact DuckDB replay of bmp_phash over the synthesis spec —
+    the _ahash_oracle closed-form pixel walk at a 16-grid, then the
+    same two-stage quantized DCT fold as the numpy path."""
+    g, k = _PHASH_G, _PHASH_K
+    byte = lambda kk: f"CAST({_BYTE_SQL.format(k=kk)} AS BIGINT)"  # noqa: E731
+    off = (
+        f"((ht - 1 - ((2 * (t // {g}) + 1) * ht) // {2 * g}) * stride"
+        f" + 3 * (((2 * (t % {g}) + 1) * w) // {2 * g}))"
+    )
+    gray = f"({byte(off)} + {byte(off + ' + 1')} + {byte(off + ' + 2')}) // 3"
+    cosx = f"round(cos(pi() * (2 * x + 1) * (s % {k}) / {2 * g}.0), 12)"
+    cosy = f"round(cos(pi() * (2 * y + 1) * (uv // {k}) / {2 * g}.0), 12)"
+    return f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               4 + octet_length(encode(text)) % 29 AS w,
+               4 + (7 * octet_length(encode(text))) % 17 AS ht
+        FROM documents
+        WHERE CAST(octet_length(encode(text)) % 3 AS INT) = 0
+    ),
+    geo AS (SELECT *, ((3 * w + 3) // 4) * 4 AS stride FROM p),
+    grays AS (
+        SELECT doc_id, w, ht,
+               list_transform(generate_series(0, {g * g - 1}),
+                              t -> {gray}) AS gv
+        FROM geo
+    ),
+    rowsums AS (
+        SELECT doc_id, w, ht,
+               list_transform(generate_series(0, {g * k - 1}), s ->
+                   round(list_sum(list_transform(
+                       generate_series(0, {g - 1}), x ->
+                       gv[{g} * (s // {k}) + x + 1] * {cosx})), 6)) AS rs
+        FROM grays
+    ),
+    coefs AS (
+        SELECT doc_id, w, ht,
+               list_transform(generate_series(1, {k * k - 1}), uv ->
+                   round(list_sum(list_transform(
+                       generate_series(0, {g - 1}), y ->
+                       {cosy} * rs[{k} * y + (uv % {k}) + 1])), 6)) AS cf
+        FROM rowsums
+    ),
+    med AS (
+        SELECT doc_id, w, ht, cf,
+               list_sort(cf)[{(k * k - 1) // 2 + 1}] AS med
+        FROM coefs
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+           CAST(list_sum(list_transform(generate_series(1, {k * k - 1}),
+                i -> CASE WHEN cf[i] > med
+                          THEN CAST(power(2, {k * k - 1} - i) AS BIGINT)
+                          ELSE 0 END)) AS INT) AS phash
+    FROM med
+    """
+
+
+@query("multimodal_image_dct_phash", oracle=_phash_oracle())
+def multimodal_image_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash) for the image modality — the
+    frequency-domain sibling of [[multimodal_image_ahash]] and the
+    standard near-dup image signature in web-scale image-corpus
+    pipelines (LAION-style dedup): aHash thresholds raw luma samples,
+    so it flips under smooth brightness gradients; pHash thresholds
+    the {kk} lowest 2D-DCT-II coefficients (DC dropped) of a
+    {g}x{g} grayscale grid against their own median, capturing the
+    image's coarse STRUCTURE — robust to the global-level shifts that
+    break aHash, and still a Hamming-space signature
+    [[sim_search_hamming_packed]]'s XOR+popcount ranking consumes
+    unchanged. 15 bits, median-split: at most 7 set bits by
+    construction (exactly 7 when the 15 coefficients are distinct;
+    coefficients TIED at the median — e.g. a constant image, where
+    all non-DC terms quantize to 0 — contribute 0 bits, because the
+    threshold is a strict >).
+
+    Parity: the container walk, geometry, and integer grayscale are
+    the proven _ahash_oracle closed forms at a {g}-grid; the DCT
+    runs as TWO quantized stages (12-dp cosine basis; rowsums and
+    coefficients each rounded to 6 dp) so numpy's blocked matmul and
+    the oracle's sequential folds meet on a shared grid before the
+    median compare — the knife-edge discipline from
+    multimodal_audio_spectral_centroid's rolloff. The median of an
+    ODD count (15) is an order statistic, never an average, so no
+    new float is created at the threshold.
+
+    Scale shape: embarrassingly parallel Arrow mapInPandas, one row
+    per image, fixed {g}x{g}+DCT work per image regardless of image
+    size; no shuffle."""
+    t = tables(spark, sf_dir)
+    payloads = t.documents.filter(
+        F.octet_length("text") % 3 == 0
+    ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, val = bmp_phash(synthesize_bmp(bytes(raw)))
+                rows.append((doc_id, w, h, val))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "phash"]
+            )
+
+    return payloads.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+bmp_phash.__doc__ = bmp_phash.__doc__.replace("{G}", str(_PHASH_G)).replace(
+    "{K}", str(_PHASH_K)
+)
+multimodal_image_dct_phash.__doc__ = (
+    multimodal_image_dct_phash.__doc__.replace("{g}", str(_PHASH_G))
+    .replace("{kk}", f"{_PHASH_K}x{_PHASH_K}")
+)

@@ -3707,3 +3707,153 @@ def eval_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Alignment & uniformity of the embedding space (Wang & Isola 2020)
+# --------------------------------------------------------------------------
+
+_AU_SAMPLE_FRAC = 0.25  # ceiling on the md5-deterministic vector sample
+_AU_TARGET_VECS = 400.0  # audit budget: expected sample size cap
+_AU_GRID = 1e9  # integer grid for order-independent pair sums
+
+
+@query(
+    "embed_alignment_uniformity",
+    oracle=f"""
+    WITH frac AS (
+        SELECT least({_AU_SAMPLE_FRAC},
+                     {_AU_TARGET_VECS} / greatest(count(*), 1)) AS f
+        FROM embeddings
+    ),
+    sampled AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings CROSS JOIN frac
+        WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  ::BIGINT / 4294967296.0 < frac.f
+    ),
+    pairs AS (
+        SELECT a.label = b.label AS pos,
+               CAST(round((2.0 - 2.0 *
+                   {cosine_sql('a.embedding', 'b.embedding')})
+                   * {_AU_GRID}, 0) AS BIGINT) AS d2q
+        FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+    ),
+    q AS (
+        SELECT pos, d2q,
+               CAST(round(exp(-2.0 * (d2q / {_AU_GRID})) * {_AU_GRID}, 0)
+                   AS BIGINT) AS eq
+        FROM pairs
+    ),
+    tot AS (
+        SELECT count(*) AS n_pairs,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN pos THEN d2q ELSE 0 END) AS pos_d2,
+               sum(eq) AS sum_eq
+        FROM q
+    )
+    SELECT (SELECT count(*) FROM sampled) AS n_sampled,
+           CAST(coalesce(n_pos, 0) AS BIGINT) AS n_pos_pairs,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CASE WHEN coalesce(n_pos, 0) > 0
+                THEN round((CAST(pos_d2 AS DOUBLE) / n_pos)
+                           / {_AU_GRID}, 6) END AS alignment,
+           CASE WHEN coalesce(n_pairs, 0) > 0
+                THEN round(ln((CAST(sum_eq AS DOUBLE) / n_pairs)
+                              / {_AU_GRID}), 6) END AS uniformity
+    FROM tot
+    """,
+    tags=("similarity", "eval"),
+)
+def embed_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIGNMENT and UNIFORMITY of the embedding space (Wang & Isola,
+    ICML 2020): alignment = E||z_x - z_y||^2 over positive pairs
+    (same-label vectors — closer is better), uniformity =
+    log E exp(-2||z_x - z_y||^2) over all pairs (more negative = mass
+    spread evenly on the hypersphere). The two-number health check run
+    on every contrastive-embedding refresh: collapsed spaces score
+    great on alignment and terrible on uniformity, anisotropic ones
+    the reverse — thresholds like [[embed_semdedup_prune]]'s epsilon
+    and [[dedup_embedding_cosine]]'s cutoff silently break under
+    either failure mode, and [[embed_isotropy_audit]] sees only the
+    second. Squared distance on the unit sphere is 2 - 2*cosine, so
+    both metrics ride the house bit-exact sequential cosine fold.
+
+    Parity: each pair's d^2 is bit-identical cross-engine (house
+    cosine), then quantized to an integer 1e-9 grid BEFORE summing —
+    pair sums are exact BIGINT arithmetic, so the means are
+    order-independent by construction (the Page-Hinkley integer-cents
+    pattern), not merely within rounding of each other; exp() is
+    re-quantized to the same grid because JVM Math.exp and libm may
+    legitimately differ in the last ulp.
+
+    Scale shape: the quadratic lives on a BUDGETED sample
+    (frac = min({_AU_SAMPLE_FRAC}, {_AU_TARGET_VECS:.0f}/n), the
+    embed_cosine_pair_histogram precedent — constant pair count at any
+    corpus size); the sampled set broadcasts to one scan of itself and
+    the final reduce is a 1-row aggregate."""
+    t = tables(spark, sf_dir)
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / 4294967296.0
+    )
+    frac = t.embeddings.agg(
+        F.least(
+            F.lit(_AU_SAMPLE_FRAC),
+            # greatest(n, 1): ANSI mode makes n=0 a DIVIDE_BY_ZERO error
+            # on an empty table instead of an empty result
+            F.lit(_AU_TARGET_VECS) / F.greatest(F.count(F.lit(1)), F.lit(1)),
+        ).alias("f")
+    )
+    sampled = (
+        t.embeddings.crossJoin(F.broadcast(frac))
+        .filter(unif < F.col("f"))
+        .select("vec_id", "label", as_double("embedding").alias("v"))
+    )
+    a, b = sampled.alias("a"), sampled.alias("b")
+    d2 = 2.0 - 2.0 * cosine(F.col("a.v"), F.col("b.v"))
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        (F.col("a.label") == F.col("b.label")).alias("pos"),
+        F.round(d2 * _AU_GRID, 0).cast("long").alias("d2q"),
+    )
+    q = pairs.withColumn(
+        "eq",
+        F.round(F.exp(-2.0 * (F.col("d2q") / _AU_GRID)) * _AU_GRID, 0).cast(
+            "long"
+        ),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("pos").cast("int")).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), F.col("d2q")).otherwise(F.lit(0))).alias(
+            "pos_d2"
+        ),
+        F.sum("eq").alias("sum_eq"),
+    )
+    n_samp = sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    n_pos = F.coalesce(F.col("n_pos"), F.lit(0))
+    n_pairs = F.coalesce(F.col("n_pairs"), F.lit(0))
+    return tot.crossJoin(F.broadcast(n_samp)).select(
+        "n_sampled",
+        n_pos.cast("long").alias("n_pos_pairs"),
+        n_pairs.cast("long").alias("n_pairs"),
+        F.when(
+            n_pos > 0,
+            rnd(
+                (F.col("pos_d2").cast("double") / F.col("n_pos")) / _AU_GRID,
+                6,
+            ),
+        ).alias("alignment"),
+        F.when(
+            n_pairs > 0,
+            rnd(
+                F.log(
+                    (F.col("sum_eq").cast("double") / F.col("n_pairs"))
+                    / _AU_GRID
+                ),
+                6,
+            ),
+        ).alias("uniformity"),
+    )

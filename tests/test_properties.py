@@ -660,6 +660,64 @@ def test_bmp_ahash_matches_cycled_byte_model(payload):
     assert bmp_ahash(synthesize_bmp(payload)) == (w, h, val)
 
 
+@given(payload=st.binary(min_size=1, max_size=800))
+@settings(max_examples=40, deadline=None)
+def test_bmp_phash_matches_cycled_byte_model(payload):
+    """bmp_phash generalized to arbitrary payloads: the real container
+    parse + numpy two-stage quantized DCT must equal a sequential
+    pure-Python replay of the synthesis spec (cycled bytes, closed-form
+    geometry, 12-dp basis, 6-dp stage rounds, strict > median split) —
+    and the hash must stay in [0, 2^15) with at most 7 set bits."""
+    import math
+
+    from awsbeats_spark.operators.llm.multimodal import (
+        _PHASH_G,
+        _PHASH_K,
+        bmp_phash,
+        synthesize_bmp,
+    )
+
+    g, k = _PHASH_G, _PHASH_K
+    n = len(payload)
+    w, h = 4 + n % 29, 4 + (7 * n) % 17
+    stride = ((3 * w + 3) // 4) * 4
+    gray = [
+        [
+            sum(
+                payload[
+                    ((h - 1 - ((2 * gy + 1) * h) // (2 * g)) * stride
+                     + 3 * (((2 * gx + 1) * w) // (2 * g)) + c) % n
+                ]
+                for c in range(3)
+            )
+            // 3
+            for gx in range(g)
+        ]
+        for gy in range(g)
+    ]
+    basis = [
+        [round(math.cos(math.pi * (2 * i + 1) * u / (2 * g)), 12) for i in range(g)]
+        for u in range(k)
+    ]
+    rs = [
+        [round(sum(gray[y][x] * basis[v][x] for x in range(g)), 6) for v in range(k)]
+        for y in range(g)
+    ]
+    coef = [
+        round(sum(basis[u][y] * rs[y][v] for y in range(g)), 6)
+        for u in range(k)
+        for v in range(k)
+    ][1:]
+    med = sorted(coef)[len(coef) // 2]
+    val = 0
+    for c in coef:
+        val = (val << 1) | (1 if c > med else 0)
+    got = bmp_phash(synthesize_bmp(payload))
+    assert got == (w, h, val)
+    assert 0 <= got[2] < (1 << 15)
+    assert bin(got[2]).count("1") <= 7
+
+
 _decay_streams = st.dictionaries(
     st.integers(min_value=1, max_value=3),  # user_id
     st.lists(
