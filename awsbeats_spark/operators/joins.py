@@ -174,7 +174,12 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.event_id  AS last_click_id,
            round(c.value, 2) AS last_click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, min(event_id) AS event_id,
+               min_by(value, event_id) AS value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -186,8 +191,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, and carry the last click forward with a window running over
     (user_id, ts) — ONE shuffle on user_id, no pairwise expansion, no
     pandas. Clicks sort before purchases at equal ts (kind ordering) to
-    honor the >= bound. DuckDB's native ASOF JOIN is the oracle.
-    """
+    honor the >= bound. Among clicks TIED at the same (user, ts) the
+    smallest event_id wins — without a pinned winner both engines pick
+    an arbitrary tie member and diverge (surfaced by the sf1 replica's
+    duplicated-timestamp clones in join_asof_forward, round 11): the
+    window orders tied click_ids DESC so the frame-last row is the
+    minimum id, and the oracle pre-collapses ties to that same winner
+    before DuckDB's native ASOF JOIN (which has no tie rule of its
+    own)."""
     t = tables(spark, sf_dir)
     ev = t.events
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -208,7 +219,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", F.col("click_id").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
@@ -407,14 +418,19 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
     )
     both = clicks.unionByName(purchases)
+    # tie rule (sf1 finding, round 11): among clicks tied at the same
+    # (user, ts) the SMALLEST event_id wins on both carry directions,
+    # matching the oracle's explicit ORDER BY ..., c.ts, c.event_id —
+    # backward carry orders tied ids DESC so frame-last is the min,
+    # forward carry orders ASC so frame-first is the min.
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", F.col("click_id").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "click_id")
         .rowsBetween(0, Window.unboundedFollowing)
     )
     prev_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(wb)
@@ -698,7 +714,11 @@ _ASOF_TOLERANCE_S = 3600  # max staleness: 1 hour
                           AS BIGINT)
            END AS staleness_s
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, min(event_id) AS event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -729,9 +749,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("click_id"),
         F.col("event_id").alias("purchase_id"),
     )
+    # tied same-(user, ts) clicks: smallest event_id wins (DESC order so
+    # the frame-last row is the min id — the join_asof tie rule; the
+    # staleness value is tie-invariant because tied clicks share ts)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", F.col("click_id").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # microsecond arithmetic on BOTH engines: whole-second truncation
@@ -805,7 +828,12 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
            e.event_id  AS next_error_id,
            round(e.value, 2) AS next_error_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, min(event_id) AS event_id,
+               min_by(value, event_id) AS value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ) e
       ON p.user_id = e.user_id AND p.ts <= e.ts
     """,
 )
@@ -818,9 +846,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-forward window frame (current row to unbounded FOLLOWING)
     carrying the earliest later error back onto each purchase; at equal
     timestamps the purchase sorts before the error (kind ordering) so
-    the <= bound is honored. DuckDB's native forward ASOF JOIN is the
-    oracle. No pairwise expansion at any scale — cost is the per-user
-    sort any window op pays."""
+    the <= bound is honored. Among errors TIED at the same (user, ts)
+    the smallest event_id wins (sf1 finding, round 11: the replica's
+    duplicated-timestamp clones made the frame-first row arbitrary —
+    spark picked one clone, DuckDB's tie-rule-free ASOF another): the
+    window adds error_id ASC so frame-first = minimum id, and the
+    oracle pre-collapses ties to that same winner. DuckDB's native
+    forward ASOF JOIN remains the oracle. No pairwise expansion at any
+    scale — cost is the per-user sort any window op pays."""
     t = tables(spark, sf_dir)
     ev = t.events
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -841,7 +874,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "error_id")
         .rowsBetween(0, Window.unboundedFollowing)
     )
     return (

@@ -2358,7 +2358,9 @@ def _source_conflict_oracle() -> str:
     SELECT least(sa, sb) AS source_a,
            greatest(sa, sb) AS source_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(avg(jaccard), 6) AS avg_jaccard,
+           round((CAST(sum(CAST(round(jaccard * 1000000, 0) AS BIGINT))
+                       AS DOUBLE) / count(*)) / 1000000.0, 6)
+               AS avg_jaccard,
            least(sa, sb) <> greatest(sa, sb) AS cross_source
     FROM lab GROUP BY 1, 2
     """
@@ -2396,7 +2398,21 @@ def dedup_source_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(lo.alias("source_a"), hi.alias("source_b"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            rnd(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            # exact integer-micro sum of the already-6-dp pair jaccards
+            # (sf1 finding, round 11: round(avg(double), 6) straddled a
+            # .0000005 boundary across engines at 28k-pair groups — the
+            # Page-Hinkley integer-cents pattern makes the mean
+            # bit-identical by construction)
+            rnd(
+                (
+                    F.sum(
+                        F.round(F.col("jaccard") * 1_000_000, 0).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 1_000_000.0,
+                6,
+            ).alias("avg_jaccard"),
         )
         .select(
             "source_a",

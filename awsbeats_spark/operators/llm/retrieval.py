@@ -103,7 +103,7 @@ def _query_terms_df(spark: SparkSession) -> DataFrame:
     )
     SELECT query_id, doc_id, round(bm25, 6) AS bm25,
            row_number() OVER (
-               PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+               PARTITION BY query_id ORDER BY round(bm25, 6) DESC, doc_id
            ) AS rn
     FROM scored
     QUALIFY rn <= {RETR_TOP_K}
@@ -152,8 +152,15 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("bm25"))
     )
+    # rank on the ROUNDED score (sf1 finding, round 11): bm25 is a
+    # group-sum whose in-engine accumulation order differs even between
+    # byte-identical clone docs, so raw-score ordering flips near-ties
+    # both within an engine and across engines; the 6-dp grid (the
+    # emitted precision) makes every tie land on doc_id deterministically
     rn = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+        Window.partitionBy("query_id").orderBy(
+            F.desc(rnd("bm25", 6)), F.asc("doc_id")
+        )
     )
     return (
         scored.withColumn("rn", rn)
@@ -188,7 +195,7 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, doc_id, round(ql, 6) AS ql,
            row_number() OVER (
-               PARTITION BY query_id ORDER BY ql DESC, doc_id
+               PARTITION BY query_id ORDER BY round(ql, 6) DESC, doc_id
            ) AS rn
     FROM scored
     QUALIFY rn <= {RETR_TOP_K}
@@ -235,8 +242,11 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.groupBy("query_id", "doc_id").agg(
         F.sum(term_score).alias("ql")
     )
+    # rounded-score ranking: the bm25 tie discipline (sf1, round 11)
     rn = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.desc("ql"), F.asc("doc_id"))
+        Window.partitionBy("query_id").orderBy(
+            F.desc(rnd("ql", 6)), F.asc("doc_id")
+        )
     )
     return (
         scored.withColumn("rn", rn)
@@ -1253,9 +1263,11 @@ def _crossencoder_oracle() -> str:
            CAST(bigram_hits AS BIGINT) AS bigram_hits,
            round(ce, 6) AS ce_score,
            row_number() OVER (
-               PARTITION BY query_id ORDER BY ce DESC, doc_id) AS rn,
+               PARTITION BY query_id
+               ORDER BY round(ce, 6) DESC, doc_id) AS rn,
            CAST(bm25_rn AS INT) - CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY ce DESC, doc_id) AS INT)
+               PARTITION BY query_id
+               ORDER BY round(ce, 6) DESC, doc_id) AS INT)
                AS rank_delta
     FROM scored
     """
@@ -1366,7 +1378,12 @@ def retrieval_crossencoder_rerank(
         + _CE_W_BIGRAM * F.log(1 + F.col("bigram_hits"))
         - _CE_W_LEN * F.col("len_pen")
     )
-    win = Window.partitionBy("query_id").orderBy(F.desc("ce"), F.asc("doc_id"))
+    # rounded-score ranking: ce folds group-sums AND a global avgdl, so
+    # raw ordering is knife-edged both in-engine (clone docs) and
+    # cross-engine (sf1 finding, round 11)
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd("ce", 6)), F.asc("doc_id")
+    )
     return (
         feats.select(
             "query_id", "doc_id", "bm25_rn", "bigram_hits", ce.alias("ce")

@@ -770,7 +770,8 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flows AS (
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-               l_extendedprice * (1 - l_discount) AS rev
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) AS rev_c
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -780,18 +781,20 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE sn.n_name <> cn.n_name
     ),
     exports AS (
-        SELECT supp_nation AS nation, sum(rev) AS exports
+        SELECT supp_nation AS nation, sum(rev_c) AS exports_c
         FROM flows GROUP BY 1
     ),
     imports AS (
-        SELECT cust_nation AS nation, sum(rev) AS imports
+        SELECT cust_nation AS nation, sum(rev_c) AS imports_c
         FROM flows GROUP BY 1
     )
     SELECT coalesce(e.nation, i.nation) AS nation,
-           round(coalesce(e.exports, 0), 2) AS exports,
-           round(coalesce(i.imports, 0), 2) AS imports,
-           round(coalesce(e.exports, 0) - coalesce(i.imports, 0), 2)
-               AS trade_balance
+           round(CAST(coalesce(e.exports_c, 0) AS DOUBLE) / 100.0, 2)
+               AS exports,
+           round(CAST(coalesce(i.imports_c, 0) AS DOUBLE) / 100.0, 2)
+               AS imports,
+           round(CAST(coalesce(e.exports_c, 0) - coalesce(i.imports_c, 0)
+                      AS DOUBLE) / 100.0, 2) AS trade_balance
     FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
     """,
 )
@@ -829,26 +832,33 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "supp_nation",
             "cust_nation",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            # exact integer-cents flow (sf1 finding, round 11: raw double
+            # sums at sf1's 1e10 magnitudes drifted within the 2-dp round
+            # — the Gumbel/Page-Hinkley integer-cents pattern)
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("rev_c"),
         )
     )
     exports = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
-        F.sum("rev").alias("exports")
+        F.sum("rev_c").alias("exports_c")
     )
     imports = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
-        F.sum("rev").alias("imports")
+        F.sum("rev_c").alias("imports_c")
     )
+    exp_c = F.coalesce("exports_c", F.lit(0))
+    imp_c = F.coalesce("imports_c", F.lit(0))
     return (
         exports.join(imports, "nation", "full_outer")
         .select(
             "nation",
-            rnd(F.coalesce("exports", F.lit(0.0)), 2).alias("exports"),
-            rnd(F.coalesce("imports", F.lit(0.0)), 2).alias("imports"),
-            rnd(
-                F.coalesce("exports", F.lit(0.0))
-                - F.coalesce("imports", F.lit(0.0)),
-                2,
-            ).alias("trade_balance"),
+            rnd(exp_c.cast("double") / 100.0, 2).alias("exports"),
+            rnd(imp_c.cast("double") / 100.0, 2).alias("imports"),
+            rnd((exp_c - imp_c).cast("double") / 100.0, 2).alias(
+                "trade_balance"
+            ),
         )
     )
 

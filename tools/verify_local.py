@@ -34,6 +34,14 @@ from awsbeats_spark.session import get_spark  # noqa: E402
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound DuckDB's spill: a pathological oracle at replica scale (the
+    # unrolled MMR CTEs at sf1) otherwise writes an unbounded
+    # .tmp/duckdb_temp_storage into the CWD until the root disk fills
+    # (round 11: 57 GB before the kill). Cap it and keep it off the
+    # repo tree; past the cap the oracle errors instead of taking the
+    # host down.
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET max_temp_directory_size='20GiB'")
     for t in TABLE_NAMES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written replicas (tools/build_sf1.py) are DIRECTORIES of
