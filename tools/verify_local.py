@@ -136,6 +136,15 @@ def main() -> int:
     bare = "--bare" in args
     if bare:
         args.remove("--bare")
+    # --oracle-budget N: interrupt a DuckDB oracle after N seconds and
+    # report BUDG instead of hanging the sweep (replica-scale oracles
+    # like the unrolled MMR CTEs are oracle-cost ceilings, not
+    # correctness signals — round-11 sweep hygiene).
+    oracle_budget = None
+    if "--oracle-budget" in args:
+        i = args.index("--oracle-budget")
+        oracle_budget = float(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     specs = load_all()
     names = args or list(specs)
@@ -160,12 +169,32 @@ def main() -> int:
         if spec.oracle is None:
             print(f"SKIP  {name:32s} rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             continue
+        timer = None
+        timed_out = []
+        if oracle_budget:
+            import threading
+
+            def _interrupt():
+                timed_out.append(True)
+                con.interrupt()
+
+            timer = threading.Timer(oracle_budget, _interrupt)
+            timer.start()
         try:
             oracle_pdf = con.sql(spec.oracle).df()
         except Exception as exc:  # noqa: BLE001
+            if timed_out:
+                print(
+                    f"BUDG  {name:32s} oracle exceeded "
+                    f"{oracle_budget:.0f}s budget ({time.time()-t0:.1f}s)"
+                )
+                continue
             print(f"FAIL  {name:32s} oracle error: {exc}")
             failures += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         status, msg = compare(name, spark_pdf, oracle_pdf)
         if status == "FAIL":
             failures += 1
