@@ -47,9 +47,14 @@ def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2)                                AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2)                                                AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax) * 100, 0) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2)                                AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -64,11 +69,21 @@ def agg_group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    # exact integer-cents money sums (sf1 hardening, round 11: Q1's
+    # million-row groups are the widest double-sum exposure in the
+    # catalog; sum_qty stays raw — integer-valued doubles sum exactly)
+    def cents_sum(expr):
+        return rnd(
+            F.sum(F.round(expr * 100, 0).cast("long")).cast("double") / 100.0,
+            2,
+        )
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
-        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
-        rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        cents_sum(disc_price).alias("sum_disc_price"),
+        cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
         rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
         rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
         rnd(F.avg("l_discount"), 4).alias("avg_disc"),

@@ -328,7 +328,8 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                               AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -350,7 +351,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            # exact integer-cents revenue (sf1 hardening, round 11) — the
+            # single full-table sum is the largest-magnitude 2-dp round
+            # in the catalog
+            rnd(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -384,7 +397,9 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_top_customers",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -406,10 +421,21 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .groupBy("c_custkey", "c_name")
+        # exact integer-cents revenue (sf1 hardening, round 11) — also
+        # the top-20 ordering key, so grid-exactness keeps the cut stable
         .agg(
-            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            rnd(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

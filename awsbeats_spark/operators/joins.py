@@ -40,7 +40,9 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
     SELECT p_brand,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -57,9 +59,19 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact integer-cents revenue (sf1 hardening, round 11)
+            rnd(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -608,14 +620,15 @@ _SAMPLE_NIBBLES = ("0", "1", "2", "3")  # md5 first nibble -> p = 4/16
     oracle="""
     WITH exact AS (
         SELECT CAST(count(*) AS BIGINT) AS exact_rows,
-               sum(l_extendedprice * (1 - l_discount)) AS exact_revenue
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS exact_rev_c
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderpriority = '1-URGENT'
     ),
     sampled AS (
         SELECT CAST(count(*) AS BIGINT) AS s_rows,
-               coalesce(sum(l_extendedprice * (1 - l_discount)), 0)
-                   AS s_revenue
+               coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100, 0) AS BIGINT)), 0) AS s_rev_c
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderpriority = '1-URGENT'
           AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
@@ -623,12 +636,12 @@ _SAMPLE_NIBBLES = ("0", "1", "2", "3")  # md5 first nibble -> p = 4/16
     )
     SELECT e.exact_rows,
            CAST(round(s.s_rows * 4.0, 0) AS BIGINT) AS est_rows,
-           round(e.exact_revenue, 2) AS exact_revenue,
-           round(s.s_revenue * 4.0, 2) AS est_revenue,
+           round(CAST(e.exact_rev_c AS DOUBLE) / 100.0, 2) AS exact_revenue,
+           round(CAST(s.s_rev_c * 4 AS DOUBLE) / 100.0, 2) AS est_revenue,
            round(abs(s.s_rows * 4.0 - e.exact_rows)
                  / e.exact_rows, 4) AS rows_rel_err,
-           round(abs(s.s_revenue * 4.0 - e.exact_revenue)
-                 / e.exact_revenue, 4) AS revenue_rel_err
+           round(CAST(abs(s.s_rev_c * 4 - e.exact_rev_c) AS DOUBLE)
+                 / CAST(e.exact_rev_c AS DOUBLE), 4) AS revenue_rel_err
     FROM exact e CROSS JOIN sampled s
     """,
 )
@@ -658,26 +671,35 @@ def join_keyhash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t.lineitem.select(
         "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        # exact integer-cents revenue (sf1 finding, round 11: raw double
+        # sums drift within the 2-dp round at sf1 magnitudes — the
+        # q_nation_trade_balance integer-cents pattern)
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("rev_c"),
     )
     joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
     exact = joined.agg(
         F.count(F.lit(1)).alias("exact_rows"),
-        F.sum("rev").alias("exact_revenue"),
+        F.sum("rev_c").alias("exact_rev_c"),
     )
     sampled = (
         orders.filter(keep)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .agg(
             F.count(F.lit(1)).alias("s_rows"),
-            F.coalesce(F.sum("rev"), F.lit(0.0)).alias("s_revenue"),
+            F.coalesce(F.sum("rev_c"), F.lit(0)).alias("s_rev_c"),
         )
     )
     return exact.crossJoin(F.broadcast(sampled)).select(
         "exact_rows",
         F.round(F.col("s_rows") * 4.0, 0).cast("long").alias("est_rows"),
-        rnd("exact_revenue", 2).alias("exact_revenue"),
-        rnd(F.col("s_revenue") * 4.0, 2).alias("est_revenue"),
+        rnd(F.col("exact_rev_c").cast("double") / 100.0, 2).alias(
+            "exact_revenue"
+        ),
+        rnd((F.col("s_rev_c") * 4).cast("double") / 100.0, 2).alias(
+            "est_revenue"
+        ),
         rnd(
             F.abs(F.col("s_rows") * 4.0 - F.col("exact_rows"))
             # guard: exact_rows = 0 on an empty/filtered-out input is an
@@ -686,8 +708,10 @@ def join_keyhash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rows_rel_err"),
         rnd(
-            F.abs(F.col("s_revenue") * 4.0 - F.col("exact_revenue"))
-            / F.when(F.col("exact_revenue") != 0, F.col("exact_revenue")),
+            F.abs(F.col("s_rev_c") * 4 - F.col("exact_rev_c")).cast("double")
+            / F.when(
+                F.col("exact_rev_c") != 0, F.col("exact_rev_c").cast("double")
+            ),
             4,
         ).alias("revenue_rel_err"),
     )

@@ -247,7 +247,9 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_flagship_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -278,9 +280,20 @@ def q_flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact integer-cents revenue (sf1 hardening, round 11: raw
+            # double sums drift within the 2-dp round at sf1 magnitudes)
+            rnd(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

@@ -96,7 +96,9 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -128,9 +130,20 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact integer-cents revenue (sf1 finding, round 11: raw
+            # double sums drift within the 2-dp round at sf1 magnitudes)
+            rnd(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("revenue"),
         )
     )
 
@@ -489,7 +502,9 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -513,7 +528,22 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact integer-cents revenue (sf1 finding, round 11) — also the
+        # top-20 ordering key, so grid-exactness keeps the cut stable
+        .agg(
+            rnd(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -1207,7 +1237,9 @@ _BUCKETS = 8
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """,
@@ -1250,13 +1282,19 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_BUCKETS,
     )
     o, li = read_table(spark, ot), read_table(spark, lt)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer-cents revenue (sf1 finding, round 11: raw double sums
+    # drift within the 2-dp round at sf1 magnitudes — the
+    # q_nation_trade_balance integer-cents pattern)
+    rev_c = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+    )
     return (
         o.join(li, "o_orderkey")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            rnd(F.sum(rev), 2).alias("revenue"),
+            rnd(F.sum(rev_c).cast("double") / 100.0, 2).alias("revenue"),
         )
     )
 

@@ -154,7 +154,9 @@ def test_keyhash_sample_estimate_is_exact_within_sample(run, sf_dir):
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     urgent = orders[orders["o_orderpriority"] == "1-URGENT"]
     j = urgent.merge(li, left_on="o_orderkey", right_on="l_orderkey")
-    rev = (j["l_extendedprice"] * (1 - j["l_discount"])).sum()
+    # integer-cents grid, mirroring the operator's sf1-hardened sum
+    # (floor(x*100+0.5) = the engine's half-up; pandas .round is half-even)
+    rev = np.floor(j["l_extendedprice"] * (1 - j["l_discount"]) * 100 + 0.5).sum() / 100.0
     assert out["exact_rows"] == len(j)
     assert out["exact_revenue"] == pytest.approx(rev, abs=0.011)
     keep = j["o_orderkey"].map(
@@ -179,7 +181,9 @@ def test_bucketed_noshuffle_plan_and_result(run, spark, sf_dir):
     j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
     for status, g in j.groupby("o_orderstatus"):
         assert out.loc[status, "n_items"] == len(g)
-        rev = (g["l_extendedprice"] * (1 - g["l_discount"])).sum()
+        # integer-cents grid, mirroring the operator's sf1-hardened sum
+        # (floor(x*100+0.5) = the engine's half-up; pandas .round is half-even)
+        rev = np.floor(g["l_extendedprice"] * (1 - g["l_discount"]) * 100 + 0.5).sum() / 100.0
         assert out.loc[status, "revenue"] == pytest.approx(rev, abs=0.011)
 
 
