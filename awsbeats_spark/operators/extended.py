@@ -36,9 +36,21 @@ def scan_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)  # pins TZ + nanos conf + ships package
     schema = t.events.schema  # post-normalization schema (ts: timestamp)
     # the file streaming source wants a DIRECTORY to watch; expose the
-    # single parquet file through a temp dir of symlinks
+    # parquet data through a temp dir of symlinks. A Spark-written
+    # replica stores events.parquet as a DIRECTORY of part files — the
+    # file source does not recurse through a symlinked subdirectory, so
+    # link each part file individually in that case.
     watch_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(watch_dir, "events.parquet"))
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, part),
+                    os.path.join(watch_dir, f"part-{i:05d}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(watch_dir, "events.parquet"))
     # The stream read must stay consistent with the catalog's batch read
     # for EVERY physical ts flavor (legacy nanos-as-long, naive micros ->
     # NTZ, tz-adjusted micros -> TimestampType). Rather than re-deriving
