@@ -75,7 +75,7 @@ def agg_group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog; sum_qty stays raw — integer-valued doubles sum exactly)
     def cents_sum(expr):
         return rnd(
-            F.sum(F.round(expr * 100, 0).cast("long")).cast("double") / 100.0,
+            F.sum(F.floor(expr * 100 + 0.5)).cast("double") / 100.0,
             2,
         )
 

@@ -368,10 +368,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # in the catalog
             rnd(
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * F.col("l_discount") * 100,
-                        0,
-                    ).cast("long")
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount") * 100
+                        + 0.5
+                    )
                 ).cast("double")
                 / 100.0,
                 2,
@@ -438,12 +438,12 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rnd(
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
-                        * 100,
-                        0,
-                    ).cast("long")
+                        * 100
+                        + 0.5
+                    )
                 ).cast("double")
                 / 100.0,
                 2,

@@ -62,12 +62,12 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact integer-cents revenue (sf1 hardening, round 11)
             rnd(
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
-                        * 100,
-                        0,
-                    ).cast("long")
+                        * 100
+                        + 0.5
+                    )
                 ).cast("double")
                 / 100.0,
                 2,
@@ -674,9 +674,9 @@ def join_keyhash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact integer-cents revenue (sf1 finding, round 11: raw double
         # sums drift within the 2-dp round at sf1 magnitudes — the
         # q_nation_trade_balance integer-cents pattern)
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
-        .cast("long")
-        .alias("rev_c"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        ).alias("rev_c"),
     )
     joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
     exact = joined.agg(

@@ -284,12 +284,12 @@ def q_flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double sums drift within the 2-dp round at sf1 magnitudes)
             rnd(
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
-                        * 100,
-                        0,
-                    ).cast("long")
+                        * 100
+                        + 0.5
+                    )
                 ).cast("double")
                 / 100.0,
                 2,

@@ -134,12 +134,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double sums drift within the 2-dp round at sf1 magnitudes)
             rnd(
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
-                        * 100,
-                        0,
-                    ).cast("long")
+                        * 100
+                        + 0.5
+                    )
                 ).cast("double")
                 / 100.0,
                 2,
@@ -533,12 +533,12 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rnd(
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
-                        * 100,
-                        0,
-                    ).cast("long")
+                        * 100
+                        + 0.5
+                    )
                 ).cast("double")
                 / 100.0,
                 2,
@@ -1285,9 +1285,8 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer-cents revenue (sf1 finding, round 11: raw double sums
     # drift within the 2-dp round at sf1 magnitudes — the
     # q_nation_trade_balance integer-cents pattern)
-    rev_c = (
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
-        .cast("long")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     )
     return (
         o.join(li, "o_orderkey")
