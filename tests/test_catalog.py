@@ -70,3 +70,40 @@ def test_ts_unit_remote_uri_falls_back(tmp_path):
     # remote URIs aren't probeable with local I/O; fall back, don't raise
     assert _ts_unit("s3://bucket/events.parquet") in ("ns", "us")
     assert _ts_unit(str(tmp_path / "missing.parquet")) in ("ns", "us")
+
+
+def test_relation_cache_reuses_plan_and_invalidates_on_rewrite(spark, tmp_path):
+    # round-11 optimization: the lazy relation (an unexecuted plan) is
+    # reused across Catalog instances — no data is cached, but the
+    # driver-side footer/schema re-read per operator invocation is gone.
+    tbl = pa.table(
+        {"r_regionkey": pa.array([0], type=pa.int32()), "r_name": pa.array(["ASIA"])}
+    )
+    path = tmp_path / "region.parquet"
+    pq.write_table(tbl, str(path))
+    df1 = tables(spark, str(tmp_path)).region
+    df2 = tables(spark, str(tmp_path)).region
+    assert df1 is df2  # same lazy plan object, zero re-resolution
+    # rewrite the file (different mtime/size) -> cache entry must drop
+    tbl2 = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], type=pa.int32()),
+            "r_name": pa.array(["ASIA", "EMEA"]),
+        }
+    )
+    os.utime(path, (1, 1))  # force mtime change even on coarse filesystems
+    pq.write_table(tbl2, str(path))
+    df3 = tables(spark, str(tmp_path)).region
+    assert df3 is not df1
+    assert df3.count() == 2  # fresh data visible, not a stale plan
+
+
+def test_relation_cache_result_is_recomputed_from_disk(spark, tmp_path):
+    # the cache holds a PLAN, not rows: executing the same cached
+    # DataFrame after the underlying file grew in place must reflect the
+    # new bytes (parquet scans re-list/re-read at execution)
+    tbl = pa.table({"r_regionkey": pa.array([0], type=pa.int32())})
+    path = tmp_path / "region.parquet"
+    pq.write_table(tbl, str(path))
+    df = tables(spark, str(tmp_path)).region
+    assert df.count() == 1
