@@ -236,7 +236,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair costs more than the two extra linear scans it saves."""
     sets = _doc_shingle_sets(spark, sf_dir)
     exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
-    # hash each distinct shingle ONCE; 2 md5s feed all 8 families
+    # hash each distinct shingle ONCE; 2 md5s feed all 8 families.
+    # The 8 chunks are carried as LONGs, not 8-hex-char strings: an
+    # 8-char lowercase-hex substring orders lexicographically exactly as
+    # its integer value (0-9 < a-f in ASCII), so min(long) == min(string)
+    # — but a string min-buffer forces SortAggregate (two full sorts of
+    # the exploded relation around the per-doc aggregate) while 8 long
+    # minima keep the mutable-buffer HashAggregate with map-side combine.
+    # The `h` projection stays in its own select so CollapseProject does
+    # not inline the two md5 calls 8x (the _doc_shingle_sets pattern).
     uni = (
         exploded.select("sh")
         .distinct()
@@ -246,15 +254,33 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5("sh"), F.md5(F.concat(F.lit("x:"), F.col("sh")))
             ).alias("h"),
         )
+        .select(
+            "sh",
+            F.array(
+                *[
+                    F.conv(F.substring("h", i * 8 + 1, 8), 16, 10).cast("long")
+                    for i in range(N_MINHASH)
+                ]
+            ).alias("hv"),
+        )
     )
     sig = (
         exploded.join(uni.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(
             *[
-                F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
+                F.min(F.col("hv")[i]).alias(f"v{i}")
                 for i in range(N_MINHASH)
             ]
+        )
+        # rebuild the exact hex minima the band hash is defined over:
+        # lower(lpad(hex(v))) inverts conv() bit-for-bit for 32-bit chunks
+        .select(
+            "doc_id",
+            *[
+                F.lower(F.lpad(F.hex(F.col(f"v{i}")), 8, "0")).alias(f"m{i}")
+                for i in range(N_MINHASH)
+            ],
         )
     )
     band_vals = F.array(

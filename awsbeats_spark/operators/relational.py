@@ -101,6 +101,13 @@ def project_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON is built with string concat (not to_json) so the byte layout is
     engine-independent and oracle-checkable; the streaming sink
     (awsbeats_spark.sinks.kinesis) uses the same projection.
+
+    The drop-on-missing-key filter is expressed as explode(array_compact)
+    rather than filter(isNotNull): predicate pushdown would otherwise
+    clone the get_json_object call below the scan filter and every row
+    would pay the JSON parse twice (once to test, once to project). The
+    generator evaluates the path exactly once per row and emits 0 or 1
+    rows — same rows out, half the Jackson parses.
     """
     t = tables(spark, sf_dir)
     pk = F.get_json_object("props", "$.k")
@@ -113,13 +120,10 @@ def project_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         F.lit("}\n"),
     )
-    return (
-        t.events.select(
-            "event_id",
-            data.alias("data"),
-            pk.alias("partition_key"),
-        )
-        .filter(F.col("partition_key").isNotNull())
+    return t.events.select(
+        "event_id",
+        data.alias("data"),
+        F.explode(F.array_compact(F.array(pk))).alias("partition_key"),
     )
 
 

@@ -830,3 +830,20 @@ def test_dedup_impact_single_scan_no_text_shuffle(q):
     plan = executed_plan(df)
     ex = plan.split("Exchange hashpartitioning")[1] if "Exchange hashpartitioning" in plan else ""
     assert "text#" not in ex.split("+-")[0]
+
+
+def test_project_record_parses_json_exactly_once(q):
+    # round-11: the drop-on-missing-key filter rides the generator, so
+    # get_json_object must appear ONCE in the physical plan — predicate
+    # pushdown used to clone it below the scan (two parses per row)
+    plan = executed_plan(q("project_record"))
+    assert plan.count("get_json_object") == 1
+
+
+def test_dedup_minhash_signature_aggregate_is_hash_based(q):
+    # round-11: per-doc minima are LONGs (8-hex-chunk value order ==
+    # string order), keeping the mutable-buffer HashAggregate; a string
+    # min-buffer would silently fall back to SortAggregate and re-sort
+    # the exploded corpus twice around the per-doc aggregate
+    plan = executed_plan(q("dedup_minhash"))
+    assert "SortAggregate" not in plan
