@@ -160,6 +160,68 @@ class Catalog:
             self[name].createOrReplaceTempView(name)
 
 
+def _input_bytes(path: str) -> int | None:
+    """Total on-disk bytes of a parquet file/dir; None when not local."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if not os.path.isdir(path):
+            # remote URI / missing path: size is UNKNOWN, not zero — a
+            # 0 here would let the fan-out repartition fire on a huge
+            # remote table, the exact failure the gate exists to prevent
+            return None
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+    except OSError:
+        return None
+
+
+# Absolute ceiling for the fan-out repartition: shuffling this much is
+# trivial on any hardware, and a corpus past it produces enough scan
+# splits on its own. Keeps the helper a guaranteed no-op at data scale.
+_FANOUT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def scan_fanout(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """Spread a small unsplittable scan across the host's cores.
+
+    Parquet scan parallelism comes from size/maxPartitionBytes splits
+    (row-group granularity), so a small single-file table is ONE task —
+    and every CPU-heavy per-row pipeline above it (tokenize, shingle,
+    md5, cosine) serializes on one core until the first exchange. The
+    guide's remedy for unsplittable inputs is repartition-after-read
+    (§2.5); this applies it ONLY when it is provably the bench-scale
+    case: input under 256 MB AND fewer estimated splits than cores. At
+    cluster scale the scan produces >= cores splits and this returns the
+    DataFrame unchanged — the repartition can never fire on big data.
+
+    Round-robin repartition changes physical row order, so callers must
+    be order-insensitive (exact mins/counts/per-row maps — NOT raw
+    double sums, whose accumulation order would drift vs the oracle).
+    """
+    spark = df.sparkSession
+    size = _input_bytes(f"{sf_dir}/{table}.parquet")
+    if size is None or size > _FANOUT_MAX_BYTES:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    raw = raw.strip().lower().removesuffix("b")
+    max_split = (
+        int(raw[:-1]) * units[raw[-1]] if raw and raw[-1] in units else int(raw or 0) or 134217728
+    )
+    est_splits = max(1, size // max_split)
+    if est_splits >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def _ensure_package_shipped(spark: SparkSession) -> None:
     """Ship awsbeats_spark to executor Python workers via addPyFile.
 

@@ -16,16 +16,24 @@ from pyspark.sql import functions as F
 
 
 def words(text: Column | str = "text") -> Column:
-    """Lowercased whitespace tokens, empties removed."""
-    col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    """Lowercased whitespace tokens, empties removed.
+
+    For a plain column name the expression is built as ONE parsed SQL
+    string: the Column-API form costs ~10 py4j driver roundtrips per
+    call and this helper is invoked on every text operator build (the
+    round-11 build profile showed DataFrame *construction* — not
+    execution — dominated by those socket hops). Identical Catalyst
+    expression either way."""
+    if isinstance(text, str):
+        return F.expr(f"filter(split(lower({text}), '\\\\s+'), x -> x != '')")
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
 
 
 #: DuckDB twin of :func:`words`
 WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 
-def shingles(word_col: Column, n: int = 3) -> Column:
+def shingles(word_col: Column | str, n: int = 3) -> Column:
     """Word n-grams (default 3) as space-joined strings; empty array when
     the doc has fewer than n words (guard needed: Spark's sequence(1,0)
     counts DOWN, unlike DuckDB's empty generate_series).
@@ -36,7 +44,23 @@ def shingles(word_col: Column, n: int = 3) -> Column:
     split/filter pipeline, inlined by CollapseProject) once per ELEMENT
     inside the lambda, turning shingling into O(L^2) string work per
     row; the shifted-zip form evaluates every input array once per ROW
-    (measured 2.5x on the span detector, worse on longer docs)."""
+    (measured 2.5x on the span detector, worse on longer docs).
+
+    Fast path (round 11): a plain column NAME means the word array is a
+    materialized attribute, so per-element indexing inside the lambda is
+    O(1) array access (no pipeline re-evaluation — the trap above only
+    bites when word_col is an inlined expression) and the whole shingle
+    expression parses as ONE SQL string instead of ~60 py4j roundtrips.
+    The size()>=n guard stays: Spark's sequence(1, 0) counts DOWN."""
+    if isinstance(word_col, str):
+        w = word_col
+        terms = ", ".join(f"{w}[i + {j} - 1]" for j in range(n))
+        return F.expr(
+            f"CASE WHEN size({w}) >= {n} THEN "
+            f"transform(sequence(1, size({w}) - {n - 1}), "
+            f"i -> concat_ws(' ', {terms})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
     k = n - 1
     shifted = [word_col.alias("s0")] + [
         F.slice(word_col, i + 1, F.size(word_col)).alias(f"s{i}")

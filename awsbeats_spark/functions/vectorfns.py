@@ -20,17 +20,36 @@ def as_double(v: Column | str) -> Column:
     return c.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    # 0.0D: the D suffix keeps the seed a DOUBLE literal — a bare 0.0
+    # parses as DECIMAL in Spark SQL and would change the fold's type
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product. Plain column NAMES parse as one SQL
+    string (1 py4j roundtrip instead of ~15 — the round-11 build profile
+    showed similarity-operator DataFrame construction dominated by
+    driver socket hops); Column inputs keep the API form. Identical
+    Catalyst expression either way."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+        )
     return dot(a, b) / (norm(a) * norm(b))
 
 

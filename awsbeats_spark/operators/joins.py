@@ -1005,13 +1005,15 @@ def _bloom_bit_sql(key: str, i: int) -> str:
     )
 
 
+def _bloom_addr_from_hex(h, i: int):
+    """Bit address i from an already-computed md5 hex column — lets a
+    probe side compute the digest ONCE per row instead of once per hash
+    function (round 11: 3 md5/row -> 1 on the 100-TB side)."""
+    return F.conv(F.substring(h, 7 * i + 1, 7), 16, 10).cast("bigint") % _BLOOM_M
+
+
 def _bloom_bit_col(key, i: int):
-    return (
-        F.conv(
-            F.substring(F.md5(key.cast("string")), 7 * i + 1, 7), 16, 10
-        ).cast("bigint")
-        % _BLOOM_M
-    )
+    return _bloom_addr_from_hex(F.md5(key.cast("string")), i)
 
 
 @query(
@@ -1088,13 +1090,15 @@ def join_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     big = t.lineitem.select(F.col("l_suppkey").alias("k"))
-    probed = big
+    # digest once per big-side row; each hash function slices the same
+    # hex attribute (was: one md5 per hash per row) — round 11
+    probed = big.withColumn("_h", F.md5(F.col("k").cast("string")))
     for i in range(_BLOOM_HASHES):
         bi = bits.select(F.col("b").alias(f"b{i}")).withColumn(
             f"hit{i}", F.lit(1)
         )
         probed = probed.withColumn(
-            f"addr{i}", _bloom_bit_col(F.col("k"), i)
+            f"addr{i}", _bloom_addr_from_hex(F.col("_h"), i)
         ).join(
             F.broadcast(bi),
             F.col(f"addr{i}") == F.col(f"b{i}"),

@@ -116,10 +116,13 @@ def corpus_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, so downstream partition sizing sees ~1.3× the input token
     volume."""
     t = tables(spark, sf_dir)
-    ws = words()
-    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(_STRIDE))
-    exploded = t.documents.select(
-        "doc_id", ws.alias("ws"), F.explode(starts).alias("start")
+    # tokenize once: the inline form ran the split pipeline twice per
+    # row (array + the generator's size bound) — round 11
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(_STRIDE)
+    )
+    exploded = t.documents.select("doc_id", words("text").alias("ws")).select(
+        "doc_id", "ws", F.explode(starts).alias("start")
     )
     chunk = F.slice(F.col("ws"), F.col("start"), _CHUNK)
     return exploded.select(
@@ -276,13 +279,19 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (≤ one id per train doc) does."""
     t = tables(spark, sf_dir)
     is_eval = _bucket_col().isin(*_EVAL_BUCKETS)
-    sh = shingles(words(), _DECON_N)
+    # tokenize once per side: the inline shingles(words()) re-ran the
+    # split pipeline per slice/size reference (11x per row) — round 11
     ev = (
         t.documents.filter(is_eval)
-        .select(F.explode(sh).alias("sh"))
+        .select(words("text").alias("w"))
+        .select(F.explode(shingles("w", _DECON_N)).alias("sh"))
         .distinct()
     )
-    train = t.documents.filter(~is_eval).select("doc_id", "source", sh.alias("shs"))
+    train = (
+        t.documents.filter(~is_eval)
+        .select("doc_id", "source", words("text").alias("w"))
+        .select("doc_id", "source", shingles("w", _DECON_N).alias("shs"))
+    )
     contaminated = (
         train.select("doc_id", F.explode("shs").alias("sh"))
         .join(F.broadcast(ev), "sh", "left_semi")
@@ -319,14 +328,17 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. One map-side-combined groupBy at (lang, split)
     cardinality; no other shuffle."""
     t = tables(spark, sf_dir)
-    b = _bucket_col()
+    # bucket digest once per row: the CASE's range tests re-ran the
+    # doc_id md5 up to 4x per row when inlined — round 11
+    b = F.col("b")
     split = (
         F.when(b.between("0", "b"), F.lit("train"))
         .when(b.between("c", "d"), F.lit("val"))
         .otherwise(F.lit("test"))
     )
     return (
-        t.documents.select("lang", split.alias("split"))
+        t.documents.select("lang", _bucket_col().alias("b"))
+        .select("lang", split.alias("split"))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -441,23 +453,29 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 so the two engines' summation orders over a doc's logs cannot
     flip low bits."""
     docs = tables(spark, sf_dir).documents
-    w = words()
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.zip_with(
-                    F.slice(w, 1, F.size(w) - 1),
-                    F.slice(w, 2, F.size(w) - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    # materialize the token array before slicing: the inline words()
+    # re-ran the split pipeline per size/slice reference (5x) — round 11
+    w = F.col("w")
+    bi = (
+        docs.select("doc_id", words("text").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.zip_with(
+                        F.slice(w, 1, F.size(w) - 1),
+                        F.slice(w, 2, F.size(w) - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
     bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     ucnt = bi.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = docs.select(F.explode(w).alias("t")).agg(
+    vocab = docs.select(F.explode(words("text")).alias("t")).agg(
         F.countDistinct("t").alias("vocab")
     )
     scored = (
@@ -550,10 +568,11 @@ def corpus_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever reaches the driver. Ties at the limit boundary break on the
     unique span string, so the cutoff is deterministic."""
     t = tables(spark, sf_dir)
+    # tokenize once: inline shingles(words(), 5) re-ran the split
+    # pipeline per slice reference (11x per row) — round 11
     return (
-        t.documents.select(
-            "doc_id", F.explode(shingles(words(), 5)).alias("span")
-        )
+        t.documents.select("doc_id", words("text").alias("w"))
+        .select("doc_id", F.explode(shingles("w", 5)).alias("span"))
         .groupBy("span", "doc_id")
         .agg(F.count(F.lit(1)).alias("occ"))
         .groupBy("span")
@@ -1133,9 +1152,11 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     across both sides, and nothing ever pairs docs with docs. At
     100 TB, shingles would be hashed to int64 before the shuffle."""
     t = tables(spark, sf_dir)
-    shs = t.documents.select(
+    # tokenize once: inline shingles(words()) re-ran the split pipeline
+    # per slice reference (7x per row) — round 11
+    shs = t.documents.select("doc_id", words("text").alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(words()))).alias("sh"),
+        F.explode(F.array_distinct(shingles("w"))).alias("sh"),
     )
     first_seen = shs.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1437,11 +1458,26 @@ def corpus_sft_pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice projection, no shuffle; at 100 TB this is a map-only scan
     whose output feeds corpus_token_pack."""
     t = tables(spark, sf_dir)
-    ws = words()
+    # the min-length gate rides a generator (project_record idiom): a
+    # plain filter(size(ws) >= k) is pushed below the projection and
+    # re-inlines the tokenizer into the scan filter (2x/row) — round 11
     return (
-        t.documents.select("doc_id", "source", ws.alias("ws"))
-        .filter(
-            F.size("ws") >= _SFT_PROMPT_WORDS + _SFT_MIN_COMPLETION_WORDS
+        t.documents.select("doc_id", "source", words("text").alias("ws"))
+        .select(
+            "doc_id",
+            "source",
+            "ws",
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.when(
+                            F.size("ws")
+                            >= _SFT_PROMPT_WORDS + _SFT_MIN_COMPLETION_WORDS,
+                            F.lit(1),
+                        )
+                    )
+                )
+            ).alias("_keep"),
         )
         .select(
             "doc_id",
@@ -2222,7 +2258,9 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-column relation, a fraction of corpus bytes) followed by a
     (split, source)-grain aggregate. No windows, no all-pairs."""
     t = tables(spark, sf_dir)
-    b = _bucket_col()
+    # bucket digest once per row: the CASE's range tests re-ran the
+    # doc_id md5 up to 4x per row when inlined — round 11
+    b = F.col("b")
     split = (
         F.when(b.between("0", "b"), F.lit("train"))
         .when(b.between("c", "d"), F.lit("val"))
@@ -2232,8 +2270,8 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     )
     tagged = t.documents.select(
-        "source", split.alias("split"), fp.alias("fp")
-    )
+        "source", _bucket_col().alias("b"), fp.alias("fp")
+    ).select("source", split.alias("split"), "fp")
     train_fps = (
         tagged.filter(F.col("split") == "train").select("fp").distinct()
     )
@@ -2559,12 +2597,26 @@ def corpus_prefix_boilerplate_topk(
     prefix grain (vocabulary-bounded), a bounded top-k sort, one-row
     total broadcast."""
     t = tables(spark, sf_dir)
-    pfx = t.documents.select(
-        F.array_join(F.slice(words(), 1, _PREFIX_WORDS), " ").alias(
-            "prefix"
-        ),
-        F.size(words()).alias("n_words"),
-    ).filter(F.col("n_words") >= _PREFIX_WORDS)
+    # tokenize once (the inline form ran the split twice per row), and
+    # ride the min-length gate on a generator so pushdown cannot
+    # re-inline the tokenizer into the scan filter — round 11
+    pfx = (
+        t.documents.select(words("text").alias("ws"))
+        .select(
+            F.array_join(F.slice("ws", 1, _PREFIX_WORDS), " ").alias("prefix"),
+            F.size("ws").alias("n_words"),
+        )
+        .select(
+            "prefix",
+            "n_words",
+            F.explode(
+                F.array_compact(
+                    F.array(F.when(F.col("n_words") >= _PREFIX_WORDS, F.lit(1)))
+                )
+            ).alias("_keep"),
+        )
+        .drop("_keep")
+    )
     tot = pfx.agg(F.count(F.lit(1)).alias("n_total"))
     w = Window.orderBy(F.desc("n_docs"), F.asc("prefix"))
     return (
@@ -3765,9 +3817,11 @@ def corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     canaries = spark.createDataFrame(
         list(enumerate(_CANARIES)), "canary_id int, phrase string"
     )
-    shs = t.documents.select(
+    # tokenize once: inline shingles(words()) re-ran the split pipeline
+    # per slice reference (7x per row) — round 11
+    shs = t.documents.select("doc_id", words("text").alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(words()))).alias("sh"),
+        F.explode(F.array_distinct(shingles("w"))).alias("sh"),
     )
     hits = shs.join(
         F.broadcast(canaries), F.col("sh") == F.col("phrase")
@@ -4120,16 +4174,19 @@ def eval_contamination_ngram_overlap(
     [[corpus_decontaminate]] proves out."""
     t = tables(spark, sf_dir)
     is_eval = _bucket_col().isin(*_EVAL_BUCKETS)
-    sh = shingles(words(), _DECON_N)
+    # tokenize once per side: the inline shingles(words()) re-ran the
+    # split pipeline per slice reference (11x per row) — round 11
     ev_doc_sh = (
         t.documents.filter(is_eval)
-        .select("doc_id", F.explode(sh).alias("sh"))
+        .select("doc_id", words("text").alias("w"))
+        .select("doc_id", F.explode(shingles("w", _DECON_N)).alias("sh"))
         .distinct()
     )
     ev_set = ev_doc_sh.select("sh").distinct()
     matched = (
         t.documents.filter(~is_eval)
-        .select(F.explode(sh).alias("sh"))
+        .select(words("text").alias("w"))
+        .select(F.explode(shingles("w", _DECON_N)).alias("sh"))
         .join(F.broadcast(ev_set), "sh", "left_semi")
         .distinct()
         .withColumn("hit", F.lit(1))

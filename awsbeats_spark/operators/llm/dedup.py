@@ -57,11 +57,20 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(words²) per doc — measured 6x slower). Catalyst's CollapseProject
     keeps the split un-inlined because the shingle expression references
     the column more than once.
+
+    scan_fanout (round 11): the documents table at bench scale is ONE
+    unsplittable parquet file, so the whole tokenize/shingle pipeline
+    above the scan ran on one core; the gated repartition (guide §2.5)
+    spreads it and is a no-op past 256 MB / enough scan splits. All
+    consumers do order-insensitive math (mins/counts/set ops).
     """
     t = tables(spark, sf_dir)
+    from awsbeats_spark.catalog import scan_fanout
+
     return (
-        t.documents.select("doc_id", words().alias("w"))
-        .select("doc_id", F.array_distinct(shingles(F.col("w"))).alias("shs"))
+        scan_fanout(t.documents, sf_dir, "documents")
+        .select("doc_id", words().alias("w"))
+        .select("doc_id", F.array_distinct(shingles("w")).alias("shs"))
         .select("doc_id", "shs", F.size("shs").alias("n"))
     )
 
@@ -245,49 +254,34 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minima keep the mutable-buffer HashAggregate with map-side combine.
     # The `h` projection stays in its own select so CollapseProject does
     # not inline the two md5 calls 8x (the _doc_shingle_sets pattern).
+    chunks = ", ".join(
+        f"cast(conv(substring(h, {i * 8 + 1}, 8), 16, 10) as bigint)"
+        for i in range(N_MINHASH)
+    )
     uni = (
         exploded.select("sh")
         .distinct()
-        .select(
-            "sh",
-            F.concat(
-                F.md5("sh"), F.md5(F.concat(F.lit("x:"), F.col("sh")))
-            ).alias("h"),
-        )
-        .select(
-            "sh",
-            F.array(
-                *[
-                    F.conv(F.substring("h", i * 8 + 1, 8), 16, 10).cast("long")
-                    for i in range(N_MINHASH)
-                ]
-            ).alias("hv"),
-        )
+        .select("sh", F.expr("concat(md5(sh), md5(concat('x:', sh)))").alias("h"))
+        .select("sh", F.expr(f"array({chunks})").alias("hv"))
     )
     sig = (
         exploded.join(uni.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.col("hv")[i]).alias(f"v{i}")
-                for i in range(N_MINHASH)
-            ]
-        )
+        .agg(*[F.expr(f"min(hv[{i}])").alias(f"v{i}") for i in range(N_MINHASH)])
         # rebuild the exact hex minima the band hash is defined over:
         # lower(lpad(hex(v))) inverts conv() bit-for-bit for 32-bit chunks
         .select(
             "doc_id",
             *[
-                F.lower(F.lpad(F.hex(F.col(f"v{i}")), 8, "0")).alias(f"m{i}")
+                F.expr(f"lower(lpad(hex(v{i}), 8, '0'))").alias(f"m{i}")
                 for i in range(N_MINHASH)
             ],
         )
     )
-    band_vals = F.array(
-        *[
-            F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")))
-            for j in range(N_BANDS)
-        ]
+    band_vals = F.expr(
+        "array("
+        + ", ".join(f"md5(concat(m{2 * j}, m{2 * j + 1}))" for j in range(N_BANDS))
+        + ")"
     )
     bands = sig.select(
         "doc_id", F.posexplode(band_vals).alias("j", "bv")
@@ -1244,7 +1238,11 @@ def eval_containment_cap_impact(
         "doc_a", "doc_b"
     )
     sets = _doc_shingle_sets(spark, sf_dir)
-    exploded = sets.filter(F.col("n") > 0).select(
+    # no explicit n > 0 filter: explode() already emits zero rows for an
+    # empty shingle array, and the filter was pushed below the shingle
+    # projection, re-inlining the tokenizer into the scan filter
+    # (5x per row) — round 11
+    exploded = sets.select(
         "doc_id", "n", F.explode("shs").alias("sh")
     ).hint("shuffle_hash")
     a = exploded.alias("a")
@@ -2646,10 +2644,13 @@ def dedup_suffix_array_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-set-bounded, orders of magnitude below corpus scale. No
     suffix array, no sort of the corpus, no driver state."""
     t = tables(spark, sf_dir)
-    sh_arr = shingles(words(), _SUBSTR_N)
-    posed = t.documents.select(
-        "doc_id", F.posexplode(sh_arr).alias("pos0", "sh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    # tokenize once: inline shingles(words()) re-ran the split pipeline
+    # per slice reference (11x per row) — round 11
+    posed = (
+        t.documents.select("doc_id", words("text").alias("w"))
+        .select("doc_id", F.posexplode(shingles("w", _SUBSTR_N)).alias("pos0", "sh"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    )
     ok = (
         posed.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from awsbeats_spark.catalog import tables
+from awsbeats_spark.catalog import scan_fanout, tables
 from awsbeats_spark.functions.rounding import rnd
 from awsbeats_spark.registry import query
 
@@ -272,7 +272,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the container correctly for every row. Scale shape: embarrassingly
     parallel per payload, no shuffle."""
     t = tables(spark, sf_dir)
-    payloads = t.documents.select(
+    payloads = scan_fanout(t.documents, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(synth_decode_batches, schema=DECODE_SCHEMA)

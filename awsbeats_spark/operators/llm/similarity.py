@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from awsbeats_spark.catalog import tables
+from awsbeats_spark.catalog import scan_fanout, tables
 from awsbeats_spark.functions.vectorfns import (
     as_double,
     cosine,
@@ -61,21 +61,24 @@ NEAR_DUP_TAU = 0.4  # max pairwise cosine in the testdata is ~0.48
 )
 def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
-    the full corpus — one scan of the corpus, no shuffle of it. This is
-    the exact baseline; at 100 TB brute force is still the right answer
-    when the query set is small (it's a broadcast-map, not a cross
-    shuffle), and the IVF/LSH variants below cut the scan itself."""
+    the full corpus — one scan of the corpus, no shuffle of it at data
+    scale. This is the exact baseline; at 100 TB brute force is still
+    the right answer when the query set is small (it's a broadcast-map,
+    not a cross shuffle), and the IVF/LSH variants below cut the scan
+    itself. scan_fanout spreads the corpus side across cores ONLY when
+    the input is a bench-scale unsplittable file (guide §2.5); past the
+    256 MB gate it is a no-op and the no-corpus-shuffle shape holds."""
     t = tables(spark, sf_dir)
     emb = t.embeddings
     # Norms once per side (not per pair): sqrt(dot(v,v)) is exactly the
     # oracle's arithmetic, so hoisting it out of the pair loop is free.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
-    ).select("query_id", "qv", norm(F.col("qv")).alias("nq"))
-    c = emb.select(
+    ).select("query_id", "qv", norm("qv").alias("nq"))
+    c = scan_fanout(emb, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
-    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("nc"))
-    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    ).select("neighbor_id", "cv", norm("cv").alias("nc"))
+    cos = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
@@ -148,16 +151,16 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % CENTROID_MOD == 0) & (F.col("vec_id") < CENTROID_ID_CAP)
     ).select(
         F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
-    ).select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
-    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("ev")).select(
-        "vec_id", "ev", norm(F.col("ev")).alias("ne")
-    )
+    ).select("cent_id", "cv", norm("cv").alias("nc"))
+    vecs = scan_fanout(emb, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ev")
+    ).select("vec_id", "ev", norm("ev").alias("ne"))
     # Cell assignment is an argmax, not a top-k: max_by with a
     # (score, -cent_id) ordering struct replaces the row_number window —
     # the 100-cells-per-vector cross product is reduced MAP-SIDE by the
     # partial aggregate instead of being shuffled and sorted whole.
     # Ordering matches the oracle's (cosine DESC, cent_id ASC).
-    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    score = dot("ev", "cv") / (F.col("ne") * F.col("nc"))
     assign = (
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", "ev", "ne", "cent_id", score.alias("c_ac"))
@@ -174,7 +177,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("ne").alias("nq")
     )
     pw = Window.partitionBy("query_id").orderBy(F.desc("c_qc"), F.asc("cent_id"))
-    q_score = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    q_score = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .select("query_id", "qv", "nq", "cent_id", q_score.alias("c_qc"))
@@ -183,7 +186,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", "nq", "cent_id")
     )
     rw = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    pair_score = dot(F.col("qv"), F.col("ev")) / (F.col("nq") * F.col("ne"))
+    pair_score = dot("qv", "ev") / (F.col("nq") * F.col("ne"))
     return (
         F.broadcast(probes)
         .join(assign, "cent_id")
@@ -283,15 +286,18 @@ def _dedup_cosine_exact(t) -> DataFrame:
     # Per-vector norms are computed ONCE per side (500 rows) before the
     # pair join, so each of the n²/2 pairs costs a single zip_with dot
     # instead of three; repartition spreads the nested-loop join across
-    # cores (the parquet side arrives as one partition). Same arithmetic
-    # as cosine(): dot/(sqrt(aa)*sqrt(bb)) — oracle-bit-identical.
+    # cores (the parquet side arrives as one partition) and is sized to
+    # the host, not a local[32] constant. Same arithmetic as cosine():
+    # dot/(sqrt(aa)*sqrt(bb)) — oracle-bit-identical.
     a = t.embeddings.select(
         F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va")
-    ).select("vec_a", "va", norm(F.col("va")).alias("na")).repartition(32)
+    ).select("vec_a", "va", norm("va").alias("na")).repartition(
+        t.spark.sparkContext.defaultParallelism
+    )
     b = t.embeddings.select(
         F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb")
-    ).select("vec_b", "vb", norm(F.col("vb")).alias("nb"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    ).select("vec_b", "vb", norm("vb").alias("nb"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_raw"))
@@ -317,7 +323,7 @@ def _dedup_cosine_lsh(t, r: int = 4, bands: int = 16) -> DataFrame:
         ]
     )
     sigs = base.select(
-        "vec_id", "v", full_sig.alias("sig"), norm(F.col("v")).alias("nv")
+        "vec_id", "v", full_sig.alias("sig"), norm("v").alias("nv")
     )
     # Candidate generation joins IDS ONLY: the band self-join's output
     # is |candidate pairs| rows, and dragging two 64-dim double arrays
@@ -349,7 +355,7 @@ def _dedup_cosine_lsh(t, r: int = 4, bands: int = 16) -> DataFrame:
     vb = sigs.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -388,7 +394,7 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         as_double("embedding").alias("ev"),
         sign_signature(F.col("embedding")).alias("sig"),
-    ).select("vec_id", "ev", "sig", norm(F.col("ev")).alias("nv"))
+    ).select("vec_id", "ev", "sig", norm("ev").alias("nv"))
     a = sigs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("ev").alias("va"),
@@ -401,7 +407,7 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("nb"),
         F.col("sig").alias("sig_b"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("bucket") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "bucket", cos.alias("cos_raw"))
@@ -472,7 +478,7 @@ def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "nn_label",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            cosine("qv", "cv").alias("cos_raw"),
         )
         .withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= KNN_K)
@@ -839,16 +845,16 @@ def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("vec_id").alias("keep_id"),
         F.col("ev").alias("ea"),
-        norm(F.col("ev")).alias("na"),
+        norm("ev").alias("na"),
     ).hint("shuffle_hash")
     b = final.select(
         "cluster_id",
         F.col("vec_id").alias("prune_id"),
         F.col("ev").alias("eb"),
-        norm(F.col("ev")).alias("nb"),
+        norm("ev").alias("nb"),
     ).hint("shuffle_hash")
     cos = rnd(
-        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        dot("ea", "eb") / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(
@@ -965,7 +971,7 @@ def embed_semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     vecs = t.embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("ev")
-    ).select("vec_id", "ev", norm(F.col("ev")).alias("ne"))
+    ).select("vec_id", "ev", norm("ev").alias("ne"))
     coarse = vecs.filter(
         (F.col("vec_id") % CENTROID_MOD == 0) & (F.col("vec_id") < CENTROID_ID_CAP)
     ).select(
@@ -975,7 +981,7 @@ def embed_semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1. vector -> argmax-cosine coarse cell, reduced MAP-SIDE (max_by
     # over the (cosine, -cell_id) struct = the oracle's DESC/ASC window)
-    v_score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    v_score = dot("ev", "cv") / (F.col("ne") * F.col("nc"))
     vcell = (
         vecs.crossJoin(F.broadcast(coarse))
         .select("vec_id", "ev", "ne", "cell_id", v_score.alias("s"))
@@ -995,7 +1001,7 @@ def embed_semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ev").alias("fv"),
         F.col("ne").alias("nf"),
     )
-    f_score = dot(F.col("fv"), F.col("cv")) / (F.col("nf") * F.col("nc"))
+    f_score = dot("fv", "cv") / (F.col("nf") * F.col("nc"))
     fw = Window.partitionBy("cent_id").orderBy(F.desc("fs"), F.asc("cell_id"))
     freg = (
         fine.crossJoin(F.broadcast(coarse))
@@ -1026,15 +1032,15 @@ def embed_semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("vec_id").alias("keep_id"),
         F.col("ev").alias("ea"),
-        norm(F.col("ev")).alias("na"),
+        norm("ev").alias("na"),
     ).hint("shuffle_hash")
     b = assigned.select(
         "cluster_id",
         F.col("vec_id").alias("prune_id"),
         F.col("ev").alias("eb"),
-        norm(F.col("ev")).alias("nb"),
+        norm("ev").alias("nb"),
     ).hint("shuffle_hash")
-    cos = rnd(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    cos = rnd(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(
             b,
@@ -1556,7 +1562,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("wl"), dlit, lambda w, u: w - u * dp
                     ).alias("wl")
                 )
-            nm = F.sqrt(dot(F.col("wl"), F.col("wl")))
+            nm = F.sqrt(dot("wl", "wl"))
             v = list(
                 wl.select(
                     F.transform(
@@ -1619,11 +1625,11 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
-    ).select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    ).select("query_id", "qv", norm("qv").alias("nq"))
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
-    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("nc"))
-    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    ).select("neighbor_id", "cv", norm("cv").alias("nc"))
+    cos = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
     return (
         F.broadcast(q)
         .crossJoin(c)
@@ -1657,7 +1663,7 @@ def embed_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables(spark, sf_dir).embeddings
     base = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("ev")
-    ).select("vec_id", "ev", dot(F.col("ev"), F.col("ev")).alias("full_e"))
+    ).select("vec_id", "ev", dot("ev", "ev").alias("full_e"))
     ratios = F.array(
         *[
             dot(F.slice("ev", 1, d), F.slice("ev", 1, d)) / F.col("full_e")
@@ -1895,11 +1901,11 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("cent_id"),
         as_double(F.col("embedding")).alias("cv"),
-    ).select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+    ).select("cent_id", "cv", norm("cv").alias("nc"))
     vecs = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("ev")
-    ).select("vec_id", "label", "ev", norm(F.col("ev")).alias("ne"))
-    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    ).select("vec_id", "label", "ev", norm("ev").alias("ne"))
+    score = dot("ev", "cv") / (F.col("ne") * F.col("nc"))
     assign = (
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", "label", "cent_id", score.alias("c_ac"))
@@ -2140,12 +2146,12 @@ def sim_search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
         as_double(F.col("embedding")).alias("qv"),
-    ).select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    ).select("query_id", "qv", norm("qv").alias("nq"))
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         as_double(F.col("embedding")).alias("cv"),
-    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("nc"))
-    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    ).select("neighbor_id", "cv", norm("cv").alias("nc"))
+    cos = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
@@ -2796,12 +2802,12 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cent_id"),
             as_double(F.col("embedding")).alias("cv"),
         )
-        .select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+        .select("cent_id", "cv", norm("cv").alias("nc"))
     )
     vecs = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("ev")
-    ).select("vec_id", "ev", norm(F.col("ev")).alias("ne"))
-    score = dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc"))
+    ).select("vec_id", "ev", norm("ev").alias("ne"))
+    score = dot("ev", "cv") / (F.col("ne") * F.col("nc"))
     assign = (
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", "cent_id", score.alias("c_ac"))
@@ -2820,7 +2826,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = Window.partitionBy("query_id").orderBy(
         F.desc("c_qc"), F.asc("cent_id")
     )
-    q_score = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    q_score = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .select("query_id", "cent_id", q_score.alias("c_qc"))
@@ -3348,7 +3354,7 @@ def embed_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sampled.alias("a")
     b = sampled.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = cosine("a.v", "b.v")
     pairs = a.join(
         F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")
     ).select(
@@ -3494,7 +3500,7 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "ev",
             "cent_id",
-            cosine(F.col("ev"), F.col("cv")).alias("acos"),
+            cosine("ev", "cv").alias("acos"),
         )
         .withColumn("arn", F.row_number().over(assign_w))
         .filter(F.col("arn") == 1)
@@ -3512,7 +3518,7 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "qv",
             "cent_id",
-            cosine(F.col("qv"), F.col("cv")).alias("pcos"),
+            cosine("qv", "cv").alias("pcos"),
         )
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= _NPROBE_MAX)
@@ -3525,7 +3531,7 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "prn",
-            rnd(cosine(F.col("qv"), F.col("av")), 6).alias("cosine"),
+            rnd(cosine("qv", "av"), 6).alias("cosine"),
         )
     )
     cfg = spark.range(1, _NPROBE_MAX + 1).select(
@@ -3813,7 +3819,7 @@ def embed_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", as_double("embedding").alias("v"))
     )
     a, b = sampled.alias("a"), sampled.alias("b")
-    d2 = 2.0 - 2.0 * cosine(F.col("a.v"), F.col("b.v"))
+    d2 = 2.0 - 2.0 * cosine("a.v", "b.v")
     pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
         (F.col("a.label") == F.col("b.label")).alias("pos"),
         F.round(d2 * _AU_GRID, 0).cast("long").alias("d2q"),

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from awsbeats_spark.catalog import tables
+from awsbeats_spark.catalog import scan_fanout, tables
 from awsbeats_spark.functions.textfns import (
     LANG_MARKERS,
     WORDS_SQL,
@@ -45,20 +45,31 @@ _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics (length, vocab size, TTR)."""
+    """Per-document token statistics (length, vocab size, TTR).
+
+    Staged projections (round 11): the single-select form re-evaluated
+    the inline ``words()`` split pipeline 6x per row (once per feature
+    reference in the final plan). Materializing the token array, then
+    the integer features, leaves one tokenize per row; the arithmetic is
+    expression-identical, so the rounded doubles are bit-identical."""
     t = tables(spark, sf_dir)
-    w = words()
-    n_words = F.size(w)
-    n_distinct = F.size(F.array_distinct(w))
-    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    denom = F.greatest(n_words, F.lit(1))
-    return t.documents.select(
+    feat = t.documents.select(
+        "doc_id", F.length("text").alias("n_chars_calc"), words("text").alias("w")
+    ).select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
-        rnd(sum_len * 1.0 / denom, 4).alias("avg_word_len"),
-        rnd(n_distinct * 1.0 / denom, 4).alias("type_token_ratio"),
+        "n_chars_calc",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias("sum_len"),
+    )
+    denom = F.greatest(F.col("n_words"), F.lit(1))
+    return feat.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_words",
+        "n_distinct_words",
+        rnd(F.col("sum_len") * 1.0 / denom, 4).alias("avg_word_len"),
+        rnd(F.col("n_distinct_words") * 1.0 / denom, 4).alias("type_token_ratio"),
     )
 
 
@@ -94,16 +105,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     language (CJK by codepoint class), pick the max with a fixed
     priority order (en > de > fr > es) for determinism."""
     t = tables(spark, sf_dir)
-    w = words()
+    # tokenize ONCE: the per-language marker counts over an inline
+    # words() re-ran the split pipeline once per language (round 11)
+    base = t.documents.select("doc_id", "lang", "text", words("text").alias("w"))
     scores = {
-        lang: marker_hits(w, markers).alias(f"score_{lang}")
+        lang: marker_hits(F.col("w"), markers).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     }
     zh = (
         F.length("text")
         - F.length(F.regexp_replace("text", r"[一-鿿]", ""))
     ).alias("score_zh")
-    scored = t.documents.select(
+    scored = base.select(
         "doc_id", F.col("lang").alias("labeled_lang"), *scores.values(), zh
     )
     pred = (
@@ -147,20 +160,44 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score in [0,1]: length saturation, stopword
     density, vocabulary uniqueness, mean-word-length plausibility —
-    the classic cheap pre-filters for LLM training corpora."""
+    the classic cheap pre-filters for LLM training corpora.
+
+    Staged projections (round 11, guide §4.4 class): building every
+    sub-score over the inline ``words()`` expression made Catalyst
+    evaluate ``split(lower(text))`` 12x per row in the final plan (each
+    score AND the composite re-derived the token array). Materializing
+    the token array once, then the integer features once, leaves exactly
+    one tokenize per row — CollapseProject keeps the stages separate
+    because the non-cheap expressions are referenced more than once.
+    The score arithmetic is expression-for-expression the same, so the
+    doubles are bit-identical to the single-select form. scan_fanout
+    spreads the one-file bench-scale scan (guide §2.5); the math is
+    per-row, so row order cannot matter."""
     t = tables(spark, sf_dir)
-    w = words()
-    n_words = F.size(w)
-    denom = F.greatest(n_words, F.lit(1))
-    n_chars = F.length("text")
-    n_distinct = F.size(F.array_distinct(w))
-    sum_wl = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    stop_hits = marker_hits(w, LANG_MARKERS["en"])
-    len_score = F.least(n_chars / 400.0, F.lit(1.0))
-    stop_score = F.least(stop_hits * 5.0 / denom, F.lit(1.0))
-    uniq_score = n_distinct * 1.0 / denom
-    wl_score = 1.0 - F.least(F.abs(sum_wl * 1.0 / denom - 5.0) / 5.0, F.lit(1.0))
-    return t.documents.select(
+    from awsbeats_spark.catalog import scan_fanout
+
+    feat = (
+        scan_fanout(t.documents, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n_chars"), words("text").alias("w"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("w").alias("n_words"),
+            F.size(F.array_distinct("w")).alias("n_distinct"),
+            F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias(
+                "sum_wl"
+            ),
+            marker_hits(F.col("w"), LANG_MARKERS["en"]).alias("stop_hits"),
+        )
+    )
+    denom = F.greatest(F.col("n_words"), F.lit(1))
+    len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    stop_score = F.least(F.col("stop_hits") * 5.0 / denom, F.lit(1.0))
+    uniq_score = F.col("n_distinct") * 1.0 / denom
+    wl_score = 1.0 - F.least(
+        F.abs(F.col("sum_wl") * 1.0 / denom - 5.0) / 5.0, F.lit(1.0)
+    )
+    return feat.select(
         "doc_id",
         rnd(len_score, 4).alias("len_score"),
         rnd(stop_score, 4).alias("stopword_score"),
@@ -220,11 +257,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-dup candidates via equi-join at scale."""
     t = tables(spark, sf_dir)
     return (
-        t.documents.select("doc_id", F.md5("text").alias("full_hash"), words().alias("w"))
+        scan_fanout(t.documents, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("full_hash"), words().alias("w"))
         .select(
             "doc_id",
             "full_hash",
-            F.transform(shingles(F.col("w")), lambda s: F.md5(s)).alias("shm"),
+            F.transform(shingles("w"), lambda s: F.md5(s)).alias("shm"),
         )
         .select(
             "doc_id",
@@ -260,14 +298,17 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword lists are built from at 100 TB; bigram ordered by (freq,
     bigram) for a deterministic top-20."""
     t = tables(spark, sf_dir)
-    w = words()
+    # materialize the token array first: the inline form re-ran the
+    # split pipeline once per slice/size reference (4x) — round 11
+    w = F.col("w")
     bigrams = F.zip_with(
         F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
         F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return (
-        t.documents.select(F.explode(bigrams).alias("bigram"))
+        t.documents.select(words("text").alias("w"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
@@ -352,16 +393,16 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both aggregates and the final join hash on doc_id-derived keys, so
     the stage parallelizes evenly at 100 TB (doc_id is unique; no skew)."""
     t = tables(spark, sf_dir)
-    w = words()
-    base = t.documents.select(
+    # both sides materialize the token array before deriving from it:
+    # the inline words() re-ran the split pipeline per reference (round 11)
+    base = t.documents.select("doc_id", words("text").alias("w")).select(
         "doc_id",
-        F.size(w).alias("n_words"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
     )
     bga = (
-        t.documents.select(
-            "doc_id", F.explode(shingles(words(), 2)).alias("bigram")
-        )
+        t.documents.select("doc_id", words("text").alias("w"))
+        .select("doc_id", F.explode(shingles("w", 2)).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -466,20 +507,31 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexes ([.!?]+ / [aeiouy]+) have identical semantics in Java regex
     and RE2 so both engines count the same runs."""
     t = tables(spark, sf_dir)
-    n_words = F.size(words())
-    n_sent = F.greatest(
-        F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), F.lit(0))), F.lit(1)
+    # stage the three counts once: the single-select form re-ran the
+    # tokenizer/regex scans per score reference (5x split + 6x
+    # regexp_extract_all per row in the final plan) — round 11
+    counts = t.documents.select(
+        "doc_id",
+        F.size(words("text")).alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), F.lit(0))), F.lit(1)
+        ).alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SYLL_RE), F.lit(0))
+        ).alias("n_syllables"),
     )
-    n_syll = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SYLL_RE), F.lit(0))
+    n_words, n_sent, n_syll = (
+        F.col("n_words"),
+        F.col("n_sentences"),
+        F.col("n_syllables"),
     )
     wps = n_words * F.lit(1.0) / n_sent
     spw = n_syll * F.lit(1.0) / F.greatest(n_words, F.lit(1))
-    return t.documents.select(
+    return counts.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
-        n_syll.alias("n_syllables"),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
         rnd(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
             "flesch_ease"
         ),
@@ -587,8 +639,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join) and the min-count filter prunes the long tail before
     ranking; top-k is TakeOrderedAndProject."""
     docs = tables(spark, sf_dir).documents
-    w = words()
-    bi = docs.select(
+    # materialize the token array first: the inline form re-ran the
+    # split pipeline once per size/slice reference (5x) — round 11
+    w = F.col("w")
+    bi = docs.select(words("text").alias("w")).select(
         F.explode(
             F.when(
                 F.size(w) >= 2,
@@ -666,12 +720,23 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     of JVM `regexp_count` expressions; embarrassingly parallel, no
     shuffle, fully codegen'd."""
     t = tables(spark, sf_dir)
-    n = F.greatest(F.length("text"), F.lit(1))
-    n_sym = F.regexp_count("text", F.lit(_CODE_SYM_RE))
-    n_digit = F.regexp_count("text", F.lit(_CODE_DIGIT_RE))
-    n_camel = F.regexp_count("text", F.lit(_CODE_CAMEL_RE))
+    # stage the regex counts once: the single-select form re-ran each
+    # regexp scan per ratio/score reference (9x per row) — round 11
+    feats = t.documents.select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).alias("n"),
+        F.regexp_count("text", F.lit(_CODE_SYM_RE)).alias("n_sym"),
+        F.regexp_count("text", F.lit(_CODE_DIGIT_RE)).alias("n_digit"),
+        F.regexp_count("text", F.lit(_CODE_CAMEL_RE)).alias("n_camel"),
+    )
+    n, n_sym, n_digit, n_camel = (
+        F.col("n"),
+        F.col("n_sym"),
+        F.col("n_digit"),
+        F.col("n_camel"),
+    )
     score = (3.0 * n_sym + 1.0 * n_digit + 2.0 * n_camel) / n
-    return t.documents.select(
+    return feats.select(
         "doc_id",
         rnd(n_sym / n, 6).alias("sym_ratio"),
         rnd(n_digit / n, 6).alias("digit_ratio"),
@@ -1223,9 +1288,26 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow integer rows, the argmin is one hash aggregate with
     map-side combine, and nothing pairs docs with docs."""
     t = tables(spark, sf_dir)
-    shs = t.documents.select(
-        "doc_id", shingles(words()).alias("arr")
-    ).filter(F.size("arr") >= _WINNOW_W)
+    # tokenize once, then shingle over the materialized attribute: the
+    # inline shingles(words()) re-ran the split pipeline per slice/size
+    # reference. The min-length gate rides a generator (the
+    # project_record idiom) because a plain filter(size(arr) >= w) gets
+    # pushed below both projections and re-inlines the whole tokenize+
+    # shingle pipeline into the scan filter (5x per row) — round 11.
+    shs = (
+        t.documents.select("doc_id", words("text").alias("w"))
+        .select("doc_id", shingles("w").alias("arr"))
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(
+                F.array_compact(
+                    F.array(F.when(F.size("arr") >= _WINNOW_W, F.lit(1)))
+                )
+            ).alias("_keep"),
+        )
+        .drop("_keep")
+    )
     pos = shs.select(
         "doc_id",
         F.size("arr").alias("L"),
