@@ -25,6 +25,15 @@ def rnd(col: Column | str, n: int) -> Column:
     return F.floor(c * F.lit(float(p)) + F.lit(0.5)) / F.lit(float(p))
 
 
+def rnd_sql(expr: str, n: int) -> str:
+    """Spark-SQL text form of :func:`rnd` — same floor half-up formula,
+    D-suffixed literals so the arithmetic stays in DOUBLE (a bare 1.0
+    parses as DECIMAL in Spark SQL). For single-string expression builds
+    (the round-11 py4j fast paths)."""
+    p = float(10**n)
+    return f"(floor(({expr}) * {p}D + 0.5D) / {p}D)"
+
+
 def _find_round(sql: str, start: int) -> int:
     """Index of the next standalone `round(` at/after start, or -1."""
     i = start

@@ -25,8 +25,19 @@ def words(text: Column | str = "text") -> Column:
     execution — dominated by those socket hops). Identical Catalyst
     expression either way."""
     if isinstance(text, str):
-        return F.expr(f"filter(split(lower({text}), '\\\\s+'), x -> x != '')")
+        return F.expr(words_expr(text))
     return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def words_expr(text: str) -> str:
+    """Spark-SQL text of :func:`words` for single-string builds."""
+    return f"filter(split(lower({text}), '\\\\s+'), x -> x != '')"
+
+
+def marker_hits_expr(word_col: str, markers: tuple[str, ...]) -> str:
+    """Spark-SQL text of :func:`marker_hits` for single-string builds."""
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"size(filter({word_col}, x -> x IN ({in_list})))"
 
 
 #: DuckDB twin of :func:`words`

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
-from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.rounding import rnd, rnd_sql
 from awsbeats_spark.registry import query
 
 
@@ -67,27 +67,27 @@ def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: 2 group keys, 8 aggregates, one pass."""
     t = tables(spark, sf_dir)
-    li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = t.lineitem.where("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
+    disc_price = "(l_extendedprice * (1 - l_discount))"
 
     # exact integer-cents money sums (sf1 hardening, round 11: Q1's
     # million-row groups are the widest double-sum exposure in the
-    # catalog; sum_qty stays raw — integer-valued doubles sum exactly)
-    def cents_sum(expr):
-        return rnd(
-            F.sum(F.floor(expr * 100 + 0.5)).cast("double") / 100.0,
-            2,
-        )
+    # catalog; sum_qty stays raw — integer-valued doubles sum exactly).
+    # expr strings (round 11): the Column-API build cost ~750 py4j
+    # roundtrips; D-suffixed literals keep every step in DOUBLE exactly
+    # as the F.lit forms did.
+    def cents_sum(expr: str) -> str:
+        return rnd_sql(f"cast(sum(floor({expr} * 100 + 0.5D)) AS DOUBLE) / 100.0D", 2)
 
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
-        cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-        cents_sum(disc_price).alias("sum_disc_price"),
-        cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
-        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        rnd(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.expr(f"{rnd_sql('sum(l_quantity)', 2)} AS sum_qty"),
+        F.expr(f"{cents_sum('l_extendedprice')} AS sum_base_price"),
+        F.expr(f"{cents_sum(disc_price)} AS sum_disc_price"),
+        F.expr(f"{cents_sum(f'{disc_price} * (1 + l_tax)')} AS sum_charge"),
+        F.expr(f"{rnd_sql('avg(l_quantity)', 4)} AS avg_qty"),
+        F.expr(f"{rnd_sql('avg(l_extendedprice)', 4)} AS avg_price"),
+        F.expr(f"{rnd_sql('avg(l_discount)', 4)} AS avg_disc"),
+        F.expr("count(1) AS count_order"),
     )
 
 

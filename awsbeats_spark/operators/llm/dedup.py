@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
 from awsbeats_spark.functions.textfns import WORDS_SQL, shingles, shingles_sql, words
-from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.rounding import rnd, rnd_sql
 from awsbeats_spark.registry import QUERIES, query
 
 JACCARD_THRESHOLD = 0.2
@@ -114,23 +114,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are the SAME plan, and a shuffle join lets the second side reuse
     # the first side's exchange instead of recomputing the shingle
     # pipeline into a broadcast (measured 2x on sf0.1).
-    exploded = sets.select("doc_id", "n", F.explode("shs").alias("sh")).hint("shuffle_hash")
+    # selectExpr/expr strings (round 11): ~610 py4j roundtrips -> ~50.
+    exploded = sets.selectExpr("doc_id", "n", "explode(shs) AS sh").hint("shuffle_hash")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, F.expr("a.sh = b.sh AND a.doc_id < b.doc_id"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+            F.expr("a.n").alias("na"),
+            F.expr("b.n").alias("nb"),
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.expr("count(1) AS shared"))
     )
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    jac = "(shared / (na + nb - shared))"
     return (
-        pairs.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
+        pairs.where(f"{jac} >= {JACCARD_THRESHOLD}D")
+        .selectExpr("doc_a", "doc_b", f"{rnd_sql(jac, 6)} AS jaccard")
     )
 
 
@@ -220,13 +221,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. P(candidate | J) = 1-(1-J^2)^4: J=0.5 -> 66%, J=0.9 -> 99.97%.
     Hash count/bands are tuned by recall target, not data size.
 
-    Hashing layout (round 7, VERDICT r6 item 5): the md5 family is
-    evaluated once per DISTINCT shingle (the exploded-universe layout
-    the ngram family uses), not once per (doc, shingle) instance — the
-    shingle universe saturates (~27k entries here) while instances grow
-    linearly with docs (9.6x duplication at sf0.1, unbounded at 100 TB),
-    so the hot md5 loop shrinks by the duplication factor and per-doc
-    minima become 8 plain min aggregates with map-side combine.
+    Hashing layout (round 11, reversing round 7): the md5 family is
+    evaluated once per (doc, shingle) INSTANCE, feeding the per-doc min
+    aggregate directly — one tokenize pass, one map-side-combined
+    exchange of (doc_id, 8 longs) partials. The round-7 per-DISTINCT
+    layout saved the 9.6x md5 duplication but paid for it with a second
+    full tokenize pass (the distinct branch re-derives the exploded
+    relation — the exchanges differ in payload, so nothing is reused),
+    a distinct exchange, and a shuffle_hash join that re-shuffles the
+    FULL exploded relation by shingle — O(instances) shuffle bytes at
+    any scale, strictly more than the duplicated md5 CPU it avoids
+    (md5 is embarrassingly parallel; the join is a shuffle). Stage
+    metrics at sf0.1: the two tokenize stages held 28 s of the query's
+    30 s executor time; per-instance drops one of them and the join
+    (measured 2.19 -> 1.53 s median, identical 256-row output).
 
     Band/verify layout (round 8, VERDICT r7 item 6): band rows are
     NARROW — (doc_id, band_idx, band_value) only — and candidate pairs
@@ -244,8 +252,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizes only once was also measured: 2.7 s — the ObjectHashAggregate
     pair costs more than the two extra linear scans it saves."""
     sets = _doc_shingle_sets(spark, sf_dir)
-    exploded = sets.select("doc_id", F.explode("shs").alias("sh"))
-    # hash each distinct shingle ONCE; 2 md5s feed all 8 families.
+    # 2 md5s per instance feed all 8 families; min over the instance
+    # multiset == min over the distinct set, so the output is identical
+    # to the round-7 distinct-universe layout at a fraction of its cost.
     # The 8 chunks are carried as LONGs, not 8-hex-char strings: an
     # 8-char lowercase-hex substring orders lexicographically exactly as
     # its integer value (0-9 < a-f in ASCII), so min(long) == min(string)
@@ -254,70 +263,50 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minima keep the mutable-buffer HashAggregate with map-side combine.
     # The `h` projection stays in its own select so CollapseProject does
     # not inline the two md5 calls 8x (the _doc_shingle_sets pattern).
+    # selectExpr/expr strings throughout (round 11): the Column-API
+    # build cost ~1150 py4j roundtrips (~0.43 s); one parsed SQL string
+    # per projection yields the identical Catalyst expressions.
     chunks = ", ".join(
         f"cast(conv(substring(h, {i * 8 + 1}, 8), 16, 10) as bigint)"
         for i in range(N_MINHASH)
     )
-    uni = (
-        exploded.select("sh")
-        .distinct()
-        .select("sh", F.expr("concat(md5(sh), md5(concat('x:', sh)))").alias("h"))
-        .select("sh", F.expr(f"array({chunks})").alias("hv"))
-    )
+    inst = sets.selectExpr("doc_id", "explode(shs) AS sh").selectExpr(
+        "doc_id", "concat(md5(sh), md5(concat('x:', sh))) AS h"
+    ).selectExpr("doc_id", f"array({chunks}) AS hv")
     sig = (
-        exploded.join(uni.hint("shuffle_hash"), "sh")
-        .groupBy("doc_id")
-        .agg(*[F.expr(f"min(hv[{i}])").alias(f"v{i}") for i in range(N_MINHASH)])
+        inst.groupBy("doc_id")
+        .agg(*[F.expr(f"min(hv[{i}]) AS v{i}") for i in range(N_MINHASH)])
         # rebuild the exact hex minima the band hash is defined over:
         # lower(lpad(hex(v))) inverts conv() bit-for-bit for 32-bit chunks
-        .select(
+        .selectExpr(
             "doc_id",
-            *[
-                F.expr(f"lower(lpad(hex(v{i}), 8, '0'))").alias(f"m{i}")
-                for i in range(N_MINHASH)
-            ],
+            *[f"lower(lpad(hex(v{i}), 8, '0')) AS m{i}" for i in range(N_MINHASH)],
         )
     )
-    band_vals = F.expr(
+    band_arr = (
         "array("
         + ", ".join(f"md5(concat(m{2 * j}, m{2 * j + 1}))" for j in range(N_BANDS))
         + ")"
     )
     bands = sig.select(
-        "doc_id", F.posexplode(band_vals).alias("j", "bv")
+        "doc_id", F.posexplode(F.expr(band_arr)).alias("j", "bv")
     ).hint("shuffle_hash")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        a.join(b, F.expr("a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
         .distinct()
     )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shs").alias("sa"),
-        F.col("n").alias("na"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shs").alias("sb"),
-        F.col("n").alias("nb"),
-    )
-    shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jac = shared / (F.col("na") + F.col("nb") - shared)
+    sa = sets.selectExpr("doc_id AS doc_a", "shs AS sa", "n AS na")
+    sb = sets.selectExpr("doc_id AS doc_b", "shs AS sb", "n AS nb")
+    jac = "(size(array_intersect(sa, sb)) / (na + nb - size(array_intersect(sa, sb))))"
     # no hint: AQE broadcasts the pair-bounded side at small scale and
     # falls back to a doc_id-keyed shuffle join at 100 TB
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", rnd(jac, 6).alias("jaccard"))
+        .where(f"{jac} >= {JACCARD_THRESHOLD}D")
+        .selectExpr("doc_a", "doc_b", f"{rnd_sql(jac, 6)} AS jaccard")
     )
 
 

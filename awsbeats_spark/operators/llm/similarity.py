@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import scan_fanout, tables
 from awsbeats_spark.functions.vectorfns import (
+    _dot_sql,
     as_double,
     cosine,
     cosine_sql,
@@ -26,7 +27,7 @@ from awsbeats_spark.functions.vectorfns import (
     sign_signature,
     sign_signature_sql,
 )
-from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.rounding import rnd, rnd_sql
 from awsbeats_spark.registry import QUERIES, query
 
 TOP_K = 10
@@ -72,21 +73,32 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     # Norms once per side (not per pair): sqrt(dot(v,v)) is exactly the
     # oracle's arithmetic, so hoisting it out of the pair loop is free.
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
-    ).select("query_id", "qv", norm("qv").alias("nq"))
-    c = scan_fanout(emb, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
-    ).select("neighbor_id", "cv", norm("cv").alias("nc"))
-    cos = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    # selectExpr/expr strings (round 11): ~590 py4j roundtrips -> ~40.
+    q = (
+        emb.where(f"vec_id < {N_QUERIES}")
+        .selectExpr("vec_id AS query_id", "cast(embedding AS array<double>) AS qv")
+        .selectExpr("query_id", "qv", f"sqrt({_dot_sql('qv', 'qv')}) AS nq")
+    )
+    c = (
+        scan_fanout(emb, sf_dir, "embeddings")
+        .selectExpr("vec_id AS neighbor_id", "cast(embedding AS array<double>) AS cv")
+        .selectExpr("neighbor_id", "cv", f"sqrt({_dot_sql('cv', 'cv')}) AS nc")
+    )
     return (
         F.broadcast(q)
-        .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", rnd("cos_raw", 6).alias("cosine"), "rn")
+        .join(c, F.expr("neighbor_id != query_id"))
+        .selectExpr(
+            "query_id", "neighbor_id", f"{_dot_sql('qv', 'cv')} / (nq * nc) AS cos_raw"
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos_raw DESC, neighbor_id ASC) AS rn",
+        )
+        .where(f"rn <= {TOP_K}")
+        .selectExpr(
+            "query_id", "neighbor_id", f"{rnd_sql('cos_raw', 6)} AS cosine", "rn"
+        )
     )
 
 
@@ -147,58 +159,71 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each of the ncells-per-vector scores costs a single zip_with dot
     # instead of three. sqrt(dot(v,v)) is the exact arithmetic the oracle
     # uses, so precomputing it changes nothing bit-wise.
-    cents = emb.filter(
-        (F.col("vec_id") % CENTROID_MOD == 0) & (F.col("vec_id") < CENTROID_ID_CAP)
-    ).select(
-        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
-    ).select("cent_id", "cv", norm("cv").alias("nc"))
-    vecs = scan_fanout(emb, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("ev")
-    ).select("vec_id", "ev", norm("ev").alias("ne"))
+    # selectExpr/expr strings throughout (round 11): the Column-API form
+    # cost ~1050 py4j roundtrips (~0.37 s) per build; one parsed SQL
+    # string per projection yields the identical Catalyst expressions.
+    cents = (
+        emb.where(f"vec_id % {CENTROID_MOD} = 0 AND vec_id < {CENTROID_ID_CAP}")
+        .selectExpr("vec_id AS cent_id", "cast(embedding AS array<double>) AS cv")
+        .selectExpr("cent_id", "cv", f"sqrt({_dot_sql('cv', 'cv')}) AS nc")
+    )
+    vecs = (
+        scan_fanout(emb, sf_dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding AS array<double>) AS ev")
+        .selectExpr("vec_id", "ev", f"sqrt({_dot_sql('ev', 'ev')}) AS ne")
+    )
     # Cell assignment is an argmax, not a top-k: max_by with a
     # (score, -cent_id) ordering struct replaces the row_number window —
     # the 100-cells-per-vector cross product is reduced MAP-SIDE by the
     # partial aggregate instead of being shuffled and sorted whole.
     # Ordering matches the oracle's (cosine DESC, cent_id ASC).
-    score = dot("ev", "cv") / (F.col("ne") * F.col("nc"))
     assign = (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "ev", "ne", "cent_id", score.alias("c_ac"))
+        .selectExpr(
+            "vec_id", "ev", "ne", "cent_id",
+            f"{_dot_sql('ev', 'cv')} / (ne * nc) AS c_ac",
+        )
         .groupBy("vec_id")
         .agg(
-            F.max_by(F.col("cent_id"), F.struct(F.col("c_ac"), -F.col("cent_id"))).alias(
-                "cent_id"
-            ),
-            F.any_value(F.col("ev")).alias("ev"),
-            F.any_value(F.col("ne")).alias("ne"),
+            F.expr("max_by(cent_id, struct(c_ac, -cent_id))").alias("cent_id"),
+            F.expr("any_value(ev)").alias("ev"),
+            F.expr("any_value(ne)").alias("ne"),
         )
     )
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("ne").alias("nq")
+    queries = vecs.where(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS query_id", "ev AS qv", "ne AS nq"
     )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("c_qc"), F.asc("cent_id"))
-    q_score = dot("qv", "cv") / (F.col("nq") * F.col("nc"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "nq", "cent_id", q_score.alias("c_qc"))
-        .withColumn("prn", F.row_number().over(pw))
-        .filter(F.col("prn") <= N_PROBE)
+        .selectExpr(
+            "query_id", "qv", "nq", "cent_id",
+            f"{_dot_sql('qv', 'cv')} / (nq * nc) AS c_qc",
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY c_qc DESC, cent_id ASC) AS prn",
+        )
+        .where(f"prn <= {N_PROBE}")
         .select("query_id", "qv", "nq", "cent_id")
     )
-    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    pair_score = dot("qv", "ev") / (F.col("nq") * F.col("ne"))
     return (
         F.broadcast(probes)
         .join(assign, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            pair_score.alias("cos_raw"),
+        .where("vec_id != query_id")
+        .selectExpr(
+            "query_id", "vec_id AS neighbor_id",
+            f"{_dot_sql('qv', 'ev')} / (nq * ne) AS cos_raw",
         )
-        .withColumn("rn", F.row_number().over(rw))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", rnd("cos_raw", 6).alias("cosine"), "rn")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos_raw DESC, neighbor_id ASC) AS rn",
+        )
+        .where(f"rn <= {TOP_K}")
+        .selectExpr(
+            "query_id", "neighbor_id", f"{rnd_sql('cos_raw', 6)} AS cosine", "rn"
+        )
     )
 
 

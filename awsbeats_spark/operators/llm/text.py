@@ -19,12 +19,14 @@ from awsbeats_spark.functions.textfns import (
     LANG_MARKERS,
     WORDS_SQL,
     marker_hits,
+    marker_hits_expr,
     marker_hits_sql,
     shingles,
     shingles_sql,
     words,
+    words_expr,
 )
-from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.rounding import rnd, rnd_sql
 from awsbeats_spark.registry import query
 
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -176,36 +178,39 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     from awsbeats_spark.catalog import scan_fanout
 
+    # selectExpr strings throughout (round 11): the Column-API build
+    # cost ~1100 py4j roundtrips (~0.25 s); every literal carries the D
+    # suffix so the arithmetic stays in DOUBLE exactly as the F.lit
+    # forms did (a bare 400.0 parses as DECIMAL in Spark SQL and would
+    # change the division's type and low bits).
     feat = (
         scan_fanout(t.documents, sf_dir, "documents")
-        .select("doc_id", F.length("text").alias("n_chars"), words("text").alias("w"))
-        .select(
+        .selectExpr("doc_id", "length(text) AS n_chars", f"{words_expr('text')} AS w")
+        .selectExpr(
             "doc_id",
             "n_chars",
-            F.size("w").alias("n_words"),
-            F.size(F.array_distinct("w")).alias("n_distinct"),
-            F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias(
-                "sum_wl"
-            ),
-            marker_hits(F.col("w"), LANG_MARKERS["en"]).alias("stop_hits"),
+            "size(w) AS n_words",
+            "size(array_distinct(w)) AS n_distinct",
+            "aggregate(w, 0, (acc, x) -> acc + length(x)) AS sum_wl",
+            f"{marker_hits_expr('w', LANG_MARKERS['en'])} AS stop_hits",
         )
     )
-    denom = F.greatest(F.col("n_words"), F.lit(1))
-    len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
-    stop_score = F.least(F.col("stop_hits") * 5.0 / denom, F.lit(1.0))
-    uniq_score = F.col("n_distinct") * 1.0 / denom
-    wl_score = 1.0 - F.least(
-        F.abs(F.col("sum_wl") * 1.0 / denom - 5.0) / 5.0, F.lit(1.0)
+    denom = "greatest(n_words, 1)"
+    len_score = "least(n_chars / 400.0D, 1.0D)"
+    stop_score = f"least(stop_hits * 5.0D / {denom}, 1.0D)"
+    uniq_score = f"n_distinct * 1.0D / {denom}"
+    wl_score = f"1.0D - least(abs(sum_wl * 1.0D / {denom} - 5.0D) / 5.0D, 1.0D)"
+    quality = (
+        f"0.25D * ({len_score}) + 0.25D * ({stop_score})"
+        f" + 0.25D * ({uniq_score}) + 0.25D * ({wl_score})"
     )
-    return feat.select(
+    return feat.selectExpr(
         "doc_id",
-        rnd(len_score, 4).alias("len_score"),
-        rnd(stop_score, 4).alias("stopword_score"),
-        rnd(uniq_score, 4).alias("uniq_score"),
-        rnd(wl_score, 4).alias("wordlen_score"),
-        rnd(
-            0.25 * len_score + 0.25 * stop_score + 0.25 * uniq_score + 0.25 * wl_score, 4
-        ).alias("quality"),
+        f"{rnd_sql(len_score, 4)} AS len_score",
+        f"{rnd_sql(stop_score, 4)} AS stopword_score",
+        f"{rnd_sql(uniq_score, 4)} AS uniq_score",
+        f"{rnd_sql(wl_score, 4)} AS wordlen_score",
+        f"{rnd_sql(quality, 4)} AS quality",
     )
 
 

@@ -27,6 +27,19 @@ def get_spark(app_name: str = "awsbeats-spark", cpus: str | None = None) -> Spar
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # Shuffle/spill scratch dir. This host's ext4-on-virtio /tmp costs
+    # ~1.4 ms per small shuffle-block write (measured: 40x slower than
+    # tmpfs), and shuffle WRITE time — not bytes — dominated the heavy
+    # tokenize stages (11 s of a 23 s stage for 5.7 MB of output). The
+    # guide's §2.1 warning that slow local disks can be the tighter
+    # shuffle limit applies verbatim, so local runs default the scratch
+    # to RAM-backed /dev/shm. On a production cluster this must be a
+    # fast local SSD/NVMe array instead (shuffle data at 100 TB cannot
+    # live in RAM): set SPARK_GRAFT_LOCAL_DIR, or leave Spark's default
+    # which inherits the cluster manager's disk allocation.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/awsbeats-spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -45,6 +58,8 @@ def get_spark(app_name: str = "awsbeats-spark", cpus: str | None = None) -> Spar
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
