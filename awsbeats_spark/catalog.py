@@ -222,6 +222,84 @@ def scan_fanout(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     return df.repartition(cores)
 
 
+def _input_rows(path: str) -> int | None:
+    """Row count from parquet footers (file or dir); None when not local.
+    Footer-only reads — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        if not os.path.isdir(path):
+            return None
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                pq.read_metadata(os.path.join(root, f)).num_rows
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+    except (OSError, ValueError):
+        return None
+
+
+# Calibration for pair_repartition (measured on this corpus family,
+# round 12): 5,000 docs -> 1.13M candidate pairs; 50,000 docs -> 113.4M
+# pairs — quadratic growth, because each duplicate cluster appears once
+# per corpus replica so common-shingle doc frequencies scale with corpus
+# size. 110k pair-groups per partition keeps the final aggregate's hash
+# map ≈ 9 MB — inside the ~13 MB per-task execution share of a DEFAULT
+# 1 GB / 32-thread session (guide §5), i.e. no spill storm even with no
+# engine tuning. Probed: width 512 OOMs a bare session at 50k docs,
+# 1024 completes clean; the formula gives 1027 there.
+_PAIRS_AT_CAL = 1_130_000
+_CAL_ROWS = 5_000
+_PAIRS_PER_PARTITION = 110_000
+_PAIR_WIDTH_CAP = 4096
+
+
+def pair_repartition(df: DataFrame, sf_dir: str, table: str, *cols: str) -> DataFrame:
+    """Hash-repartition a candidate-PAIR relation (the output of a
+    shared-key self-join) by ``cols``, with the exchange width derived
+    from the source table's row count (guide §2.5 "derive from input
+    size" — here the driving quantity is the QUADRATIC pair volume, so
+    bytes-proportional sizing such as AQE's advisory-size coalescing
+    under-partitions it: 64 MB of shuffled pair rows deserialize into
+    ~500 MB of aggregate hash-map state).
+
+    Width also matters on the WRITE side: under the bypass shuffle
+    writer (<= spark.shuffle.sort.bypassMergeThreshold reduce
+    partitions) every map task holds one serializer+compression buffer
+    PER reduce partition (~100 KB); a default session's 200 partitions x
+    32 local tasks pins ~600 MB of untracked heap — the other half of
+    the measured sf1-replica OOM. The quadratic width lands either at
+    cores (bench scale, tiny buffers) or beyond the bypass threshold
+    (tracked, spillable sort writer), skipping the bad middle.
+
+    Past the ``scan_fanout`` size gate the column-only repartition is
+    kept: a production session sizes spark.sql.shuffle.partitions for
+    the cluster and AQE owns coalesce/skew from there.
+    SPARK_GRAFT_PAIR_WIDTH overrides for probes/production tuning.
+    """
+    spark = df.sparkSession
+    size = _input_bytes(f"{sf_dir}/{table}.parquet")
+    if size is not None and size <= _FANOUT_MAX_BYTES:
+        width = int(os.environ.get("SPARK_GRAFT_PAIR_WIDTH", "0"))
+        if not width:
+            rows = _input_rows(f"{sf_dir}/{table}.parquet")
+            est_pairs = _PAIRS_AT_CAL * ((rows or 0) / _CAL_ROWS) ** 2
+            width = min(
+                _PAIR_WIDTH_CAP,
+                max(
+                    spark.sparkContext.defaultParallelism,
+                    -(-int(est_pairs) // _PAIRS_PER_PARTITION),
+                ),
+            )
+        return df.repartition(width, *cols)
+    return df.repartition(*cols)
+
+
 def _ensure_package_shipped(spark: SparkSession) -> None:
     """Ship awsbeats_spark to executor Python workers via addPyFile.
 

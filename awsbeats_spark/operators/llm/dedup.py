@@ -118,14 +118,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sets.selectExpr("doc_id", "n", "explode(shs) AS sh").hint("shuffle_hash")
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # repartition-by-pair BEFORE the groupBy (round 12, guide §5/§2.3):
+    # candidate pairs are near-unique (measured sf1: 138.4M joined rows,
+    # 113.4M distinct pairs — 1.2 rows/group), so a partial aggregate in
+    # the join stage combines almost nothing while its hash map holds the
+    # task's entire pair slice (the sf1 OOM under a default-sized 1 GB
+    # session: heap died spilling the partial map). Hash-partitioning the
+    # raw join output by (doc_a, doc_b) first keeps the join stage
+    # streaming (constant memory into the exchange), and the aggregate
+    # then runs where the partitioning already satisfies the groupBy —
+    # its map is bounded by pairs-per-partition and spills gracefully.
+    # Costs the combiner's 10-18% row reduction on the exchange
+    # (measured: 1.27M->1.13M rows at sf0.1); wins the memory bound and
+    # drops the useless giant map at every scale. pair_repartition
+    # additionally derives the exchange WIDTH from the quadratic pair
+    # volume (the 200-reducer write-buffer + agg-state OOMs, catalog.py).
+    from awsbeats_spark.catalog import pair_repartition
+
+    joined = a.join(b, F.expr("a.sh = b.sh AND a.doc_id < b.doc_id")).selectExpr(
+        "a.doc_id AS doc_a", "b.doc_id AS doc_b", "a.n AS na", "b.n AS nb"
+    )
     pairs = (
-        a.join(b, F.expr("a.sh = b.sh AND a.doc_id < b.doc_id"))
-        .groupBy(
-            F.expr("a.doc_id").alias("doc_a"),
-            F.expr("b.doc_id").alias("doc_b"),
-            F.expr("a.n").alias("na"),
-            F.expr("b.n").alias("nb"),
-        )
+        pair_repartition(joined, sf_dir, "documents", "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.expr("count(1) AS shared"))
     )
     jac = "(shared / (na + nb - shared))"

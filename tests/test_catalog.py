@@ -107,3 +107,52 @@ def test_relation_cache_result_is_recomputed_from_disk(spark, tmp_path):
     pq.write_table(tbl, str(path))
     df = tables(spark, str(tmp_path)).region
     assert df.count() == 1
+
+
+def test_pair_repartition_width_scales_quadratically(spark, tmp_path):
+    """pair_repartition (round 12): the exchange width must track the
+    QUADRATIC candidate-pair volume of the source corpus — cores at the
+    measured bench calibration point, ~1k partitions at the 10x replica
+    (where 512 OOMs a default session and 1024 completes), and the
+    AQE-owned column-only repartition past the size gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import (
+        _CAL_ROWS,
+        _PAIR_WIDTH_CAP,
+        pair_repartition,
+    )
+
+    def width_for(rows: int) -> int:
+        d = tmp_path / f"rows{rows}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(rows), type=pa.int64())}),
+            str(d / "documents.parquet"),
+        )
+        df = spark.range(10).selectExpr("id AS doc_a", "id AS doc_b")
+        out = pair_repartition(df, str(d), "documents", "doc_a", "doc_b")
+        return out.rdd.getNumPartitions()
+
+    cores = spark.sparkContext.defaultParallelism
+    assert width_for(_CAL_ROWS) == max(cores, 11)  # 1.13M pairs / 110k
+    w10 = width_for(10 * _CAL_ROWS)
+    assert 1000 <= w10 <= 1100  # quadratic: ~113M pairs / 110k ≈ 1027
+    assert width_for(100 * _CAL_ROWS) == _PAIR_WIDTH_CAP  # clamped
+
+
+def test_pair_repartition_rows_unchanged(spark, tmp_path):
+    """Repartitioning must never change the relation's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import pair_repartition
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), type=pa.int64())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = spark.range(500).selectExpr("id AS doc_a", "(id * 7) % 13 AS doc_b")
+    out = pair_repartition(df, str(tmp_path), "documents", "doc_a", "doc_b")
+    assert sorted(r["doc_a"] for r in out.collect()) == list(range(500))

@@ -847,3 +847,25 @@ def test_dedup_minhash_signature_aggregate_is_hash_based(q):
     # the exploded corpus twice around the per-doc aggregate
     plan = executed_plan(q("dedup_minhash"))
     assert "SortAggregate" not in plan
+
+
+def test_dedup_ngram_pair_agg_runs_above_pair_exchange(q):
+    # round-12: candidate pairs are near-unique (sf1 replica: 138M
+    # joined rows, 113M distinct pairs), so a partial aggregate in the
+    # JOIN stage combines nothing while holding the task's whole pair
+    # slice in memory (the measured default-session OOM). The plan must
+    # keep the join stage streaming: the pair groupBy's HashAggregates
+    # both sit ABOVE the REPARTITION_BY_COL pair exchange, none below.
+    plan = executed_plan(q("dedup_ngram_jaccard"))
+    pair_exchange = plan.index("hashpartitioning(doc_a")
+    # both aggregate phases run after (= printed before) the pair
+    # exchange in the formatted bottom-up tree: every HashAggregate
+    # mention must precede the exchange's position in the dump
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert agg_positions, "pair aggregate missing"
+    assert all(p < pair_exchange for p in agg_positions), (
+        "a HashAggregate landed below the pair exchange — the join-stage "
+        "partial aggregate is back"
+    )
