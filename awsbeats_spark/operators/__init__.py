@@ -45,13 +45,16 @@ the single highest-leverage edit — see VERDICT round 3 item 1):
   in CORRECTNESS_r10 — 50/50 hash-checked): the overflow past round
   9's budget plus round-6/7 additions. After round 10: 492/534.
 * **Round 11**
-  (``_ROUND11_WINDOW``, 46 + 4 rechecks = the full 50-key budget, NOW
-  FRONTED — round-11 slack is ZERO): round-7/8/9 additions plus the 4
-  round-10 additions. Once this window drains, every key registered
-  through round 10 is driver-evidenced. New keys from round 11 onward
-  MUST open ``_ROUND12_WINDOW`` (appending here would overflow the
-  budget and trip the <=50 guard in tests/test_rotation.py); spare
-  round-12+ slots recheck round-1/2 greens on a rolling basis.
+  (``_ROUND11_WINDOW``, 46 + 4 rechecks = the full 50-key budget, all
+  driver-green in CORRECTNESS_r11 — 50/50): round-7/8/9 additions plus
+  the 4 round-10 additions. Every key registered through round 10 is
+  now driver-evidenced.
+* **Round 12** (NOW FRONTED): ``_ROUND12_WINDOW`` (the 4 round-11
+  additions — the only never-driver-checked keys left) + 46 rolling
+  re-checks (``_ROUND12_RECHECKS``): all 19 HEADLINE keys (the final
+  optimization round restructures several; the driver re-oracles every
+  touched query) then the oldest round-1 greens. New keys would open
+  ``_ROUND13_WINDOW``.
 
 The window lists partition the keys that had no driver row as of
 CORRECTNESS_r03 plus every key added since (25 in round 4, 116 in
@@ -571,14 +574,80 @@ _DELIBERATE_RECHECKS_R11 = [
     "multimodal_image_ahash",
 ]
 
+# Round-12 rolling re-checks (the docstring's "spare round-12+ slots
+# recheck round-1/2 greens on a rolling basis" — every key registered
+# through round 11 is driver-evidenced after CORRECTNESS_r11's 50/50, so
+# round 12's spare budget is 50 - len(_ROUND12_WINDOW) = 46). Priority
+# within the spare budget:
+# 1. All 19 HEADLINE bench keys (oracle rows from r1-r3). Round 12 is
+#    the final optimization round: several of these are restructured
+#    (dedup_ngram_jaccard pair exchange, sink manifest path, join_asof /
+#    stream_session_window builds), and fronting them makes the driver
+#    re-oracle every touched query immediately after the changes —
+#    "queries_newly_failing" insurance at zero budget cost.
+# 2. The oldest driver evidence in the repo: round-1 greens in their
+#    original CORRECTNESS_r01 order (skipping keys already queued in
+#    the earlier recheck lists).
+_ROUND12_RECHECKS = [
+    # headline bench keys (bench.py HEADLINE, same order)
+    "q_flagship_revenue_by_nation",
+    "agg_group_sum_avg",
+    "agg_rollup",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "window_topn_rank",
+    "window_running_sum",
+    "stream_session_window",
+    "project_record",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_search_topk",
+    "sim_search_ivf",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_decode",
+    "sort_limit",
+    "sink_kinesis_batched_retry",
+    # oldest round-1 greens, rolling
+    "agg_group_count",
+    "agg_distinct",
+    "graph_triangle_count",
+    "agg_cube",
+    "agg_stats",
+    "agg_bucketed_histogram",
+    "agg_pivot",
+    "agg_corr_stats",
+    "agg_collect_sorted",
+    "agg_percentile_exact",
+    "scan_events_stream",
+    "udf_pandas_zscore",
+    "udf_pandas_grouped_agg",
+    "sql_cte_query",
+    "agg_grouping_sets",
+    "subquery_correlated",
+    "unpivot_stack",
+    "scalar_conditional",
+    "q6_forecast_revenue",
+    "q_order_priority_exists",
+    "q_top_customers",
+    "q_brand_supplier_stats",
+    "window_first_last",
+    "scan_python_datasource",
+    "events_markov_transitions",
+    "graph_pagerank_transitions",
+    "events_path_topk",
+]
+
 
 def _reorder() -> None:
     # Re-check keys may legitimately also appear in an old (already
     # driver-checked) window — e.g. profile_columns_approx sits in
     # _ROUND4_WINDOW; drop them from the tail so they register exactly
     # once, at their recheck position.
-    rechecks = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
-    tail = [
+    old_rechecks = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
+    r12 = set(_ROUND12_RECHECKS)
+    old_windows = [
         n
         for n in _ROUND9_WINDOW
         + _ROUND8_WINDOW
@@ -586,16 +655,22 @@ def _reorder() -> None:
         + _ROUND6_WINDOW
         + _ROUND5_WINDOW
         + _ROUND4_WINDOW
-        if n not in rechecks
+        if n not in old_rechecks
     ]
-    priority = (
-        _ROUND11_WINDOW
+    tail = [
+        n
+        for n in _ROUND11_WINDOW
         + _DELIBERATE_RECHECKS_R11
-        + _ROUND12_WINDOW
         + _ROUND10_WINDOW
         + _DELIBERATE_RECHECKS
-        + tail
-    )
+        + old_windows
+        if n not in r12
+    ]
+    # Round-12 flip: never-driver-checked keys (the 4 round-11
+    # additions) first, then the 46 rolling re-checks — exactly the
+    # driver's 50-key budget — then every already-evidenced window in
+    # reverse-round order.
+    priority = _ROUND12_WINDOW + _ROUND12_RECHECKS + tail
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})
         raise ValueError(f"rotation lists overlap: {dupes}")

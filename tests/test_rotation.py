@@ -11,6 +11,7 @@ from awsbeats_spark.operators import (
     _DELIBERATE_RECHECKS,
     _DELIBERATE_RECHECKS_R11,
     _ROUND11_WINDOW,
+    _ROUND12_RECHECKS,
     _ROUND12_WINDOW,
     _ROUND4_WINDOW,
     _ROUND5_WINDOW,
@@ -24,27 +25,45 @@ from awsbeats_spark.registry import load_all
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
-_ALL_RECHECKS = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
+_ALL_RECHECKS = (
+    set(_DELIBERATE_RECHECKS)
+    | set(_DELIBERATE_RECHECKS_R11)
+    | set(_ROUND12_RECHECKS)
+)
 
 
-def test_round11_window_registers_first():
-    assert len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11) == 50
+def test_round12_window_registers_first():
+    """Round-12 flip: the 4 never-driver-checked round-11 additions plus
+    the 46 rolling re-checks fill the driver's 50-key budget exactly."""
+    assert len(_ROUND12_WINDOW) + len(_ROUND12_RECHECKS) == 50
     keys = list(load_all())
-    fronted = _ROUND11_WINDOW + _DELIBERATE_RECHECKS_R11
+    fronted = _ROUND12_WINDOW + _ROUND12_RECHECKS
     assert keys[: len(fronted)] == fronted
 
 
-def test_round12_through_round4_follow():
+def test_round12_rechecks_cover_headline():
+    """The final optimization round restructures headline operators; the
+    recheck list must make the driver re-oracle every HEADLINE key."""
+    import bench
+
+    assert [k for k in bench.HEADLINE if k not in _ROUND12_RECHECKS] == []
+
+
+def test_round11_through_round4_follow():
     keys = list(load_all())
-    s = len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11)
-    assert keys[s : s + len(_ROUND12_WINDOW)] == _ROUND12_WINDOW
-    s += len(_ROUND12_WINDOW)
-    assert keys[s : s + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
-    s += len(_ROUND10_WINDOW)
-    assert keys[s : s + len(_DELIBERATE_RECHECKS)] == _DELIBERATE_RECHECKS
-    s += len(_DELIBERATE_RECHECKS)
-    # Tail windows register with recheck keys filtered out (they already
-    # registered at their recheck position above).
+    s = len(_ROUND12_WINDOW) + len(_ROUND12_RECHECKS)
+    # r12 recheck keys are r1/r2/r3 greens — disjoint from every window
+    # and from the older recheck lists, so the tail sequence is intact.
+    for block in (
+        _ROUND11_WINDOW,
+        _DELIBERATE_RECHECKS_R11,
+        _ROUND10_WINDOW,
+        _DELIBERATE_RECHECKS,
+    ):
+        expect = [k for k in block if k not in set(_ROUND12_RECHECKS)]
+        assert keys[s : s + len(expect)] == expect
+        s += len(expect)
+    old_rechecks = set(_DELIBERATE_RECHECKS) | set(_DELIBERATE_RECHECKS_R11)
     for window, full_len in (
         (_ROUND9_WINDOW, 50),
         (_ROUND8_WINDOW, 50),
@@ -54,7 +73,11 @@ def test_round12_through_round4_follow():
         (_ROUND4_WINDOW, 50),
     ):
         assert len(window) == full_len
-        expect = [k for k in window if k not in _ALL_RECHECKS]
+        expect = [
+            k
+            for k in window
+            if k not in old_rechecks and k not in set(_ROUND12_RECHECKS)
+        ]
         assert keys[s : s + len(expect)] == expect
         s += len(expect)
 
@@ -63,7 +86,8 @@ def test_upcoming_window_has_no_driver_checked_overlap():
     """Window-budget guard (VERDICT r5 item 6): the fronted window must not
     re-check any key that already has a driver row in ANY prior
     CORRECTNESS_r*.json — a fumbled flip burns the round's entire evidence
-    budget and must fail in pytest, not in the judge's audit."""
+    budget and must fail in pytest, not in the judge's audit. Deliberate
+    re-checks (including the round-12 rolling list) are whitelisted."""
     checked = set()
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         checked |= set(json.loads(path.read_text()))
@@ -72,61 +96,40 @@ def test_upcoming_window_has_no_driver_checked_overlap():
     assert overlap == [], f"fronted window re-checks driver-green keys: {overlap}"
 
 
-def test_deliberate_rechecks_fit_round10_budget():
-    """VERDICT r6 item 3: the stale-`no_oracle` converted keys must sit
-    inside round 10's 50-key driver budget so the conversion finally gets
-    driver-grade evidence (delivered: CORRECTNESS_r10 is 50/50 green).
-    Kept as a structural pin on the now-tail round-10 block."""
-    assert len(_ROUND10_WINDOW) + len(_DELIBERATE_RECHECKS) <= 50, (
-        "round-10 window overflow: deliberate re-checks would fall outside "
-        "the driver's 50-key budget — move new keys to _ROUND12_WINDOW"
-    )
-    # The rechecks must actually occupy the registry slots right after
-    # _ROUND10_WINDOW (ADVICE r7: the old `start + a + b <= start + 50`
-    # form was a tautology that never checked positions).
-    keys = list(load_all())
-    start = keys.index(_ROUND10_WINDOW[0])
-    assert keys[start : start + len(_ROUND10_WINDOW)] == _ROUND10_WINDOW
-    assert (
-        keys[
-            start
-            + len(_ROUND10_WINDOW) : start
-            + len(_ROUND10_WINDOW)
-            + len(_DELIBERATE_RECHECKS)
-        ]
-        == _DELIBERATE_RECHECKS
-    )
+def test_round12_rechecks_are_driver_green():
+    """Every rolling re-check key must already have a green driver row —
+    a never-checked key in the recheck list would mean it fell out of a
+    window (budget accounting bug)."""
+    checked = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(path.read_text()))
+    missing = [k for k in _ROUND12_RECHECKS if k not in checked]
+    assert missing == []
 
 
-def test_deliberate_rechecks_r11_fit_round11_budget():
-    """VERDICT r7 item 3: the round-7/9 oracle conversions
-    (agg_freq_items_approx, profile_columns_approx, embed_pca_project,
-    multimodal_image_ahash) queue inside round 11's 50-key budget so the
-    driver finally sees the converted oracles. Round 11's budget is
-    exactly full (46 + 4): keys added in round 11+ MUST go to
-    _ROUND12_WINDOW, never appended here."""
-    assert len(_ROUND11_WINDOW) + len(_DELIBERATE_RECHECKS_R11) <= 50, (
-        "round-11 window overflow: the r11 deliberate re-checks would fall "
-        "outside the driver's 50-key budget — new keys go to _ROUND12_WINDOW"
+def test_round12_rechecks_disjoint_from_other_lists():
+    other = (
+        set(_DELIBERATE_RECHECKS)
+        | set(_DELIBERATE_RECHECKS_R11)
+        | set(
+            _ROUND4_WINDOW
+            + _ROUND5_WINDOW
+            + _ROUND6_WINDOW
+            + _ROUND7_WINDOW
+            + _ROUND8_WINDOW
+            + _ROUND9_WINDOW
+            + _ROUND10_WINDOW
+            + _ROUND11_WINDOW
+            + _ROUND12_WINDOW
+        )
     )
-    keys = list(load_all())
-    start = keys.index(_ROUND11_WINDOW[0])
-    assert keys[start : start + len(_ROUND11_WINDOW)] == _ROUND11_WINDOW
-    assert (
-        keys[
-            start
-            + len(_ROUND11_WINDOW) : start
-            + len(_ROUND11_WINDOW)
-            + len(_DELIBERATE_RECHECKS_R11)
-        ]
-        == _DELIBERATE_RECHECKS_R11
-    )
+    assert sorted(set(_ROUND12_RECHECKS) & other) == []
 
 
 def test_round12_window_fits_driver_budget():
-    """Round-12 growth cap: the next round's driver budget is ~50 keys;
-    additions past that would push their own evidence out another round."""
-    assert len(_ROUND12_WINDOW) <= 50
+    """Growth cap: the driver budget is ~50 keys; additions past that
+    would push their own evidence out another round."""
+    assert len(_ROUND12_WINDOW) + len(_ROUND12_RECHECKS) <= 50
 
 
 def test_rotation_names_unique_and_registered():
@@ -147,9 +150,9 @@ def test_rotation_names_unique_and_registered():
 
 
 def test_windows_partition_never_driver_checked_keys():
-    """The r4/r5/r6 windows must cover exactly the keys with no driver row
-    in CORRECTNESS_r0{1,2,3} plus any key added after round 3 — so no key
-    can silently fall out of the evidence plan."""
+    """The r4..r12 windows must cover exactly the keys with no driver row
+    in CORRECTNESS_r0{1,2,3} plus every key added after round 3 — so no
+    key can silently fall out of the evidence plan."""
     checked = set()
     for r in ("01", "02", "03"):
         path = REPO / f"CORRECTNESS_r{r}.json"
