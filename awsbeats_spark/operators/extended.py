@@ -105,10 +105,13 @@ def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The stand-in simulates a NETWORK service (localstack analog), so
     # its dump dir should not bill this host's slow ext4 metadata ops
     # (~1.4 ms/small file, measured round 11) to the operator: deliver
-    # to RAM-backed /dev/shm when present. The Spark-side work —
-    # projection, Arrow crossing, chunk/retry/backoff, read-back — is
-    # unchanged.
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # to RAM-backed /dev/shm when present (SPARK_GRAFT_SINK_DUMP_DIR
+    # overrides — used round 12 to A/B the engine win with the dump
+    # pinned to disk). The Spark-side work — projection, Arrow crossing,
+    # chunk/retry/backoff — is unchanged.
+    shm = os.environ.get(
+        "SPARK_GRAFT_SINK_DUMP_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
     out_dir = tempfile.mkdtemp(prefix="kinesis_sink_", dir=shm)
     from awsbeats_spark.catalog import scan_fanout
     cfg = SinkConfig(
@@ -123,17 +126,17 @@ def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core. Delivery is per-record and order-free (rows-only contract);
     # at data scale the scan splits on its own and this is a no-op.
     records = project_records(scan_fanout(t.events, sf_dir, "events"), cfg)
-    deliver = arrow_batch_writer(cfg, client_factory=lambda _c: FileDumpClient(out_dir))
-    # the collect() is the action that forces delivery; the per-partition
-    # counts themselves are unused (ADVICE r8: no exchange+agg for 32 longs)
-    records.mapInArrow(deliver, "n_published long").collect()
-    # explicit schema: inference would read every delivered file twice
-    delivered = (
-        spark.read.schema("data string, partition_key string")
-        .option("multiLine", "true")
-        .json(out_dir)
+    # Round 12 (VERDICT r11 item 5): the delivery tasks now RETURN the
+    # per-record manifest (partition_key, byte length at ack time), so
+    # "what arrived" no longer needs the driver collect() + a multiLine
+    # JSON re-parse of every dumped file (~0.25 s of the 0.95 s sink).
+    # Delivery itself is unchanged — the client still persists every
+    # chunk, publish_records still chunks/retries/backs off, and the
+    # action that materializes this DataFrame forces the delivery.
+    deliver = arrow_batch_writer(
+        cfg, client_factory=lambda _c: FileDumpClient(out_dir), output="manifest"
     )
-    return delivered.select("partition_key", F.length("data").alias("data_len"))
+    return records.mapInArrow(deliver, "partition_key string, data_len int")
 
 
 def _zscore_fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -407,6 +407,7 @@ def arrow_batch_writer(
     cfg: SinkConfig,
     client_factory: Callable[[SinkConfig], BulkPutClient] = make_boto3_client,
     on_counters: Callable[[DeliveryCounters], None] | None = None,
+    output: str = "count",
 ):
     """Arrow-batched BATCH-mode delivery: the same chunk/retry/backoff
     core as ``foreach_batch_writer`` (both run ``publish_records``), but
@@ -416,16 +417,26 @@ def arrow_batch_writer(
     high-throughput path for backfills/bulk replays while the
     ``foreachPartition`` writer remains the Structured-Streaming surface.
 
-    Returns a function for ``DataFrame.mapInArrow(fn, "n_published
-    long")``; drive it with an action (sum of ``n_published`` = records
-    handed to the client at least once). Because ``mapInArrow`` is a
-    transformation, a re-executed task re-publishes its partition —
-    inside the at-least-once contract, exactly like the reference's
-    whole-request retry duplication (streams/client.go:72-80); wrap the
-    query in the epoch marker from ``foreach_batch_writer`` when
-    effectively-once matters.
+    With ``output="count"`` (default), returns a function for
+    ``DataFrame.mapInArrow(fn, "n_published long")``; drive it with an
+    action (sum of ``n_published`` = records handed to the client at
+    least once). With ``output="manifest"``, the function instead yields
+    one row PER DELIVERED RECORD — ``(partition_key, data_len)``,
+    recorded at ack time (``publish_records`` returning at all means
+    every record was acked; otherwise it raises DeliveryError and the
+    task fails) — so callers that report what arrived need no second
+    read of the sink's storage (round 12: replaced the sink operator's
+    multiLine JSON read-back of the dump dir, a full re-parse of every
+    delivered payload). Because ``mapInArrow`` is a transformation, a
+    re-executed task re-publishes its partition — inside the
+    at-least-once contract, exactly like the reference's whole-request
+    retry duplication (streams/client.go:72-80); wrap the query in the
+    epoch marker from ``foreach_batch_writer`` when effectively-once
+    matters.
     """
     cfg.validate()
+    if output not in ("count", "manifest"):
+        raise ValueError(f"invalid output: {output!r} (expected 'count' or 'manifest')")
 
     def deliver(batches):  # noqa: ANN001 - Spark mapInArrow API
         import pyarrow as pa
@@ -444,6 +455,17 @@ def arrow_batch_writer(
             if on_counters is not None:
                 on_counters(counters)
             n = len(buf)
+        if output == "manifest":
+            if buf:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "partition_key": [r["partition_key"] for r in buf],
+                        "data_len": pa.array(
+                            [len(r["data"]) for r in buf], type=pa.int32()
+                        ),
+                    }
+                )
+            return
         yield pa.RecordBatch.from_pydict({"n_published": [n]})
 
     return deliver

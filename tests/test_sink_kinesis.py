@@ -496,3 +496,50 @@ def test_arrow_batch_writer_retry_parity_with_foreach_core():
     assert [len(call) for call in flaky.calls] == [3, 1]
     assert flaky.calls[1][0]["data"] == "b\n"
     assert seen[0].acked == 3 and seen[0].retried == 1
+
+
+def test_arrow_manifest_writer_rows_match_dumped_payloads(spark, tmp_path):
+    """output='manifest' (round 12): the delivery tasks return one row
+    per DELIVERED record — (partition_key, byte length at ack time) —
+    replacing the sink operator's multiLine JSON read-back. The manifest
+    must agree exactly with what the client persisted (the old read-back
+    computed length(data) from the dumped files), and delivery itself
+    must still happen."""
+    import json
+    import pathlib
+
+    from awsbeats_spark.sinks.kinesis import arrow_batch_writer
+    from awsbeats_spark.sinks.local import FileDumpClient
+
+    out_dir = str(tmp_path / "manifest_sink")
+    (tmp_path / "manifest_sink").mkdir()
+    c = cfg(partition_key=None, partition_key_provider="xid", batch_size=5)
+    rows = [(f"payload-{i}-{'x' * (i % 7)}\n", str(i)) for i in range(23)]
+    df = spark.createDataFrame(rows, "data string, partition_key string").repartition(3)
+    deliver = arrow_batch_writer(
+        c, client_factory=lambda _c: FileDumpClient(out_dir), output="manifest"
+    )
+    manifest = df.mapInArrow(deliver, "partition_key string, data_len int").collect()
+    # one manifest row per input record, lengths = the data actually sent
+    assert sorted((r["partition_key"], r["data_len"]) for r in manifest) == sorted(
+        (k, len(d)) for d, k in rows
+    )
+    # delivery really happened: the dumped files carry the same records,
+    # and re-deriving the manifest from them (the old read-back) agrees
+    dumped = []
+    for p in pathlib.Path(out_dir).glob("*.json"):
+        dumped.extend(json.loads(p.read_text()))
+    assert sorted((r["partition_key"], len(r["data"])) for r in dumped) == sorted(
+        (r["partition_key"], r["data_len"]) for r in manifest
+    )
+
+
+def test_arrow_writer_rejects_unknown_output_mode():
+    from awsbeats_spark.sinks.kinesis import arrow_batch_writer
+
+    try:
+        arrow_batch_writer(cfg(), output="bogus")
+    except ValueError as exc:
+        assert "bogus" in str(exc)
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError for invalid output mode")
