@@ -20,11 +20,18 @@ from bench import HEADLINE
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.1"
+    # A directory-shaped first arg (relative or absolute) is the sf dir;
+    # anything else is a query name. Default honors SPARK_GRAFT_SF_DIR
+    # like bench.py so env-driven runs probe the same data.
+    default_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else default_sf
     names = args or HEADLINE
     spark = get_spark("split-probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown} (is the first arg a missing dir?)")
     # warmup all
     for name in names:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
