@@ -188,7 +188,9 @@ def _input_bytes(path: str) -> int | None:
 _FANOUT_MAX_BYTES = 256 * 1024 * 1024
 
 
-def scan_fanout(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+def scan_fanout(
+    df: DataFrame, sf_dir: str, table: str, min_rows: int | None = None
+) -> DataFrame:
     """Spread a small unsplittable scan across the host's cores.
 
     Parquet scan parallelism comes from size/maxPartitionBytes splits
@@ -201,6 +203,15 @@ def scan_fanout(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     cluster scale the scan produces >= cores splits and this returns the
     DataFrame unchanged — the repartition can never fire on big data.
 
+    ``min_rows`` additionally gates on the table's footer row count for
+    callers whose per-row work is CHEAP: the exchange + N-task Python
+    dispatch costs ~0.2 s locally, so fanning out pays only when the
+    serial per-row work exceeds it (round 12: multimodal_decode's
+    measured decode is ~11 us/row — fan-out at 5k rows costs 0.23 s to
+    save 0.05 s, measured 0.56 vs 0.33 s; at 50k rows it saves, 0.75 vs
+    0.81 s). Callers pass the row count where their measured per-row
+    cost crosses the exchange overhead; None keeps the pure size gate.
+
     Round-robin repartition changes physical row order, so callers must
     be order-insensitive (exact mins/counts/per-row maps — NOT raw
     double sums, whose accumulation order would drift vs the oracle).
@@ -209,6 +220,10 @@ def scan_fanout(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     size = _input_bytes(f"{sf_dir}/{table}.parquet")
     if size is None or size > _FANOUT_MAX_BYTES:
         return df
+    if min_rows is not None:
+        rows = _input_rows(f"{sf_dir}/{table}.parquet")
+        if rows is not None and rows < min_rows:
+            return df
     cores = spark.sparkContext.defaultParallelism
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}

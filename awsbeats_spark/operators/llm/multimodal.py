@@ -237,6 +237,29 @@ def synth_decode_batches(
         yield out
 
 
+def synth_decode_arrow(batches):
+    """mapInArrow twin of ``synth_decode_batches`` (round 12): the same
+    fused synthesize+decode per row, but consuming/producing Arrow
+    RecordBatches directly — no pandas DataFrame construction on either
+    side of the boundary (guide §4.2; measured 0.37 -> 0.33 s at sf0.1
+    where conversion overhead, not decoding, dominates)."""
+    import pyarrow as pa
+
+    for rb in batches:
+        metas = [
+            decode_media(synthesize_media(p.as_py())) for p in rb.column("payload")
+        ]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "doc_id": rb.column("doc_id"),
+                "width": pa.array([m["width"] for m in metas], pa.int32()),
+                "height": pa.array([m["height"] for m in metas], pa.int32()),
+                "n_frames": pa.array([m["n_frames"] for m in metas], pa.int32()),
+                "decode_status": pa.array([m["decode_status"] for m in metas]),
+            }
+        )
+
+
 # n = octet_length(encode(text)) in SQL; geometry CASEs per module spec
 _W_SQL = """CASE CAST(n % 3 AS INT)
     WHEN 0 THEN 4 + n % 29
@@ -270,12 +293,22 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib struct — no codec libraries, no stub. The oracle recomputes
     the synthesis spec's geometry in SQL, proving the decode inverted
     the container correctly for every row. Scale shape: embarrassingly
-    parallel per payload, no shuffle."""
+    parallel per payload, no shuffle.
+
+    Round 12: the decode is ~11 us/row (measured 54 ms single-threaded
+    for the whole sf0.1 table), so the round-11 unconditional fan-out
+    LOST 0.2 s of exchange + 32-task dispatch to save 0.05 s of serial
+    work — the 8->32-core PERF ratio of 0.95 was this latency floor,
+    not an Arrow batching limit. The fan-out is now work-gated
+    (min_rows=20_000 ≈ where per-row decode work crosses the exchange
+    cost; measured win on both sides of the gate), and the boundary is
+    mapInArrow with columnar output — no pandas construction per batch.
+    """
     t = tables(spark, sf_dir)
-    payloads = scan_fanout(t.documents, sf_dir, "documents").select(
+    payloads = scan_fanout(t.documents, sf_dir, "documents", min_rows=20_000).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return payloads.mapInPandas(synth_decode_batches, schema=DECODE_SCHEMA)
+    return payloads.mapInArrow(synth_decode_arrow, DECODE_SCHEMA)
 
 
 # container byte length per the synthesis spec (w/h/frames CASEs above)

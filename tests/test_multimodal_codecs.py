@@ -222,3 +222,54 @@ if HAVE_HYPOTHESIS:
         assert d["decode_status"] == full["decode_status"]
         assert d["width"] == full["width"] and d["height"] == full["height"]
         assert d["n_frames"] <= full["n_frames"]
+
+
+def test_synth_decode_arrow_matches_pandas_twin(spark):
+    """Round 12: the mapInArrow decode path must produce exactly the
+    rows of the mapInPandas form it replaced (the oracle hash-compares
+    every value)."""
+    from awsbeats_spark.operators.llm.multimodal import (
+        DECODE_SCHEMA,
+        synth_decode_arrow,
+        synth_decode_batches,
+    )
+
+    texts = [
+        (1, "a"), (2, "ab" * 40), (3, "xyz " * 100), (4, ""), (5, "é unicode"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").selectExpr(
+        "doc_id", "encode(text, 'UTF-8') AS payload"
+    )
+    arrow = sorted(
+        tuple(r) for r in df.mapInArrow(synth_decode_arrow, DECODE_SCHEMA).collect()
+    )
+    pandas = sorted(
+        tuple(r)
+        for r in df.mapInPandas(synth_decode_batches, schema=DECODE_SCHEMA).collect()
+    )
+    assert arrow == pandas
+
+
+def test_decode_fanout_is_work_gated(spark, tmp_path):
+    """The decode fan-out must not fire below the measured work
+    threshold (the exchange costs more than 5k rows of ~11us decodes)
+    and must fire above it on a bench-small single file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awsbeats_spark.catalog import scan_fanout
+
+    for rows in (5_000, 25_000):
+        d = tmp_path / f"rows{rows}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(rows), type=pa.int64())}),
+            str(d / "documents.parquet"),
+        )
+        df = spark.read.parquet(str(d / "documents.parquet"))
+        before = df.rdd.getNumPartitions()
+        after = scan_fanout(df, str(d), "documents", min_rows=20_000).rdd.getNumPartitions()
+        if rows < 20_000:
+            assert after == before  # gate holds: no exchange added
+        else:
+            assert after == spark.sparkContext.defaultParallelism
