@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from awsbeats_spark.catalog import tables
-from awsbeats_spark.functions.rounding import rnd
+from awsbeats_spark.functions.rounding import rnd, rnd_sql
 from awsbeats_spark.registry import query
 
 
@@ -210,40 +210,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     window orders tied click_ids DESC so the frame-last row is the
     minimum id, and the oracle pre-collapses ties to that same winner
     before DuckDB's native ASOF JOIN (which has no tie rule of its
-    own)."""
+    own).
+
+    Single-parse selectExpr build (round 12): the Column-API form cost
+    492 py4j roundtrips / 0.14 s of the query's 0.41 s wall — all
+    driver-side construction for a sub-second query (guide §1; the same
+    conversion the round-11 text/similarity builds got). Expression
+    trees are identical, pinned bit-wise by tests/test_r12_builds.py."""
     t = tables(spark, sf_dir)
     ev = t.events
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    clicks = ev.where("event_type = 'click'").selectExpr(
         "user_id",
         "ts",
-        F.lit(0).alias("kind"),
-        F.col("event_id").alias("click_id"),
-        F.col("value").alias("click_value"),
-        F.lit(None).cast("long").alias("purchase_id"),
+        "0 AS kind",
+        "event_id AS click_id",
+        "value AS click_value",
+        "CAST(NULL AS BIGINT) AS purchase_id",
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    purchases = ev.where("event_type = 'purchase'").selectExpr(
         "user_id",
         "ts",
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("double").alias("click_value"),
-        F.col("event_id").alias("purchase_id"),
+        "1 AS kind",
+        "CAST(NULL AS BIGINT) AS click_id",
+        "CAST(NULL AS DOUBLE) AS click_value",
+        "event_id AS purchase_id",
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", F.col("click_id").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts, kind, click_id DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     return (
         clicks.unionByName(purchases)
-        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
-        .filter(F.col("kind") == 1)
-        .select(
-            F.col("purchase_id"),
-            F.col("user_id"),
-            F.col("last_click_id"),
-            rnd("last_click_value", 2).alias("last_click_value"),
+        .selectExpr(
+            "purchase_id",
+            "user_id",
+            "kind",
+            f"last(click_id, true) {over} AS last_click_id",
+            f"last(click_value, true) {over} AS last_click_value",
+        )
+        .where("kind = 1")
+        .selectExpr(
+            "purchase_id",
+            "user_id",
+            "last_click_id",
+            f"{rnd_sql('last_click_value', 2)} AS last_click_value",
         )
     )
 
