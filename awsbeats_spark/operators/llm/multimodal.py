@@ -44,220 +44,23 @@ from awsbeats_spark.registry import query
 # --------------------------------------------------------------------------
 
 
-def _cycle_bytes(data: bytes, length: int) -> bytes:
-    """``data`` repeated/truncated to exactly ``length`` bytes (zeros if
-    ``data`` is empty)."""
-    if length <= 0:
-        return b""
-    if not data:
-        return b"\x00" * length
-    reps = -(-length // len(data))
-    return (data * reps)[:length]
-
-
-def synthesize_bmp(data: bytes) -> bytes:
-    """A valid 24-bpp bottom-up BMP (BITMAPINFOHEADER) whose pixel rows
-    are ``data`` cycled; geometry per the module spec."""
-    n = len(data)
-    w = 4 + n % 29
-    h = 4 + (7 * n) % 17
-    stride = ((3 * w + 3) // 4) * 4
-    pixels = _cycle_bytes(data, stride * h)
-    size = 54 + len(pixels)
-    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
-    )
-    return header + info + pixels
-
-
-def synthesize_wav(data: bytes) -> bytes:
-    """A valid RIFF/WAVE file: mono 8-bit unsigned PCM at 8 kHz whose
-    data chunk is ``data`` cycled to n_samples bytes."""
-    n = len(data)
-    n_samples = 600 + n % 500
-    pcm = _cycle_bytes(data, n_samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
-    riff_size = 4 + (8 + len(fmt)) + (8 + len(pcm))
-    return (
-        struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")
-        + struct.pack("<4sI", b"fmt ", len(fmt))
-        + fmt
-        + struct.pack("<4sI", b"data", len(pcm))
-        + pcm
-    )
-
-
-def synthesize_y4m(data: bytes) -> bytes:
-    """A valid YUV4MPEG2 stream: textual header + FRAME-delimited raw
-    4:2:0 planes, frame bytes cycled from ``data``. Dimensions are even
-    and two-digit so the header is a fixed 37 bytes."""
-    n = len(data)
-    w = 10 + 2 * (n % 7)
-    h = 10 + 2 * ((7 * n) % 5)
-    frames = 1 + n % 24
-    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode("ascii")
-    assert len(header) == 37
-    frame_bytes = w * h * 3 // 2
-    body = b"".join(
-        b"FRAME\n" + _cycle_bytes(data, frame_bytes) for _ in range(frames)
-    )
-    return header + body
-
-
-def synthesize_media(data: bytes) -> bytes:
-    """Deterministic modality dispatch: len % 3 -> BMP / WAV / Y4M."""
-    m = len(data) % 3
-    if m == 0:
-        return synthesize_bmp(data)
-    if m == 1:
-        return synthesize_wav(data)
-    return synthesize_y4m(data)
-
-
-# --------------------------------------------------------------------------
-# Container decode (pure byte/struct parsing of the REAL headers)
-# --------------------------------------------------------------------------
-
-
-def decode_media(payload: bytes) -> dict:
-    """Parse one media container's actual bytes to typed geometry.
-
-    Supports the three formats ``synthesize_media`` emits — but parses
-    only the payload (magic numbers, headers, chunk walks); it never
-    sees the source text. Raises ``ValueError`` on unknown containers.
-
-    Geometry mapping: image/video -> pixel (width, height); audio ->
-    (n_samples, n_channels). ``n_frames`` is 1 except for video.
-    """
-    if payload[:2] == b"BM" and len(payload) >= 54:
-        declared = struct.unpack_from("<I", payload, 2)[0]
-        if len(payload) < declared:
-            raise ValueError(
-                f"truncated BMP: {len(payload)} of {declared} bytes"
-            )
-        w, h = struct.unpack_from("<ii", payload, 18)
-        bpp = struct.unpack_from("<H", payload, 28)[0]
-        if bpp != 24:
-            raise ValueError(f"unsupported BMP bpp: {bpp}")
-        return {
-            "width": w,
-            "height": abs(h),  # negative height = top-down rows
-            "n_frames": 1,
-            "decode_status": "bmp",
-        }
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        channels = bits = data_size = None
-        off = 12
-        while off + 8 <= len(payload):
-            cid, csize = struct.unpack_from("<4sI", payload, off)
-            if cid == b"fmt ":
-                if csize < 16 or off + 8 + csize > len(payload):
-                    raise ValueError("truncated/short WAV fmt chunk")
-                _fmt, channels, _rate, _bps, _align, bits = struct.unpack_from(
-                    "<HHIIHH", payload, off + 8
-                )
-            elif cid == b"data":
-                if off + 8 + csize > len(payload):
-                    raise ValueError(
-                        f"truncated WAV data chunk: {len(payload) - off - 8}"
-                        f" of {csize} bytes"
-                    )
-                data_size = csize
-            off += 8 + csize + (csize & 1)  # chunks are word-aligned
-        if channels is None or data_size is None:
-            raise ValueError("WAV missing fmt/data chunk")
-        if not bits or not channels or bits < 0 or channels < 0:
-            # data chunk before fmt leaves bits None; a malformed fmt can
-            # declare 0 — both must quarantine, not TypeError/ZeroDivide
-            raise ValueError(f"invalid WAV fmt: bits={bits} ch={channels}")
-        n_samples = data_size * 8 // (bits * channels)
-        return {
-            "width": n_samples,
-            "height": channels,
-            "n_frames": 1,
-            "decode_status": "wav",
-        }
-    if payload[:10] == b"YUV4MPEG2 ":
-        header, _, body = payload.partition(b"\n")
-        w = h = None
-        for tok in header.split(b" ")[1:]:
-            if tok[:1] == b"W":
-                w = int(tok[1:])
-            elif tok[:1] == b"H":
-                h = int(tok[1:])
-        if w is None or h is None:
-            raise ValueError("y4m header missing W/H")
-        # walk FRAME markers + fixed 4:2:0 plane sizes (a substring count
-        # would overcount when raw plane bytes contain b"FRAME\n")
-        frame_bytes = w * h * 3 // 2
-        n_frames, off = 0, 0
-        while off < len(body):
-            if body[off : off + 5] != b"FRAME":
-                raise ValueError("y4m stream misaligned at frame boundary")
-            off = body.index(b"\n", off) + 1 + frame_bytes
-            if off > len(body):
-                raise ValueError("y4m truncated mid-frame")
-            n_frames += 1
-        return {
-            "width": w,
-            "height": h,
-            "n_frames": n_frames,
-            "decode_status": "y4m",
-        }
-    raise ValueError(f"unknown container magic: {payload[:4]!r}")
-
-
-DECODE_SCHEMA = (
-    "doc_id bigint, width int, height int, n_frames int, decode_status string"
+# Worker-side synth/decode functions live in the LEAF module
+# awsbeats_spark.mediacodec (round 12): unpickling them in a fresh
+# Python worker must not drag in operators/__init__'s full catalog
+# import (~0.2 s/worker, paid per bench run under worker churn).
+# Re-exported here so driver-side importers and tests are unchanged.
+from awsbeats_spark.mediacodec import (  # noqa: F401
+    DECODE_SCHEMA,
+    _cycle_bytes,
+    decode_batches,
+    decode_media,
+    synth_decode_arrow,
+    synth_decode_batches,
+    synthesize_bmp,
+    synthesize_media,
+    synthesize_wav,
+    synthesize_y4m,
 )
-
-
-def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas decoder: Arrow batches of (doc_id, payload) container
-    bytes in, parsed metadata batches out (schema = DECODE_SCHEMA)."""
-    for pdf in batches:
-        out = pd.DataFrame([decode_media(b) for b in pdf["payload"]])
-        out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out
-
-
-def synth_decode_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Synthesize the container from the raw payload bytes, then decode
-    it — fused in one Arrow pass so container bytes never cross the
-    Python<->JVM boundary twice. ``decode_media`` still only sees the
-    container bytes."""
-    for pdf in batches:
-        out = pd.DataFrame(
-            [decode_media(synthesize_media(b)) for b in pdf["payload"]]
-        )
-        out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out
-
-
-def synth_decode_arrow(batches):
-    """mapInArrow twin of ``synth_decode_batches`` (round 12): the same
-    fused synthesize+decode per row, but consuming/producing Arrow
-    RecordBatches directly — no pandas DataFrame construction on either
-    side of the boundary (guide §4.2; measured 0.37 -> 0.33 s at sf0.1
-    where conversion overhead, not decoding, dominates)."""
-    import pyarrow as pa
-
-    for rb in batches:
-        metas = [
-            decode_media(synthesize_media(p.as_py())) for p in rb.column("payload")
-        ]
-        yield pa.RecordBatch.from_pydict(
-            {
-                "doc_id": rb.column("doc_id"),
-                "width": pa.array([m["width"] for m in metas], pa.int32()),
-                "height": pa.array([m["height"] for m in metas], pa.int32()),
-                "n_frames": pa.array([m["n_frames"] for m in metas], pa.int32()),
-                "decode_status": pa.array([m["decode_status"] for m in metas]),
-            }
-        )
 
 
 # n = octet_length(encode(text)) in SQL; geometry CASEs per module spec

@@ -273,3 +273,36 @@ def test_decode_fanout_is_work_gated(spark, tmp_path):
             assert after == before  # gate holds: no exchange added
         else:
             assert after == spark.sparkContext.defaultParallelism
+
+
+def test_mediacodec_is_a_leaf_module():
+    """Round 12: the worker-side synth/decode functions must live in a
+    module whose import does NOT pull in the operator catalog — a fresh
+    Python worker unpickling them pays that import (measured 0.2 s per
+    worker from the shipped zip). Import it in a clean subprocess and
+    assert the operators package stays unimported."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "import awsbeats_spark.mediacodec;"
+        "bad = [m for m in sys.modules if m.startswith('awsbeats_spark.operators')"
+        " or m.startswith('pyspark')];"
+        "print('LEAK' if bad else 'CLEAN', bad[:3])"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    ).stdout
+    assert out.startswith("CLEAN"), out
+
+
+def test_decode_functions_pickle_to_leaf_module():
+    """mapInArrow/mapInPandas pickle top-level functions BY REFERENCE to
+    their defining module; these must reference the leaf, not the
+    operators package."""
+    from awsbeats_spark.operators.llm import multimodal as mm
+
+    for fn in (mm.synth_decode_arrow, mm.synth_decode_batches, mm.decode_batches,
+               mm.decode_media, mm.synthesize_media):
+        assert fn.__module__ == "awsbeats_spark.mediacodec", fn.__name__
