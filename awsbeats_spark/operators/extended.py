@@ -113,6 +113,14 @@ def sink_kinesis_batched_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_SINK_DUMP_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     out_dir = tempfile.mkdtemp(prefix="kinesis_sink_", dir=shm)
+    # The dump dir is write-only now (the manifest path never re-reads
+    # it), so reclaim it at interpreter exit — repeated bench/driver
+    # invocations otherwise accumulate ~21 MB of RAM-backed files per
+    # run (measured 2.9 GB of litter over one working session).
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, out_dir, True)
     from awsbeats_spark.catalog import scan_fanout
     cfg = SinkConfig(
         region="us-east-1",
